@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, TimestampNTZType, TimestampType}
+
+/** Central table loader. Owns the session confs every query depends on
+  * (the driver's Verify/Bench sessions are built without them — see
+  * SURVEY.md §1.4) and the `events` nanosecond-timestamp recipe.
+  *
+  * Scale note: at 100 TB these reads become partitioned/bucketed scans;
+  * the single-file layout here is the driver's test harness, not a design
+  * choice. All downstream operators are pure DataFrame transforms, so the
+  * swap is a loader-only change.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Idempotent session confs required for determinism vs the DuckDB oracle. */
+  def conf(spark: SparkSession): Unit = {
+    // events.ts is parquet timestamp[ns]; Spark has no ns type — read as Long.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Written timestamps must be µs (DuckDB's native unit).
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  /** All timestamps are normalized to TimestampNTZ so parquet output is
+    * naive-µs — exactly what the DuckDB oracle produces. (Session tz is
+    * UTC, so LTZ→NTZ casts are wall-clock identities.)
+    */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    conf(spark)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == TimestampType)
+        d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+      else d
+    }
+  }
+
+  /** `events` with `ts` converted ns→µs TimestampNTZ. Integer division —
+    * double division would lose the final µs digit (SURVEY.md §1.4).
+    * DuckDB side: `CAST(ts AS TIMESTAMP)` (ns→µs truncation) agrees.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)").cast(TimestampNTZType))
+
+  /** Money/value columns arrive as 2-dp doubles; exact order-insensitive
+    * aggregation requires decimal (SURVEY.md §2.0.2).
+    */
+  def dec2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(18, 2))
+}
