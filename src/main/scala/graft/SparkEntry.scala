@@ -8,7 +8,9 @@ import graft.ops._
   */
 object SparkEntry {
   private val groups: Seq[OpGroup] = Seq(
+    FilterOps,
     AggOps,
+    SortSetOps,
     EventOps)
 
   val all: Seq[Op] = groups.flatMap(_.ops)

@@ -14,8 +14,6 @@ import org.apache.spark.sql.types.DecimalType
 object AggOps extends OpGroup {
   import graft.Tables.dec2
 
-  private val d = (x: Double) => lit(BigDecimal(x).setScale(2)).cast(DecimalType(18, 2))
-
   val ops: Seq[Op] = Seq(
     // TPC-H Q1-shaped pricing summary — the flagship (SURVEY.md §7.2).
     Op("agg_groupby_hash",
@@ -54,6 +52,243 @@ object AggOps extends OpGroup {
         WHERE l_shipdate <= TIMESTAMP '2000-01-01'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // Ungrouped partial+final aggregation: one row out, map-side combine
+    // means the shuffle carries 32 partial buffers regardless of input size.
+    Op("agg_global",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_price"),
+          round(sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1)), 6).as("avg_price"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_rows, MIN(l_quantity) AS min_qty,
+          MAX(l_quantity) AS max_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+          ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+        FROM lineitem
+      """.trim)),
+
+    Op("agg_count_distinct",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    Op("agg_multi_distinct",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            countDistinct(col("user_id")).as("n_users"),
+            countDistinct(date_trunc("day", col("ts"))).as("n_days"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+          COUNT(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP))) AS n_days
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
+    Op("agg_having",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val n = Tables.t(s, dir, "nation")
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_cust"))
+          .filter(col("n_cust") >= 60)
+          .orderBy("n_name")
+      },
+      Some("""
+        SELECT n_name, COUNT(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name HAVING COUNT(*) >= 60
+        ORDER BY n_name
+      """.trim)),
+
+    // Manual pivot via conditional aggregation — COUNT(CASE …) on both
+    // sides (DuckDB SUM(int) widens to HUGEINT; COUNT stays BIGINT).
+    Op("agg_conditional",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val n = Tables.t(s, dir, "nation")
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            count(when(col("c_mktsegment") === segs.head, 1)).as("n_automobile"),
+            count(when(col("c_mktsegment") === segs(1), 1)).as("n_building"),
+            count(when(col("c_mktsegment") === segs(2), 1)).as("n_furniture"),
+            count(when(col("c_mktsegment") === segs(3), 1)).as("n_household"),
+            count(when(col("c_mktsegment") === segs(4), 1)).as("n_machinery"))
+          .orderBy("n_name")
+      },
+      Some("""
+        SELECT n_name,
+          COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS n_automobile,
+          COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n_building,
+          COUNT(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS n_furniture,
+          COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS n_household,
+          COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS n_machinery
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+      """.trim)),
+
+    // rollup() over a multi-join lineage trips Spark's ambiguous-self-join
+    // detector (grouping analytics duplicates the child plan), so this one
+    // goes through SQL — identical Catalyst plan (Expand + HashAggregate).
+    Op("agg_rollup",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val n = Tables.t(s, dir, "nation")
+        val r = Tables.t(s, dir, "region")
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .select("r_name", "n_name")
+          .createOrReplaceTempView("graft_rollup_src")
+        s.sql("""
+          SELECT r_name, n_name, CAST(GROUPING(r_name) AS INT) AS g_r,
+            CAST(GROUPING(n_name) AS INT) AS g_n, COUNT(*) AS n_cust
+          FROM graft_rollup_src
+          GROUP BY ROLLUP(r_name, n_name)
+          ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+        """)
+      },
+      Some("""
+        SELECT r_name, n_name, CAST(GROUPING(r_name) AS INT) AS g_r,
+          CAST(GROUPING(n_name) AS INT) AS g_n, COUNT(*) AS n_cust
+        FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+      """.trim)),
+
+    Op("agg_cube",
+      (s, dir) => {
+        Tables.t(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(
+            grouping(col("o_orderstatus")).cast("int").as("g_s"),
+            grouping(col("o_orderpriority")).cast("int").as("g_p"),
+            count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+          CAST(GROUPING(o_orderpriority) AS INT) AS g_p, COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """.trim)),
+
+    Op("agg_grouping_sets",
+      (s, dir) => {
+        Tables.t(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping(col("o_orderstatus")).cast("int").as("g_s"),
+            grouping(col("o_orderpriority")).cast("int").as("g_p"),
+            count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+          CAST(GROUPING(o_orderpriority) AS INT) AS g_p, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """.trim)),
+
+    Op("agg_stats",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(stddev_samp(col("l_quantity")), 3).as("sd_qty"),
+            round(var_samp(col("l_quantity")), 3).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 3).as("corr_qty_price"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 3).as("cov_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, ROUND(stddev_samp(l_quantity), 3) AS sd_qty,
+          ROUND(var_samp(l_quantity), 3) AS var_qty,
+          ROUND(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price,
+          ROUND(covar_samp(l_quantity, l_extendedprice), 3) AS cov_qty_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      """.trim)),
+
+    // Exact interpolated median. Engines' percentile/quantile_cont differ in
+    // interpolation ulps, so both sides use the identical row_number
+    // formulation: mean of the middle one (odd n) or two (even n) values.
+    Op("agg_percentile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables.t(s, dir, "customer")
+        val o = Tables.t(s, dir, "orders")
+        val j = c.join(o, c("c_custkey") === o("o_custkey"))
+          .select("c_mktsegment", "o_totalprice")
+        val w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice")
+        j.withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+          .filter(expr("rn = (cnt + 1) DIV 2 OR rn = (cnt + 2) DIV 2"))
+          .groupBy("c_mktsegment")
+          .agg(round(sum(Tables.dec2(col("o_totalprice"))).cast("double") / count(lit(1)), 2)
+            .as("median_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment,
+          ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS median_price
+        FROM (
+          SELECT c_mktsegment, o_totalprice,
+            ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice) AS rn,
+            COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+          FROM customer JOIN orders ON c_custkey = o_custkey
+        ) WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """.trim)),
+
+    Op("agg_collect_sorted",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val n = Tables.t(s, dir, "nation")
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sort_array(collect_set(col("c_mktsegment"))).as("segs"))
+          .orderBy("n_name")
+      },
+      Some("""
+        SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segs
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+      """.trim)),
+
+    // Non-oracle: HLL++ sketches are engine-specific. ScalaTest checks the
+    // estimate against the exact distinct count (±5%).
+    Op("agg_approx_distinct",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+          .orderBy("event_type")
+      },
+      None)
   )
 }

@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Group B — projection / filter / predicates (SURVEY.md §2.1 B).
+  *
+  * Scale notes: all predicates here are Catalyst-pushable to the parquet
+  * scan (`PushedFilters`), so at 100 TB they become row-group/page skips,
+  * not post-scan filters. Projections prune the read schema.
+  */
+object FilterOps extends OpGroup {
+
+  val ops: Seq[Op] = Seq(
+    Op("proj_rename_cast",
+      (s, dir) => {
+        Tables.t(s, dir, "orders").select(
+          col("o_orderkey").cast("string").as("order_id"),
+          col("o_custkey").as("cust_id"),
+          col("o_totalprice").cast(DecimalType(12, 2)).as("total_price"),
+          col("o_orderstatus").as("status"))
+          .orderBy("order_id")
+      },
+      Some("""
+        SELECT CAST(o_orderkey AS VARCHAR) AS order_id, o_custkey AS cust_id,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+          o_orderstatus AS status
+        FROM orders ORDER BY order_id
+      """.trim)),
+
+    Op("filter_compound",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .filter((col("l_discount").between(0.02, 0.06) && col("l_quantity") < 25)
+            || col("l_returnflag") === "R")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem
+        WHERE (l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 25)
+           OR l_returnflag = 'R'
+        GROUP BY l_returnflag ORDER BY l_returnflag
+      """.trim)),
+
+    Op("filter_in_like",
+      (s, dir) => {
+        Tables.t(s, dir, "part")
+          .filter(col("p_brand").isin("Brand#1", "Brand#5", "Brand#12")
+            && col("p_name").like("%a%")
+            && !col("p_size").isin(3, 7))
+          .select("p_partkey", "p_name", "p_brand", "p_size")
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey, p_name, p_brand, p_size
+        FROM part
+        WHERE p_brand IN ('Brand#1','Brand#5','Brand#12')
+          AND p_name LIKE '%a%'
+          AND p_size NOT IN (3, 7)
+        ORDER BY p_partkey
+      """.trim)),
+
+    // Three-valued logic: NULLIF-derived nullable column compared with both
+    // plain `=` (nullable result) and null-safe `<=>`.
+    Op("filter_null_safe",
+      (s, dir) => {
+        Tables.t(s, dir, "orders")
+          .withColumn("st", expr("nullif(o_orderstatus, 'P')"))
+          .groupBy(
+            (col("st") <=> lit("F")).as("is_f_nullsafe"),
+            (col("st") === lit("F")).as("is_f_plain"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("is_f_nullsafe"), asc_nulls_first("is_f_plain"))
+      },
+      Some("""
+        SELECT (NULLIF(o_orderstatus,'P') IS NOT DISTINCT FROM 'F') AS is_f_nullsafe,
+          (NULLIF(o_orderstatus,'P') = 'F') AS is_f_plain, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+        ORDER BY is_f_nullsafe NULLS FIRST, is_f_plain NULLS FIRST
+      """.trim)),
+
+    Op("filter_date_range",
+      (s, dir) => {
+        Tables.t(s, dir, "orders")
+          .filter(col("o_orderdate").between(
+            lit("1996-01-01").cast("timestamp_ntz"),
+            lit("1996-12-31").cast("timestamp_ntz")))
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(Tables.dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sum_price"))
+          .orderBy("month")
+      },
+      Some("""
+        SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        GROUP BY 1 ORDER BY month
+      """.trim))
+  )
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Groups F + G — sort/limit/top-k and set operations (SURVEY.md §2.1 F,G).
+  *
+  * Scale notes: `orderBy().limit(k)` plans as TakeOrderedAndProject —
+  * per-partition top-k then a driver-side merge of k·partitions rows; no
+  * global sort ever materializes. Set ops are hash-partitioned distincts.
+  */
+object SortSetOps extends OpGroup {
+
+  private def ordersIn(s: org.apache.spark.sql.SparkSession, dir: String, year: Int) =
+    Tables.t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(f"$year-01-01").cast("timestamp_ntz")
+        && col("o_orderdate") < lit(f"${year + 1}-01-01").cast("timestamp_ntz"))
+      .select("o_custkey")
+
+  val ops: Seq[Op] = Seq(
+    Op("sort_multikey_nulls",
+      (s, dir) => {
+        Tables.t(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            when(col("c_acctbal") > 0, col("c_acctbal").cast(DecimalType(12, 2))).as("bal_pos"))
+          .orderBy(desc_nulls_last("bal_pos"), asc("c_custkey"))
+          .limit(100)
+      },
+      Some("""
+        SELECT c_custkey,
+          CASE WHEN c_acctbal > 0 THEN CAST(c_acctbal AS DECIMAL(12,2)) END AS bal_pos
+        FROM customer
+        ORDER BY bal_pos DESC NULLS LAST, c_custkey
+        LIMIT 100
+      """.trim)),
+
+    Op("limit_topk",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 10
+      """.trim)),
+
+    Op("set_union_all",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val a = c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), lit("BUILDING").as("seg"))
+        val b = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select(col("c_custkey"), lit("AUTOMOBILE").as("seg"))
+        a.unionAll(b).orderBy("c_custkey", "seg")
+      },
+      Some("""
+        SELECT c_custkey, 'BUILDING' AS seg FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT c_custkey, 'AUTOMOBILE' AS seg FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        ORDER BY c_custkey, seg
+      """.trim)),
+
+    Op("set_union_distinct",
+      (s, dir) => ordersIn(s, dir, 1995).union(ordersIn(s, dir, 1996))
+        .distinct().orderBy("o_custkey"),
+      Some("""
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        UNION
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        ORDER BY o_custkey
+      """.trim)),
+
+    Op("set_intersect",
+      (s, dir) => ordersIn(s, dir, 1995).intersect(ordersIn(s, dir, 1996))
+        .orderBy("o_custkey"),
+      Some("""
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        INTERSECT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        ORDER BY o_custkey
+      """.trim)),
+
+    Op("set_except",
+      (s, dir) => ordersIn(s, dir, 1995).except(ordersIn(s, dir, 1996))
+        .orderBy("o_custkey"),
+      Some("""
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        EXCEPT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        ORDER BY o_custkey
+      """.trim))
+  )
+}
