@@ -9,7 +9,9 @@ import graft.ops._
 object SparkEntry {
   private val groups: Seq[OpGroup] = Seq(
     FilterOps,
+    JoinOps,
     AggOps,
+    ScalarOps,
     SortSetOps,
     EventOps)
 

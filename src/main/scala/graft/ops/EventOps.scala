@@ -31,6 +31,120 @@ object EventOps extends OpGroup {
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // Sliding windows: each event lands in exactly 2 one-hour windows 30 min
+    // apart. The oracle materializes the same two starts per event.
+    Op("ts_sliding",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        ev.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+            col("event_type"), col("n"))
+          .orderBy("window_start", "event_type")
+      },
+      Some("""
+        SELECT ws AS window_start, event_type, COUNT(*) AS n FROM (
+          SELECT unnest([
+              time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+              time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE
+            ]) AS ws, event_type
+          FROM events
+        ) GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim)),
+
+    // Gap sessionization in integer µs (no interval-dialect drift): session
+    // starts where gap > 30 min, session_id = running sum of starts.
+    Op("ts_session_gap",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+        val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val sessions = ev
+          .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+          .withColumn("new_s",
+            when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_s")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg((max(col("us")) - min(col("us"))).as("len_us"))
+        sessions.groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            round(sum(col("len_us")).cast("double") / count(lit(1)) / 1000000.0, 1)
+              .as("avg_len_sec"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n_sessions,
+          ROUND(CAST(SUM(len_us) AS DOUBLE) / COUNT(*) / 1000000.0, 1) AS avg_len_sec
+        FROM (
+          SELECT user_id, session_id, MAX(us) - MIN(us) AS len_us
+          FROM (
+            SELECT user_id, us,
+              SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM (
+              SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                  OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
+              FROM events
+            )
+          ) GROUP BY user_id, session_id
+        ) GROUP BY user_id ORDER BY user_id
+      """.trim)),
+
+    // Deterministic dropDuplicates analogue: row_number()=1 by (ts,
+    // event_id) — plain dropDuplicates keeps an arbitrary row.
+    Op("ts_dedup_earliest",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_type", "event_id", "ts")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""
+        SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+          SELECT user_id, event_type, event_id, ts,
+            ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+          FROM events
+        ) WHERE rn = 1
+        ORDER BY user_id, event_type
+      """.trim)),
+
+    // Time-series densification: hourly spine via sequence+explode, LEFT
+    // JOIN hourly counts, zero-fill.
+    Op("ts_gap_fill",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("hr", date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+        val hourly = ev.groupBy("hr").agg(count(lit(1)).as("cnt"))
+        val spine = ev.agg(min(col("hr")).as("min_hr"), max(col("hr")).as("max_hr"))
+          .select(explode(expr("sequence(min_hr, max_hr, INTERVAL 1 HOUR)")).as("hour"))
+        spine.join(hourly, spine("hour") === hourly("hr"), "left")
+          .select(col("hour"), coalesce(col("cnt"), lit(0L)).as("n"))
+          .orderBy("hour")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, COUNT(*) AS cnt
+          FROM events GROUP BY 1
+        ), spine AS (
+          SELECT unnest(generate_series((SELECT MIN(hr) FROM hourly),
+                                        (SELECT MAX(hr) FROM hourly),
+                                        INTERVAL 1 HOUR)) AS hour
+        )
+        SELECT hour, COALESCE(cnt, 0) AS n
+        FROM spine LEFT JOIN hourly ON hour = hr
+        ORDER BY hour
+      """.trim))
   )
 }

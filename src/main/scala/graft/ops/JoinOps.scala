@@ -1,0 +1,263 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Group C — joins (SURVEY.md §2.1 C).
+  *
+  * Scale notes: dimension joins broadcast (explicit `broadcast()` on
+  * region/nation/customer-sized sides — no shuffle of the fact table);
+  * the big-big `lineitem ⋈ orders` path is a shuffle join on the join key,
+  * which at 100 TB becomes bucketed co-location (loader-level change).
+  * Outer-join queries aggregate BEFORE joining, so the shuffle carries
+  * group counts, not raw rows. The as-of join is the window formulation —
+  * a single shuffle by user, no point-in-time self-join explosion.
+  */
+object JoinOps extends OpGroup {
+  import graft.Tables.dec2
+
+  val ops: Seq[Op] = Seq(
+    Op("join_broadcast_inner",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val n = Tables.t(s, dir, "nation")
+        val r = Tables.t(s, dir, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_cust"))
+          .orderBy("r_name")
+      },
+      Some("""
+        SELECT r_name, COUNT(*) AS n_cust
+        FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+      """.trim)),
+
+    Op("join_shuffle_inner",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        val o = Tables.t(s, dir, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2))
+            * (lit(BigDecimal(1).setScale(2)).cast(DecimalType(4, 2))
+              - col("l_discount").cast(DecimalType(4, 2))))
+            .cast(DecimalType(18, 2)).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.trim)),
+
+    // TPC-H Q5-shaped: dims broadcast, facts shuffle once.
+    Op("join_multiway",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        val o = Tables.t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        val c = Tables.t(s, dir, "customer")
+        val n = Tables.t(s, dir, "nation")
+        val r = Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2))
+            * (lit(BigDecimal(1).setScale(2)).cast(DecimalType(4, 2))
+              - col("l_discount").cast(DecimalType(4, 2))))
+            .cast(DecimalType(18, 2)).as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("""
+        SELECT n_name,
+          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY n_name
+      """.trim)),
+
+    Op("join_left_outer",
+      (s, dir) => {
+        val n = Tables.t(s, dir, "nation")
+        val custPerNation = Tables.t(s, dir, "customer")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("cnt"))
+        n.join(custPerNation, n("n_nationkey") === custPerNation("c_nationkey"), "left")
+          .select(col("n_name"), coalesce(col("cnt"), lit(0L)).as("n_cust"))
+          .orderBy("n_name")
+      },
+      Some("""
+        SELECT n_name, COALESCE(cnt, 0) AS n_cust
+        FROM nation LEFT JOIN
+          (SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey) c
+          ON n_nationkey = c_nationkey
+        ORDER BY n_name
+      """.trim)),
+
+    Op("join_right_outer",
+      (s, dir) => {
+        val n = Tables.t(s, dir, "nation")
+        val custPerNation = Tables.t(s, dir, "customer")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("cnt"))
+        custPerNation.join(n, custPerNation("c_nationkey") === n("n_nationkey"), "right")
+          .select(col("n_name"), coalesce(col("cnt"), lit(0L)).as("n_cust"))
+          .orderBy("n_name")
+      },
+      Some("""
+        SELECT n_name, COALESCE(cnt, 0) AS n_cust
+        FROM (SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey) c
+          RIGHT JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY n_name
+      """.trim)),
+
+    Op("join_full_outer",
+      (s, dir) => {
+        val cpn = Tables.t(s, dir, "customer")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+        val spn = Tables.t(s, dir, "supplier")
+          .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+        cpn.join(spn, cpn("c_nationkey") === spn("s_nationkey"), "full")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            col("n_cust"), col("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""
+        SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp
+        FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+          FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+          ON c_nationkey = s_nationkey
+        ORDER BY nationkey
+      """.trim)),
+
+    Op("join_left_semi",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val o = Tables.t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+      """.trim)),
+
+    // Scoped to one year so the anti set is non-empty at every sf.
+    Op("join_left_anti",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val o = Tables.t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz")
+            && col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+        ORDER BY c_custkey
+      """.trim)),
+
+    Op("join_cross",
+      (s, dir) => {
+        Tables.t(s, dir, "region").select("r_name")
+          .crossJoin(Tables.t(s, dir, "nation").select("n_name"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+        ORDER BY r_name, n_name
+      """.trim)),
+
+    // Non-equi (theta) join → BroadcastNestedLoopJoin; both sides are
+    // 25 rows, so NLJ is the right plan here AND at scale (dims stay tiny).
+    Op("join_theta",
+      (s, dir) => {
+        val n1 = Tables.t(s, dir, "nation").select(col("n_regionkey").as("rk1"))
+        val n2 = Tables.t(s, dir, "nation").select(col("n_regionkey").as("rk2"))
+        n1.join(n2, col("rk1") < col("rk2"))
+          .groupBy("rk1", "rk2")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("rk1", "rk2")
+      },
+      Some("""
+        SELECT n1.n_regionkey AS rk1, n2.n_regionkey AS rk2, COUNT(*) AS n_pairs
+        FROM nation n1 JOIN nation n2 ON n1.n_regionkey < n2.n_regionkey
+        GROUP BY 1, 2 ORDER BY rk1, rk2
+      """.trim)),
+
+    // Interval join: equi on user_id keeps it a hash/sort-merge join with a
+    // range residual — never a pure nested loop, so it scales with users.
+    Op("join_range_interval",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("u1"), col("ts").as("ts1"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u2"), col("ts").as("ts2"))
+        clicks.join(purchases,
+          col("u1") === col("u2")
+            && col("ts2") > col("ts1")
+            && col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTE"))
+          .groupBy(col("u1").as("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT e1.user_id AS user_id, COUNT(*) AS n_pairs
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+          AND CAST(e2.ts AS TIMESTAMP) > CAST(e1.ts AS TIMESTAMP)
+          AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
+        GROUP BY 1 ORDER BY user_id
+      """.trim)),
+
+    // As-of join, window formulation (idiomatic Spark — no native ASOF):
+    // one shuffle by user, running "last click before me" via
+    // last(_, ignoreNulls) over ROWS UNBOUNDED PRECEDING..1 PRECEDING.
+    Op("join_asof",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select("event_id", "user_id", "event_type", "ts")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev.withColumn("clicked_at",
+            last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "clicked_at")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, clicked_at FROM (
+          SELECT event_id, event_type,
+            last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS clicked_at
+          FROM events
+          WHERE event_type IN ('click', 'purchase')
+        ) WHERE event_type = 'purchase'
+        ORDER BY event_id
+      """.trim))
+  )
+}

@@ -1,0 +1,216 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Group H — scalar function families (SURVEY.md §2.1 H). All expressions
+  * are built-in Catalyst functions → whole-stage codegen, no UDFs.
+  * Cross-dialect pins (verified against DuckDB 1.0): length/size/extract
+  * results cast to INT both sides; dow normalized to 0=Sunday; ceil/floor
+  * cast to BIGINT; regexp_replace needs the 'g' flag in DuckDB.
+  */
+object ScalarOps extends OpGroup {
+
+  val ops: Seq[Op] = Seq(
+    Op("fn_string",
+      (s, dir) => {
+        Tables.t(s, dir, "customer").select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up_name"),
+          lower(col("c_mktsegment")).as("lo_seg"),
+          length(col("c_name")).cast("int").as("len_name"),
+          substring(col("c_name"), 1, 8).as("sub_name"),
+          concat(col("c_name"), lit("-"), col("c_mktsegment")).as("cat_name"),
+          lpad(col("c_mktsegment"), 12, "*").as("pad_seg"),
+          expr("replace(c_name, 'Customer', 'Cust')").as("repl_name"),
+          trim(concat(lit("  "), col("c_name"), lit(" "))).as("trim_name"),
+          size(split(col("c_name"), "#")).cast("int").as("n_parts"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, upper(c_name) AS up_name, lower(c_mktsegment) AS lo_seg,
+          CAST(length(c_name) AS INT) AS len_name,
+          substring(c_name, 1, 8) AS sub_name,
+          c_name || '-' || c_mktsegment AS cat_name,
+          lpad(c_mktsegment, 12, '*') AS pad_seg,
+          replace(c_name, 'Customer', 'Cust') AS repl_name,
+          trim('  ' || c_name || ' ') AS trim_name,
+          CAST(len(string_split(c_name, '#')) AS INT) AS n_parts
+        FROM customer ORDER BY c_custkey
+      """.trim)),
+
+    Op("fn_regexp",
+      (s, dir) => {
+        Tables.t(s, dir, "part")
+          .filter(col("p_name").rlike("a.*e"))
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int").as("brand_num"),
+            regexp_replace(col("p_type"), "\\s+", "_").as("type_u"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey,
+          CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS brand_num,
+          regexp_replace(p_type, '\s+', '_', 'g') AS type_u
+        FROM part
+        WHERE regexp_matches(p_name, 'a.*e')
+        ORDER BY p_partkey
+      """.trim)),
+
+    // dow numbering differs (Spark dayofweek 1=Sun, DuckDB dayofweek 0=Sun)
+    // → normalized to 0=Sunday on both sides.
+    Op("fn_datetime",
+      (s, dir) => {
+        Tables.t(s, dir, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("int").as("yr"),
+          month(col("o_orderdate")).cast("int").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("int").as("dy"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp_ntz"))
+            .cast("int").as("days_since_95"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("plus_30d"),
+          (dayofweek(col("o_orderdate")) - 1).cast("int").as("dow0"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+          CAST(year(o_orderdate) AS INT) AS yr,
+          CAST(month(o_orderdate) AS INT) AS mo,
+          CAST(day(o_orderdate) AS INT) AS dy,
+          date_trunc('month', o_orderdate) AS month_start,
+          CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_95,
+          o_orderdate + INTERVAL 30 DAY AS plus_30d,
+          CAST(dayofweek(o_orderdate) AS INT) AS dow0
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
+    Op("fn_math",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
+          round(log(col("l_quantity") + 1), 4).as("ln_qty"),
+          round(log10(col("l_extendedprice")), 4).as("log10_price"),
+          round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+          abs(col("l_quantity") - 25).as("abs_dev"),
+          ceil(col("l_quantity") / 7).cast("long").as("ceil_q7"),
+          floor(col("l_quantity") / 7).cast("long").as("floor_q7"),
+          pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          ROUND(sqrt(l_quantity), 4) AS sqrt_qty,
+          ROUND(ln(l_quantity + 1), 4) AS ln_qty,
+          ROUND(log10(l_extendedprice), 4) AS log10_price,
+          ROUND(pow(l_discount, 2), 6) AS disc_sq,
+          abs(l_quantity - 25) AS abs_dev,
+          CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_q7,
+          CAST(floor(l_quantity / 7) AS BIGINT) AS floor_q7,
+          l_orderkey % 7 AS key_mod7
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+      """.trim)),
+
+    Op("fn_conditional",
+      (s, dir) => {
+        Tables.t(s, dir, "orders").select(
+          col("o_orderkey"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+            .when(col("o_orderpriority") === "3-MEDIUM", "mid")
+            .otherwise("low").as("prio_class"),
+          coalesce(expr("nullif(o_orderstatus, 'P')"), lit("PENDING")).as("status_filled"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("price_floor"),
+          least(col("o_totalprice"), lit(300000.0)).as("price_cap"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+          CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
+               WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+               ELSE 'low' END AS prio_class,
+          COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+          GREATEST(o_totalprice, 100000.0) AS price_floor,
+          LEAST(o_totalprice, 300000.0) AS price_cap
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
+    Op("fn_hash",
+      (s, dir) => {
+        Tables.t(s, dir, "documents").select(
+          col("doc_id"),
+          md5(col("text")).as("md5_text"),
+          sha2(col("text"), 256).as("sha256_text"),
+          length(col("text")).cast("int").as("len_text"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, md5(text) AS md5_text, sha256(text) AS sha256_text,
+          CAST(length(text) AS INT) AS len_text
+        FROM documents ORDER BY doc_id
+      """.trim)),
+
+    Op("fn_json",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("n"))
+          .orderBy("k")
+      },
+      Some("""
+        SELECT CAST(props->>'$.k' AS INT) AS k, COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY k
+      """.trim)),
+
+    Op("fn_array",
+      (s, dir) => {
+        Tables.t(s, dir, "embeddings").select(
+          col("vec_id"),
+          size(col("embedding")).cast("int").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+          round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
+          round(array_min(col("embedding")).cast("double"), 4).as("min_val"),
+          size(slice(col("embedding"), 1, 8)).cast("int").as("slice_len"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+          ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+          ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_val,
+          ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4) AS min_val,
+          CAST(len(list_slice(embedding, 1, 8)) AS INT) AS slice_len
+        FROM embeddings ORDER BY vec_id
+      """.trim)),
+
+    // The built-in Generator surface (Catalyst `Generate` node): tokenize
+    // via explode; at scale this is a map-side flatMap — no shuffle until
+    // the count aggregation.
+    Op("fn_explode_wordcount",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("word"))
+          .limit(20)
+      },
+      Some("""
+        SELECT word, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word ORDER BY n DESC, word LIMIT 20
+      """.trim)),
+
+    Op("fn_struct_nested",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+          .withColumn("s", struct(col("c_custkey").as("id"), col("c_mktsegment").as("seg")))
+        c.select(col("c_custkey"), col("s"), col("s.seg").as("seg_again"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, {'id': c_custkey, 'seg': c_mktsegment} AS s,
+          c_mktsegment AS seg_again
+        FROM customer ORDER BY c_custkey
+      """.trim))
+  )
+}
