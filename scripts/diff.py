@@ -18,10 +18,10 @@ def norm_cell(v):
         return tuple(norm_cell(x) for x in v)
     if isinstance(v, dict):
         return tuple((k, norm_cell(x)) for k, x in v.items())
+    if isinstance(v, (float, np.floating)) and math.isnan(v):
+        return "NaN"
     if isinstance(v, np.generic):
         return v.item()
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
     return v
 
 

@@ -8,12 +8,16 @@ import graft.ops._
   */
 object SparkEntry {
   private val groups: Seq[OpGroup] = Seq(
+    SourceOps,
     FilterOps,
     JoinOps,
     AggOps,
+    WindowOps,
     ScalarOps,
     SortSetOps,
-    EventOps)
+    TextVecOps,
+    EventOps,
+    StreamOps)
 
   val all: Seq[Op] = groups.flatMap(_.ops)
 

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Group A — source/sink connectors (SURVEY.md §2.1 A): parquet scan plus
+  * CSV/JSON round-trips with EXPLICIT schemas on read-back (inferSchema is
+  * both slow and a determinism risk). Every Verify parquet dump is itself
+  * the parquet-sink test. JDBC/Kafka: out of scope (zero-egress).
+  */
+object SourceOps extends OpGroup {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  private val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val ops: Seq[Op] = Seq(
+    Op("src_parquet_scan",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber")
+          .limit(100)
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+      """.trim)),
+
+    // Lossless CSV round-trip: write with header, read back with explicit
+    // schema; the oracle is the original table (round-trip must not change
+    // values). 2-dp doubles survive text round-trip exactly (shortest-repr
+    // write, exact re-parse); decimal cast on output pins the compare.
+    Op("src_csv_roundtrip",
+      (s, dir) => {
+        val out = tmpDir("graft_csv")
+        Tables.t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read.schema(customerSchema).option("header", "true").csv(out)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_acctbal").cast(DecimalType(12, 2)).as("acctbal"), col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_nationkey,
+          CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal, c_mktsegment
+        FROM customer ORDER BY c_custkey
+      """.trim)),
+
+    Op("src_json_roundtrip",
+      (s, dir) => {
+        val out = tmpDir("graft_json")
+        Tables.t(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .write.mode("overwrite").json(out)
+        s.read.schema(nationSchema).json(out)
+          .orderBy("n_nationkey")
+      },
+      Some("""
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM nation ORDER BY n_nationkey
+      """.trim))
+  )
+}

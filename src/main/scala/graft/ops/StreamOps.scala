@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Group I (streaming) — Structured Streaming surface (SURVEY.md §2.1 I).
+  * Non-oracle: each op runs a real streaming query (file source → watermark
+  * → stateful op → memory sink) to completion and returns the sink as a
+  * batch DataFrame; ScalaTest pins each to its oracle-checked batch twin.
+  *
+  * Scale notes: state is bounded by watermarks (1 h) — at 100 TB/day these
+  * become long-running queries with RocksDB state stores; the plan shape
+  * (shuffle by key, windowed state) is identical.
+  */
+object StreamOps extends OpGroup {
+
+  /** Raw events schema under nanosAsLong (ts arrives as Long nanos). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of events with ts converted ns→µs TimestampType.
+    * The file source requires a directory, so the single parquet file is
+    * symlinked into a temp dir.
+    */
+  private def eventStream(s: SparkSession, sfDir: String): DataFrame = {
+    Tables.conf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    s.readStream.schema(rawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink, return
+    * the sink contents as a batch DataFrame.
+    */
+  private def runToMemory(s: SparkSession, df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val ops: Seq[Op] = Seq(
+    // Tumbling 1 h counts with a 1 h watermark; complete mode so all
+    // windows surface for the batch-equivalence check vs ts_tumbling.
+    Op("stream_tumbling_watermark",
+      (s, dir) => {
+        val agg = eventStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+            col("event_type"), col("n"))
+        runToMemory(s, agg, "graft_stream_tumbling", "complete")
+          .orderBy("window_start", "event_type")
+      },
+      None),
+
+    // Stateful streaming dedup on event_id within the watermark.
+    Op("stream_dedup_watermark",
+      (s, dir) => {
+        val dedup = eventStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_unique"))
+        runToMemory(s, dedup, "graft_stream_dedup", "complete")
+          .orderBy("event_type")
+      },
+      None),
+
+    // Streaming session windows (30 min gap) per user — ties the streaming
+    // session operator to the oracle-checked ts_session_gap semantics.
+    Op("stream_session_window",
+      (s, dir) => {
+        val sessions = eventStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        // Per-user session count happens in batch on the sink (a second
+        // streaming agg after session_window would chain stateful ops).
+        runToMemory(s, sessions, "graft_stream_session", "complete")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy("user_id")
+      },
+      None)
+  )
+}

@@ -1,0 +1,299 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group J — LLM-data-pipeline operators (SURVEY.md §2.1 J): dedup,
+  * similarity, text analysis, vectors, multimodal metadata.
+  *
+  * Scale notes:
+  * - exact dedup is a hash-groupBy (shuffle carries md5+id, not text);
+  * - the exact Jaccard pair-join is quadratic within (lang) blocks — the
+  *   100 TB path is `text_minhash_lsh` (band-bucket join), with this op
+  *   as the per-block verifier (SURVEY.md §7.6);
+  * - vector math stays in higher-order functions (codegen'd, no UDF);
+  *   brute-force cosine top-k is the verifiable baseline — at scale the
+  *   same plan becomes block-local top-k + TakeOrderedAndProject merge.
+  */
+object TextVecOps extends OpGroup {
+
+  /** Σ x² over a float array, accumulated left-to-right in double. */
+  private val sumSq = "aggregate(%s, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+
+  val ops: Seq[Op] = Seq(
+    Op("text_exact_dedup",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .groupBy(md5(col("text")).as("text_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select("keep_id", "text_hash", "n_copies")
+          .orderBy("keep_id")
+      },
+      Some("""
+        SELECT MIN(doc_id) AS keep_id, md5(text) AS text_hash, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY keep_id
+      """.trim)),
+
+    // Exact within-lang near-dup pairs. Both sides compute Jaccard as
+    // inter / (|a| + |b| - inter) over distinct token sets.
+    Op("text_near_dup_jaccard",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr("array_distinct(split(text, ' '))").as("toks"))
+        val a = d.select(col("doc_id").as("a"), col("lang"), col("toks").as("ta"))
+        val b = d.select(col("doc_id").as("b"), col("lang").as("lang_b"), col("toks").as("tb"))
+        a.join(b, col("lang") === col("lang_b") && col("a") < col("b"))
+          .withColumn("inter", expr("size(array_intersect(ta, tb))").cast("double"))
+          .withColumn("uni",
+            (expr("size(ta)") + expr("size(tb)")).cast("double") - col("inter"))
+          .withColumn("j", col("inter") / col("uni"))
+          .filter(col("j") >= 0.5)
+          .select(col("a"), col("b"), round(col("j"), 3).as("jaccard"))
+          .orderBy("a", "b")
+      },
+      Some("""
+        SELECT a, b, ROUND(inter / uni, 3) AS jaccard FROM (
+          SELECT x.doc_id AS a, y.doc_id AS b,
+            CAST(len(list_filter(x.toks, t -> list_contains(y.toks, t))) AS DOUBLE) AS inter,
+            CAST(len(x.toks) + len(y.toks) AS DOUBLE)
+              - CAST(len(list_filter(x.toks, t -> list_contains(y.toks, t))) AS DOUBLE) AS uni
+          FROM (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents) x
+          JOIN (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents) y
+            ON x.lang = y.lang AND x.doc_id < y.doc_id
+        ) WHERE inter / uni >= 0.5
+        ORDER BY a, b
+      """.trim)),
+
+    // Non-oracle (hash-family-specific): MinHash LSH approximate neighbor
+    // pairs — the 100 TB replacement for the exact pair-join above.
+    // ScalaTest checks recall vs the exact op.
+    Op("text_minhash_lsh",
+      (s, dir) => {
+        import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+        val d = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr("array_distinct(split(text, ' '))").as("toks"))
+        val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+          .setBinary(true).setNumFeatures(1 << 18)
+        val feat = tf.transform(d).filter(expr("size(toks) > 0"))
+        val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+          .setNumHashTables(8).setSeed(42L)
+        val model = lsh.fit(feat)
+        model.approxSimilarityJoin(feat, feat, 0.5, "dist")
+          .select(
+            col("datasetA.doc_id").as("a"),
+            col("datasetB.doc_id").as("b"),
+            round(col("dist"), 3).as("jaccard_dist"))
+          .filter(col("a") < col("b"))
+          .orderBy("a", "b")
+      },
+      None),
+
+    Op("text_tokenize_stats",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val base = docs.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          round(sum(size(split(col("text"), " ")).cast("long")).cast("double")
+            / count(lit(1)), 2).as("avg_tokens"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_chars"))
+        val dist = docs
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("lang").agg(countDistinct(col("tok")).as("n_distinct_tokens"))
+        base.join(dist, "lang").orderBy("lang")
+      },
+      Some("""
+        SELECT b.lang, n_docs, avg_tokens, avg_chars, n_distinct_tokens FROM (
+          SELECT lang, COUNT(*) AS n_docs,
+            ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 2) AS avg_tokens,
+            ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
+          FROM documents GROUP BY lang
+        ) b JOIN (
+          SELECT lang, COUNT(DISTINCT tok) AS n_distinct_tokens
+          FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY lang
+        ) t ON b.lang = t.lang
+        ORDER BY b.lang
+      """.trim)),
+
+    // tf-idf with the manual formula tf · ln((N+1)/(df+1)) — identical
+    // arithmetic on both sides keeps it oracle-checkable (no ml blackbox).
+    Op("text_tfidf_topterms",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = toks.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val nDf = docs.agg(count(lit(1)).as("n_total"))
+        val w = Window.partitionBy("lang").orderBy(desc("score"), asc("term"))
+        tf.join(dfreq, "term")
+          .crossJoin(broadcast(nDf))
+          .withColumn("score",
+            col("tf").cast("double")
+              * log((col("n_total") + lit(1)).cast("double") / (col("df") + lit(1)).cast("double")))
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= 5)
+          .select(col("lang"), col("rank"), col("term"), round(col("score"), 4).as("score"))
+          .orderBy("lang", "rank")
+      },
+      Some("""
+        SELECT lang, rank, term, ROUND(score, 4) AS score FROM (
+          SELECT lang, term, score,
+            CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) AS INT) AS rank
+          FROM (
+            SELECT tf.lang, tf.term,
+              CAST(tf AS DOUBLE) * ln(CAST(n_total + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS score
+            FROM (SELECT lang, term, COUNT(*) AS tf FROM
+                   (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+                 GROUP BY lang, term) tf
+            JOIN (SELECT term, COUNT(*) AS df FROM
+                   (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+                 GROUP BY term) d ON tf.term = d.term
+            CROSS JOIN (SELECT COUNT(*) AS n_total FROM documents)
+          )
+        ) WHERE rank <= 5
+        ORDER BY lang, rank
+      """.trim)),
+
+    Op("vec_norm",
+      (s, dir) => {
+        Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            round(sqrt(expr(sumSq.format("embedding"))), 3).as("norm"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        SELECT vec_id,
+          ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 3) AS norm
+        FROM embeddings ORDER BY vec_id
+      """.trim)),
+
+    // Brute-force cosine top-k of the query vector (vec_id=0): the
+    // verifiable ANN baseline. Query vector broadcast; per-row math in
+    // higher-order functions.
+    Op("vec_cosine_topk",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qemb"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(embedding, qemb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+          .withColumn("sim",
+            col("dot") / (sqrt(expr(sumSq.format("embedding"))) * sqrt(expr(sumSq.format("qemb")))))
+          .orderBy(desc("sim"), asc("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), round(col("sim"), 3).as("cos_sim"))
+          .orderBy(desc("cos_sim"), asc("vec_id"))
+      },
+      Some("""
+        SELECT vec_id, cos_sim FROM (
+          SELECT vec_id, ROUND(sim, 3) AS cos_sim, sim FROM (
+            SELECT vec_id,
+              list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
+                / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+                   * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS sim
+            FROM embeddings,
+              (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0)
+            WHERE vec_id <> 0
+          ) ORDER BY sim DESC, vec_id LIMIT 10
+        ) ORDER BY cos_sim DESC, vec_id
+      """.trim)),
+
+    // Per-label centroid: posexplode → (label, pos) mean → position-ordered
+    // array rebuild. At scale this is one shuffle of (label, pos, partial).
+    Op("vec_centroid_label",
+      (s, dir) => {
+        Tables.t(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg((sum(col("v").cast("double")) / count(lit(1))).as("dim_avg"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, dim_avg))), s -> ROUND(s.dim_avg, 4))")
+            .as("centroid"))
+          .orderBy("label")
+      },
+      Some("""
+        SELECT label, list(ROUND(dim_avg, 4) ORDER BY pos) AS centroid FROM (
+          SELECT label, pos, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS dim_avg FROM (
+            SELECT label,
+              generate_subscripts(embedding, 1) - 1 AS pos,
+              unnest(CAST(embedding AS DOUBLE[])) AS v
+            FROM embeddings
+          ) GROUP BY label, pos
+        ) GROUP BY label ORDER BY label
+      """.trim)),
+
+    // Multimodal columns: text metadata + vector-derived feature in one
+    // nested struct per row.
+    Op("multimodal_join",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val emb = Tables.t(s, dir, "embeddings")
+        docs.join(emb, docs("doc_id") === emb("vec_id"))
+          .select(col("doc_id"),
+            struct(
+              col("doc_id").as("id"),
+              col("lang"),
+              col("n_chars"),
+              round(sqrt(expr(sumSq.format("embedding"))), 3).as("norm")).as("meta"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+          {'id': doc_id, 'lang': lang, 'n_chars': n_chars,
+           'norm': ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 3)} AS meta
+        FROM documents JOIN embeddings ON doc_id = vec_id
+        ORDER BY doc_id
+      """.trim)),
+
+    // Null/blank audit + fill rules over a deterministically-derived
+    // nullable projection (the raw data has no NULLs).
+    Op("quality_null_report",
+      (s, dir) => {
+        Tables.t(s, dir, "orders")
+          .select(
+            expr("nullif(o_orderstatus, 'P')").as("status_n"),
+            expr("nullif(o_orderpriority, '4-NOT SPECIFIED')").as("prio_n"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col("status_n"))).as("n_status_null"),
+            (count(lit(1)) - count(col("prio_n"))).as("n_prio_null"),
+            count(when(coalesce(col("status_n"), lit("FILLED")) === "FILLED", 1))
+              .as("n_status_filled"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+          COUNT(*) - COUNT(NULLIF(o_orderstatus, 'P')) AS n_status_null,
+          COUNT(*) - COUNT(NULLIF(o_orderpriority, '4-NOT SPECIFIED')) AS n_prio_null,
+          COUNT(CASE WHEN COALESCE(NULLIF(o_orderstatus, 'P'), 'FILLED') = 'FILLED' THEN 1 END) AS n_status_filled
+        FROM orders
+      """.trim)),
+
+    // Pivot with the pinned 5-value event_type list (FIXTURES.md).
+    Op("pivot_events_wide",
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val wide = Tables.events(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .count()
+        wide.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id,
+          COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+          COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+          COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+          COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+          COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        FROM events GROUP BY user_id ORDER BY user_id
+      """.trim))
+  )
+}

@@ -1,0 +1,172 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Group E — window functions (SURVEY.md §2.1 E). Sort-based WindowExec:
+  * one shuffle on the partition key, then per-partition sort. Every ORDER
+  * BY inside a frame carries a unique tie-break key so ranks/offsets are
+  * deterministic.
+  *
+  * Scale note: the only single-partition window here is win_ntile_percent
+  * (global quartiles — semantically unavoidable); all others partition by
+  * a high-cardinality key and distribute evenly.
+  */
+object WindowOps extends OpGroup {
+  import graft.Tables.dec2
+
+  val ops: Seq[Op] = Seq(
+    Op("win_rownum_topk",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        Tables.t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""
+        SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+          FROM orders
+        ) WHERE rn <= 3
+        ORDER BY o_custkey, rn
+      """.trim)),
+
+    Op("win_rank_dense",
+      (s, dir) => {
+        val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"))
+        Tables.t(s, dir, "part")
+          .select(col("p_brand"), col("p_partkey"),
+            rank().over(w).cast("int").as("rnk"),
+            dense_rank().over(w).cast("int").as("drnk"))
+          .orderBy("p_brand", "p_partkey")
+      },
+      Some("""
+        SELECT p_brand, p_partkey,
+          CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INT) AS rnk,
+          CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INT) AS drnk
+        FROM part ORDER BY p_brand, p_partkey
+      """.trim)),
+
+    Op("win_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            (col("value") - lag(col("value"), 1).over(w)).as("val_diff"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id,
+          value - LAG(value, 1) OVER w AS val_diff,
+          LEAD(event_type, 1) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        ORDER BY event_id
+      """.trim)),
+
+    Op("win_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(18, 2)).as("run_total"))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_total
+        FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+      """.trim)),
+
+    // 7-point moving average over the global daily series (365-ish rows
+    // after the pre-aggregation, so the single-partition window is cheap).
+    Op("win_moving_avg",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "orders")
+          .groupBy(date_trunc("day", col("o_orderdate")).cast("timestamp_ntz").as("day"))
+          .agg(sum(dec2(col("o_totalprice"))).as("total"))
+        val w = Window.orderBy("day").rowsBetween(-6, 0)
+        daily.select(col("day"),
+          round(sum(col("total")).over(w).cast("double") / count(lit(1)).over(w), 2)
+            .as("avg7"))
+          .orderBy("day")
+      },
+      Some("""
+        SELECT day,
+          ROUND(CAST(SUM(total) OVER w AS DOUBLE) / COUNT(*) OVER w, 2) AS avg7
+        FROM (
+          SELECT date_trunc('day', o_orderdate) AS day,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+          FROM orders GROUP BY 1
+        )
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY day
+      """.trim)),
+
+    Op("win_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+          .rangeBetween(-1000, 1000)
+        Tables.t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            count(lit(1)).over(w).as("n_near"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                         RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_near
+        FROM orders ORDER BY o_custkey, o_orderkey
+      """.trim)),
+
+    Op("win_ntile_percent",
+      (s, dir) => {
+        val w = Window.orderBy("c_acctbal", "c_custkey")
+        Tables.t(s, dir, "customer")
+          .select(col("c_custkey"),
+            ntile(4).over(w).cast("int").as("quartile"),
+            round(percent_rank().over(w), 4).as("pr"),
+            round(cume_dist().over(w), 4).as("cd"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+          CAST(NTILE(4) OVER w AS INT) AS quartile,
+          ROUND(PERCENT_RANK() OVER w, 4) AS pr,
+          ROUND(CUME_DIST() OVER w, 4) AS cd
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey
+      """.trim)),
+
+    Op("win_first_last",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            first(col("c_name")).over(w).as("poorest"),
+            last(col("c_name")).over(w).as("richest"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_nationkey,
+          FIRST_VALUE(c_name) OVER w AS poorest,
+          LAST_VALUE(c_name) OVER w AS richest
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY c_custkey
+      """.trim))
+  )
+}

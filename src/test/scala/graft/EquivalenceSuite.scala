@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 5 non-oracle ops (SURVEY.md §2.1): each checked against an
+  * oracle-checked batch twin or an exact bound.
+  */
+class EquivalenceSuite extends AnyFunSuite {
+  import TestSpark._
+
+  private def rows(name: String): Seq[Row] =
+    SparkEntry.queries(name)(spark, sf0001).collect().toSeq
+
+  test("stream_tumbling_watermark matches batch ts_tumbling counts") {
+    val streaming = rows("stream_tumbling_watermark")
+      .map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("ts_tumbling")(spark, sf0001)
+      .select("window_start", "event_type", "n").collect()
+      .map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet
+    assert(streaming == batch)
+  }
+
+  test("stream_dedup_watermark counts match batch per-type counts (event_id unique)") {
+    val streaming = rows("stream_dedup_watermark")
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = Tables.events(spark, sf0001)
+      .dropDuplicates("event_id")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streaming == batch)
+  }
+
+  test("stream_session_window session counts match batch ts_session_gap") {
+    val streaming = rows("stream_session_window")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = SparkEntry.queries("ts_session_gap")(spark, sf0001)
+      .select("user_id", "n_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streaming == batch)
+  }
+
+  test("agg_approx_distinct within 5% of exact distinct counts") {
+    val approx = rows("agg_approx_distinct")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("agg_count_distinct")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx=$a exact=$e")
+    }
+  }
+
+  test("text_minhash_lsh recall >= 0.8 vs exact jaccard pairs") {
+    val exact = SparkEntry.queries("text_near_dup_jaccard")(spark, sf0001)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = rows("text_minhash_lsh")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact near-dup truth set is empty — test is vacuous")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall (|exact|=${exact.size}, |lsh|=${lsh.size})")
+  }
+}
