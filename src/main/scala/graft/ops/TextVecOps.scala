@@ -39,17 +39,28 @@ object TextVecOps extends OpGroup {
     // inter / (|a| + |b| - inter) over distinct token sets.
     Op("text_near_dup_jaccard",
       (s, dir) => {
+        // Token sets as xxhash64 longs: set cardinalities (and so Jaccard)
+        // are unchanged, but the per-pair intersection compares 8-byte
+        // longs instead of strings — ~2× cheaper in the quadratic inner
+        // loop. The oracle keeps string tokens (identical counts).
         val d = Tables.t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            expr("array_distinct(split(text, ' '))").as("toks"))
+            expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").as("toks"))
         val a = d.select(col("doc_id").as("a"), col("lang"), col("toks").as("ta"))
         val b = d.select(col("doc_id").as("b"), col("lang").as("lang_b"), col("toks").as("tb"))
-        a.join(b, col("lang") === col("lang_b") && col("a") < col("b"))
+        // Size-ratio prune: j >= 0.9 implies 9·max(|a|,|b|) <= 10·min —
+        // cheap residual that short-circuits before the per-pair set
+        // intersection. Implied by the filter, so the oracle SQL is
+        // unchanged. (Threshold 0.9: this corpus is homogeneous — at 0.5
+        // nearly every within-lang pair qualifies and the output itself
+        // is quadratic.)
+        a.join(b, col("lang") === col("lang_b") && col("a") < col("b")
+            && expr("9 * size(ta) <= 10 * size(tb) AND 9 * size(tb) <= 10 * size(ta)"))
           .withColumn("inter", expr("size(array_intersect(ta, tb))").cast("double"))
           .withColumn("uni",
             (expr("size(ta)") + expr("size(tb)")).cast("double") - col("inter"))
           .withColumn("j", col("inter") / col("uni"))
-          .filter(col("j") >= 0.5)
+          .filter(col("j") >= 0.9)
           .select(col("a"), col("b"), round(col("j"), 3).as("jaccard"))
           .orderBy("a", "b")
       },
@@ -62,31 +73,59 @@ object TextVecOps extends OpGroup {
           FROM (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents) x
           JOIN (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents) y
             ON x.lang = y.lang AND x.doc_id < y.doc_id
-        ) WHERE inter / uni >= 0.5
+        ) WHERE inter / uni >= 0.9
         ORDER BY a, b
       """.trim)),
 
-    // Non-oracle (hash-family-specific): MinHash LSH approximate neighbor
-    // pairs — the 100 TB replacement for the exact pair-join above.
-    // ScalaTest checks recall vs the exact op.
+    // Non-oracle (hash-family-specific): banded MinHash LSH — the 100 TB
+    // replacement for the exact pair-join above. Built from Spark
+    // primitives (stays in codegen, no ml blackbox): 100-hash signature
+    // via higher-order fns, 10 bands × 10 rows, candidate pairs from a
+    // bucket self-join, then exact Jaccard on candidates only. At j=0.9
+    // candidate recall is 1-(1-0.9¹⁰)¹⁰ ≈ 0.99 while j=0.5 pairs are
+    // almost never candidates (≈1%) — which is what makes this sublinear
+    // in practice on a corpus where pairwise similarity is high.
+    // ScalaTest checks recall >= 0.8 vs the exact op.
     Op("text_minhash_lsh",
       (s, dir) => {
-        import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+        val nBands = 10
+        val rowsPerBand = 10
         val d = Tables.t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            expr("array_distinct(split(text, ' '))").as("toks"))
-        val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
-          .setBinary(true).setNumFeatures(1 << 18)
-        val feat = tf.transform(d).filter(expr("size(toks) > 0"))
-        val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-          .setNumHashTables(8).setSeed(42L)
-        val model = lsh.fit(feat)
-        model.approxSimilarityJoin(feat, feat, 0.5, "dist")
-          .select(
-            col("datasetA.doc_id").as("a"),
-            col("datasetB.doc_id").as("b"),
-            round(col("dist"), 3).as("jaccard_dist"))
-          .filter(col("a") < col("b"))
+            expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").as("toks"))
+          .filter(expr("size(toks) > 0"))
+        // Signature: sig[s] = min over token hashes of xxhash64(th, s);
+        // the (hash, seed) tuple hash is a cheap seeded family.
+        val sigs = d.select(col("doc_id"), col("lang"),
+          expr(s"transform(sequence(0, ${nBands * rowsPerBand - 1}), " +
+            "s -> array_min(transform(toks, t -> xxhash64(t, s))))").as("sig"))
+        // One row per (doc, band); bucket key = the band's signature slice.
+        val bands = sigs.select(col("doc_id"), col("lang"),
+          explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+            s"b -> struct(b AS band, slice(sig, b * $rowsPerBand + 1, $rowsPerBand) AS bsig))"))
+            .as("bk"))
+          .select(col("doc_id"), col("lang"),
+            col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+        val l = bands.select(col("band"), col("bsig"), col("lang"), col("doc_id").as("a"))
+        val r = bands.select(col("band").as("band_r"), col("bsig").as("bsig_r"),
+          col("lang").as("lang_r"), col("doc_id").as("b"))
+        // Candidate (a, b) pairs dedup'd as bare ids — the token arrays
+        // rejoin after the distinct so the shuffle stays narrow.
+        val candidates = l.join(r,
+            col("band") === col("band_r") && col("bsig") === col("bsig_r")
+              && col("lang") === col("lang_r") && col("a") < col("b"))
+          .select("a", "b")
+          .dropDuplicates("a", "b")
+        // Exact verify on candidates only.
+        candidates
+          .join(broadcast(d.select(col("doc_id").as("a"), col("toks").as("ta"))), "a")
+          .join(broadcast(d.select(col("doc_id").as("b"), col("toks").as("tb"))), "b")
+          .withColumn("inter", expr("size(array_intersect(ta, tb))").cast("double"))
+          .withColumn("uni",
+            (expr("size(ta)") + expr("size(tb)")).cast("double") - col("inter"))
+          .withColumn("j", col("inter") / col("uni"))
+          .filter(col("j") >= 0.9)
+          .select(col("a"), col("b"), round(lit(1.0) - col("j"), 3).as("jaccard_dist"))
           .orderBy("a", "b")
       },
       None),

@@ -35,16 +35,16 @@ class UnitSuite extends AnyFunSuite {
     assert(got == Map(7L -> 2L, 8L -> 1L))
   }
 
-  test("jaccard known answer: 3-common-of-5-union pair = 0.6, empty text excluded by threshold") {
+  test("jaccard known answer: 9-common-of-10-union pair = 0.9, 0.6 pair excluded by threshold") {
     val dir = miniDir("documents" -> Seq(
-      (1L, "a b c d", "en", "src0", 7L),   // toks {a,b,c,d}
-      (2L, "a b c e", "en", "src0", 7L),   // ∩=3 ∪=5 → 0.6
-      (3L, "x y z", "en", "src0", 5L),
+      (1L, "a b c d e f g h i", "en", "src0", 17L),   // 9 toks
+      (2L, "a b c d e f g h i j", "en", "src0", 19L), // ∩=9 ∪=10 → 0.9
+      (3L, "a b c x y", "en", "src0", 9L),            // vs 1: ∩=3 ∪=11 → 0.27
       (4L, "", "en", "src0", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars"))
     val got = SparkEntry.queries("text_near_dup_jaccard")(spark, dir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    assert(got == Map((1L, 2L) -> 0.6))
+    assert(got == Map((1L, 2L) -> 0.9))
   }
 
   test("exact dedup groups identical texts, keeps min doc_id") {
