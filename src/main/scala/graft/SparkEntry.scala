@@ -16,6 +16,7 @@ object SparkEntry {
     ScalarOps,
     SortSetOps,
     TextVecOps,
+    PipelineOps,
     EventOps,
     StreamOps)
 

@@ -1,0 +1,313 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group J2 — extended training-data-pipeline operators beyond the core
+  * inventory: SimHash dedup, winnowing-style n-gram fingerprinting,
+  * n-gram language-ID, quality scoring, BPE-ish token counting,
+  * embedding-cosine near-dup (IVF-style blocked), IVF top-k similarity
+  * search, and the multimodal binary-column decode stub.
+  *
+  * Cross-engine hash: both sides derive 60-bit token hashes from md5 hex
+  * (Spark `conv(substr(md5(t),1,15),16,10)` ≡ DuckDB
+  * `('0x' || substr(md5(t),1,15))::BIGINT`) — xxhash64 isn't available in
+  * DuckDB, md5 is identical in both.
+  */
+object PipelineOps extends OpGroup {
+
+  /** 60-bit hash from md5 hex — cross-engine deterministic. */
+  private def md5Long(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  val ops: Seq[Op] = Seq(
+    // SimHash: signature bit b is the sign of Σ_tokens ±1 by bit b of the
+    // token hash. Near-identical docs collide exactly; n_same counts the
+    // collision group (the dedup signal). One scan, no joins.
+    Op("text_simhash",
+      (s, dir) => {
+        val w = Window.partitionBy("simhash")
+        Tables.t(s, dir, "documents")
+          .withColumn("hs",
+            expr(s"transform(array_distinct(split(text, ' ')), t -> ${md5Long("t")})"))
+          .withColumn("simhash", expr("""
+            aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
+              acc + IF(aggregate(hs, 0, (a, h) -> a + IF((h >> b) & 1 = 1, 1, -1)) > 0,
+                       shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"""))
+          .withColumn("n_same", count(lit(1)).over(w))
+          .select("doc_id", "simhash", "n_same")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS n_same FROM (
+          SELECT doc_id,
+            CAST(list_sum(list_transform(range(0, 60), b ->
+              CASE WHEN list_sum(list_transform(hs, h ->
+                     CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM (
+            SELECT doc_id,
+              list_transform(list_distinct(string_split(text, ' ')),
+                t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+            FROM documents
+          )
+        ) ORDER BY doc_id
+      """.trim)),
+
+    // Winnowing-style fingerprint: min 60-bit hash over char 5-grams.
+    // Identical near-boilerplate docs share fingerprints; the min makes it
+    // shift-tolerant (rolling-hash family).
+    Op("text_fingerprint",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .withColumn("n_grams", greatest(lit(1), length(col("text")) - 4).cast("int"))
+          .withColumn("fingerprint",
+            expr(s"array_min(transform(sequence(1, greatest(1, length(text) - 4)), i -> ${md5Long("substring(text, i, 5)")}))"))
+          .select("doc_id", "n_grams", "fingerprint")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(greatest(1, len(text) - 4) AS INT) AS n_grams,
+          list_min(list_transform(range(1, greatest(1, len(text) - 4) + 1),
+            i -> CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 15)) AS BIGINT))) AS fingerprint
+        FROM documents ORDER BY doc_id
+      """.trim)),
+
+    // Language-ID, n-gram/token heuristic: per-lang profiles = top-20
+    // tokens by frequency (from the labeled corpus itself), classify each
+    // doc by maximum profile overlap. Profiles are ~100 rows → broadcast.
+    Op("text_lang_id",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val docToks = docs.select(col("doc_id"), col("lang"),
+          explode(expr("array_distinct(split(text, ' '))")).as("tok"))
+        val wProf = Window.partitionBy("plang").orderBy(desc("cnt"), asc("tok"))
+        val profiles = docs
+          .select(col("lang").as("plang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("plang", "tok").agg(count(lit(1)).as("cnt"))
+          .withColumn("r", row_number().over(wProf))
+          .filter(col("r") <= 20)
+          .select("plang", "tok")
+        val wBest = Window.partitionBy("doc_id").orderBy(desc("overlap"), asc("plang"))
+        docToks.join(broadcast(profiles), "tok")
+          .groupBy("doc_id", "lang", "plang")
+          .agg(count(lit(1)).as("overlap"))
+          .withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("plang").as("pred_lang"),
+            (col("plang") === col("lang")).as("correct"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH profiles AS (
+          SELECT plang, tok FROM (
+            SELECT plang, tok, ROW_NUMBER() OVER (PARTITION BY plang ORDER BY cnt DESC, tok) AS r
+            FROM (SELECT plang, tok, COUNT(*) AS cnt FROM
+                   (SELECT lang AS plang, unnest(string_split(text, ' ')) AS tok FROM documents)
+                  GROUP BY 1, 2)
+          ) WHERE r <= 20
+        ), doctoks AS (
+          SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents
+        )
+        SELECT doc_id, plang AS pred_lang, (plang = lang) AS correct FROM (
+          SELECT doc_id, lang, plang, COUNT(*) AS overlap,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, plang) AS rn
+          FROM doctoks JOIN profiles USING (tok)
+          GROUP BY doc_id, lang, plang
+        ) WHERE rn = 1
+        ORDER BY doc_id
+      """.trim)),
+
+    // Quality scoring: length + type-token-ratio heuristics.
+    Op("text_quality_score",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("int"))
+          .withColumn("n_distinct", size(expr("array_distinct(split(text, ' '))")).cast("int"))
+          .withColumn("ttr",
+            round(col("n_distinct").cast("double") / col("n_tokens"), 3))
+          .withColumn("quality",
+            round(least(lit(1.0), col("n_tokens").cast("double") / 50.0) * col("ttr"), 3))
+          .select("doc_id", "n_tokens", "n_distinct", "ttr", "quality")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, n_tokens, n_distinct,
+          ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 3) AS ttr,
+          ROUND(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+            * (CAST(n_distinct AS DOUBLE) / n_tokens), 3) AS quality
+        FROM (
+          SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+            CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+          FROM documents
+        ) ORDER BY doc_id
+      """.trim)),
+
+    // Token counting: whitespace tokens + a BPE-ish subword estimate
+    // (≥1 subword per word, ~4 chars per subword).
+    Op("text_token_count",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            length(col("text")).cast("int").as("n_chars_m"),
+            size(split(col("text"), " ")).cast("int").as("tokens_ws"),
+            expr("CAST(aggregate(split(text, ' '), 0, (a, w) -> a + greatest(1, CAST(ceil(length(w) / 4.0) AS INT))) AS INT)")
+              .as("tokens_bpe_est"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(length(text) AS INT) AS n_chars_m,
+          CAST(len(string_split(text, ' ')) AS INT) AS tokens_ws,
+          CAST(list_sum(list_transform(string_split(text, ' '),
+            w -> greatest(1, CAST(ceil(len(w) / 4.0) AS INT)))) AS INT) AS tokens_bpe_est
+        FROM documents ORDER BY doc_id
+      """.trim)),
+
+    // Embedding-cosine near-dup, IVF-style blocking: candidate pairs only
+    // within the same coarse cell (label). At 100 TB the cell assignment
+    // comes from a trained coarse quantizer; the pair-join shape is
+    // identical — equi-join on cell, never a global cross join.
+    Op("vec_neardup_blocked",
+      (s, dir) => {
+        val sq = "aggregate(%s, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        val e = Tables.t(s, dir, "embeddings")
+        val l = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
+        val r = e.select(col("label").as("label_r"), col("vec_id").as("b"), col("embedding").as("eb"))
+        l.join(r, col("label") === col("label_r") && col("a") < col("b"))
+          .withColumn("dot", expr(
+            "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+          .withColumn("cos",
+            col("dot") / (sqrt(expr(sq.format("ea"))) * sqrt(expr(sq.format("eb")))))
+          .filter(col("cos") >= 0.3)
+          .select(col("a"), col("b"), round(col("cos"), 3).as("cos_sim"))
+          .orderBy("a", "b")
+      },
+      Some("""
+        SELECT a, b, ROUND(cos, 3) AS cos_sim FROM (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+            list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+              / (sqrt(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)))
+                 * sqrt(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)))) AS cos
+          FROM embeddings x JOIN embeddings y
+            ON x.label = y.label AND x.vec_id < y.vec_id
+        ) WHERE cos >= 0.3
+        ORDER BY a, b
+      """.trim)),
+
+    // IVF top-k: rank coarse cells (labels) by centroid similarity to the
+    // query vector, probe the top-3 cells, exact top-10 within the probed
+    // set. Both sides replicate the same two-stage plan deterministically.
+    Op("vec_ivf_topk",
+      (s, dir) => {
+        val sq = "aggregate(%s, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        val dotQ = "aggregate(zip_with(%s, qemb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        // Stage 1: per-label centroids (mean per position), rank by cosine
+        // to the query, keep 3 cells.
+        val centroids = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg((sum(col("v").cast("double")) / count(lit(1))).as("m"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cemb"))
+        val topCells = centroids.crossJoin(broadcast(q))
+          .withColumn("cdot", expr(
+            "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+          .withColumn("csim", col("cdot")
+            / (sqrt(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"))
+              * sqrt(expr(sq.format("qemb")))))
+          .orderBy(desc("csim"), asc("label"))
+          .limit(3)
+          .select("label")
+        // Stage 2: exact cosine top-10 within the probed cells.
+        e.filter(col("vec_id") =!= 0)
+          .join(broadcast(topCells), "label")
+          .crossJoin(broadcast(q))
+          .withColumn("dot", expr(dotQ.format("embedding")))
+          .withColumn("sim", col("dot")
+            / (sqrt(expr(sq.format("embedding"))) * sqrt(expr(sq.format("qemb")))))
+          .orderBy(desc("sim"), asc("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("label"), round(col("sim"), 3).as("cos_sim"))
+          .orderBy(desc("cos_sim"), asc("vec_id"))
+      },
+      Some("""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0),
+        cent AS (
+          SELECT label, list(m ORDER BY pos) AS cemb FROM (
+            SELECT label, pos, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m FROM (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                unnest(CAST(embedding AS DOUBLE[])) AS v
+              FROM embeddings
+            ) GROUP BY label, pos
+          ) GROUP BY label
+        ),
+        cells AS (
+          SELECT label FROM (
+            SELECT label,
+              list_dot_product(cemb, qemb)
+                / (sqrt(list_sum(list_transform(cemb, x -> x * x)))
+                   * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS csim
+            FROM cent, q
+          ) ORDER BY csim DESC, label LIMIT 3
+        )
+        SELECT vec_id, label, cos_sim FROM (
+          SELECT vec_id, label, ROUND(sim, 3) AS cos_sim, sim FROM (
+            SELECT vec_id, label,
+              list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
+                / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+                   * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS sim
+            FROM embeddings JOIN cells USING (label), q
+            WHERE vec_id <> 0
+          ) ORDER BY sim DESC, vec_id LIMIT 10
+        ) ORDER BY cos_sim DESC, vec_id
+      """.trim)),
+
+    // Multimodal columns: opaque binary payload + typed metadata struct.
+    // The "decode" (brightness = mean of the first 16 payload bytes) runs
+    // imperatively in mapPartitions — the documented seam where a real
+    // image/audio decoder (native lib, not in this container) would plug
+    // in; schema, batching, and partitioning around it are real. The
+    // corpus is ASCII, so the oracle reproduces byte math via unicode().
+    Op("multimodal_decode_stub",
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload"),
+            ((col("n_chars") % 64) + 1).cast("int").as("width"),
+            ((col("n_chars") / 64) + 1).cast("int").as("height"))
+        val decoded = src.as[(Long, Array[Byte], Int, Int)]
+          .mapPartitions { it =>
+            // Real decoder seam: batch over the partition, one native call
+            // per record (or per batch) in production.
+            it.map { case (id, bytes, w, h) =>
+              val n = math.min(16, bytes.length)
+              val brightness =
+                if (n == 0) 0.0
+                else bytes.take(n).map(_.toDouble).sum / n
+              (id, w, h, brightness)
+            }
+          }
+          .toDF("doc_id", "width", "height", "brightness_raw")
+        decoded.select(col("doc_id"),
+          struct(col("width"), col("height")).as("meta"),
+          round(col("brightness_raw"), 2).as("brightness"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+          {'width': CAST((n_chars % 64) + 1 AS INT),
+           'height': CAST((n_chars // 64) + 1 AS INT)} AS meta,
+          CASE WHEN len(text) = 0 THEN 0.0
+               ELSE ROUND(list_sum(list_transform(range(1, least(16, len(text)) + 1),
+                      i -> CAST(unicode(substr(text, i, 1)) AS DOUBLE)))
+                    / least(16, len(text)), 2) END AS brightness
+        FROM documents ORDER BY doc_id
+      """.trim))
+  )
+}
