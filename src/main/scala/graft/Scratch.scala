@@ -5,16 +5,10 @@ object Scratch {
       .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
       .config("spark.sql.session.timeZone","UTC").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    for (k <- Seq("filter_date_range", "join_multiway", "join_shuffle_inner", "agg_groupby_hash", "limit_topk")) {
-      println(s"========== $k ==========")
-      val plan = SparkEntry.queries(k)(s, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      // print compactly: node list + pushed filters lines
-      plan.linesIterator.foreach { l =>
-        if (l.matches("^\\(\\d+\\).*") || l.contains("PushedFilters") || l.contains("ReadSchema") || l.contains("DataFilters"))
-          println(l.take(200))
-      }
+    for (k <- Seq("text_minhash_lsh", "text_near_dup_jaccard", "vec_neardup_blocked")) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(k)(s, "/root/testdata/sf0.1").count()
+      println(f"$k: ${(System.nanoTime()-t0)/1e9}%.2f s, $n rows")
     }
     s.stop()
   }

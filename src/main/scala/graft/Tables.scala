@@ -25,6 +25,9 @@ object Tables {
     // Written timestamps must be µs (DuckDB's native unit).
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.functions.SortedLongIntersectSize.register(spark)
+    graft.functions.MinHashSignature.register(spark)
+    graft.functions.VecMath.register(spark)
   }
 
   /** All timestamps are normalized to TimestampNTZ so parquet output is

@@ -172,15 +172,13 @@ object PipelineOps extends OpGroup {
     // identical — equi-join on cell, never a global cross join.
     Op("vec_neardup_blocked",
       (s, dir) => {
-        val sq = "aggregate(%s, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
         val e = Tables.t(s, dir, "embeddings")
         val l = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
         val r = e.select(col("label").as("label_r"), col("vec_id").as("b"), col("embedding").as("eb"))
         l.join(r, col("label") === col("label_r") && col("a") < col("b"))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+          .withColumn("dot", expr("vec_dot(ea, eb)"))
           .withColumn("cos",
-            col("dot") / (sqrt(expr(sq.format("ea"))) * sqrt(expr(sq.format("eb")))))
+            col("dot") / (sqrt(expr("vec_norm_sq(ea)")) * sqrt(expr("vec_norm_sq(eb)"))))
           .filter(col("cos") >= 0.3)
           .select(col("a"), col("b"), round(col("cos"), 3).as("cos_sim"))
           .orderBy("a", "b")
@@ -202,8 +200,6 @@ object PipelineOps extends OpGroup {
     // set. Both sides replicate the same two-stage plan deterministically.
     Op("vec_ivf_topk",
       (s, dir) => {
-        val sq = "aggregate(%s, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-        val dotQ = "aggregate(zip_with(%s, qemb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"
         val e = Tables.t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
         // Stage 1: per-label centroids (mean per position), rank by cosine
@@ -219,7 +215,7 @@ object PipelineOps extends OpGroup {
             "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
           .withColumn("csim", col("cdot")
             / (sqrt(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"))
-              * sqrt(expr(sq.format("qemb")))))
+              * sqrt(expr("vec_norm_sq(qemb)"))))
           .orderBy(desc("csim"), asc("label"))
           .limit(3)
           .select("label")
@@ -227,9 +223,9 @@ object PipelineOps extends OpGroup {
         e.filter(col("vec_id") =!= 0)
           .join(broadcast(topCells), "label")
           .crossJoin(broadcast(q))
-          .withColumn("dot", expr(dotQ.format("embedding")))
+          .withColumn("dot", expr("vec_dot(embedding, qemb)"))
           .withColumn("sim", col("dot")
-            / (sqrt(expr(sq.format("embedding"))) * sqrt(expr(sq.format("qemb")))))
+            / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
           .orderBy(desc("sim"), asc("vec_id"))
           .limit(10)
           .select(col("vec_id"), col("label"), round(col("sim"), 3).as("cos_sim"))

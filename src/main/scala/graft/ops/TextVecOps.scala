@@ -18,9 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object TextVecOps extends OpGroup {
 
-  /** Σ x² over a float array, accumulated left-to-right in double. */
-  private val sumSq = "aggregate(%s, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-
   val ops: Seq[Op] = Seq(
     Op("text_exact_dedup",
       (s, dir) => {
@@ -39,13 +36,14 @@ object TextVecOps extends OpGroup {
     // inter / (|a| + |b| - inter) over distinct token sets.
     Op("text_near_dup_jaccard",
       (s, dir) => {
-        // Token sets as xxhash64 longs: set cardinalities (and so Jaccard)
-        // are unchanged, but the per-pair intersection compares 8-byte
-        // longs instead of strings — ~2× cheaper in the quadratic inner
-        // loop. The oracle keeps string tokens (identical counts).
+        // Token sets as SORTED xxhash64 longs: set cardinalities (and so
+        // Jaccard) are unchanged, but the per-pair intersection becomes a
+        // codegen'd two-pointer merge over longs (sorted_intersect_size,
+        // graft.functions) — sort once per doc, no per-pair allocation.
+        // The oracle keeps string tokens (identical counts).
         val d = Tables.t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").as("toks"))
+            expr("array_sort(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)))").as("toks"))
         val a = d.select(col("doc_id").as("a"), col("lang"), col("toks").as("ta"))
         val b = d.select(col("doc_id").as("b"), col("lang").as("lang_b"), col("toks").as("tb"))
         // Size-ratio prune: j >= 0.9 implies 9·max(|a|,|b|) <= 10·min —
@@ -56,7 +54,7 @@ object TextVecOps extends OpGroup {
         // is quadratic.)
         a.join(b, col("lang") === col("lang_b") && col("a") < col("b")
             && expr("9 * size(ta) <= 10 * size(tb) AND 9 * size(tb) <= 10 * size(ta)"))
-          .withColumn("inter", expr("size(array_intersect(ta, tb))").cast("double"))
+          .withColumn("inter", expr("sorted_intersect_size(ta, tb)").cast("double"))
           .withColumn("uni",
             (expr("size(ta)") + expr("size(tb)")).cast("double") - col("inter"))
           .withColumn("j", col("inter") / col("uni"))
@@ -92,13 +90,12 @@ object TextVecOps extends OpGroup {
         val rowsPerBand = 10
         val d = Tables.t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").as("toks"))
+            expr("array_sort(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)))").as("toks"))
           .filter(expr("size(toks) > 0"))
-        // Signature: sig[s] = min over token hashes of xxhash64(th, s);
-        // the (hash, seed) tuple hash is a cheap seeded family.
+        // Signature: sig[s] = min over token hashes of xxhash64(th, s) —
+        // one custom-expression pass per doc (graft.functions).
         val sigs = d.select(col("doc_id"), col("lang"),
-          expr(s"transform(sequence(0, ${nBands * rowsPerBand - 1}), " +
-            "s -> array_min(transform(toks, t -> xxhash64(t, s))))").as("sig"))
+          expr(s"minhash_signature(toks, ${nBands * rowsPerBand})").as("sig"))
         // One row per (doc, band); bucket key = the band's signature slice.
         val bands = sigs.select(col("doc_id"), col("lang"),
           explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
@@ -120,7 +117,7 @@ object TextVecOps extends OpGroup {
         candidates
           .join(broadcast(d.select(col("doc_id").as("a"), col("toks").as("ta"))), "a")
           .join(broadcast(d.select(col("doc_id").as("b"), col("toks").as("tb"))), "b")
-          .withColumn("inter", expr("size(array_intersect(ta, tb))").cast("double"))
+          .withColumn("inter", expr("sorted_intersect_size(ta, tb)").cast("double"))
           .withColumn("uni",
             (expr("size(ta)") + expr("size(tb)")).cast("double") - col("inter"))
           .withColumn("j", col("inter") / col("uni"))
@@ -202,7 +199,7 @@ object TextVecOps extends OpGroup {
       (s, dir) => {
         Tables.t(s, dir, "embeddings")
           .select(col("vec_id"),
-            round(sqrt(expr(sumSq.format("embedding"))), 3).as("norm"))
+            round(sqrt(expr("vec_norm_sq(embedding)")), 3).as("norm"))
           .orderBy("vec_id")
       },
       Some("""
@@ -221,10 +218,9 @@ object TextVecOps extends OpGroup {
           .select(col("embedding").as("qemb"))
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
-          .withColumn("dot", expr(
-            "aggregate(zip_with(embedding, qemb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+          .withColumn("dot", expr("vec_dot(embedding, qemb)"))
           .withColumn("sim",
-            col("dot") / (sqrt(expr(sumSq.format("embedding"))) * sqrt(expr(sumSq.format("qemb")))))
+            col("dot") / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
           .orderBy(desc("sim"), asc("vec_id"))
           .limit(10)
           .select(col("vec_id"), round(col("sim"), 3).as("cos_sim"))
@@ -280,7 +276,7 @@ object TextVecOps extends OpGroup {
               col("doc_id").as("id"),
               col("lang"),
               col("n_chars"),
-              round(sqrt(expr(sumSq.format("embedding"))), 3).as("norm")).as("meta"))
+              round(sqrt(expr("vec_norm_sq(embedding)")), 3).as("norm")).as("meta"))
           .orderBy("doc_id")
       },
       Some("""
