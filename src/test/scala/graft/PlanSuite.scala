@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions (SURVEY.md §4): the properties that make these
+  * queries scale — pushdown reaching the parquet scan, dimensions
+  * broadcast, top-k avoiding a global sort — asserted so a refactor can't
+  * silently lose them.
+  */
+class PlanSuite extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    val p = plan("filter_date_range")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual"))
+  }
+
+  test("projection prunes the read schema") {
+    val p = plan("agg_groupby_hash")
+    // 7 of 16 lineitem columns read, and the shipdate predicate is pushed.
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz>"))
+    assert(p.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("multiway join broadcasts every dimension (no shuffle of dims)") {
+    val p = plan("join_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, "expected >=3 broadcast joins")
+    assert(p.contains("EqualTo(r_name,ASIA)"), "region filter should be pushed to scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("limit_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"), "global sort exchange must not appear")
+  }
+
+  test("aggregation is two-phase (partial before shuffle)") {
+    val p = plan("agg_groupby_hash")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("theta join on tiny dims is BroadcastNestedLoopJoin, not a cartesian of facts") {
+    val p = plan("join_theta")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("near-dup pair-join carries the size prune and custom intersect") {
+    val p = plan("text_near_dup_jaccard")
+    assert(p.contains("sorted_intersect_size"))
+  }
+}
