@@ -60,6 +60,30 @@ object SourceOps extends OpGroup {
         FROM customer ORDER BY c_custkey
       """.trim)),
 
+    // Partitioned parquet sink + partition-pruned read-back: the layout
+    // that matters at 100 TB (directory-level pruning on the partition
+    // column). The read-back filter prunes to 2 of 7 year directories.
+    Op("src_partitioned_write",
+      (s, dir) => {
+        val out = tmpDir("graft_part")
+        Tables.t(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+          .write.mode("overwrite").partitionBy("o_year").parquet(out)
+        s.read.parquet(out)
+          .filter(col("o_year").isin(1996, 1997))
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_price"))
+          .orderBy("o_year")
+      },
+      Some("""
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        FROM orders
+        WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY 1 ORDER BY o_year
+      """.trim)),
+
     Op("src_json_roundtrip",
       (s, dir) => {
         val out = tmpDir("graft_json")
