@@ -84,6 +84,32 @@ object StreamOps extends OpGroup {
       },
       None),
 
+    // Arbitrary stateful processing via flatMapGroupsWithState: per-user
+    // cumulative event counter held in GroupState, one row emitted per
+    // (user, microbatch). The final cumulative value per user must equal
+    // the batch per-user count (ScalaTest). This is the custom-state
+    // surface (KeyValueGroupedDataset) the built-in windows can't express.
+    Op("stream_custom_state",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        import s.implicits._
+        val users = eventStream(s, dir).select(col("user_id")).as[Long]
+        val counts = users.groupByKey(identity)
+          .flatMapGroupsWithState[Long, (Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (user: Long, batch: Iterator[Long], state: GroupState[Long]) =>
+              val total = state.getOption.getOrElse(0L) + batch.size
+              state.update(total)
+              Iterator((user, total))
+          }
+          .toDF("user_id", "running_count")
+        runToMemory(s, counts, "graft_stream_custom_state", "append")
+          .groupBy("user_id")
+          .agg(max(col("running_count")).as("n_events"))
+          .orderBy("user_id")
+      },
+      None),
+
     // Streaming session windows (30 min gap) per user — ties the streaming
     // session operator to the oracle-checked ts_session_gap semantics.
     Op("stream_session_window",

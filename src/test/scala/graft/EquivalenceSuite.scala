@@ -41,6 +41,15 @@ class EquivalenceSuite extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("stream_custom_state cumulative counts match batch per-user counts") {
+    val streaming = rows("stream_custom_state")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streaming == batch)
+  }
+
   test("agg_approx_distinct within 5% of exact distinct counts") {
     val approx = rows("agg_approx_distinct")
       .map(r => r.getString(0) -> r.getLong(1)).toMap
