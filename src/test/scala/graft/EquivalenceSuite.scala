@@ -70,5 +70,8 @@ class EquivalenceSuite extends AnyFunSuite {
     assert(exact.nonEmpty, "exact near-dup truth set is empty — test is vacuous")
     val recall = (exact & lsh).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall=$recall (|exact|=${exact.size}, |lsh|=${lsh.size})")
+    // LSH verifies candidates exactly, so it can miss pairs but never
+    // invent them: lsh ⊆ exact.
+    assert((lsh -- exact).isEmpty, s"LSH produced ${(lsh -- exact).size} false positives")
   }
 }

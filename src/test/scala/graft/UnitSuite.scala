@@ -58,6 +58,19 @@ class UnitSuite extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, 2L), (9L, 1L)))
   }
 
+  test("window frames at partition edges: lag null at start, running sum = own value") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1, 10), (1, 20), (2, 5)).toDF("k", "v")
+    val w = Window.partitionBy("k").orderBy("v")
+    val got = df
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .withColumn("run", sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("k", "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1), Option(r.get(2)), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, 10, None, 10L), (1, 20, Some(10), 30L), (2, 5, None, 5L)))
+  }
+
   test("null join keys never match (even null<=>null via inner equi-join)") {
     val l = Seq((Some(1), "a"), (None, "b")).toDF("k", "lv")
     val r = Seq((Some(1), "x"), (None, "y")).toDF("k", "rv")
