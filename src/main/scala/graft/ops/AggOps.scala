@@ -280,6 +280,30 @@ object AggOps extends OpGroup {
         GROUP BY n_name ORDER BY n_name
       """.trim)),
 
+    // Deterministic mode: most frequent value per group, ties broken by
+    // value — the row_number formulation both engines agree on.
+    Op("agg_mode",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderstatus").orderBy(desc("n"), asc("o_orderpriority"))
+        Tables.t(s, dir, "orders")
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+            ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                               ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+          FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ) WHERE rn = 1
+        ORDER BY o_orderstatus
+      """.trim)),
+
     // Non-oracle: HLL++ sketches are engine-specific. ScalaTest checks the
     // estimate against the exact distinct count (±5%).
     Op("agg_approx_distinct",

@@ -231,6 +231,45 @@ object JoinOps extends OpGroup {
         GROUP BY 1 ORDER BY user_id
       """.trim)),
 
+    // Bucketed co-located big-big join: both facts written bucketBy(8) on
+    // the join key, then joined with a merge hint — the bucketed layout
+    // satisfies the join's distribution requirement, so NO shuffle of
+    // either fact (PlanSuite asserts no Exchange on the join keys). This
+    // is the 100 TB answer to join_shuffle_inner; result is identical.
+    Op("join_bucketed_colocated",
+      (s, dir) => {
+        // External tables at a fresh temp path: the in-memory catalog dies
+        // with the JVM but a managed-table location would not.
+        val base = java.nio.file.Files.createTempDirectory("graft_buck").toString
+        s.sql("DROP TABLE IF EXISTS graft_buck_lineitem")
+        s.sql("DROP TABLE IF EXISTS graft_buck_orders")
+        Tables.t(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .write.mode("overwrite").format("parquet").option("path", s"$base/li")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_buck_lineitem")
+        Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").format("parquet").option("path", s"$base/o")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_buck_orders")
+        val li = s.table("graft_buck_lineitem")
+        val o = s.table("graft_buck_orders")
+        li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2))
+            * (lit(BigDecimal(1).setScale(2)).cast(DecimalType(4, 2))
+              - col("l_discount").cast(DecimalType(4, 2))))
+            .cast(DecimalType(18, 2)).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.trim)),
+
     // As-of join, window formulation (idiomatic Spark — no native ASOF):
     // one shuffle by user, running "last click before me" via
     // last(_, ignoreNulls) over ROWS UNBOUNDED PRECEDING..1 PRECEDING.

@@ -200,6 +200,54 @@ object ScalarOps extends OpGroup {
         GROUP BY word ORDER BY n DESC, word LIMIT 20
       """.trim)),
 
+    Op("fn_string_extra",
+      (s, dir) => {
+        Tables.t(s, dir, "customer").select(
+          col("c_custkey"),
+          reverse(col("c_mktsegment")).as("rev_seg"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("trans_seg"),
+          concat_ws("-", col("c_mktsegment"), col("c_name")).as("joined"),
+          expr("repeat('*', c_nationkey % 5)").as("stars"),
+          expr("left(c_name, 8)").as("l8"),
+          expr("right(c_name, 3)").as("r3"),
+          expr("startswith(c_name, 'Customer')").as("is_cust"),
+          expr("endswith(c_mktsegment, 'RY')").as("ends_ry"),
+          expr("contains(c_name, '00')").as("has_00"),
+          expr("CAST(instr(c_name, '#') AS INT)").as("hash_pos"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, reverse(c_mktsegment) AS rev_seg,
+          translate(c_mktsegment, 'AEIOU', 'aeiou') AS trans_seg,
+          concat_ws('-', c_mktsegment, c_name) AS joined,
+          repeat('*', CAST(c_nationkey % 5 AS INT)) AS stars,
+          left(c_name, 8) AS l8, right(c_name, 3) AS r3,
+          starts_with(c_name, 'Customer') AS is_cust,
+          ends_with(c_mktsegment, 'RY') AS ends_ry,
+          contains(c_name, '00') AS has_00,
+          CAST(instr(c_name, '#') AS INT) AS hash_pos
+        FROM customer ORDER BY c_custkey
+      """.trim)),
+
+    Op("fn_bitwise",
+      (s, dir) => {
+        Tables.t(s, dir, "orders").select(
+          col("o_orderkey"),
+          expr("o_orderkey & 255").as("band"),
+          expr("o_orderkey | 4096").as("bor"),
+          expr("o_orderkey ^ 1023").as("bxor"),
+          expr("shiftleft(o_orderkey, 2)").as("shl"),
+          expr("shiftright(o_orderkey, 3)").as("shr"),
+          expr("~o_orderkey").as("bnot"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderkey & 255 AS band, o_orderkey | 4096 AS bor,
+          xor(o_orderkey, 1023) AS bxor, o_orderkey << 2 AS shl,
+          o_orderkey >> 3 AS shr, ~o_orderkey AS bnot
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
     Op("fn_struct_nested",
       (s, dir) => {
         val c = Tables.t(s, dir, "customer")

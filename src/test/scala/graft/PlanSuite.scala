@@ -51,6 +51,15 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("bucketed co-located join shuffles neither fact table") {
+    val p = plan("join_bucketed_colocated")
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      "lineitem side must read pre-bucketed, not shuffle")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+      "orders side must read pre-bucketed, not shuffle")
+  }
+
   test("near-dup pair-join carries the size prune and custom intersect") {
     val p = plan("text_near_dup_jaccard")
     assert(p.contains("sorted_intersect_size"))
