@@ -200,6 +200,26 @@ object ScalarOps extends OpGroup {
         GROUP BY word ORDER BY n DESC, word LIMIT 20
       """.trim)),
 
+    // MapType surface: parse JSON props to MAP<STRING,INT>, inspect, and
+    // serialize back (Spark and DuckDB agree on compact to_json format).
+    Op("fn_map_json",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+          .select(col("event_id"),
+            map_keys(col("m")).as("ks"),
+            element_at(col("m"), "k").as("k_val"),
+            to_json(col("m")).as("js"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, ['k'] AS ks, CAST(props->>'$.k' AS INT) AS k_val,
+          CAST(to_json(map(['k'], [CAST(props->>'$.k' AS INT)])) AS VARCHAR) AS js
+        FROM events ORDER BY event_id
+      """.trim)),
+
     Op("fn_string_extra",
       (s, dir) => {
         Tables.t(s, dir, "customer").select(
