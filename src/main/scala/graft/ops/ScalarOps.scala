@@ -86,6 +86,27 @@ object ScalarOps extends OpGroup {
         FROM orders ORDER BY o_orderkey
       """.trim)),
 
+    // Month arithmetic: both engines clamp end-of-month identically
+    // (1996-01-31 + 1 month → 1996-02-29); month distance via the explicit
+    // boundary formula (DuckDB's date_diff('month') semantics).
+    Op("fn_month_arith",
+      (s, dir) => {
+        Tables.t(s, dir, "orders").select(
+          col("o_orderkey"),
+          add_months(col("o_orderdate"), 1).as("plus_1mo"),
+          last_day(col("o_orderdate")).as("month_end"),
+          ((year(col("o_orderdate")) - 1995) * 12 + (month(col("o_orderdate")) - 1))
+            .cast("int").as("months_since_95"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+          CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_1mo,
+          last_day(o_orderdate) AS month_end,
+          CAST((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS INT) AS months_since_95
+        FROM orders ORDER BY o_orderkey
+      """.trim)),
+
     Op("fn_math",
       (s, dir) => {
         Tables.t(s, dir, "lineitem").select(

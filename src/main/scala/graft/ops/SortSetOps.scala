@@ -78,6 +78,31 @@ object SortSetOps extends OpGroup {
         ORDER BY o_custkey
       """.trim)),
 
+    // Bag (multiset) semantics: duplicates preserved by multiplicity.
+    Op("set_except_all",
+      (s, dir) => ordersIn(s, dir, 1995).exceptAll(ordersIn(s, dir, 1996))
+        .orderBy("o_custkey"),
+      Some("""
+        (SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+        EXCEPT ALL
+        (SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        ORDER BY o_custkey
+      """.trim)),
+
+    Op("set_intersect_all",
+      (s, dir) => ordersIn(s, dir, 1995).intersectAll(ordersIn(s, dir, 1996))
+        .orderBy("o_custkey"),
+      Some("""
+        (SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+        INTERSECT ALL
+        (SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        ORDER BY o_custkey
+      """.trim)),
+
     Op("set_intersect",
       (s, dir) => ordersIn(s, dir, 1995).intersect(ordersIn(s, dir, 1996))
         .orderBy("o_custkey"),
