@@ -83,6 +83,50 @@ object FilterOps extends OpGroup {
         ORDER BY is_f_nullsafe NULLS FIRST, is_f_plain NULLS FIRST
       """.trim)),
 
+    // Scalar subquery: customers above the global mean balance. The mean
+    // is one broadcast row (the decorrelated plan Catalyst would build);
+    // decimal-sum/COUNT division keeps the threshold deterministic.
+    Op("sub_scalar",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val avg = c.agg(
+          (sum(Tables.dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+        c.crossJoin(broadcast(avg))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .select("c_custkey", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
+        ORDER BY c_custkey
+      """.trim)),
+
+    // Correlated subquery, window-decorrelated: orders 1.5× above their
+    // own customer's average order value. Both sides use the same window
+    // formulation so the per-customer mean is arithmetically identical.
+    Op("sub_correlated",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+        Tables.t(s, dir, "orders")
+          .withColumn("cust_avg",
+            sum(Tables.dec2(col("o_totalprice"))).over(w).cast("double")
+              / count(lit(1)).over(w))
+          .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+              / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+          FROM orders
+        ) WHERE o_totalprice > cust_avg * 1.5
+        ORDER BY o_orderkey
+      """.trim)),
+
     Op("filter_date_range",
       (s, dir) => {
         Tables.t(s, dir, "orders")
