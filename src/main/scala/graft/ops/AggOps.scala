@@ -215,23 +215,49 @@ object AggOps extends OpGroup {
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
       """.trim)),
 
+    // Statistical aggregates from exact decimal moments: built-in
+    // stddev/corr accumulate doubles whose partial-merge order is not
+    // deterministic across runs. Σx, Σx², Σy, Σy², Σxy as decimals are
+    // exact and order-insensitive; the closed formulas then run the same
+    // double arithmetic on both engines — provably deterministic.
     Op("agg_stats",
       (s, dir) => {
+        val x = col("l_quantity").cast(DecimalType(18, 2))
+        val y = col("l_extendedprice").cast(DecimalType(18, 2))
         Tables.t(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            round(stddev_samp(col("l_quantity")), 3).as("sd_qty"),
-            round(var_samp(col("l_quantity")), 3).as("var_qty"),
-            round(corr(col("l_quantity"), col("l_extendedprice")), 3).as("corr_qty_price"),
-            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 3).as("cov_qty_price"))
+            count(lit(1)).cast("double").as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y).cast("double").as("sy"),
+            sum(y * y).cast("double").as("syy"),
+            sum(x * y).cast("double").as("sxy"))
+          .select(col("l_returnflag"),
+            round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 3).as("sd_qty"),
+            round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 3).as("var_qty"),
+            round((col("sxy") - col("sx") * col("sy") / col("n"))
+              / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+                * (col("syy") - col("sy") * col("sy") / col("n"))), 3).as("corr_qty_price"),
+            round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 3).as("cov_qty_price"))
           .orderBy("l_returnflag")
       },
       Some("""
-        SELECT l_returnflag, ROUND(stddev_samp(l_quantity), 3) AS sd_qty,
-          ROUND(var_samp(l_quantity), 3) AS var_qty,
-          ROUND(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price,
-          ROUND(covar_samp(l_quantity, l_extendedprice), 3) AS cov_qty_price
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        SELECT l_returnflag,
+          ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 3) AS sd_qty,
+          ROUND((sxx - sx * sx / n) / (n - 1), 3) AS var_qty,
+          ROUND((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 3) AS corr_qty_price,
+          ROUND((sxy - sx * sy / n) / (n - 1), 3) AS cov_qty_price
+        FROM (
+          SELECT l_returnflag,
+            CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag
+        ) ORDER BY l_returnflag
       """.trim)),
 
     // Exact interpolated median. Engines' percentile/quantile_cont differ in
