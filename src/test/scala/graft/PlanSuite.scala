@@ -64,4 +64,20 @@ class PlanSuite extends AnyFunSuite {
     val p = plan("text_near_dup_jaccard")
     assert(p.contains("sorted_intersect_size"))
   }
+
+  test("flagship aggregation runs inside whole-stage codegen") {
+    val p = SparkEntry.queries("agg_groupby_hash")(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(p.contains("Found 2 WholeStageCodegen subtrees")
+      || "WholeStageCodegen".r.findAllIn(p).nonEmpty, "scan+partial-agg and final-agg should codegen")
+  }
+
+  test("window top-k: one shuffle + rank-limit pushed below it (WindowGroupLimit)") {
+    val p = plan("win_rownum_topk")
+    // Exactly 2 Exchange nodes: hash for the window partition, range for
+    // the final orderBy — and the rn<=3 limit runs map-side pre-shuffle.
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected window-hash + final-sort exchanges, got $exchanges")
+    assert(p.contains("WindowGroupLimit"), "rank limit should push below the shuffle")
+  }
 }
