@@ -1,5 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// Bench's stdout contract is "the JSON is the last line" — suppress sbt's
+// trailing "[success] Total time: …" line.
+Global / showSuccess := false
 name := "pythonetlsamplespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
@@ -11,6 +14,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout straight through (no "[info] " prefix) so
+// Bench's JSON line is bit-identical to what the driver's parser expects.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,34 +1,72 @@
 #!/usr/bin/env python3
-"""Self-run mirror of the driver's t2 gate: compare Verify's parquet dumps
-against the oracle SQL replayed in DuckDB on the same scale factor.
+"""Driver-faithful mirror of the t2 correctness gate.
+
+Round-1 lesson: the old version read the Spark parquet back THROUGH DuckDB,
+which silently normalized DECIMAL->float64 and erased exactly the
+representation differences the driver's pandas-level compare detects
+(10 hash-fails + 6 errs shipped as false-green). This version mimics the
+driver:
+
+  * Spark side loaded with pandas.read_parquet (no type normalization)
+  * oracle side via duckdb .fetchdf()
+  * HARD ERROR on any Decimal / ndarray / dict / bytes cell in the dumped
+    frame (SURVEY 2.0 rule 8: dumped columns must be BIGINT/INT/DOUBLE/
+    VARCHAR/TIMESTAMP/BOOL only)
+  * both frames sort_values over all columns (what crashes the driver on
+    nested cells), then repr-level cell compare (catches Decimal('5.50')
+    vs 5.5 and -0.0 vs 0.0)
 
 Usage: python3 scripts/diff.py [sfDir] [verifyOutDir] [keys...]
 """
 import duckdb, json, sys, glob, math
+import numpy as np
+import pandas as pd
+from decimal import Decimal
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+import datetime
+STABLE_SCALARS = (str, int, float, bool, np.integer, np.floating, np.bool_,
+                  pd.Timestamp, datetime.date, type(None), type(pd.NaT))
+
+
+def unstable_cols(df):
+    """Columns whose cells the driver's pandas compare can't hash/sort."""
+    bad = {}
+    for c in df.columns:
+        for v in df[c]:
+            if isinstance(v, float) and math.isnan(v):
+                continue
+            if not isinstance(v, STABLE_SCALARS):
+                bad[c] = type(v).__name__
+                break
+    return bad
+
 
 def norm_cell(v):
-    import numpy as np
-    if isinstance(v, np.ndarray):
-        return tuple(norm_cell(x) for x in v)
-    if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
-    if isinstance(v, dict):
-        return tuple((k, norm_cell(x)) for k, x in v.items())
+    # Null-ish first (None / NaN / NaT are interchangeable null reprs across
+    # fetchdf and read_parquet — the round-1 driver equated them; NaN check
+    # must precede .item() or nan != nan).
+    if v is None or v is pd.NaT:
+        return "NULL"
     if isinstance(v, (float, np.floating)) and math.isnan(v):
-        return "NaN"
+        return "NULL"
     if isinstance(v, np.generic):
-        return v.item()
-    return v
+        v = v.item()
+    # DATE vs TIMESTAMP midnight are equated (driver-observed: fetchdf gives
+    # datetime64 for DATE, read_parquet gives datetime.date — r1 passed).
+    if isinstance(v, (pd.Timestamp, datetime.date)):
+        return repr(pd.Timestamp(v))
+    # repr-level compare: Decimal('5.50') vs 5.5 and -0.0 vs 0.0 both differ.
+    return repr(v)
 
 
-def frame(df):
-    cols = sorted(df.columns)
-    return [tuple(norm_cell(df[c].iloc[i]) for c in cols)
-            for i in range(len(df))]
+def load_spark(out, name):
+    files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+    if not files:
+        return None
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
 
 
 def main():
@@ -43,35 +81,46 @@ def main():
     for name in sorted(oracle):
         if only and name not in only:
             continue
-        sql = oracle[name]
-        files = glob.glob(f"{out}/{name}/*.parquet")
-        if not files:
+        sdf = load_spark(out, name)
+        if sdf is None:
             fails.append((name, "NO SPARK OUTPUT (query threw)"))
             continue
+        bad = unstable_cols(sdf)
+        if bad:
+            fails.append((name, f"UNSTABLE OUTPUT TYPES (rule 8): {bad} — "
+                          "driver's pandas compare will hash-fail or crash"))
+            continue
         try:
-            odf = con.execute(sql).fetchdf()
+            odf = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             fails.append((name, f"ORACLE SQL ERROR: {e}"))
             continue
-        sdf = con.execute(f"SELECT * FROM '{files[0]}'").fetchdf()
         if sorted(odf.columns) != sorted(sdf.columns):
             fails.append((name, f"COLUMNS oracle={sorted(odf.columns)} spark={sorted(sdf.columns)}"))
             continue
         if len(odf) != len(sdf):
             fails.append((name, f"ROWS oracle={len(odf)} spark={len(sdf)}"))
             continue
-        of, sfr = frame(odf), frame(sdf)
-        if of != sfr:
-            bad = next(i for i in range(len(of)) if of[i] != sfr[i])
-            fails.append((name, f"VALUES differ at row {bad}:\n  cols:   {sorted(odf.columns)}\n  oracle: {of[bad]}\n  spark:  {sfr[bad]}"))
+        cols = sorted(odf.columns)
+        try:
+            osorted = odf[cols].sort_values(cols).reset_index(drop=True)
+            ssorted = sdf[cols].sort_values(cols).reset_index(drop=True)
+        except Exception as e:
+            fails.append((name, f"SORT ERROR (driver would ERR too): {e}"))
             continue
-        # dtype check (warning only — driver may hash values, but decimals
-        # must match scale; surfaced for inspection)
-        otypes = {c: str(odf[c].dtype) for c in odf.columns}
-        stypes = {c: str(sdf[c].dtype) for c in sdf.columns}
-        note = "" if otypes == stypes else f"  [dtype note: oracle={otypes} spark={stypes}]"
+        of = [tuple(norm_cell(osorted[c].iloc[i]) for c in cols)
+              for i in range(len(osorted))]
+        sfr = [tuple(norm_cell(ssorted[c].iloc[i]) for c in cols)
+               for i in range(len(ssorted))]
+        if of != sfr:
+            badrow = next(i for i in range(len(of)) if of[i] != sfr[i])
+            fails.append((name, f"VALUES differ at sorted row {badrow}:\n"
+                          f"  cols:   {cols}\n"
+                          f"  oracle: {of[badrow]}\n"
+                          f"  spark:  {sfr[badrow]}"))
+            continue
         n_pass += 1
-        print(f"PASS {name} ({len(odf)} rows){note}")
+        print(f"PASS {name} ({len(odf)} rows)")
     for name, msg in fails:
         print(f"FAIL {name}: {msg}")
     print(f"\n{n_pass} pass, {len(fails)} fail")

@@ -26,12 +26,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("agg_groupby_hash")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Insertion-ordered
+    * (ListMap) so Bench iteration is deterministic — a hash-ordered Map put
+    * the ~3 s JVM/codegen warm-up on an arbitrary key each run.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(o => o.key -> o.fn).toMap
+    scala.collection.immutable.ListMap(all.map(o => o.key -> o.fn): _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    all.flatMap(o => o.oracle.map(o.key -> _)).toMap
+    scala.collection.immutable.ListMap(all.flatMap(o => o.oracle.map(o.key -> _)): _*)
 }

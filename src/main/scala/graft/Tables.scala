@@ -57,4 +57,18 @@ object Tables {
     */
   def dec2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast(DecimalType(18, 2))
+
+  /** Temp dir recursively deleted at JVM exit — a Verify+Bench+test cycle
+    * must leave /tmp net-unchanged (round-1 runs stranded ~300 dirs).
+    */
+  def tmpDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      try Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }))
+    p.toString
+  }
 }

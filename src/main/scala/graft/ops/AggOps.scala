@@ -25,13 +25,16 @@ object AggOps extends OpGroup {
         li.filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
-            sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
+            // Decimal internally (exact, order-insensitive); DOUBLE in the
+            // final projection (SURVEY §2.0 rule 8 — dumped frames must be
+            // pandas-hash-stable types; values ≤1e9 at 2dp convert exactly).
+            sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).cast("double").as("sum_qty"),
+            sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).cast("double").as("sum_base_price"),
             sum(price * (lit(BigDecimal(1).setScale(2)).cast(DecimalType(4, 2)) - disc))
-              .cast(DecimalType(18, 2)).as("sum_disc_price"),
+              .cast(DecimalType(18, 2)).cast("double").as("sum_disc_price"),
             sum(price * (lit(BigDecimal(1).setScale(2)).cast(DecimalType(4, 2)) - disc)
                 * (lit(BigDecimal(1).setScale(2)).cast(DecimalType(4, 2)) + tax))
-              .cast(DecimalType(18, 2)).as("sum_charge"),
+              .cast(DecimalType(18, 2)).cast("double").as("sum_charge"),
             round(sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
             round(sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1)), 6).as("avg_price"),
             round(sum(dec2(col("l_discount"))).cast("double") / count(lit(1)), 6).as("avg_disc"),
@@ -40,10 +43,10 @@ object AggOps extends OpGroup {
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
-          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS sum_charge,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+          CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
+          CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_charge,
           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
@@ -62,13 +65,13 @@ object AggOps extends OpGroup {
           count(lit(1)).as("n_rows"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"),
-          sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_price"),
+          sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).cast("double").as("sum_price"),
           round(sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1)), 6).as("avg_price"))
       },
       Some("""
         SELECT COUNT(*) AS n_rows, MIN(l_quantity) AS min_qty,
           MAX(l_quantity) AS max_qty,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
         FROM lineitem
       """.trim)),
@@ -233,21 +236,23 @@ object AggOps extends OpGroup {
             sum(y).cast("double").as("sy"),
             sum(y * y).cast("double").as("syy"),
             sum(x * y).cast("double").as("sxy"))
+          // `+ 0.0` normalizes IEEE -0.0 to +0.0 (DuckDB's ROUND keeps the
+          // sign of a tiny negative, Spark's doesn't — both sides add 0.0).
           .select(col("l_returnflag"),
-            round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 3).as("sd_qty"),
-            round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 3).as("var_qty"),
-            round((col("sxy") - col("sx") * col("sy") / col("n"))
+            (round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 3) + 0.0).as("sd_qty"),
+            (round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 3) + 0.0).as("var_qty"),
+            (round((col("sxy") - col("sx") * col("sy") / col("n"))
               / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
-                * (col("syy") - col("sy") * col("sy") / col("n"))), 3).as("corr_qty_price"),
-            round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 3).as("cov_qty_price"))
+                * (col("syy") - col("sy") * col("sy") / col("n"))), 3) + 0.0).as("corr_qty_price"),
+            (round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 3) + 0.0).as("cov_qty_price"))
           .orderBy("l_returnflag")
       },
       Some("""
         SELECT l_returnflag,
-          ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 3) AS sd_qty,
-          ROUND((sxx - sx * sx / n) / (n - 1), 3) AS var_qty,
-          ROUND((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 3) AS corr_qty_price,
-          ROUND((sxy - sx * sy / n) / (n - 1), 3) AS cov_qty_price
+          ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 3) + 0.0 AS sd_qty,
+          ROUND((sxx - sx * sx / n) / (n - 1), 3) + 0.0 AS var_qty,
+          ROUND((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 3) + 0.0 AS corr_qty_price,
+          ROUND((sxy - sx * sy / n) / (n - 1), 3) + 0.0 AS cov_qty_price
         FROM (
           SELECT l_returnflag,
             CAST(COUNT(*) AS DOUBLE) AS n,
@@ -297,11 +302,13 @@ object AggOps extends OpGroup {
         val n = Tables.t(s, dir, "nation")
         c.join(n, c("c_nationkey") === n("n_nationkey"))
           .groupBy("n_name")
-          .agg(sort_array(collect_set(col("c_mktsegment"))).as("segs"))
+          // Collected internally as an array; dumped as a joined string
+          // (SURVEY §2.0 rule 8 — no ARRAY columns in the dumped frame).
+          .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segs"))
           .orderBy("n_name")
       },
       Some("""
-        SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segs
+        SELECT n_name, array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segs
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name
       """.trim)),

@@ -19,7 +19,7 @@ object EventOps extends OpGroup {
         ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(
             count(lit(1)).as("n"),
-            sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("sum_value"))
+            sum(dec2(col("value"))).cast(DecimalType(18, 2)).cast("double").as("sum_value"))
           .select(col("window.start").as("window_start"), col("event_type"),
             col("n"), col("sum_value"))
           .orderBy("window_start", "event_type")
@@ -27,7 +27,7 @@ object EventOps extends OpGroup {
       Some("""
         SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
           event_type, COUNT(*) AS n,
-          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+          CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2

@@ -18,13 +18,13 @@ object FilterOps extends OpGroup {
         Tables.t(s, dir, "orders").select(
           col("o_orderkey").cast("string").as("order_id"),
           col("o_custkey").as("cust_id"),
-          col("o_totalprice").cast(DecimalType(12, 2)).as("total_price"),
+          col("o_totalprice").cast(DecimalType(12, 2)).cast("double").as("total_price"),
           col("o_orderstatus").as("status"))
           .orderBy("order_id")
       },
       Some("""
         SELECT CAST(o_orderkey AS VARCHAR) AS order_id, o_custkey AS cust_id,
-          CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
           o_orderstatus AS status
         FROM orders ORDER BY order_id
       """.trim)),
@@ -136,12 +136,12 @@ object FilterOps extends OpGroup {
           .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
           .agg(
             count(lit(1)).as("n"),
-            sum(Tables.dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sum_price"))
+            sum(Tables.dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).cast("double").as("sum_price"))
           .orderBy("month")
       },
       Some("""
         SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
         FROM orders
         WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         GROUP BY 1 ORDER BY month

@@ -46,12 +46,12 @@ object JoinOps extends OpGroup {
           .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2))
             * (lit(BigDecimal(1).setScale(2)).cast(DecimalType(4, 2))
               - col("l_discount").cast(DecimalType(4, 2))))
-            .cast(DecimalType(18, 2)).as("revenue"))
+            .cast(DecimalType(18, 2)).cast("double").as("revenue"))
           .orderBy("o_orderpriority")
       },
       Some("""
         SELECT o_orderpriority,
-          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue
+          CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority
       """.trim)),
@@ -67,19 +67,21 @@ object JoinOps extends OpGroup {
         val n = Tables.t(s, dir, "nation")
         val r = Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")
         li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          // customer grows with the data — no forced broadcast (AQE decides);
+          // nation/region are constant-size dims, safe to broadcast forever.
+          .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy("n_name")
           .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2))
             * (lit(BigDecimal(1).setScale(2)).cast(DecimalType(4, 2))
               - col("l_discount").cast(DecimalType(4, 2))))
-            .cast(DecimalType(18, 2)).as("revenue"))
+            .cast(DecimalType(18, 2)).cast("double").as("revenue"))
           .orderBy("n_name")
       },
       Some("""
         SELECT n_name,
-          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue
+          CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
         FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey
           JOIN customer ON o_custkey = c_custkey
@@ -240,7 +242,7 @@ object JoinOps extends OpGroup {
       (s, dir) => {
         // External tables at a fresh temp path: the in-memory catalog dies
         // with the JVM but a managed-table location would not.
-        val base = java.nio.file.Files.createTempDirectory("graft_buck").toString
+        val base = Tables.tmpDir("graft_buck")
         s.sql("DROP TABLE IF EXISTS graft_buck_lineitem")
         s.sql("DROP TABLE IF EXISTS graft_buck_orders")
         Tables.t(s, dir, "lineitem")
@@ -260,12 +262,12 @@ object JoinOps extends OpGroup {
           .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2))
             * (lit(BigDecimal(1).setScale(2)).cast(DecimalType(4, 2))
               - col("l_discount").cast(DecimalType(4, 2))))
-            .cast(DecimalType(18, 2)).as("revenue"))
+            .cast(DecimalType(18, 2)).cast("double").as("revenue"))
           .orderBy("o_orderpriority")
       },
       Some("""
         SELECT o_orderpriority,
-          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS revenue
+          CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority
       """.trim)),

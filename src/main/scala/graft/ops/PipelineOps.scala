@@ -290,15 +290,17 @@ object PipelineOps extends OpGroup {
             }
           }
           .toDF("doc_id", "width", "height", "brightness_raw")
+        // Metadata dumped as "WxH" (SURVEY §2.0 rule 8 — no STRUCT columns
+        // in the dumped frame); the typed struct stays an internal surface.
         decoded.select(col("doc_id"),
-          struct(col("width"), col("height")).as("meta"),
+          concat_ws("x", col("width"), col("height")).as("meta"),
           round(col("brightness_raw"), 2).as("brightness"))
           .orderBy("doc_id")
       },
       Some("""
         SELECT doc_id,
-          {'width': CAST((n_chars % 64) + 1 AS INT),
-           'height': CAST((n_chars // 64) + 1 AS INT)} AS meta,
+          concat_ws('x', CAST((n_chars % 64) + 1 AS INT),
+            CAST((n_chars // 64) + 1 AS INT)) AS meta,
           CASE WHEN len(text) = 0 THEN 0.0
                ELSE ROUND(list_sum(list_transform(range(1, least(16, len(text)) + 1),
                       i -> CAST(unicode(substr(text, i, 1)) AS DOUBLE)))

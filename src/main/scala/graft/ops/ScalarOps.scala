@@ -93,16 +93,20 @@ object ScalarOps extends OpGroup {
       (s, dir) => {
         Tables.t(s, dir, "orders").select(
           col("o_orderkey"),
-          add_months(col("o_orderdate"), 1).as("plus_1mo"),
-          last_day(col("o_orderdate")).as("month_end"),
+          // DATE results cast to TIMESTAMP_NTZ in the dumped frame (SURVEY
+          // §2.0 rule 8): a parquet DATE loads as datetime.date objects in
+          // pandas while the oracle's fetchdf gives datetime64 — cast to
+          // the type both sides agree on.
+          add_months(col("o_orderdate"), 1).cast("timestamp_ntz").as("plus_1mo"),
+          last_day(col("o_orderdate")).cast("timestamp_ntz").as("month_end"),
           ((year(col("o_orderdate")) - 1995) * 12 + (month(col("o_orderdate")) - 1))
             .cast("int").as("months_since_95"))
           .orderBy("o_orderkey")
       },
       Some("""
         SELECT o_orderkey,
-          CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_1mo,
-          last_day(o_orderdate) AS month_end,
+          CAST(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS TIMESTAMP) AS plus_1mo,
+          CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
           CAST((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS INT) AS months_since_95
         FROM orders ORDER BY o_orderkey
       """.trim)),
@@ -229,14 +233,16 @@ object ScalarOps extends OpGroup {
         Tables.events(s, dir)
           .select(col("event_id"),
             from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+          // Key list dumped as a joined string (SURVEY §2.0 rule 8 — no
+          // ARRAY columns in the dumped frame); map surface stays internal.
           .select(col("event_id"),
-            map_keys(col("m")).as("ks"),
+            array_join(map_keys(col("m")), ",").as("ks"),
             element_at(col("m"), "k").as("k_val"),
             to_json(col("m")).as("js"))
           .orderBy("event_id")
       },
       Some("""
-        SELECT event_id, ['k'] AS ks, CAST(props->>'$.k' AS INT) AS k_val,
+        SELECT event_id, 'k' AS ks, CAST(props->>'$.k' AS INT) AS k_val,
           CAST(to_json(map(['k'], [CAST(props->>'$.k' AS INT)])) AS VARCHAR) AS js
         FROM events ORDER BY event_id
       """.trim)),
@@ -293,11 +299,15 @@ object ScalarOps extends OpGroup {
       (s, dir) => {
         val c = Tables.t(s, dir, "customer")
           .withColumn("s", struct(col("c_custkey").as("id"), col("c_mktsegment").as("seg")))
-        c.select(col("c_custkey"), col("s"), col("s.seg").as("seg_again"))
+        // Struct built and field-accessed internally; dumped as a flat
+        // string (SURVEY §2.0 rule 8 — no STRUCT columns in the dumped frame).
+        c.select(col("c_custkey"),
+            concat(lit("id="), col("s.id").cast("string"), lit(";seg="), col("s.seg")).as("s_str"),
+            col("s.seg").as("seg_again"))
           .orderBy("c_custkey")
       },
       Some("""
-        SELECT c_custkey, {'id': c_custkey, 'seg': c_mktsegment} AS s,
+        SELECT c_custkey, 'id=' || c_custkey || ';seg=' || c_mktsegment AS s_str,
           c_mktsegment AS seg_again
         FROM customer ORDER BY c_custkey
       """.trim))

@@ -24,13 +24,13 @@ object SortSetOps extends OpGroup {
         Tables.t(s, dir, "customer")
           .select(
             col("c_custkey"),
-            when(col("c_acctbal") > 0, col("c_acctbal").cast(DecimalType(12, 2))).as("bal_pos"))
+            when(col("c_acctbal") > 0, col("c_acctbal").cast(DecimalType(12, 2))).cast("double").as("bal_pos"))
           .orderBy(desc_nulls_last("bal_pos"), asc("c_custkey"))
           .limit(100)
       },
       Some("""
         SELECT c_custkey,
-          CASE WHEN c_acctbal > 0 THEN CAST(c_acctbal AS DECIMAL(12,2)) END AS bal_pos
+          CAST(CASE WHEN c_acctbal > 0 THEN CAST(c_acctbal AS DECIMAL(12,2)) END AS DOUBLE) AS bal_pos
         FROM customer
         ORDER BY bal_pos DESC NULLS LAST, c_custkey
         LIMIT 100

@@ -11,8 +11,7 @@ import org.apache.spark.sql.types._
   */
 object SourceOps extends OpGroup {
 
-  private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def tmpDir(prefix: String): String = Tables.tmpDir(prefix)
 
   private val customerSchema = StructType(Seq(
     StructField("c_custkey", LongType),
@@ -51,12 +50,12 @@ object SourceOps extends OpGroup {
           .write.mode("overwrite").option("header", "true").csv(out)
         s.read.schema(customerSchema).option("header", "true").csv(out)
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-            col("c_acctbal").cast(DecimalType(12, 2)).as("acctbal"), col("c_mktsegment"))
+            col("c_acctbal").cast(DecimalType(12, 2)).cast("double").as("acctbal"), col("c_mktsegment"))
           .orderBy("c_custkey")
       },
       Some("""
         SELECT c_custkey, c_name, c_nationkey,
-          CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal, c_mktsegment
+          CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal, c_mktsegment
         FROM customer ORDER BY c_custkey
       """.trim)),
 
@@ -73,12 +72,12 @@ object SourceOps extends OpGroup {
           .filter(col("o_year").isin(1996, 1997))
           .groupBy("o_year")
           .agg(count(lit(1)).as("n"),
-            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("sum_price"))
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).cast("double").as("sum_price"))
           .orderBy("o_year")
       },
       Some("""
         SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
         FROM orders
         WHERE year(o_orderdate) IN (1996, 1997)
         GROUP BY 1 ORDER BY o_year

@@ -31,7 +31,7 @@ object StreamOps extends OpGroup {
     */
   private def eventStream(s: SparkSession, sfDir: String): DataFrame = {
     Tables.conf(s)
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    val dir = java.nio.file.Paths.get(Tables.tmpDir("graft_stream_src"))
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
@@ -45,13 +45,20 @@ object StreamOps extends OpGroup {
     */
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
       mode: String): DataFrame = {
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // One micro-batch into a memory sink doesn't need 32 state-store
+    // partitions — cap the stateful shuffle for the streaming stage only
+    // (the query pins the value at start; restore for batch ops after).
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 

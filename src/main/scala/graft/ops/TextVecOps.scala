@@ -113,10 +113,12 @@ object TextVecOps extends OpGroup {
               && col("lang") === col("lang_r") && col("a") < col("b"))
           .select("a", "b")
           .dropDuplicates("a", "b")
-        // Exact verify on candidates only.
+        // Exact verify on candidates only. Plain shuffle joins: the
+        // token-array side is corpus-sized and grows with the data, so a
+        // broadcast here would be a driver OOM at scale.
         candidates
-          .join(broadcast(d.select(col("doc_id").as("a"), col("toks").as("ta"))), "a")
-          .join(broadcast(d.select(col("doc_id").as("b"), col("toks").as("tb"))), "b")
+          .join(d.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
+          .join(d.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
           .withColumn("inter", expr("sorted_intersect_size(ta, tb)").cast("double"))
           .withColumn("uni",
             (expr("size(ta)") + expr("size(tb)")).cast("double") - col("inter"))
@@ -249,12 +251,18 @@ object TextVecOps extends OpGroup {
           .groupBy("label", "pos")
           .agg((sum(col("v").cast("double")) / count(lit(1))).as("dim_avg"))
           .groupBy("label")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, dim_avg))), s -> ROUND(s.dim_avg, 4))")
+          // Position-ordered rebuild, dumped as a fixed-format joined string
+          // (SURVEY §2.0 rule 8). round-then-%.4f is tie-free: the rounded
+          // double is never exactly halfway at the 4th decimal, so Java's
+          // HALF_UP and C's round-half-even formatting agree; `+ 0.0`
+          // normalizes -0.0.
+          .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, dim_avg))), " +
+            "s -> format_string('%.4f', round(s.dim_avg, 4) + 0.0d)), ',')")
             .as("centroid"))
           .orderBy("label")
       },
       Some("""
-        SELECT label, list(ROUND(dim_avg, 4) ORDER BY pos) AS centroid FROM (
+        SELECT label, array_to_string(list(printf('%.4f', ROUND(dim_avg, 4) + 0.0) ORDER BY pos), ',') AS centroid FROM (
           SELECT label, pos, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS dim_avg FROM (
             SELECT label,
               generate_subscripts(embedding, 1) - 1 AS pos,
@@ -270,19 +278,20 @@ object TextVecOps extends OpGroup {
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents")
         val emb = Tables.t(s, dir, "embeddings")
+        // Struct assembled internally; dumped as a flat joined string
+        // (SURVEY §2.0 rule 8 — no STRUCT columns in the dumped frame).
         docs.join(emb, docs("doc_id") === emb("vec_id"))
           .select(col("doc_id"),
-            struct(
-              col("doc_id").as("id"),
-              col("lang"),
-              col("n_chars"),
-              round(sqrt(expr("vec_norm_sq(embedding)")), 3).as("norm")).as("meta"))
+            concat_ws("|",
+              col("doc_id"), col("lang"), col("n_chars"),
+              format_string("%.3f",
+                round(sqrt(expr("vec_norm_sq(embedding)")), 3) + 0.0)).as("meta"))
           .orderBy("doc_id")
       },
       Some("""
         SELECT doc_id,
-          {'id': doc_id, 'lang': lang, 'n_chars': n_chars,
-           'norm': ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 3)} AS meta
+          concat_ws('|', doc_id, lang, n_chars,
+            printf('%.3f', ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 3) + 0.0)) AS meta
         FROM documents JOIN embeddings ON doc_id = vec_id
         ORDER BY doc_id
       """.trim)),

@@ -77,14 +77,14 @@ object WindowOps extends OpGroup {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.t(s, dir, "orders")
           .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-            sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(18, 2)).as("run_total"))
+            sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(18, 2)).cast("double").as("run_total"))
           .orderBy("o_custkey", "o_orderdate", "o_orderkey")
       },
       Some("""
         SELECT o_custkey, o_orderkey, o_orderdate,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_total
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS run_total
         FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
       """.trim)),
 

@@ -28,11 +28,26 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("LessThanOrEqual(l_shipdate"))
   }
 
-  test("multiway join broadcasts every dimension (no shuffle of dims)") {
+  test("multiway join broadcasts constant-size dims; customer is NOT force-broadcast") {
     val p = plan("join_multiway")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, "expected >=3 broadcast joins")
+    // nation + region are constant-size → broadcast; customer grows with
+    // the data, so it must not carry a forced broadcast hint (AQE may still
+    // choose one at toy scale — assert on the optimized logical plan's
+    // hints, which is what survives 100×).
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, "expected >=2 broadcast joins (nation, region)")
     assert(p.contains("EqualTo(r_name,ASIA)"), "region filter should be pushed to scan")
     assert(!p.contains("CartesianProduct"))
+    val logical = SparkEntry.queries("join_multiway")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val hinted = "strategy=broadcast".r.findAllIn(logical).size
+    assert(hinted == 2, s"exactly nation+region may carry broadcast hints, found $hinted")
+  }
+
+  test("LSH verify stage never broadcasts the corpus-derived token side") {
+    val logical = SparkEntry.queries("text_minhash_lsh")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(!logical.contains("strategy=broadcast"),
+      "no forced broadcast anywhere in the LSH pipeline — the token side is corpus-sized")
   }
 
   test("top-k plans as TakeOrderedAndProject, never a global sort") {

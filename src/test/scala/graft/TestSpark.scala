@@ -23,7 +23,7 @@ object TestSpark {
     * `sfDir` for any op (ops only read the tables they use).
     */
   def miniDir(tables: (String, DataFrame)*): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_mini").toString
+    val dir = Tables.tmpDir("graft_mini")
     tables.foreach { case (name, df) =>
       df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
     }

@@ -95,8 +95,8 @@ class UnitSuite extends AnyFunSuite {
       (2L, Array(2f, 2f), 1))
       .toDF("vec_id", "embedding", "label"))
     val got = SparkEntry.queries("vec_centroid_label")(spark, dir)
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
-    assert(got.toSeq == Seq((0, Seq(0.5, 0.5)), (1, Seq(2.0, 2.0))))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((0, "0.5000,0.5000"), (1, "2.0000,2.0000")))
   }
 
   test("as-of join: purchase picks most recent prior click, none → null") {
