@@ -27,6 +27,7 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.functions.SortedLongIntersectSize.register(spark)
     graft.functions.MinHashSignature.register(spark)
+    graft.functions.MinHashSketchAgg.register(spark)
     graft.functions.VecMath.register(spark)
   }
 

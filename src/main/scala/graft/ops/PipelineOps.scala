@@ -263,6 +263,27 @@ object PipelineOps extends OpGroup {
         ) ORDER BY cos_sim DESC, vec_id
       """.trim)),
 
+    // MinHash via the custom TypedImperativeAggregate (§2.2 M6 stretch):
+    // tokens arrive as plain (doc_id, hash) rows — no per-document token
+    // array ever materializes — and the two-phase hash aggregate carries
+    // only k=16 longs per doc across the shuffle. Non-oracle (DuckDB has
+    // no seeded xxhash64); ScalaTest pins bit-equality with the
+    // minhash_signature expression path on the same corpus.
+    Op("text_minhash_agg",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(expr("array_distinct(split(text, ' '))")).as("tok"))
+          .select(col("doc_id"), expr("xxhash64(tok)").as("th"))
+          .groupBy("doc_id")
+          .agg(expr("minhash_sketch(th, 16)").as("sig"))
+          // Rule 8: dumped as a hex string, never a raw long array.
+          .select(col("doc_id"),
+            expr("array_join(transform(sig, x -> hex(x)), ',')").as("sig_hex"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // Multimodal columns: opaque binary payload + typed metadata struct.
     // The "decode" (brightness = mean of the first 16 payload bytes) runs
     // imperatively in mapPartitions — the documented seam where a real

@@ -88,6 +88,35 @@ class ExpressionSuite extends AnyFunSuite {
     assert(again.toSeq == first.toSeq)
   }
 
+  test("minhash_sketch aggregate: bit-equal to the minhash_signature expression path") {
+    Tables.conf(spark)
+    // Same corpus, two routes: (a) per-row token array → minhash_signature
+    // expression; (b) exploded (doc, hash) rows → minhash_sketch aggregate.
+    // Both compute sig[s] = min over tokens of XXH64.hashLong(t, s), so the
+    // results must be identical long-for-long.
+    val docs = Tables.t(spark, sf0001, "documents").limit(100)
+    val viaExpr = docs
+      .select(col("doc_id"),
+        expr("minhash_signature(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)), 16)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = docs
+      .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("tok"))
+      .select(col("doc_id"), expr("xxhash64(tok)").as("th"))
+      .groupBy("doc_id").agg(expr("minhash_sketch(th, 16)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg.keySet == viaExpr.keySet)
+    viaAgg.foreach { case (id, sig) =>
+      assert(sig == viaExpr(id), s"doc $id sketch != signature")
+    }
+    // And the aggregate runs as a two-phase hash agg (map-side partials).
+    val plan = docs
+      .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("tok"))
+      .select(col("doc_id"), expr("xxhash64(tok)").as("th"))
+      .groupBy("doc_id").agg(expr("minhash_sketch(th, 16)").as("sig"))
+      .queryExecution.executedPlan.toString
+    assert("Aggregate".r.findAllIn(plan).size >= 2, "expected partial+final aggregate")
+  }
+
   test("minhash_signature: similar sets collide on most components") {
     val a = MinHashSignature(longArr(1L to 100L: _*), 50).eval(null)
       .asInstanceOf[GenericArrayData].toLongArray()
