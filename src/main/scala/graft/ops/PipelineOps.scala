@@ -263,6 +263,80 @@ object PipelineOps extends OpGroup {
         ) ORDER BY cos_sim DESC, vec_id
       """.trim)),
 
+    // LSH-bucketed ANN (the second scale path next to vec_ivf_topk):
+    // L=4 tables × P=6 random hyperplanes whose ±1 components derive from
+    // md5 parity (cross-engine deterministic, no stored model). Projections
+    // run on 1e-3-quantized integer components — exact arithmetic, so the
+    // bucket bits are bit-identical on both engines with no float-sum-order
+    // risk. Candidates = vectors sharing any of the query's 4 buckets;
+    // exact cosine re-rank on candidates only. At 100 TB: bucketing is one
+    // scan; the candidate join is bucket-bounded, never all-pairs; no
+    // forced broadcast of anything corpus-sized.
+    Op("vec_lsh_topk",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        // 1536 = 4 tables × 6 planes × 64 dims; sign[j] from md5(fp_i).
+        val signs = s.range(1).select(expr(
+          """transform(sequence(0, 1535), j ->
+               IF(CAST(conv(substring(md5(concat(j DIV 64, '_', j % 64)), 1, 15), 16, 10) AS BIGINT) % 2 = 0,
+                  CAST(1 AS BIGINT), CAST(-1 AS BIGINT)))""").as("sgn"))
+        val qvec = e.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("qv"))
+        val bk = qvec.crossJoin(broadcast(signs))
+          .select(col("vec_id"), explode(expr(
+            """transform(sequence(0, 3), t -> concat(t, ':',
+                 aggregate(sequence(0, 5), '', (acc, p) ->
+                   concat(acc, IF(aggregate(sequence(0, 63), CAST(0 AS BIGINT), (a, i) ->
+                     a + element_at(qv, i + 1) * element_at(sgn, (t * 6 + p) * 64 + i + 1)) >= 0,
+                     '1', '0')))))""")).as("bucket"))
+        val qb = bk.filter(col("vec_id") === 0).select(col("bucket").as("qbucket"))
+        val cand = bk.filter(col("vec_id") =!= 0)
+          .join(broadcast(qb), col("bucket") === col("qbucket"))
+          .select("vec_id").distinct()
+        val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        e.join(cand, "vec_id")
+          .crossJoin(broadcast(q0))
+          .withColumn("sim", expr("vec_dot(embedding, qemb)")
+            / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
+          .orderBy(desc("sim"), asc("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), round(col("sim"), 3).as("cos_sim"))
+          .orderBy(desc("cos_sim"), asc("vec_id"))
+      },
+      Some("""
+        WITH signs AS (
+          SELECT list_transform(range(0, 1536), j ->
+            CASE WHEN CAST(('0x' || substr(md5((j // 64) || '_' || (j % 64)), 1, 15)) AS BIGINT) % 2 = 0
+                 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS sgn
+        ),
+        qvec AS (
+          SELECT vec_id,
+            list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        bk AS (
+          SELECT vec_id, t || ':' || array_to_string(list_transform(range(0, 6), p ->
+              CASE WHEN list_sum(list_transform(range(0, 64), i ->
+                qv[i + 1] * sgn[(t * 6 + p) * 64 + i + 1])) >= 0 THEN '1' ELSE '0' END), '') AS bucket
+          FROM qvec, signs, (SELECT unnest(range(0, 4)) AS t)
+        ),
+        cand AS (
+          SELECT DISTINCT b.vec_id
+          FROM bk b JOIN bk q ON b.bucket = q.bucket
+          WHERE q.vec_id = 0 AND b.vec_id <> 0
+        )
+        SELECT vec_id, cos_sim FROM (
+          SELECT vec_id, ROUND(sim, 3) AS cos_sim, sim FROM (
+            SELECT e.vec_id,
+              list_dot_product(CAST(e.embedding AS DOUBLE[]), qemb)
+                / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+                   * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS sim
+            FROM embeddings e JOIN cand USING (vec_id),
+              (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0)
+          ) ORDER BY sim DESC, vec_id LIMIT 10
+        ) ORDER BY cos_sim DESC, vec_id
+      """.trim)),
+
     // MinHash via the custom TypedImperativeAggregate (§2.2 M6 stretch):
     // tokens arrive as plain (doc_id, hash) rows — no per-document token
     // array ever materializes — and the two-phase hash aggregate carries
