@@ -127,6 +127,27 @@ object FilterOps extends OpGroup {
         ORDER BY o_orderkey
       """.trim)),
 
+    // Deterministic hash-based Bernoulli sampling (~5%): the reproducible
+    // alternative to rand()-based sample() (excluded per SURVEY §2.0.6).
+    // The md5 bucket of the row key decides membership, so the sample is
+    // stable across runs, engines, partitionings, and cluster sizes —
+    // exactly what a training-data pipeline needs for repeatable splits.
+    // Fully parallel row-local filter: no shuffle, pushes nothing, skips
+    // nothing — at 100 TB it's one scan with a cheap residual.
+    Op("sample_hash",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .filter(expr("CAST(conv(substring(md5(concat(l_orderkey, '_', l_linenumber)), 1, 15), 16, 10) AS BIGINT) % 100 < 5"))
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE CAST(('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 15)) AS BIGINT) % 100 < 5
+        ORDER BY l_orderkey, l_linenumber
+      """.trim)),
+
     Op("filter_date_range",
       (s, dir) => {
         Tables.t(s, dir, "orders")

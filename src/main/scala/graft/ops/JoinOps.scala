@@ -272,6 +272,39 @@ object JoinOps extends OpGroup {
         GROUP BY o_orderpriority ORDER BY o_orderpriority
       """.trim)),
 
+    // Skew-salted join: the manual hot-key treatment for when AQE's
+    // skew-join split isn't available (e.g. forced SMJ, or pre-3.x
+    // compatibility semantics). The per-user profile (build side) is
+    // replicated across 8 salt values; each fact row picks a deterministic
+    // salt, so a hot user's rows spread over 8 shuffle partitions instead
+    // of one straggler. The oracle is the UNSALTED join — proving salting
+    // is semantics-preserving is the whole point of the key.
+    Op("join_skew_salted",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val prof = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+        val saltedProf = prof.withColumn("salt", explode(expr("sequence(0, 7)")))
+        val fact = ev.select(col("user_id"), col("event_type"),
+          expr("CAST(event_id % 8 AS INT)").as("salt"))
+        fact.join(saltedProf, Seq("user_id", "salt"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("user_events")).as("sum_user_events"),
+            (round(sum(col("user_events")).cast("double") / count(lit(1)), 4) + 0.0)
+              .as("avg_user_events"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(user_events) AS BIGINT) AS sum_user_events,
+          ROUND(CAST(SUM(user_events) AS DOUBLE) / COUNT(*), 4) + 0.0 AS avg_user_events
+        FROM events JOIN (
+          SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id
+        ) USING (user_id)
+        GROUP BY event_type ORDER BY event_type
+      """.trim)),
+
     // As-of join, window formulation (idiomatic Spark — no native ASOF):
     // one shuffle by user, running "last click before me" via
     // last(_, ignoreNulls) over ROWS UNBOUNDED PRECEDING..1 PRECEDING.

@@ -20,6 +20,12 @@ object SourceOps extends OpGroup {
     StructField("c_acctbal", DoubleType),
     StructField("c_mktsegment", StringType)))
 
+  private val supplierSchema = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
   private val nationSchema = StructType(Seq(
     StructField("n_nationkey", IntegerType),
     StructField("n_name", StringType),
@@ -81,6 +87,27 @@ object SourceOps extends OpGroup {
         FROM orders
         WHERE year(o_orderdate) IN (1996, 1997)
         GROUP BY 1 ORDER BY o_year
+      """.trim)),
+
+    // ORC round-trip (Spark-native columnar format beside parquet): write,
+    // read back with explicit schema, compare against the original table —
+    // the round-trip must be lossless. DuckDB can't read ORC, so the
+    // oracle is the source table itself (same pattern as CSV).
+    Op("src_orc_roundtrip",
+      (s, dir) => {
+        val out = tmpDir("graft_orc")
+        Tables.t(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+          .write.mode("overwrite").orc(out)
+        s.read.schema(supplierSchema).orc(out)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            col("s_acctbal").cast(DecimalType(12, 2)).cast("double").as("acctbal"))
+          .orderBy("s_suppkey")
+      },
+      Some("""
+        SELECT s_suppkey, s_name, s_nationkey,
+          CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+        FROM supplier ORDER BY s_suppkey
       """.trim)),
 
     Op("src_json_roundtrip",
