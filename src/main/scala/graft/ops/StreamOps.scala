@@ -117,6 +117,32 @@ object StreamOps extends OpGroup {
       },
       None),
 
+    // Stream-stream interval join: clicks ⋈ purchases of the same user
+    // within (0, 5 min] — the streaming twin of the batch
+    // join_range_interval (ScalaTest pins per-user pair counts equal).
+    // Watermarks on BOTH sides plus the two-sided time bound are what let
+    // Spark evict join state — without them state grows unboundedly; with
+    // them this runs forever at 100 TB/day. Per-user aggregation happens
+    // in batch on the sink (append-mode join rows are final).
+    Op("stream_stream_join",
+      (s, dir) => {
+        val clicks = eventStream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("u1"), col("ts").as("ts1"))
+          .withWatermark("ts1", "1 hour")
+        val purchases = eventStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u2"), col("ts").as("ts2"))
+          .withWatermark("ts2", "1 hour")
+        val joined = clicks.join(purchases,
+          expr("u1 = u2 AND ts2 > ts1 AND ts2 <= ts1 + INTERVAL 5 MINUTE"))
+        runToMemory(s, joined, "graft_stream_ssjoin", "append")
+          .groupBy(col("u1").as("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      None),
+
     // Streaming session windows (30 min gap) per user — ties the streaming
     // session operator to the oracle-checked ts_session_gap semantics.
     Op("stream_session_window",

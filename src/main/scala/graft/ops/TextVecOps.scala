@@ -338,6 +338,31 @@ object TextVecOps extends OpGroup {
           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
         FROM events GROUP BY user_id ORDER BY user_id
+      """.trim)),
+
+    // Unpivot (melt) — the inverse of pivot_events_wide: wide per-user
+    // counts back to long (user_id, event_type, n). unpivot(pivot(x))
+    // restricted to n>0 equals the direct group count, which is exactly
+    // what the oracle states. Narrow projection in, explode-shaped out —
+    // no extra shuffle beyond the pivot's own aggregate.
+    Op("unpivot_events_long",
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val wide = Tables.events(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .count()
+        wide.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+          .filter(col("n") > 0)
+          .orderBy("user_id", "event_type")
+      },
+      Some("""
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
       """.trim))
   )
 }

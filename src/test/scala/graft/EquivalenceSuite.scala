@@ -50,6 +50,15 @@ class EquivalenceSuite extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("stream_stream_join pair counts match batch join_range_interval") {
+    val streaming = rows("stream_stream_join")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = SparkEntry.queries("join_range_interval")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "batch interval-join truth set is empty — test is vacuous")
+    assert(streaming == batch)
+  }
+
   test("agg_approx_distinct within 5% of exact distinct counts") {
     val approx = rows("agg_approx_distinct")
       .map(r => r.getString(0) -> r.getLong(1)).toMap
