@@ -15,6 +15,7 @@ object SparkEntry {
     WindowOps,
     ScalarOps,
     SortSetOps,
+    EtlOps,
     TextVecOps,
     PipelineOps,
     EventOps,

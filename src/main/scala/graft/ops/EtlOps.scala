@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group K — classic ETL state-maintenance patterns (round 2). The
+  * reference class is an ETL sample; these are the two operators every
+  * warehouse-maintenance pipeline runs daily, re-expressed as pure
+  * DataFrame transforms.
+  *
+  * Scale notes: upsert is one full-outer shuffle join on the key (at
+  * 100 TB: bucket both sides on the key and it degenerates to a zipped
+  * merge, same as join_bucketed_colocated); SCD2 is one shuffle by the
+  * entity key + ordered window — no self-join, no explosion.
+  */
+object EtlOps extends OpGroup {
+
+  val ops: Seq[Op] = Seq(
+    // MERGE/upsert without a table format: base ⟕⟖ changes (full outer),
+    // change wins on match, unmatched changes insert, unmatched base rows
+    // carry forward — with a src marker showing which branch each row took.
+    // Changes are derived deterministically: +10% reprice of 'F'-status
+    // 1996 orders (updates) ∪ 1997 orders (inserts; keys disjoint).
+    Op("etl_upsert",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val base = o.filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val changes = base.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"),
+            (round(col("o_totalprice") * 1.1, 2) + 0.0).as("new_price"))
+          .unionByName(o.filter(year(col("o_orderdate")) === 1997)
+            .select(col("o_orderkey"), col("o_totalprice").as("new_price")))
+        base.join(changes, Seq("o_orderkey"), "full")
+          .select(
+            col("o_orderkey"),
+            coalesce(col("new_price"), col("o_totalprice")).as("price"),
+            when(col("o_totalprice").isNull, "I")
+              .when(col("new_price").isNotNull, "U")
+              .otherwise("B").as("src"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus
+          FROM orders WHERE year(o_orderdate) = 1996
+        ),
+        changes AS (
+          SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2) + 0.0 AS new_price
+          FROM base WHERE o_orderstatus = 'F'
+          UNION ALL
+          SELECT o_orderkey, o_totalprice AS new_price
+          FROM orders WHERE year(o_orderdate) = 1997
+        )
+        SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+          COALESCE(c.new_price, b.o_totalprice) AS price,
+          CASE WHEN b.o_orderkey IS NULL THEN 'I'
+               WHEN c.o_orderkey IS NOT NULL THEN 'U'
+               ELSE 'B' END AS src
+        FROM base b FULL JOIN changes c ON b.o_orderkey = c.o_orderkey
+        ORDER BY o_orderkey
+      """.trim)),
+
+    // SCD2 / gaps-and-islands: per user, each run of consecutive equal
+    // event_types becomes one validity interval [valid_from, valid_to)
+    // (NULL valid_to = current). Run boundaries via lag-change flag +
+    // running sum; ties broken by event_id so the intervals are total-order
+    // deterministic.
+    Op("etl_scd2",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select("user_id", "event_type", "ts", "event_id")
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val runs = ev
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(wOrd).isNull
+              || lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("run_id", sum(col("chg")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "run_id")
+          // min(event_type): all values in a run are equal by construction;
+          // min keeps it order-insensitive (§2.0.6 — no bare first()).
+          .agg(min(col("ts")).as("valid_from"),
+            min(col("event_type")).as("event_type"))
+        val wRun = Window.partitionBy("user_id").orderBy("run_id")
+        runs
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+          .select(col("user_id"), col("run_id").cast("int").as("run_id"),
+            col("event_type"), col("valid_from"), col("valid_to"))
+          .orderBy("user_id", "run_id")
+      },
+      Some("""
+        SELECT user_id, CAST(run_id AS INT) AS run_id, event_type, valid_from,
+          LEAD(valid_from, 1) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to
+        FROM (
+          SELECT user_id, run_id, MIN(ts_us) AS valid_from,
+            MIN(event_type) AS event_type
+          FROM (
+            SELECT user_id, event_type, ts_us, event_id,
+              SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+            FROM (
+              SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts_us, event_id,
+                CASE WHEN LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                          IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+              FROM events
+            )
+          ) GROUP BY user_id, run_id
+        ) ORDER BY user_id, run_id
+      """.trim))
+  )
+}
