@@ -62,6 +62,38 @@ object EtlOps extends OpGroup {
         ORDER BY o_orderkey
       """.trim)),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): generate the 48-month date
+    // spine 1995-01..1998-12 recursively, left-join per-month order counts
+    // — the date-dimension pattern. Zero-order months stay present (spine
+    // drives the output).
+    Op("etl_date_spine_recursive",
+      (s, dir) => {
+        Tables.t(s, dir, "orders").createOrReplaceTempView("graft_spine_orders")
+        s.sql("""
+          WITH RECURSIVE months(m) AS (
+            SELECT TIMESTAMP_NTZ '1995-01-01' AS m
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < TIMESTAMP_NTZ '1998-12-01'
+          )
+          SELECT m AS month, COUNT(o_orderkey) AS n
+          FROM months LEFT JOIN graft_spine_orders
+            ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP_NTZ) = m
+          GROUP BY m ORDER BY m
+        """)
+      },
+      Some("""
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01' AS m
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '1998-12-01'
+        )
+        SELECT m AS month, COUNT(o_orderkey) AS n
+        FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        GROUP BY m ORDER BY m
+      """.trim)),
+
     // SCD2 / gaps-and-islands: per user, each run of consecutive equal
     // event_types becomes one validity interval [valid_from, valid_to)
     // (NULL valid_to = current). Run boundaries via lag-change flag +

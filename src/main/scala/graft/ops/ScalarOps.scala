@@ -247,6 +247,25 @@ object ScalarOps extends OpGroup {
         FROM events ORDER BY event_id
       """.trim)),
 
+    // Spark 4 VARIANT surface: parse JSON into the binary semi-structured
+    // type, typed-extract fields, introspect. VARIANT itself never reaches
+    // the dumped frame (rule 8) — only extracted scalars do.
+    Op("fn_variant",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("event_id"), parse_json(col("props")).as("v"))
+          .select(col("event_id"),
+            expr("variant_get(v, '$.k', 'int')").as("k_val"),
+            expr("schema_of_variant(v)").as("v_schema"),
+            expr("is_variant_null(v)").as("is_null"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, CAST(props->>'$.k' AS INT) AS k_val,
+          'OBJECT<k: BIGINT>' AS v_schema, false AS is_null
+        FROM events ORDER BY event_id
+      """.trim)),
+
     Op("fn_string_extra",
       (s, dir) => {
         Tables.t(s, dir, "customer").select(
