@@ -143,6 +143,31 @@ object StreamOps extends OpGroup {
       },
       None),
 
+    // foreachBatch file sink: the exactly-once escape hatch — each
+    // micro-batch lands as parquet (idempotent by batchId in production;
+    // here one AvailableNow batch), then the landed files are read back
+    // and aggregated in batch. Covers the streaming→files→batch handoff
+    // that a 100 TB/day ingest pipeline actually runs.
+    Op("stream_foreach_batch_sink",
+      (s, dir) => {
+        val sink = Tables.tmpDir("graft_fbsink")
+        val q = eventStream(s, dir)
+          .select("event_id", "event_type", "value")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("append").parquet(s"$sink/b")
+          }
+          .option("checkpointLocation", s"$sink/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$sink/b")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      None),
+
     // Streaming session windows (30 min gap) per user — ties the streaming
     // session operator to the oracle-checked ts_session_gap semantics.
     Op("stream_session_window",

@@ -59,6 +59,15 @@ class EquivalenceSuite extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("stream_foreach_batch_sink counts match batch per-type counts") {
+    val streaming = rows("stream_foreach_batch_sink")
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = Tables.events(spark, sf0001)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streaming == batch)
+  }
+
   test("agg_approx_distinct within 5% of exact distinct counts") {
     val approx = rows("agg_approx_distinct")
       .map(r => r.getString(0) -> r.getLong(1)).toMap
