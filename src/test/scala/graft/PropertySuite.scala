@@ -78,4 +78,48 @@ class PropertySuite extends AnyFunSuite {
       assert(d1.dropDuplicates().count() == d1.count())
     }
   }
+
+  test("skew salting preserves join semantics for arbitrary frames") {
+    samples(4).grouped(2).collect { case Seq(a, b) =>
+      val fact = a.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "row_id")
+      val dim = b.map(_._1).distinct.zipWithIndex.map { case (k, i) => (k, s"d$i") }
+        .toDF("k", "attr")
+      val plain = fact.join(dim, Seq("k"))
+        .select("row_id", "attr").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val saltedDim = dim.withColumn("salt", explode(expr("sequence(0, 3)")))
+      val saltedFact = fact.withColumn("salt", expr("CAST(row_id % 4 AS INT)"))
+      val salted = saltedFact.join(saltedDim, Seq("k", "salt"))
+        .select("row_id", "attr").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(salted == plain)
+    }.toList
+  }
+
+  test("upsert is idempotent: applying the same changes twice changes nothing") {
+    samples(4).grouped(2).collect { case Seq(a, b) =>
+      val base = a.groupBy(_._1).map { case (k, vs) => (k, vs.head._2) }.toSeq.toDF("k", "v")
+      val changes = b.groupBy(_._1).map { case (k, vs) => (k, vs.head._2) }.toSeq.toDF("k", "nv")
+      def upsert(cur: org.apache.spark.sql.DataFrame) = cur
+        .join(changes, Seq("k"), "full")
+        .select(col("k"), coalesce(col("nv"), col("v")).as("v"))
+      val once = upsert(base).collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val twice = upsert(upsert(base)).collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(twice == once)
+      // |merged| = |base| + |insert-only keys|.
+      val baseKeys = base.select("k").collect().map(_.getInt(0)).toSet
+      val chKeys = changes.select("k").collect().map(_.getInt(0)).toSet
+      assert(once.size == baseKeys.size + (chKeys -- baseKeys).size)
+    }.toList
+  }
+
+  test("minhash_sketch aggregate is partitioning-invariant (distributive merge)") {
+    Tables.conf(spark)
+    samples(3).filter(_.nonEmpty).foreach { a =>
+      val df = a.toDF("k", "v").select(col("k"), col("v").cast("long").as("th"))
+      def sig(d: org.apache.spark.sql.DataFrame) = d
+        .groupBy("k").agg(expr("minhash_sketch(th, 8)").as("sig"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      assert(sig(df.coalesce(1)) == sig(df.repartition(8)))
+    }
+  }
 }
