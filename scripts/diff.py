@@ -27,8 +27,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 import datetime
+# NOTE: datetime.date deliberately NOT stable — rule 8 outlaws dumped DATE
+# columns (pandas loads them as date objects vs the oracle's datetime64;
+# the round-1 driver happened to equate them, but we enforce the stricter
+# lint so ops can't rely on that). Cast DATE to TIMESTAMP_NTZ instead.
 STABLE_SCALARS = (str, int, float, bool, np.integer, np.floating, np.bool_,
-                  pd.Timestamp, datetime.date, type(None), type(pd.NaT))
+                  pd.Timestamp, type(None), type(pd.NaT))
 
 
 def unstable_cols(df):

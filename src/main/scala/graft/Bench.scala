@@ -16,8 +16,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: absorbs session init + first-query codegen so the
-    // first timed key isn't inflated by ~3 s of JVM warm-up.
-    SparkEntry.queries.head._2(spark, sfDir).count()
+    // first timed key isn't inflated by ~3 s of JVM warm-up. Same
+    // degrade-don't-die policy as the timed loop — a failing warm-up must
+    // not kill the bench before the JSON line prints.
+    try SparkEntry.queries.head._2(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

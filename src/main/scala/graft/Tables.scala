@@ -61,15 +61,29 @@ object Tables {
 
   /** Temp dir recursively deleted at JVM exit — a Verify+Bench+test cycle
     * must leave /tmp net-unchanged (round-1 runs stranded ~300 dirs).
+    * ONE shutdown hook drains a queue of registered paths; per-call hooks
+    * would all start as concurrent threads at exit.
     */
-  def tmpDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  private val tmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val tmpHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
-      try Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      catch { case _: Throwable => () }
+      var p = tmpDirs.poll()
+      while (p != null) {
+        try {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        } catch { case _: Throwable => () }
+        p = tmpDirs.poll()
+      }
     }))
+
+  def tmpDir(prefix: String): String = {
+    tmpHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpDirs.add(p)
     p.toString
   }
 }

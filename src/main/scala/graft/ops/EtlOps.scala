@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Group K — classic ETL state-maintenance patterns (round 2). The
   * reference class is an ETL sample; these are the two operators every
@@ -27,9 +28,15 @@ object EtlOps extends OpGroup {
         val o = Tables.t(s, dir, "orders")
         val base = o.filter(year(col("o_orderdate")) === 1996)
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        // Reprice in DECIMAL: double round(x * 1.1, 2) diverges between
+        // engines on tie-repr products (confirmed at sf0.1 — 288578.785
+        // rounds .79 in Spark, .78 in DuckDB). DECIMAL(18,2) × 1.1 is an
+        // exact 3-dp decimal; both engines then round the identical value.
         val changes = base.filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"),
-            (round(col("o_totalprice") * 1.1, 2) + 0.0).as("new_price"))
+            round(col("o_totalprice").cast(DecimalType(18, 2))
+                * lit(BigDecimal("1.1")).cast(DecimalType(2, 1)), 2)
+              .cast(DecimalType(18, 2)).cast("double").as("new_price"))
           .unionByName(o.filter(year(col("o_orderdate")) === 1997)
             .select(col("o_orderkey"), col("o_totalprice").as("new_price")))
         base.join(changes, Seq("o_orderkey"), "full")
@@ -47,7 +54,8 @@ object EtlOps extends OpGroup {
           FROM orders WHERE year(o_orderdate) = 1996
         ),
         changes AS (
-          SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2) + 0.0 AS new_price
+          SELECT o_orderkey,
+            CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS new_price
           FROM base WHERE o_orderstatus = 'F'
           UNION ALL
           SELECT o_orderkey, o_totalprice AS new_price

@@ -228,7 +228,7 @@ object PipelineOps extends OpGroup {
             / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
           .orderBy(desc("sim"), asc("vec_id"))
           .limit(10)
-          .select(col("vec_id"), col("label"), round(col("sim"), 3).as("cos_sim"))
+          .select(col("vec_id"), col("label"), (round(col("sim"), 3) + 0.0).as("cos_sim"))
           .orderBy(desc("cos_sim"), asc("vec_id"))
       },
       Some("""
@@ -252,7 +252,7 @@ object PipelineOps extends OpGroup {
           ) ORDER BY csim DESC, label LIMIT 3
         )
         SELECT vec_id, label, cos_sim FROM (
-          SELECT vec_id, label, ROUND(sim, 3) AS cos_sim, sim FROM (
+          SELECT vec_id, label, ROUND(sim, 3) + 0.0 AS cos_sim, sim FROM (
             SELECT vec_id, label,
               list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
                 / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
@@ -300,7 +300,7 @@ object PipelineOps extends OpGroup {
             / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
           .orderBy(desc("sim"), asc("vec_id"))
           .limit(10)
-          .select(col("vec_id"), round(col("sim"), 3).as("cos_sim"))
+          .select(col("vec_id"), (round(col("sim"), 3) + 0.0).as("cos_sim"))
           .orderBy(desc("cos_sim"), asc("vec_id"))
       },
       Some("""
@@ -326,7 +326,7 @@ object PipelineOps extends OpGroup {
           WHERE q.vec_id = 0 AND b.vec_id <> 0
         )
         SELECT vec_id, cos_sim FROM (
-          SELECT vec_id, ROUND(sim, 3) AS cos_sim, sim FROM (
+          SELECT vec_id, ROUND(sim, 3) + 0.0 AS cos_sim, sim FROM (
             SELECT e.vec_id,
               list_dot_product(CAST(e.embedding AS DOUBLE[]), qemb)
                 / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))

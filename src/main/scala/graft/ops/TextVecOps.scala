@@ -225,12 +225,12 @@ object TextVecOps extends OpGroup {
             col("dot") / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
           .orderBy(desc("sim"), asc("vec_id"))
           .limit(10)
-          .select(col("vec_id"), round(col("sim"), 3).as("cos_sim"))
+          .select(col("vec_id"), (round(col("sim"), 3) + 0.0).as("cos_sim"))
           .orderBy(desc("cos_sim"), asc("vec_id"))
       },
       Some("""
         SELECT vec_id, cos_sim FROM (
-          SELECT vec_id, ROUND(sim, 3) AS cos_sim, sim FROM (
+          SELECT vec_id, ROUND(sim, 3) + 0.0 AS cos_sim, sim FROM (
             SELECT vec_id,
               list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
                 / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))

@@ -4,8 +4,8 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The 5 non-oracle ops (SURVEY.md §2.1): each checked against an
-  * oracle-checked batch twin or an exact bound.
+/** The non-oracle ops (SURVEY.md §2.1 inventory-size note lists them):
+  * each checked against an oracle-checked batch twin or an exact bound.
   */
 class EquivalenceSuite extends AnyFunSuite {
   import TestSpark._
