@@ -80,7 +80,7 @@ object EventOps extends OpGroup {
       },
       Some("""
         SELECT user_id, COUNT(*) AS n_sessions,
-          ROUND(CAST(SUM(len_us) AS DOUBLE) / COUNT(*) / 1000000.0, 1) AS avg_len_sec
+          CAST(ROUND(CAST(CAST(CAST(SUM(len_us) AS DOUBLE) / COUNT(*) / 1000000.0 AS VARCHAR) AS DECIMAL(38,15)), 1) AS DOUBLE) AS avg_len_sec
         FROM (
           SELECT user_id, session_id, MAX(us) - MIN(us) AS len_us
           FROM (

@@ -298,7 +298,7 @@ object JoinOps extends OpGroup {
       Some("""
         SELECT event_type, COUNT(*) AS n_events,
           CAST(SUM(user_events) AS BIGINT) AS sum_user_events,
-          ROUND(CAST(SUM(user_events) AS DOUBLE) / COUNT(*), 4) + 0.0 AS avg_user_events
+          CAST(ROUND(CAST(CAST(CAST(SUM(user_events) AS DOUBLE) / COUNT(*) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS avg_user_events
         FROM events JOIN (
           SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id
         ) USING (user_id)

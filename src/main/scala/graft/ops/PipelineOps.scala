@@ -128,16 +128,19 @@ object PipelineOps extends OpGroup {
           .withColumn("n_distinct", size(expr("array_distinct(split(text, ' '))")).cast("int"))
           .withColumn("ttr",
             round(col("n_distinct").cast("double") / col("n_tokens"), 3))
+          // raw ratio, not the rounded ttr column — the oracle multiplies
+          // the raw ratio; using the rounded one only agrees while every
+          // doc has ≥50 tokens (length multiplier exactly 1).
           .withColumn("quality",
-            round(least(lit(1.0), col("n_tokens").cast("double") / 50.0) * col("ttr"), 3))
+            round(least(lit(1.0), col("n_tokens").cast("double") / 50.0)
+              * (col("n_distinct").cast("double") / col("n_tokens")), 3))
           .select("doc_id", "n_tokens", "n_distinct", "ttr", "quality")
           .orderBy("doc_id")
       },
       Some("""
         SELECT doc_id, n_tokens, n_distinct,
-          ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 3) AS ttr,
-          ROUND(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
-            * (CAST(n_distinct AS DOUBLE) / n_tokens), 3) AS quality
+          CAST(ROUND(CAST(CAST(CAST(n_distinct AS DOUBLE) / n_tokens AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) AS ttr,
+          CAST(ROUND(CAST(CAST(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * (CAST(n_distinct AS DOUBLE) / n_tokens) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) AS quality
         FROM (
           SELECT doc_id,
             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

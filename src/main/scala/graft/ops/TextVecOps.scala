@@ -63,7 +63,7 @@ object TextVecOps extends OpGroup {
           .orderBy("a", "b")
       },
       Some("""
-        SELECT a, b, ROUND(inter / uni, 3) AS jaccard FROM (
+        SELECT a, b, CAST(ROUND(CAST(CAST(inter / uni AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) AS jaccard FROM (
           SELECT x.doc_id AS a, y.doc_id AS b,
             CAST(len(list_filter(x.toks, t -> list_contains(y.toks, t))) AS DOUBLE) AS inter,
             CAST(len(x.toks) + len(y.toks) AS DOUBLE)
@@ -145,8 +145,8 @@ object TextVecOps extends OpGroup {
       Some("""
         SELECT b.lang, n_docs, avg_tokens, avg_chars, n_distinct_tokens FROM (
           SELECT lang, COUNT(*) AS n_docs,
-            ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 2) AS avg_tokens,
-            ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
+            CAST(ROUND(CAST(CAST(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS VARCHAR) AS DECIMAL(38,15)), 2) AS DOUBLE) AS avg_tokens,
+            CAST(ROUND(CAST(CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS VARCHAR) AS DECIMAL(38,15)), 2) AS DOUBLE) AS avg_chars
           FROM documents GROUP BY lang
         ) b JOIN (
           SELECT lang, COUNT(DISTINCT tok) AS n_distinct_tokens

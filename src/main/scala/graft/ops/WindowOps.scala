@@ -103,7 +103,7 @@ object WindowOps extends OpGroup {
       },
       Some("""
         SELECT day,
-          ROUND(CAST(SUM(total) OVER w AS DOUBLE) / COUNT(*) OVER w, 2) AS avg7
+          CAST(ROUND(CAST(CAST(CAST(SUM(total) OVER w AS DOUBLE) / COUNT(*) OVER w AS VARCHAR) AS DECIMAL(38,15)), 2) AS DOUBLE) AS avg7
         FROM (
           SELECT date_trunc('day', o_orderdate) AS day,
             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
