@@ -337,6 +337,21 @@ object AggOps extends OpGroup {
         ORDER BY o_orderstatus
       """.trim)),
 
+    // Non-oracle: t-digest-style sketches are engine-specific. ScalaTest
+    // checks the estimate against the exact row_number median (±2%).
+    // This is the 100 TB percentile path — exact percentile needs a full
+    // sort per group; the sketch is mergeable map-side state.
+    Op("agg_approx_percentile",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val o = Tables.t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx_median"))
+          .orderBy("c_mktsegment")
+      },
+      None),
+
     // Non-oracle: HLL++ sketches are engine-specific. ScalaTest checks the
     // estimate against the exact distinct count (±5%).
     Op("agg_approx_distinct",

@@ -225,6 +225,28 @@ object ScalarOps extends OpGroup {
         GROUP BY word ORDER BY n DESC, word LIMIT 20
       """.trim)),
 
+    // Null-preserving generator: explode_outer keeps the parent row (with
+    // a NULL element) when the array is empty — the LEFT-JOIN-shaped
+    // unnest. Threshold 7 makes both branches real on this corpus
+    // (~20% of docs have no long token).
+    Op("fn_explode_outer",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .withColumn("long_toks",
+            expr("filter(array_distinct(split(text, ' ')), t -> length(t) > 7)"))
+          .select(col("doc_id"), explode_outer(col("long_toks")).as("tok"))
+          .orderBy(asc("doc_id"), asc_nulls_first("tok"))
+      },
+      Some("""
+        SELECT doc_id,
+          unnest(CASE WHEN len(lt) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE lt END) AS tok
+        FROM (
+          SELECT doc_id,
+            list_filter(list_distinct(string_split(text, ' ')), t -> length(t) > 7) AS lt
+          FROM documents
+        ) ORDER BY doc_id, tok NULLS FIRST
+      """.trim)),
+
     // MapType surface: parse JSON props to MAP<STRING,INT>, inspect, and
     // serialize back (Spark and DuckDB agree on compact to_json format).
     Op("fn_map_json",

@@ -80,6 +80,18 @@ class EquivalenceSuite extends AnyFunSuite {
     }
   }
 
+  test("agg_approx_percentile within 2% of the exact row_number median") {
+    val approx = rows("agg_approx_percentile")
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = SparkEntry.queries("agg_percentile")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e) / e <= 0.02, s"$k: approx=$a exact=$e")
+    }
+  }
+
   test("text_minhash_lsh recall >= 0.8 vs exact jaccard pairs") {
     val exact = SparkEntry.queries("text_near_dup_jaccard")(spark, sf0001)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
