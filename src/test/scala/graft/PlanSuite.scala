@@ -87,6 +87,30 @@ class PlanSuite extends AnyFunSuite {
       || "WholeStageCodegen".r.findAllIn(p).nonEmpty, "scan+partial-agg and final-agg should codegen")
   }
 
+  test("upsert merge is a single full-outer join, never a cartesian") {
+    val p = plan("etl_upsert")
+    assert(p.contains("FullOuter"), "expected a full-outer join")
+    assert(!p.contains("CartesianProduct"))
+    assert("Join".r.findAllIn(p).size >= 1)
+  }
+
+  test("LSH ANN: corpus joins are hash joins; only 1-row frames go through BNLJ") {
+    val p = plan("vec_lsh_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
+    assert(!p.contains("CartesianProduct"))
+    // The two crossJoins carry 1-row frames (sign table, query vector) —
+    // any BroadcastNestedLoopJoin is fine there; the candidate and bucket
+    // joins over corpus-derived sides must be hash-based.
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty,
+      "bucket/candidate joins should be hash joins")
+  }
+
+  test("hash sample is one scan: no exchange besides the output sort") {
+    val p = plan("sample_hash")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"row-local sample must not shuffle (got $exchanges exchanges)")
+  }
+
   test("window top-k: one shuffle + rank-limit pushed below it (WindowGroupLimit)") {
     val p = plan("win_rownum_topk")
     // Exactly 2 Exchange nodes: hash for the window partition, range for
