@@ -227,22 +227,22 @@ object ScalarOps extends OpGroup {
 
     // Null-preserving generator: explode_outer keeps the parent row (with
     // a NULL element) when the array is empty — the LEFT-JOIN-shaped
-    // unnest. Threshold 7 makes both branches real on this corpus
-    // (~20% of docs have no long token).
+    // unnest. Threshold 5 exercises BOTH surfaces on this corpus: some
+    // docs fan out to multiple rows, some hit the empty→NULL branch.
     Op("fn_explode_outer",
       (s, dir) => {
         Tables.t(s, dir, "documents")
           .withColumn("long_toks",
-            expr("filter(array_distinct(split(text, ' ')), t -> length(t) > 7)"))
+            expr("filter(array_distinct(split(text, ' ')), t -> length(t) > 5)"))
           .select(col("doc_id"), explode_outer(col("long_toks")).as("tok"))
           .orderBy(asc("doc_id"), asc_nulls_first("tok"))
       },
       Some("""
         SELECT doc_id,
-          unnest(CASE WHEN len(lt) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE lt END) AS tok
+          unnest(CASE WHEN lt IS NULL OR len(lt) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE lt END) AS tok
         FROM (
           SELECT doc_id,
-            list_filter(list_distinct(string_split(text, ' ')), t -> length(t) > 7) AS lt
+            list_filter(list_distinct(string_split(text, ' ')), t -> length(t) > 5) AS lt
           FROM documents
         ) ORDER BY doc_id, tok NULLS FIRST
       """.trim)),

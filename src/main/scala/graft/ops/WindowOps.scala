@@ -142,8 +142,8 @@ object WindowOps extends OpGroup {
       Some("""
         SELECT c_custkey,
           CAST(NTILE(4) OVER w AS INT) AS quartile,
-          ROUND(PERCENT_RANK() OVER w, 4) AS pr,
-          ROUND(CUME_DIST() OVER w, 4) AS cd
+          CAST(ROUND(CAST(CAST(PERCENT_RANK() OVER w AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS pr,
+          CAST(ROUND(CAST(CAST(CUME_DIST() OVER w AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS cd
         FROM customer
         WINDOW w AS (ORDER BY c_acctbal, c_custkey)
         ORDER BY c_custkey

@@ -91,7 +91,8 @@ class PlanSuite extends AnyFunSuite {
     val p = plan("etl_upsert")
     assert(p.contains("FullOuter"), "expected a full-outer join")
     assert(!p.contains("CartesianProduct"))
-    assert("Join".r.findAllIn(p).size >= 1)
+    val joins = "\\(\\d+\\) \\w*(?:SortMergeJoin|HashJoin|NestedLoopJoin)".r.findAllIn(p).size
+    assert(joins == 1, s"upsert must stay a single join, got $joins")
   }
 
   test("LSH ANN: corpus joins are hash joins; only 1-row frames go through BNLJ") {
@@ -103,6 +104,14 @@ class PlanSuite extends AnyFunSuite {
     // joins over corpus-derived sides must be hash-based.
     assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty,
       "bucket/candidate joins should be hash joins")
+    // The only nested-loop joins allowed are the Cross ones over the
+    // broadcast 1-row frames (sign table appears twice — bk feeds two
+    // subtrees — plus the query vector). A non-Cross BNLJ means an
+    // equi-join over a corpus-derived side regressed to nested-loop.
+    assert(!"BroadcastNestedLoopJoin (?!Cross)".r.findFirstIn(p).isDefined,
+      "non-Cross BNLJ found — a corpus-derived equi-join regressed to nested-loop")
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 3, s"more nested-loop joins than the three 1-row crossJoins (got $bnlj)")
   }
 
   test("hash sample is one scan: no exchange besides the output sort") {
