@@ -193,17 +193,19 @@ object ScalarOps extends OpGroup {
         Tables.t(s, dir, "embeddings").select(
           col("vec_id"),
           size(col("embedding")).cast("int").as("dim"),
-          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
-          round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
-          round(array_min(col("embedding")).cast("double"), 4).as("min_val"),
+          // `+ 0.0`: a tiny negative first element rounds to -0.0 in
+          // DuckDB but 0.0 in Spark (rule 8; caught by the sf0.1 sweep).
+          (round(element_at(col("embedding"), 1).cast("double"), 4) + 0.0).as("first_val"),
+          (round(array_max(col("embedding")).cast("double"), 4) + 0.0).as("max_val"),
+          (round(array_min(col("embedding")).cast("double"), 4) + 0.0).as("min_val"),
           size(slice(col("embedding"), 1, 8)).cast("int").as("slice_len"))
           .orderBy("vec_id")
       },
       Some("""
         SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
-          ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-          ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_val,
-          ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4) AS min_val,
+          ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
+          ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) + 0.0 AS max_val,
+          ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4) + 0.0 AS min_val,
           CAST(len(list_slice(embedding, 1, 8)) AS INT) AS slice_len
         FROM embeddings ORDER BY vec_id
       """.trim)),
