@@ -337,6 +337,41 @@ object AggOps extends OpGroup {
         ORDER BY o_orderstatus
       """.trim)),
 
+    // Boolean aggregate family: every/some/count_if per group.
+    Op("agg_bool",
+      (s, dir) => {
+        Tables.t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+            expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+            expr("count_if(o_totalprice > 200000)").as("n_big"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus,
+          bool_and(o_totalprice > 1000) AS all_over_1k,
+          bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+          CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """.trim)),
+
+    // Fixed-bin histogram via the explicit floor formula (no engine
+    // histogram builtin needed — identical arithmetic both sides). Bins
+    // are 50k-wide over o_totalprice; bin id is exact integer math on a
+    // 2-dp value, so no rounding parity risk.
+    Op("agg_histogram",
+      (s, dir) => {
+        Tables.t(s, dir, "orders")
+          .groupBy(expr("CAST(floor(o_totalprice / 50000) AS INT)").as("bin"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bin")
+      },
+      Some("""
+        SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bin, COUNT(*) AS n
+        FROM orders GROUP BY 1 ORDER BY bin
+      """.trim)),
+
     // Non-oracle: t-digest-style sketches are engine-specific. ScalaTest
     // checks the estimate against the exact row_number median (±2%).
     // This is the 100 TB percentile path — exact percentile needs a full
