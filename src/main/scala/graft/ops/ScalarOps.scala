@@ -319,6 +319,26 @@ object ScalarOps extends OpGroup {
         FROM customer ORDER BY c_custkey
       """.trim)),
 
+    // Edit-distance family: levenshtein is the one string-similarity
+    // primitive both engines implement identically (classic DP).
+    Op("fn_levenshtein",
+      (s, dir) => {
+        Tables.t(s, dir, "customer").select(
+          col("c_custkey"),
+          levenshtein(col("c_name"), lit("Customer#000000000")).cast("int").as("dist_name"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("int").as("dist_seg"),
+          levenshtein(substring(col("c_name"), 10, 9),
+            substring(reverse(col("c_name")), 1, 9)).cast("int").as("dist_digits"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+          CAST(levenshtein(c_name, 'Customer#000000000') AS INT) AS dist_name,
+          CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS dist_seg,
+          CAST(levenshtein(substring(c_name, 10, 9), substring(reverse(c_name), 1, 9)) AS INT) AS dist_digits
+        FROM customer ORDER BY c_custkey
+      """.trim)),
+
     Op("fn_bitwise",
       (s, dir) => {
         Tables.t(s, dir, "orders").select(

@@ -125,6 +125,28 @@ object SortSetOps extends OpGroup {
         SELECT o_custkey FROM orders
         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         ORDER BY o_custkey
+      """.trim)),
+
+    // Schema-aligning union: frames with differently-ordered and missing
+    // columns combine by NAME, absent columns null-filled —
+    // unionByName(allowMissingColumns) ≡ DuckDB's UNION ALL BY NAME.
+    Op("set_union_byname",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val a = c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+        val b = c.filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("c_mktsegment").as("seg"), col("c_custkey"))   // no bal, reordered
+        a.unionByName(b, allowMissingColumns = true)
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL BY NAME
+        SELECT c_mktsegment AS seg, c_custkey
+        FROM customer WHERE c_mktsegment = 'MACHINERY'
+        ORDER BY c_custkey
       """.trim))
   )
 }
