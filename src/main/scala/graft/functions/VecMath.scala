@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0D, (acc,v) -> acc+v)`
   * — bit-for-bit the same doubles, so the DuckDB oracle SQL is unchanged.
   * The win is dropping per-element interpreted lambda dispatch in the
-  * pair-join hot paths (millions of 64-dim dot products).
+  * pair-join hot paths (millions of 64-dim dot products). Both
+  * expressions implement `doGenCode`, so the loops fuse into the
+  * surrounding whole-stage-codegen'd join stage instead of falling back
+  * to interpreted eval per row pair.
   */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
@@ -32,6 +35,21 @@ case class VecDot(left: Expression, right: Expression)
     acc
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+        final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -39,7 +57,7 @@ case class VecDot(left: Expression, right: Expression)
 
 /** Σ x² over a float array, double accumulation in index order. */
 case class VecNormSq(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm_sq"
@@ -56,6 +74,23 @@ case class VecNormSq(child: Expression)
     }
     acc
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      s"""
+        final int $n = $a.numElements();
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          final double $x = (double) $a.getFloat($i);
+          $acc += $x * $x;
+        }
+        ${ev.value} = $acc;
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

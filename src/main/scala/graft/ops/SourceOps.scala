@@ -13,6 +13,12 @@ object SourceOps extends OpGroup {
 
   private def tmpDir(prefix: String): String = Tables.tmpDir(prefix)
 
+  /** Spark 4 ships the avro source inside spark-sql, but this image's jar
+    * set lacks the `avro` short-name service registration — the
+    * fully-qualified format class resolves the same code path.
+    */
+  private val avroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
   private val customerSchema = StructType(Seq(
     StructField("c_custkey", LongType),
     StructField("c_name", StringType),
@@ -25,6 +31,14 @@ object SourceOps extends OpGroup {
     StructField("s_name", StringType),
     StructField("s_nationkey", IntegerType),
     StructField("s_acctbal", DoubleType)))
+
+  private val partSchema = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
 
   private val nationSchema = StructType(Seq(
     StructField("n_nationkey", IntegerType),
@@ -108,6 +122,29 @@ object SourceOps extends OpGroup {
         SELECT s_suppkey, s_name, s_nationkey,
           CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
         FROM supplier ORDER BY s_suppkey
+      """.trim)),
+
+    // Avro round-trip (row-oriented interchange format; in Spark 4 the
+    // avro source is built into spark-sql). Write, read back with explicit
+    // schema, compare against the source table — lossless. DuckDB can't
+    // read Avro natively here, so the oracle is the source table (same
+    // pattern as ORC/CSV).
+    Op("src_avro_roundtrip",
+      (s, dir) => {
+        val out = tmpDir("graft_avro")
+        Tables.t(s, dir, "part")
+          .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+          .write.mode("overwrite").format(avroFormat).save(out)
+        s.read.schema(partSchema).format(avroFormat).load(out)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+            col("p_size"),
+            col("p_retailprice").cast(DecimalType(12, 2)).cast("double").as("retailprice"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey, p_name, p_brand, p_type, p_size,
+          CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS retailprice
+        FROM part ORDER BY p_partkey
       """.trim)),
 
     Op("src_json_roundtrip",

@@ -68,6 +68,31 @@ class EquivalenceSuite extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("stream_dedup_watermark identical under RocksDB state store") {
+    // Makes the "RocksDB at 100 TB/day" scale note executable: the same
+    // stateful dedup query must produce identical results whether state
+    // lives in the default HDFSBackedStateStore or RocksDB (the provider
+    // a long-running production query would use — state off-heap, not
+    // bounded by executor memory).
+    val default = rows("stream_dedup_watermark")
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = rows("stream_dedup_watermark")
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rocks.nonEmpty, "RocksDB run returned no rows — test is vacuous")
+      assert(rocks == default)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("agg_approx_distinct within 5% of exact distinct counts") {
     val approx = rows("agg_approx_distinct")
       .map(r => r.getString(0) -> r.getLong(1)).toMap

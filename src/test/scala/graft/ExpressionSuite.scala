@@ -66,6 +66,36 @@ class ExpressionSuite extends AnyFunSuite {
     }
   }
 
+  test("vec_dot / vec_norm_sq: generated code bit-equals interpreted eval") {
+    Tables.conf(spark)
+    // CODEGEN_ONLY forbids the interpreted-projection fallback: if
+    // doGenCode emitted broken Java, this query would throw instead of
+    // silently degrading to eval(). Mirrors the sorted_intersect_size
+    // codegen test above.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Tables.t(spark, sf0001, "embeddings").limit(50)
+        .withColumn("q", expr("reverse(embedding)"))
+      val viaCodegen = df.select(
+        expr("vec_dot(embedding, q)").as("d"),
+        expr("vec_norm_sq(embedding)").as("s")).collect()
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val viaEval = df.select(
+        expr("vec_dot(embedding, q)").as("d"),
+        expr("vec_norm_sq(embedding)").as("s")).collect()
+      viaCodegen.zip(viaEval).foreach { case (c, e) =>
+        assert(c.getDouble(0) == e.getDouble(0), "vec_dot codegen != eval")
+        assert(c.getDouble(1) == e.getDouble(1), "vec_norm_sq codegen != eval")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("minhash_signature: matches higher-order formulation and is monotone-min") {
     Tables.conf(spark)
     val df = Seq(Seq("a", "b", "c"), Seq("z")).toDF("xs")

@@ -120,6 +120,46 @@ class PlanSuite extends AnyFunSuite {
     assert(exchanges <= 1, s"row-local sample must not shuffle (got $exchanges exchanges)")
   }
 
+  test("AQE skew-join splits a synthetic hot key (manual salt is the fallback, not the default)") {
+    // join_skew_salted documents the MANUAL hot-key treatment; this pins
+    // the automatic one: with adaptive skew-join on (the production
+    // default), a hot shuffle partition is split at runtime into
+    // advisory-sized chunks — SortMergeJoin reports skew=true in the
+    // final adaptive plan. Thresholds are lowered because the synthetic
+    // hot key is megabytes, not the 256 MB production default.
+    val spark2 = TestSpark.spark
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "131072",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark2.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark2.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{col, lit}
+      // 400k rows on ONE key vs ~1k rows spread over the rest: the hot
+      // key's shuffle partition dwarfs the median by far more than the
+      // 2× factor.
+      val hot = spark2.range(400000).select(lit(1L).as("k"), col("id").as("v"))
+      val rest = spark2.range(1000).select((col("id") + 10).as("k"), col("id").as("v"))
+      val left = hot.union(rest)
+      val right = spark2.range(2000).select((col("id") % 1100).as("k"), col("id").as("w"))
+      val joined = left.join(right, "k")
+      // AQE decides at runtime, so execute THIS QueryExecution (count()
+      // would build a fresh one and leave this plan isFinalPlan=false).
+      val qe = joined.queryExecution
+      qe.toRdd.count()
+      val finalPlan = qe.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"adaptive plan should mark the skewed SMJ, got:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark2.conf.set(k, v)
+      case (k, None)    => spark2.conf.unset(k)
+    }
+  }
+
   test("window top-k: one shuffle + rank-limit pushed below it (WindowGroupLimit)") {
     val p = plan("win_rownum_topk")
     // Exactly 2 Exchange nodes: hash for the window partition, range for
