@@ -21,6 +21,62 @@ object PipelineOps extends OpGroup {
   private def md5Long(e: String): String =
     s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
 
+  /** (doc_id, simhash): the 60-bit SimHash of text_simhash, shared by the
+    * near-dup pair and cluster ops.
+    */
+  private def simhashDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.t(s, dir, "documents")
+      .withColumn("hs",
+        expr(s"transform(array_distinct(split(text, ' ')), t -> ${md5Long("t")})"))
+      .withColumn("simhash", expr("""
+        aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
+          acc + IF(aggregate(hs, 0, (a, h) -> a + IF((h >> b) & 1 = 1, 1, -1)) > 0,
+                   shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"""))
+      .select("doc_id", "simhash")
+
+  /** Hamming≤3 near-dup pairs (a < b) via 4×15-bit banding over
+    * [[simhashDf]] — candidates bucket-bounded, never all-pairs.
+    */
+  private def simhashEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val banded = simhashDf(s, dir)
+      .withColumn("band", explode(expr("sequence(0, 3)")))
+      .withColumn("bval", expr("shiftright(simhash, band * 15) & 32767"))
+    val l = banded.select(col("band"), col("bval"),
+      col("doc_id").as("a"), col("simhash").as("sa"))
+    val r = banded.select(col("band"), col("bval"),
+      col("doc_id").as("b"), col("simhash").as("sb"))
+    l.join(r, Seq("band", "bval"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sa", "sb").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Oracle CTE bodies matching [[simhashDf]]/[[simhashEdges]] (DuckDB). */
+  private val simsSql = """
+    sims AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(0, 60), b ->
+          CASE WHEN list_sum(list_transform(hs, h ->
+                 CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+      FROM (
+        SELECT doc_id,
+          list_transform(list_distinct(string_split(text, ' ')),
+            t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+        FROM documents
+      )
+    ), bv AS (
+      SELECT doc_id, simhash, band,
+        (simhash >> (band * 15)) & 32767 AS bval
+      FROM (SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM sims)
+    ), pairs AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+        CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+      FROM bv l JOIN bv r ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+      WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    )"""
+
   val ops: Seq[Op] = Seq(
     // SimHash: signature bit b is the sign of Σ_tokens ±1 by bit b of the
     // token hash. Near-identical docs collide exactly; n_same counts the
@@ -53,6 +109,113 @@ object PipelineOps extends OpGroup {
             FROM documents
           )
         ) ORDER BY doc_id
+      """.trim)),
+
+    // SimHash near-dup PAIRS via banding — the scale path for hamming-
+    // distance dedup (the text_simhash key above only groups exact
+    // signature collisions). The 60-bit signature splits into 4×15-bit
+    // bands; a pair within hamming distance 3 agrees exactly on ≥1 band
+    // (pigeonhole), so the band-bucket self-join finds every such pair
+    // while only ever comparing within buckets — never all-pairs. Same
+    // candidate-bounding story as MinHash LSH; hot buckets (boilerplate
+    // cohorts) are the skew caveat, handled by AQE skew-split at scale.
+    Op("text_simhash_neardup",
+      (s, dir) => simhashEdges(s, dir)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b"),
+      Some(s"""
+        WITH $simsSql
+        SELECT a, b, hamming FROM pairs ORDER BY a, b
+      """.trim)),
+
+    // Near-dup CLUSTERS: connected components over the hamming≤3 pair
+    // graph — what a dedup pipeline actually keys its keep/drop decision
+    // on, since near-dup is not transitive (A≈B≈C with A≉C must still
+    // land in one cluster). Pregel-style min-label propagation: each
+    // iteration is one distributed join + min-aggregate; converges in
+    // O(component diameter) rounds (dup cohorts are near-cliques, so a
+    // handful). localCheckpoint truncates lineage per round — THE
+    // iterative-Spark requirement at scale (without it the plan tree
+    // doubles every round). Driver sees one 1-row sum per round
+    // (convergence check), never the data. Oracle: recursive-CTE
+    // transitive closure + MIN label.
+    Op("text_dedup_clusters",
+      (s, dir) => {
+        val edges = simhashEdges(s, dir).select("a", "b").localCheckpoint(true)
+        var labels = Tables.t(s, dir, "documents")
+          .select(col("doc_id").as("node"), col("doc_id").as("label"))
+          .localCheckpoint(true)
+        var prevSum = -1L
+        var curSum = labels.agg(sum("label")).head.getLong(0)
+        var iter = 0
+        while (curSum != prevSum && iter < 20) {
+          val msgs = edges.join(labels, edges("a") === labels("node"))
+            .select(col("b").as("node"), col("label"))
+            .union(edges.join(labels, edges("b") === labels("node"))
+              .select(col("a").as("node"), col("label")))
+          labels = labels.union(msgs)
+            .groupBy("node").agg(min("label").as("label"))
+            .localCheckpoint(true)
+          prevSum = curSum
+          curSum = labels.agg(sum("label")).head.getLong(0)
+          iter += 1
+        }
+        labels
+          .withColumn("n_in_cluster",
+            count(lit(1)).over(Window.partitionBy("label")).cast("int"))
+          .select(col("node").as("doc_id"), col("label").as("cluster"), col("n_in_cluster"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $simsSql, edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL
+          SELECT b, a FROM pairs
+        ), reach(node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+        )
+        SELECT doc_id, cluster,
+          CAST(COUNT(*) OVER (PARTITION BY cluster) AS INT) AS n_in_cluster
+        FROM (SELECT node AS doc_id, MIN(label) AS cluster FROM reach GROUP BY node)
+        ORDER BY doc_id
+      """.trim)),
+
+    // Symmetric per-vector int8 quantization — the storage/transport
+    // primitive for ANN at scale (4× smaller than float32, dot products
+    // stay SIMD-able). scale = max|x|/127; q = clamp(round(x/scale)).
+    // Per-row, linear, no shuffle except the output sort. Dumped columns
+    // are the scale plus order-insensitive digests of q (rule 8: no
+    // arrays in dumped frames).
+    Op("vec_quantize_int8",
+      (s, dir) => {
+        Tables.t(s, dir, "embeddings")
+          .withColumn("scale",
+            expr("CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0"))
+          .withColumn("q", expr("""
+            transform(embedding, x -> CAST(least(127.0, greatest(-127.0,
+              IF(scale = 0.0, 0.0, round(CAST(x AS DOUBLE) / scale, 0)))) AS INT))"""))
+          .select(col("vec_id"), col("scale"),
+            expr("CAST(aggregate(q, 0, (a, x) -> a + x) AS INT)").as("sum_q"),
+            expr("CAST(size(filter(q, x -> abs(x) = 127)) AS INT)").as("n_sat"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        SELECT vec_id, scale,
+          CAST(list_sum(q) AS INT) AS sum_q,
+          CAST(len(list_filter(q, x -> abs(x) = 127)) AS INT) AS n_sat
+        FROM (
+          SELECT vec_id, scale,
+            list_transform(embedding, x -> CAST(least(127.0, greatest(-127.0,
+              CASE WHEN scale = 0.0 THEN 0.0 ELSE round(CAST(x AS DOUBLE) / scale, 0) END)) AS INT)) AS q
+          FROM (
+            SELECT vec_id, embedding,
+              CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS scale
+            FROM embeddings
+          )
+        )
+        ORDER BY vec_id
       """.trim)),
 
     // Winnowing-style fingerprint: min 60-bit hash over char 5-grams.

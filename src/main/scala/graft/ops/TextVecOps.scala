@@ -129,6 +129,42 @@ object TextVecOps extends OpGroup {
       },
       None),
 
+    // Canonicalization before dedup: strip stopwords, rebuild the
+    // canonical string, fingerprint it — the cleaning step that turns
+    // "same modulo boilerplate tokens" into exact-dedup hits. n_same_norm
+    // (collision-group size on the NORMALIZED hash) vs a raw-text md5
+    // group shows the recall the normalization buys. Per-row transforms,
+    // linear; one window for the group size.
+    Op("text_normalize",
+      (s, dir) => {
+        val w = Window.partitionBy("norm_hash")
+        Tables.t(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("kept", expr("filter(toks, t -> NOT (t IN ('the', 'a')))"))
+          .withColumn("norm_hash", md5(array_join(col("kept"), " ")))
+          .withColumn("n_same_norm", count(lit(1)).over(w).cast("int"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("int").as("n_tokens"),
+            size(col("kept")).cast("int").as("n_kept"),
+            col("norm_hash"), col("n_same_norm"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, n_tokens, n_kept, norm_hash,
+          CAST(COUNT(*) OVER (PARTITION BY norm_hash) AS INT) AS n_same_norm
+        FROM (
+          SELECT doc_id,
+            CAST(len(toks) AS INT) AS n_tokens,
+            CAST(len(kept) AS INT) AS n_kept,
+            md5(array_to_string(kept, ' ')) AS norm_hash
+          FROM (
+            SELECT doc_id, toks, list_filter(toks, t -> t NOT IN ('the', 'a')) AS kept
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          )
+        )
+        ORDER BY doc_id
+      """.trim)),
+
     Op("text_tokenize_stats",
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents")
@@ -317,6 +353,56 @@ object TextVecOps extends OpGroup {
           COUNT(*) - COUNT(NULLIF(o_orderpriority, '4-NOT SPECIFIED')) AS n_prio_null,
           COUNT(CASE WHEN COALESCE(NULLIF(o_orderstatus, 'P'), 'FILLED') = 'FILLED' THEN 1 END) AS n_status_filled
         FROM orders
+      """.trim)),
+
+    // Per-group IQR outlier report (Tukey fences) — the numeric-quality
+    // twin of quality_null_report. Quartiles use NEAREST-RANK (value at
+    // row ceil(q·n) of the per-group sort), not interpolation: both
+    // engines interpolate percentiles in different ulps, but the rank
+    // formulation picks an actual 2-dp data value identically (same
+    // row_number trick as agg_percentile). One window pass + a broadcast
+    // join of ~5 group-stat rows; fences are IEEE-identical both sides.
+    Op("quality_outlier_iqr",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"),
+            col("o_orderkey"))
+        val w = Window.partitionBy("g").orderBy("v", "o_orderkey")
+        val ranked = o
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+        val quart = ranked.groupBy("g").agg(
+          max(when(col("rn") === expr("CAST(CEIL(0.25 * n) AS BIGINT)"), col("v"))).as("q1"),
+          max(when(col("rn") === expr("CAST(CEIL(0.75 * n) AS BIGINT)"), col("v"))).as("q3"))
+        val out = col("v") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
+          col("v") > col("q3") + (col("q3") - col("q1")) * 1.5
+        ranked.join(broadcast(quart), "g")
+          .groupBy("g").agg(
+            count(lit(1)).as("n_rows"),
+            count(when(out, 1)).as("n_outliers"),
+            min(when(out, col("v"))).as("min_outlier"),
+            max(when(out, col("v"))).as("max_outlier"))
+          .orderBy("g")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT o_orderpriority AS g, o_totalprice AS v,
+            CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+            COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM orders
+        ), quart AS (
+          SELECT g,
+            MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN v END) AS q1,
+            MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN v END) AS q3
+          FROM ranked GROUP BY g
+        )
+        SELECT g, COUNT(*) AS n_rows,
+          COUNT(CASE WHEN v < q1 - (q3 - q1) * 1.5 OR v > q3 + (q3 - q1) * 1.5 THEN 1 END) AS n_outliers,
+          MIN(CASE WHEN v < q1 - (q3 - q1) * 1.5 OR v > q3 + (q3 - q1) * 1.5 THEN v END) AS min_outlier,
+          MAX(CASE WHEN v < q1 - (q3 - q1) * 1.5 OR v > q3 + (q3 - q1) * 1.5 THEN v END) AS max_outlier
+        FROM ranked JOIN quart USING (g)
+        GROUP BY g ORDER BY g
       """.trim)),
 
     // Pivot with the pinned 5-value event_type list (FIXTURES.md).
