@@ -29,6 +29,7 @@ object Tables {
     graft.functions.MinHashSignature.register(spark)
     graft.functions.MinHashSketchAgg.register(spark)
     graft.functions.VecMath.register(spark)
+    graft.functions.SimHash.register(spark)
   }
 
   /** All timestamps are normalized to TimestampNTZ so parquet output is

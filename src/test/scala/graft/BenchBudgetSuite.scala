@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-key bench budget (PERF_NOTES.md): no single query may exceed
+  * 10 s at sf0.1. Round 3 shipped a 98.6 s key that only surfaced in the
+  * driver's bench — this gate makes the next one fail in the builder's
+  * own loop. Checks the latest `target/bench.json` when present (the
+  * Bench main mirrors its stdout JSON line there); skips silently on a
+  * fresh checkout with no bench artifact.
+  */
+class BenchBudgetSuite extends AnyFunSuite {
+  private val BudgetSec = 10.0
+
+  test(s"no bench key exceeds ${BudgetSec}s in target/bench.json (when present)") {
+    val p = java.nio.file.Paths.get("target/bench.json")
+    assume(java.nio.file.Files.exists(p), "no bench artifact — run graft.Bench first")
+    val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    // Only gate sf0.1 artifacts — a local sf0.01 iteration run shouldn't
+    // trip (or falsely pass) the sf0.1 budget.
+    assume(json.contains("sf0.1"), "bench artifact is not an sf0.1 run")
+    val q = json.substring(json.indexOf("\"queries\":{") + "\"queries\":{".length)
+    val entries = "\"([a-z0-9_]+)\":([0-9.eE+-]+)".r
+      .findAllMatchIn(q.takeWhile(_ != '}'))
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    assert(entries.nonEmpty, "bench.json has no query entries")
+    val over = entries.filter(_._2 > BudgetSec)
+    assert(over.isEmpty,
+      s"keys over the ${BudgetSec}s sf0.1 budget: " +
+        over.map { case (k, v) => f"$k=$v%.1fs" }.mkString(", "))
+  }
+}

@@ -147,6 +147,34 @@ class ExpressionSuite extends AnyFunSuite {
     assert("Aggregate".r.findAllIn(plan).size >= 2, "expected partial+final aggregate")
   }
 
+  test("simhash60: codegen path bit-equal to the interpreted HOF formulation") {
+    Tables.conf(spark)
+    // Full sf0.001 corpus: every doc's signature must match the round-3
+    // higher-order formulation exactly (the oracle SQL still mirrors the
+    // HOF, so this equality IS the oracle bridge for the expression).
+    val got = Tables.t(spark, sf0001, "documents")
+      .withColumn("hs", expr(
+        "transform(array_distinct(split(text, ' ')), t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+      .select(
+        expr("simhash60(hs)").as("fast"),
+        expr("""
+          aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
+            acc + IF(aggregate(hs, 0, (a, h) -> a + IF((h >> b) & 1 = 1, 1, -1)) > 0,
+                     shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""").as("hof"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"simhash60=${r.getLong(0)} != hof=${r.getLong(1)}"))
+  }
+
+  test("simhash60: eval corners — empty array 0, single hash echoes its low 60 bits") {
+    import graft.functions.SimHash60
+    assert(SimHash60(longArr()).eval(null) == 0L)
+    // One hash: every bit vote is ±1, so sig = h & (2^60 - 1).
+    val h = 0x0FEDCBA987654321L
+    assert(SimHash60(longArr(h)).eval(null) == (h & ((1L << 60) - 1)))
+  }
+
   test("minhash_signature: similar sets collide on most components") {
     val a = MinHashSignature(longArr(1L to 100L: _*), 50).eval(null)
       .asInstanceOf[GenericArrayData].toLongArray()
