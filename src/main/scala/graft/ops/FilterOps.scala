@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -146,6 +147,34 @@ object FilterOps extends OpGroup {
         FROM lineitem
         WHERE CAST(('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 15)) AS BIGINT) % 100 < 5
         ORDER BY l_orderkey, l_linenumber
+      """.trim)),
+
+    // Stratified deterministic sampling: exactly 20 docs per lang, picked
+    // by md5-hash order (hash ties broken by doc_id) — the per-stratum
+    // quota twin of sample_hash's global Bernoulli. The hash order is a
+    // uniform-but-reproducible shuffle, so the quota is an unbiased draw
+    // that is stable across runs, engines, and partitionings. One window
+    // per stratum; at 100 TB the same plan is a partial per-partition
+    // top-k under the window (rank filter pushes the sort down).
+    Op("sample_stratified",
+      (s, dir) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(col("hk"), col("doc_id"))
+        Tables.t(s, dir, "documents")
+          .withColumn("hk", md5(col("doc_id").cast("string")))
+          .withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 20)
+          .select("doc_id", "lang", "rk")
+          .orderBy("lang", "rk")
+      },
+      Some("""
+        SELECT doc_id, lang, rk FROM (
+          SELECT doc_id, lang,
+            CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+          FROM documents
+        ) WHERE rk <= 20
+        ORDER BY lang, rk
       """.trim)),
 
     Op("filter_date_range",

@@ -129,7 +129,43 @@ object PipelineOps extends OpGroup {
     edgeCache.getOrElseUpdate((s, dir),
       simhashEdgesWithCap(s, dir, SimBucketCap).localCheckpoint(true))
 
-  /** Oracle CTE bodies matching [[simhashDf]]/[[simhashEdges]] (DuckDB). */
+  /** Converged connected-component labels (node, label) over the hamming≤3
+    * pair graph — Pregel-style min-label propagation, cached per
+    * (session, sfDir) so the cluster-report and keep-best ops share one
+    * convergence run. Each round: 2 joins + a min-aggregate, with an
+    * eager localCheckpoint truncating lineage (THE iterative-Spark
+    * requirement — without it the plan tree doubles per round); driver
+    * traffic is one 1-row sum per round (the convergence check), never
+    * the data.
+    */
+  private val labelCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String) =
+    labelCache.getOrElseUpdate((s, dir), {
+      val edges = simhashEdges(s, dir).select("a", "b")
+      var labels = Tables.t(s, dir, "documents")
+        .select(col("doc_id").as("node"), col("doc_id").as("label"))
+        .localCheckpoint(true)
+      var prevSum = -1L
+      var curSum = labels.agg(sum("label")).head.getLong(0)
+      var iter = 0
+      while (curSum != prevSum && iter < 20) {
+        val msgs = edges.join(labels, edges("a") === labels("node"))
+          .select(col("b").as("node"), col("label"))
+          .union(edges.join(labels, edges("b") === labels("node"))
+            .select(col("a").as("node"), col("label")))
+        labels = labels.union(msgs)
+          .groupBy("node").agg(min("label").as("label"))
+          .localCheckpoint(true)
+        prevSum = curSum
+        curSum = labels.agg(sum("label")).head.getLong(0)
+        iter += 1
+      }
+      labels
+    })
+
+  /** Oracle CTE bodies matching [[simhashSigs]]/[[simhashEdges]] (DuckDB). */
   private val simsSql = """
     sims AS (
       SELECT doc_id,
@@ -208,35 +244,11 @@ object PipelineOps extends OpGroup {
     // land in one cluster). Pregel-style min-label propagation: each
     // iteration is one distributed join + min-aggregate; converges in
     // O(component diameter) rounds (dup cohorts are near-cliques, so a
-    // handful). localCheckpoint truncates lineage per round — THE
-    // iterative-Spark requirement at scale (without it the plan tree
-    // doubles every round). Driver sees one 1-row sum per round
-    // (convergence check), never the data. Oracle: recursive-CTE
-    // transitive closure + MIN label.
+    // handful; see clusterLabels, shared with text_dedup_keep_best).
+    // Oracle: recursive-CTE transitive closure + MIN label.
     Op("text_dedup_clusters",
       (s, dir) => {
-        // Already checkpointed by simhashEdges (shared with the near-dup
-        // op — in a real pipeline the edge list is materialized once).
-        val edges = simhashEdges(s, dir).select("a", "b")
-        var labels = Tables.t(s, dir, "documents")
-          .select(col("doc_id").as("node"), col("doc_id").as("label"))
-          .localCheckpoint(true)
-        var prevSum = -1L
-        var curSum = labels.agg(sum("label")).head.getLong(0)
-        var iter = 0
-        while (curSum != prevSum && iter < 20) {
-          val msgs = edges.join(labels, edges("a") === labels("node"))
-            .select(col("b").as("node"), col("label"))
-            .union(edges.join(labels, edges("b") === labels("node"))
-              .select(col("a").as("node"), col("label")))
-          labels = labels.union(msgs)
-            .groupBy("node").agg(min("label").as("label"))
-            .localCheckpoint(true)
-          prevSum = curSum
-          curSum = labels.agg(sum("label")).head.getLong(0)
-          iter += 1
-        }
-        labels
+        clusterLabels(s, dir)
           .withColumn("n_in_cluster",
             count(lit(1)).over(Window.partitionBy("label")).cast("int"))
           .select(col("node").as("doc_id"), col("label").as("cluster"), col("n_in_cluster"))
@@ -255,6 +267,62 @@ object PipelineOps extends OpGroup {
         SELECT doc_id, cluster,
           CAST(COUNT(*) OVER (PARTITION BY cluster) AS INT) AS n_in_cluster
         FROM (SELECT node AS doc_id, MIN(label) AS cluster FROM reach GROUP BY node)
+        ORDER BY doc_id
+      """.trim)),
+
+    // The dedup DECISION: one canonical doc per near-dup cluster — keep
+    // the highest-quality member (text_quality_score's length-damped TTR),
+    // ties to the lowest doc_id. This is the op a training pipeline
+    // actually ends on (clusters alone don't say what to drop). Reuses
+    // the cached converged labels (clusterLabels) + one window argmax;
+    // quality is computed identically in both engines and only its
+    // ORDER is consumed, so there is no float-rounding surface beyond
+    // the dumped (repr-rounded) display column.
+    Op("text_dedup_keep_best",
+      (s, dir) => {
+        val labels = clusterLabels(s, dir)
+        val q = Tables.t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("int"))
+          .withColumn("n_distinct",
+            size(expr("array_distinct(split(text, ' '))")).cast("int"))
+          .withColumn("quality",
+            least(lit(1.0), col("n_tokens").cast("double") / 50.0)
+              * (col("n_distinct").cast("double") / col("n_tokens")))
+          .select(col("doc_id"), col("quality"))
+        val w = Window.partitionBy("label").orderBy(desc("quality"), asc("doc_id"))
+        labels.join(q, labels("node") === q("doc_id"))
+          .withColumn("rk", row_number().over(w))
+          .select(col("doc_id"), col("label").as("cluster"),
+            round(col("quality"), 3).as("quality"),
+            (col("rk") === 1).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $simsSql, edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL
+          SELECT b, a FROM pairs
+        ), reach(node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+        ), clusters AS (
+          SELECT node AS doc_id, MIN(label) AS cluster FROM reach GROUP BY node
+        ), q AS (
+          SELECT doc_id,
+            least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+              * (CAST(n_distinct AS DOUBLE) / n_tokens) AS quality
+          FROM (
+            SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+              CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+            FROM documents
+          )
+        )
+        SELECT doc_id, cluster,
+          CAST(ROUND(CAST(CAST(quality AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) AS quality,
+          (ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) = 1) AS keep
+        FROM clusters JOIN q USING (doc_id)
         ORDER BY doc_id
       """.trim)),
 
@@ -643,6 +711,95 @@ object PipelineOps extends OpGroup {
                       i -> CAST(unicode(substr(text, i, 1)) AS DOUBLE)))
                     / least(16, len(text)), 2) END AS brightness
         FROM documents ORDER BY doc_id
+      """.trim)),
+
+    // Corpus composition report: docs/chars per (source, lang) with the
+    // doc-count share of the whole corpus — the mixture table a training
+    // run is configured against. One hash aggregate; the share window
+    // runs over the ~|sources|×|langs| aggregated rows, not the corpus.
+    Op("corpus_mix_report",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .withColumn("share",
+            round(col("n_docs").cast("double")
+              / sum(col("n_docs")).over(Window.partitionBy()), 4))
+          .select("source", "lang", "n_docs", "sum_chars", "share")
+          .orderBy("source", "lang")
+      },
+      Some("""
+        SELECT source, lang, n_docs, sum_chars,
+          CAST(ROUND(CAST(CAST(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS share
+        FROM (
+          SELECT source, lang, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents GROUP BY source, lang
+        ) ORDER BY source, lang
+      """.trim)),
+
+    // One Lloyd (k-means) assignment step over the quantized embeddings:
+    // centroids = per-label mean of the 1e-3-quantized integer
+    // components (exact integer sums — no float-sum-order risk in the
+    // model), then every vector re-assigns to the nearest centroid
+    // (squared L2, ties to the lowest label). The centroid table is
+    // k×dim ints → broadcast; the assignment pass is one scan. Output
+    // carries only integer/bool columns, so the dump has no float
+    // surface at all; the double distance is compare-only and computed
+    // index-order-identically in both engines.
+    Op("vec_kmeans_step",
+      (s, dir) => {
+        val q = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("qv"))
+        val cent = q
+          .select(col("label").as("clabel"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("clabel", "pos")
+          .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+          .groupBy("clabel")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), s -> s.sv)").as("svec"),
+            max("n").as("n"))
+        val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("clabel"))
+        q.crossJoin(broadcast(cent))
+          .withColumn("dist", expr("""
+            aggregate(zip_with(qv, svec, (x, sv) ->
+              (CAST(x AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(x AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))),
+              CAST(0 AS DOUBLE), (a, v) -> a + v)"""))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("label").as("old_label"),
+            col("clabel").as("new_label"),
+            (col("label") =!= col("clabel")).as("moved"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id, label,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS qv
+          FROM embeddings
+        ), cent AS (
+          SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT label AS clabel, generate_subscripts(qv, 1) - 1 AS pos,
+                unnest(qv) AS v
+              FROM q
+            ) GROUP BY clabel, pos
+          ) GROUP BY clabel
+        )
+        SELECT vec_id, old_label, new_label, (old_label <> new_label) AS moved FROM (
+          SELECT vec_id, label AS old_label, clabel AS new_label,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
+          FROM (
+            SELECT q.vec_id, q.label, cent.clabel,
+              list_sum(list_transform(range(1, len(qv) + 1), i ->
+                (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n)
+                  * (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n))) AS dist
+            FROM q, cent
+          )
+        ) WHERE rk = 1
+        ORDER BY vec_id
       """.trim))
   )
 }
