@@ -30,6 +30,12 @@ object Tables {
     graft.functions.MinHashSketchAgg.register(spark)
     graft.functions.VecMath.register(spark)
     graft.functions.SimHash.register(spark)
+    // Driver-built sessions don't set spark.sql.extensions — attach the
+    // optimizer rule at runtime (idempotent; extraOptimizations run at
+    // the end of the optimizer batch list).
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.VecSelfDotRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.VecSelfDotRule
   }
 
   /** All timestamps are normalized to TimestampNTZ so parquet output is

@@ -1,7 +1,9 @@
 package graft
 
+import graft.functions.{VecDot, VecNormSq}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape regressions (SURVEY.md §4): the properties that make these
@@ -167,5 +169,32 @@ class PlanSuite extends AnyFunSuite {
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
     assert(exchanges == 2, s"expected window-hash + final-sort exchanges, got $exchanges")
     assert(p.contains("WindowGroupLimit"), "rank limit should push below the shuffle")
+  }
+
+  test("optimizer rule: vec_dot(a, a) rewrites to vec_norm_sq(a), bit-equal values") {
+    Tables.conf(spark)
+    val df = Tables.t(spark, sf0001, "embeddings")
+      .select(expr("vec_dot(embedding, embedding)").as("d"),
+        expr("vec_norm_sq(embedding)").as("n"))
+    // The rule (runtime-attached via experimental.extraOptimizations;
+    // session-build path: spark.sql.extensions=graft.plans.GraftExtensions)
+    // must eliminate every self-dot from the optimized plan...
+    val opt = df.queryExecution.optimizedPlan
+    assert(!opt.expressions.exists(_.exists(_.isInstanceOf[VecDot])),
+      s"self-dot survived optimization:\n$opt")
+    assert(opt.expressions.exists(_.exists(_.isInstanceOf[VecNormSq])))
+    // ...and the rewrite is bit-exact (same left-to-right double loop).
+    df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // Direct rule application on the analyzed plan fires too (the unit
+    // seam, independent of session wiring).
+    val rewritten = graft.plans.VecSelfDotRule(
+      Tables.t(spark, sf0001, "embeddings")
+        .select(expr("vec_dot(embedding, embedding)")).queryExecution.analyzed)
+    assert(rewritten.expressions.exists(_.exists(_.isInstanceOf[VecNormSq])))
+    // And the extensions class itself wires into a fresh extension set
+    // without error (full-session integration needs a new JVM-level
+    // session; covered by the runtime path above).
+    new graft.plans.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
   }
 }
