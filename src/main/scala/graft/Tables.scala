@@ -30,6 +30,7 @@ object Tables {
     graft.functions.MinHashSketchAgg.register(spark)
     graft.functions.VecMath.register(spark)
     graft.functions.SimHash.register(spark)
+    graft.functions.Bloom.register(spark)
     // Driver-built sessions don't set spark.sql.extensions — attach the
     // optimizer rule at runtime (idempotent; extraOptimizations run at
     // the end of the optimizer batch list).

@@ -396,6 +396,45 @@ object AggOps extends OpGroup {
           .agg(approx_count_distinct(col("user_id")).as("approx_users"))
           .orderBy("event_type")
       },
-      None)
+      None),
+
+    // Per-user Shannon entropy of the event-type distribution — the
+    // behavioral-diversity / data-quality metric (a user with H≈0 is a
+    // bot hammering one endpoint). Float discipline: the Σ p·ln p runs
+    // over a type-ORDERED count array via a left-to-right fold on BOTH
+    // engines (hash-aggregate combine order is nondeterministic for
+    // doubles — folding a sorted list is not), and the dumped value is
+    // repr-rounded. Two hash aggregates, the second over ≤|users|×|types|
+    // rows.
+    Op("agg_entropy",
+      (s, dir) => {
+        Tables.t(s, dir, "events")
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+          .groupBy("user_id")
+          .agg(
+            sum("cnt").as("n_events"),
+            count(lit(1)).cast("int").as("n_types"),
+            expr("array_sort(collect_list(struct(event_type, cnt)))").as("sorted"))
+          .withColumn("entropy", expr("""
+            round(-aggregate(sorted, CAST(0 AS DOUBLE), (acc, s) ->
+              acc + (CAST(s.cnt AS DOUBLE) / CAST(n_events AS DOUBLE))
+                  * ln(CAST(s.cnt AS DOUBLE) / CAST(n_events AS DOUBLE))), 3) + 0.0"""))
+          .select("user_id", "n_events", "n_types", "entropy")
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id, n_events, n_types,
+          CAST(ROUND(CAST(CAST(-list_sum(list_transform(sorted, c ->
+            (CAST(c AS DOUBLE) / n_events) * ln(CAST(c AS DOUBLE) / n_events)))
+            AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS entropy
+        FROM (
+          SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_events,
+            CAST(COUNT(*) AS INT) AS n_types,
+            list(cnt ORDER BY event_type) AS sorted
+          FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+                FROM events GROUP BY user_id, event_type)
+          GROUP BY user_id
+        ) ORDER BY user_id
+      """.trim))
   )
 }

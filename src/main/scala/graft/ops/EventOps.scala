@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -145,6 +146,54 @@ object EventOps extends OpGroup {
         SELECT hour, COALESCE(cnt, 0) AS n
         FROM spine LEFT JOIN hourly ON hour = hr
         ORDER BY hour
+      """.trim)),
+
+    // OHLC resampling: hourly (bucket, event_type) bars — open/close via
+    // first_value/last_value over a fully-framed (ts, event_id)-ordered
+    // window (the event_id tiebreak matters: ns→µs truncation can tie
+    // timestamps), high/low/volume as plain aggregates, turnover as an
+    // exact decimal sum. One window pass + one hash aggregate, both
+    // partitioned by the bucket — the canonical downsampling shape for
+    // metric/tick pipelines at scale.
+    Op("ts_resample_ohlc",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("bucket", date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+        val w = Window.partitionBy("bucket", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        e.withColumn("open", first("value").over(w))
+          .withColumn("close", last("value").over(w))
+          .groupBy("bucket", "event_type")
+          .agg(
+            max("open").as("open"),
+            max("value").as("high"),
+            min("value").as("low"),
+            max("close").as("close"),
+            count(lit(1)).as("n"),
+            sum(Tables.dec2(col("value"))).cast(DecimalType(18, 2))
+              .cast("double").as("turnover"))
+          .orderBy("bucket", "event_type")
+      },
+      Some("""
+        SELECT bucket, event_type,
+          MAX(open) AS open, MAX(value) AS high, MIN(value) AS low, MAX(close) AS close,
+          COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS turnover
+        FROM (
+          SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type, value,
+            FIRST_VALUE(value) OVER (
+              PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+              ORDER BY CAST(ts AS TIMESTAMP), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+            LAST_VALUE(value) OVER (
+              PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+              ORDER BY CAST(ts AS TIMESTAMP), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+          FROM events
+        )
+        GROUP BY bucket, event_type
+        ORDER BY bucket, event_type
       """.trim))
   )
 }

@@ -332,6 +332,49 @@ object JoinOps extends OpGroup {
           WHERE event_type IN ('click', 'purchase')
         ) WHERE event_type = 'purchase'
         ORDER BY event_id
+      """.trim)),
+
+    // Bloom-filter semi-join prefilter: build a bloom filter over the
+    // qualifying orders' keys (one ObjectHashAggregate, ~100 KB), ship it
+    // to every lineitem task as a broadcast scalar, and discard
+    // non-members BEFORE the exact semi-join shuffle. False positives
+    // pass the prefilter and die in the exact join, so the RESULT is
+    // exactly the plain semi-join (which is the oracle); what changes is
+    // the shuffle volume — at 100 TB this is the difference between
+    // shuffling every lineitem row and shuffling only the ~selectivity
+    // fraction. (Spark's own runtime row-level filtering does this
+    // rewrite automatically under spark.sql.optimizer.runtimeFilter —
+    // this op demonstrates the explicit, always-on form.)
+    Op("join_bloom_prefilter",
+      (s, dir) => {
+        // might_contain requires the bloom as a scalar subquery (the
+        // same shape Spark's own runtime-filter rewrite injects), so
+        // this op is SQL-spelled over temp views.
+        Tables.t(s, dir, "orders").createOrReplaceTempView("graft_bloom_orders")
+        Tables.t(s, dir, "lineitem").createOrReplaceTempView("graft_bloom_lineitem")
+        s.sql("""
+          WITH hv AS (
+            SELECT o_orderkey FROM graft_bloom_orders WHERE o_totalprice > 400000.0
+          )
+          SELECT l_returnflag, COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+          FROM graft_bloom_lineitem
+          WHERE might_contain(
+              (SELECT bloom_filter_agg(xxhash64(o_orderkey),
+                                       CAST(10000 AS BIGINT), CAST(200000 AS BIGINT))
+               FROM hv),
+              xxhash64(l_orderkey))
+            AND l_orderkey IN (SELECT o_orderkey FROM hv)
+          GROUP BY l_returnflag
+          ORDER BY l_returnflag""")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
       """.trim))
   )
 }

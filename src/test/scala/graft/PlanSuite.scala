@@ -197,4 +197,13 @@ class PlanSuite extends AnyFunSuite {
     new graft.plans.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("bloom prefilter: might_contain filter sits on the probe side before the semi join") {
+    val p = plan("join_bloom_prefilter")
+    assert(p.contains("might_contain"), "bloom membership filter missing from the plan")
+    assert(p.contains("LeftSemi"), "exact semi join missing")
+    // The bloom build is an aggregate subquery, not a shuffled join side.
+    assert(p.contains("Subquery") || p.contains("ObjectHashAggregate"),
+      "bloom should build via a scalar-subquery aggregate")
+  }
 }
