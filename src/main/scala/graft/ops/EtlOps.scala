@@ -149,6 +149,45 @@ object EtlOps extends OpGroup {
             )
           ) GROUP BY user_id, run_id
         ) ORDER BY user_id, run_id
+      """.trim)),
+
+    // Dead-letter/quarantine report: declarative validation rules over
+    // lineitem, each violating row routed (exploded) to every rule it
+    // breaks, summarized per rule with count + key range + quarantined
+    // quantity mass. One scan + explode + hash aggregate — the shape of
+    // a daily data-quality gate at 100 TB (rules are row-local; nothing
+    // shuffles but the per-rule partials).
+    Op("etl_quarantine",
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem")
+          .withColumn("reason", explode(expr("""
+            filter(array(
+              IF(l_quantity > 45.0, 'qty_gt_45', NULL),
+              IF(l_discount > 0.08, 'discount_gt_8pct', NULL),
+              IF(l_tax > 0.07, 'tax_gt_7pct', NULL)),
+            r -> r IS NOT NULL)""")))
+          .groupBy("reason")
+          .agg(count(lit(1)).as("n"),
+            min("l_orderkey").as("min_key"),
+            max("l_orderkey").as("max_key"),
+            sum(Tables.dec2(col("l_quantity"))).cast(DecimalType(18, 2))
+              .cast("double").as("quarantined_qty"))
+          .orderBy("reason")
+      },
+      Some("""
+        SELECT reason, COUNT(*) AS n,
+          MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS quarantined_qty
+        FROM (
+          SELECT l_orderkey, l_quantity,
+            unnest(list_filter([
+              CASE WHEN l_quantity > 45.0 THEN 'qty_gt_45' ELSE NULL END,
+              CASE WHEN l_discount > 0.08 THEN 'discount_gt_8pct' ELSE NULL END,
+              CASE WHEN l_tax > 0.07 THEN 'tax_gt_7pct' ELSE NULL END],
+              r -> r IS NOT NULL)) AS reason
+          FROM lineitem
+        )
+        GROUP BY reason ORDER BY reason
       """.trim))
   )
 }

@@ -194,6 +194,97 @@ object EventOps extends OpGroup {
         )
         GROUP BY bucket, event_type
         ORDER BY bucket, event_type
+      """.trim)),
+
+    // Ordered conversion funnel signup → click → purchase: each stage's
+    // timestamp must strictly follow the previous stage's (a click before
+    // the signup doesn't count). Three chained conditional-min aggregates
+    // — each stage is one groupBy over the events pre-filtered to its
+    // type, joined back on user_id; no window over the full event stream
+    // needed. stage = #completed stages. All-timestamp output, no float.
+    Op("ts_funnel",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("t_signup"))
+        val s2 = s1.join(e.filter(col("event_type") === "click"), Seq("user_id"))
+          .filter(col("ts") > col("t_signup"))
+          .groupBy("user_id").agg(min("ts").as("t_click"))
+        val s3 = s2.join(e.filter(col("event_type") === "purchase"), Seq("user_id"))
+          .filter(col("ts") > col("t_click"))
+          .groupBy("user_id").agg(min("ts").as("t_purchase"))
+        s1.join(s2.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+          .join(s3.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+          .select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"),
+            (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+              + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH s1 AS (
+          SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_signup
+          FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t_signup
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t_click
+          GROUP BY e.user_id
+        )
+        SELECT s1.user_id, t_signup, t_click, t_purchase,
+          1 + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stage
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        ORDER BY s1.user_id
+      """.trim)),
+
+    // Daily cohort retention: users grouped by first-active day, then for
+    // each day-offset 0..7 the count and share of the cohort active that
+    // day. Two aggregates (first-day per user, distinct active days) +
+    // one equi-join on user_id — the canonical engagement report; at
+    // scale both aggregates are shuffle-on-user_id and the join stays
+    // co-partitioned with them.
+    Op("ts_retention_cohort",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+        val active = e.distinct()
+        val sized = first.groupBy("cohort_day").agg(count(lit(1)).as("cohort_n"))
+        first.join(active, "user_id")
+          .withColumn("offset", datediff(col("day"), col("cohort_day")))
+          .filter(col("offset").between(0, 7))
+          .groupBy("cohort_day", "offset")
+          .agg(countDistinct("user_id").as("n_active"))
+          .join(sized, "cohort_day")
+          .select(col("cohort_day"), col("offset"), col("n_active"),
+            round(col("n_active").cast("double") / col("cohort_n"), 3).as("retention"))
+          .orderBy("cohort_day", "offset")
+      },
+      Some("""
+        WITH d AS (
+          SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events
+        ), first AS (
+          SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+        ), sized AS (
+          SELECT cohort_day, COUNT(*) AS cohort_n FROM first GROUP BY cohort_day
+        ), act AS (
+          SELECT f.cohort_day, CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS "offset",
+            COUNT(DISTINCT a.user_id) AS n_active
+          FROM first f JOIN (SELECT DISTINCT user_id, day FROM d) a ON f.user_id = a.user_id
+          WHERE date_diff('day', f.cohort_day, a.day) BETWEEN 0 AND 7
+          GROUP BY 1, 2
+        )
+        SELECT act.cohort_day, "offset", n_active,
+          CAST(ROUND(CAST(CAST(CAST(n_active AS DOUBLE) / cohort_n AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) AS retention
+        FROM act JOIN sized ON act.cohort_day = sized.cohort_day
+        ORDER BY act.cohort_day, "offset"
       """.trim))
   )
 }

@@ -713,6 +713,50 @@ object PipelineOps extends OpGroup {
         FROM documents ORDER BY doc_id
       """.trim)),
 
+    // Multimodal frame sampling: treat the binary payload as fixed-size
+    // 32-byte "frames" (a video decoder's frame buffer in miniature) and
+    // sample every 4th frame — the standard cost-bounding step before
+    // feature extraction. Per doc: frame count, sampled count, mean
+    // leading byte of the sampled frames. Same imperative mapPartitions
+    // seam as multimodal_decode_stub (a real codec would batch per
+    // partition); the corpus is ASCII so the oracle reproduces the byte
+    // math with unicode().
+    Op("multimodal_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        val sampled = src.as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              val nFrames = math.ceil(bytes.length / 32.0).toInt
+              val fs = 0 until nFrames by 4
+              val sum = fs.iterator.map(f => bytes(f * 32).toDouble).sum
+              (id, nFrames, fs.size,
+                if (fs.isEmpty) 0.0 else sum / fs.size)
+            }
+          }
+          .toDF("doc_id", "n_frames", "n_sampled", "b_raw")
+        sampled.select(col("doc_id"), col("n_frames"), col("n_sampled"),
+          round(col("b_raw"), 2).as("brightness"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, n_frames, CAST(len(sf) AS INT) AS n_sampled,
+          CASE WHEN len(sf) = 0 THEN 0.0
+               ELSE CAST(ROUND(CAST(CAST(
+                 list_sum(list_transform(sf, f ->
+                   CAST(unicode(substr(text, CAST(f * 32 + 1 AS INT), 1)) AS DOUBLE)))
+                 / len(sf) AS VARCHAR) AS DECIMAL(38,15)), 2) AS DOUBLE) END AS brightness
+        FROM (
+          SELECT doc_id, text,
+            CAST(ceil(len(text) / 32.0) AS INT) AS n_frames,
+            list_filter(range(0, CAST(ceil(len(text) / 32.0) AS BIGINT)),
+              f -> f % 4 = 0) AS sf
+          FROM documents
+        ) ORDER BY doc_id
+      """.trim)),
+
     // Corpus composition report: docs/chars per (source, lang) with the
     // doc-count share of the whole corpus — the mixture table a training
     // run is configured against. One hash aggregate; the share window
