@@ -6,5 +6,5 @@ cd /root/repo
 SF="${1:-/root/testdata/sf0.01}"
 shift || true
 OUT=/root/repo/target/verify_out
-sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | grep -Ev '^\[info\]|^\[success\]' || true
+sbt -batch "runMain graft.Verify $SF $OUT $*" 2>&1 | grep -Ev '^\[info\]|^\[success\]' || true
 python3 scripts/diff.py "$SF" "$OUT" "$@"

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time a subset of keys in isolation (same session shape as
+  * [[Bench]]). `runMain graft.BenchOne key1 key2 ...` — each key is run
+  * `SPARK_GRAFT_REPS` times (default 2) so first-run codegen/IO warm-up is
+  * visible separately from steady state.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.queries.head._2(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    for (key <- args; r <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(key)(spark, sfDir).count()
+      println(f"$key rep$r: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -96,12 +96,71 @@ case class VecNormSq(child: Expression)
     copy(child = newChild)
 }
 
+/** Squared L2 distance between a quantized long vector `q` and a centroid
+  * given as component SUMS `svec` with member count `n` (centroid_i =
+  * svec_i / n). Per element, in index order:
+  * `d = (double)q_i - (double)svec_i / (double)n; acc += d * d` — the
+  * EXACT double sequence of the interpreted higher-order form
+  * `aggregate(zip_with(q, svec, (x, sv) -> (x - sv/n)^2), 0D, (a,v) -> a+v)`
+  * it replaces (ExpressionSuite pins bit-equality), and of the DuckDB
+  * oracle's `list_sum(list_transform(...))`, so near-tie argmins cannot
+  * diverge. A norm-expansion (`‖q‖²−2q·c+‖c‖²`) would be cheaper per pair
+  * but rounds differently — compare-only distances must stay bit-stable.
+  */
+case class VecL2QDist(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_l2q_dist"
+
+  override def nullSafeEval(q: Any, sv: Any, nv: Any): Any = {
+    val a = q.asInstanceOf[ArrayData]
+    val b = sv.asInstanceOf[ArrayData]
+    val n = nv.asInstanceOf[Long].toDouble
+    val len = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < len) {
+      val d = a.getLong(i).toDouble - b.getLong(i).toDouble / n
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, nv) => {
+      val len = ctx.freshName("len")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val nd = ctx.freshName("nd")
+      s"""
+        final int $len = java.lang.Math.min($a.numElements(), $b.numElements());
+        final double $nd = (double) $nv;
+        double $acc = 0.0;
+        for (int $i = 0; $i < $len; $i++) {
+          final double $d = ((double) $a.getLong($i)) - ((double) $b.getLong($i)) / $nd;
+          $acc += $d * $d;
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VecMath {
-  /** Register `vec_dot(a, b)` and `vec_norm_sq(a)` (idempotent). */
+  /** Register `vec_dot(a, b)`, `vec_norm_sq(a)`, `vec_l2q_dist(q, svec, n)`
+    * (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_norm_sq", exprs => VecNormSq(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_l2q_dist", exprs => VecL2QDist(exprs(0), exprs(1), exprs(2)), "scala_udf")
   }
 }

@@ -803,18 +803,19 @@ object PipelineOps extends OpGroup {
           .groupBy("clabel")
           .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), s -> s.sv)").as("svec"),
             max("n").as("n"))
-        val w = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("clabel"))
+        // Distance via the codegen'd vec_l2q_dist (bit-identical double
+        // sequence to the interpreted HOF it replaced — ExpressionSuite
+        // pins it); argmin via min(struct(dist, clabel)) — struct ordering
+        // is lexicographic, i.e. exactly ORDER BY dist, clabel — which is
+        // partial-aggregatable (map-side combine leaves 1 row per vec_id
+        // before the shuffle) instead of a full n×k sort-shuffle.
         q.crossJoin(broadcast(cent))
-          .withColumn("dist", expr("""
-            aggregate(zip_with(qv, svec, (x, sv) ->
-              (CAST(x AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
-                * (CAST(x AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))),
-              CAST(0 AS DOUBLE), (a, v) -> a + v)"""))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
+          .withColumn("dist", expr("vec_l2q_dist(qv, svec, n)"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(min(struct(col("dist"), col("clabel"))).as("m"))
           .select(col("vec_id"), col("label").as("old_label"),
-            col("clabel").as("new_label"),
-            (col("label") =!= col("clabel")).as("moved"))
+            col("m.clabel").as("new_label"),
+            (col("label") =!= col("m.clabel")).as("moved"))
           .orderBy("vec_id")
       },
       Some("""

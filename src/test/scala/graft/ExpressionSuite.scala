@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHashSignature, SortedLongIntersectSize, VecDot, VecNormSq}
+import graft.functions.{MinHashSignature, SortedLongIntersectSize, VecDot, VecL2QDist, VecNormSq}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
@@ -87,6 +87,75 @@ class ExpressionSuite extends AnyFunSuite {
       viaCodegen.zip(viaEval).foreach { case (c, e) =>
         assert(c.getDouble(0) == e.getDouble(0), "vec_dot codegen != eval")
         assert(c.getDouble(1) == e.getDouble(1), "vec_norm_sq codegen != eval")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
+  test("vec_l2q_dist: eval matches hand math") {
+    // q=(1,2), sums=(4,6), n=2 → centroid (2,3) → dist = 1 + 1 = 2.
+    val d = VecL2QDist(longArr(1L, 2L), longArr(4L, 6L),
+      Literal.create(2L, LongType)).eval(null)
+    assert(d == 2.0)
+    // Non-divisible sums exercise the double division: q=(0,), sums=(1,),
+    // n=3 → d = (0 - 1/3)² computed in doubles.
+    val t = 1.0 / 3.0
+    val d2 = VecL2QDist(longArr(0L), longArr(1L),
+      Literal.create(3L, LongType)).eval(null)
+    assert(d2 == t * t)
+  }
+
+  test("vec_l2q_dist: SQL path bit-equals the interpreted HOF it replaced") {
+    Tables.conf(spark)
+    // The kmeans shapes: qv = 1e-3-quantized embedding, svec = integer
+    // component sums, n = member count. The expression must reproduce the
+    // round-4 higher-order formulation's EXACT double sequence (same
+    // index order, same per-element (x - sv/n)² then left-to-right sum) —
+    // this equality is the oracle bridge for vec_kmeans_step, whose DuckDB
+    // SQL still mirrors the HOF.
+    val q = Tables.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("qv"))
+    val cent = q
+      .select(col("label").as("clabel"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("clabel", "pos")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .groupBy("clabel")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), s -> s.sv)").as("svec"),
+        max("n").as("n"))
+    val rows = q.crossJoin(broadcast(cent))
+      .select(
+        expr("vec_l2q_dist(qv, svec, n)").as("fast"),
+        expr("""
+          aggregate(zip_with(qv, svec, (x, sv) ->
+            (CAST(x AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(x AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))),
+            CAST(0 AS DOUBLE), (a, v) -> a + v)""").as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"vec_l2q_dist=${r.getDouble(0)} != hof=${r.getDouble(1)}"))
+  }
+
+  test("vec_l2q_dist: generated code bit-equals interpreted eval") {
+    Tables.conf(spark)
+    val df = Tables.t(spark, sf0001, "embeddings").limit(50)
+      .select(
+        expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("qv"))
+      .withColumn("sv", expr("transform(qv, x -> x * 3 + 1)"))
+      .withColumn("n", lit(7L))
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val viaCodegen = df.select(expr("vec_l2q_dist(qv, sv, n)").as("d")).collect()
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val viaEval = df.select(expr("vec_l2q_dist(qv, sv, n)").as("d")).collect()
+      viaCodegen.zip(viaEval).foreach { case (c, e) =>
+        assert(c.getDouble(0) == e.getDouble(0), "vec_l2q_dist codegen != eval")
       }
     } finally {
       prev match {
