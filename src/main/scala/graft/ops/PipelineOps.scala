@@ -38,15 +38,25 @@ object PipelineOps extends OpGroup {
   private val sigCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
+  /** Keys whose op (directly or via the edge/label caches) can trigger a
+    * simhash-family cache build — once ALL have run, the caches are dead
+    * weight and [[graft.Caches]] releases their pinned blocks.
+    */
+  private val SimConsumers = Set(
+    "text_simhash", "text_simhash_neardup", "text_dedup_clusters", "text_dedup_keep_best")
+
   private def simhashSigs(s: org.apache.spark.sql.SparkSession, dir: String) =
     sigCache.getOrElseUpdate((s, dir), {
-      Tables.t(s, dir, "documents")
+      val sigs = Tables.t(s, dir, "documents")
         .select("doc_id", "text")
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("hs",
           expr(s"transform(array_distinct(split(text, ' ')), t -> ${md5Long("t")})"))
         .select(col("doc_id"), expr("simhash60(hs)").as("simhash"))
         .localCheckpoint(true)
+      graft.Caches.track(s, dir, "simhash_sigs", SimConsumers,
+        () => sigCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
+      sigs
     })
 
   /** Band buckets larger than this refine on a secondary half-band key
@@ -126,8 +136,12 @@ object PipelineOps extends OpGroup {
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
   private def simhashEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
-    edgeCache.getOrElseUpdate((s, dir),
-      simhashEdgesWithCap(s, dir, SimBucketCap).localCheckpoint(true))
+    edgeCache.getOrElseUpdate((s, dir), {
+      val edges = simhashEdgesWithCap(s, dir, SimBucketCap).localCheckpoint(true)
+      graft.Caches.track(s, dir, "simhash_edges", SimConsumers - "text_simhash",
+        () => edgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
+      edges
+    })
 
   /** Converged connected-component labels (node, label) over the hamming≤3
     * pair graph — Pregel-style min-label propagation, cached per
@@ -144,26 +158,85 @@ object PipelineOps extends OpGroup {
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String) =
     labelCache.getOrElseUpdate((s, dir), {
       val edges = simhashEdges(s, dir).select("a", "b")
-      var labels = Tables.t(s, dir, "documents")
-        .select(col("doc_id").as("node"), col("doc_id").as("label"))
+      // Only edge-incident nodes can ever receive a label below their own
+      // doc_id, so the propagation iterates over THAT subgraph (a few % of
+      // any real corpus — near-dup cohorts are rare); the untouched docs
+      // join in as singletons once, after convergence. At 100 TB this is
+      // the difference between re-aggregating the whole corpus per round
+      // and per-round work proportional to the dup cohorts.
+      var labels = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node")))
+        .distinct()
+        .withColumn("label", col("node"))
         .localCheckpoint(true)
+      val seed = labels.agg(coalesce(sum("label"), lit(0L)), count(lit(1))).head
       var prevSum = -1L
-      var curSum = labels.agg(sum("label")).head.getLong(0)
+      var curSum = seed.getLong(0)
+      // When the touched subgraph fits a broadcast (it does on any corpus
+      // where near-dups are cohorts, not the whole set), the per-round
+      // joins stream the big edge frame map-side instead of shuffling it
+      // twice per round. Past the threshold the joins fall back to
+      // shuffles — and the edge frame's checkpoint-preserved hash
+      // partitioning is reused across rounds.
+      val bcastLabels = seed.getLong(1) <= 4000000L
+      def lab(df: org.apache.spark.sql.DataFrame) =
+        if (bcastLabels) broadcast(df) else df
       var iter = 0
+      val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
       while (curSum != prevSum && iter < 20) {
-        val msgs = edges.join(labels, edges("a") === labels("node"))
+        val t0 = if (debug) System.nanoTime() else 0L
+        val msgs = edges.join(lab(labels), edges("a") === labels("node"))
           .select(col("b").as("node"), col("label"))
-          .union(edges.join(labels, edges("b") === labels("node"))
+          .union(edges.join(lab(labels), edges("b") === labels("node"))
             .select(col("a").as("node"), col("label")))
-        labels = labels.union(msgs)
+        val prop = labels.union(msgs)
           .groupBy("node").agg(min("label").as("label"))
+        // Pointer jump: follow one hop through the label forest (label :=
+        // label's label). Monotone — y.label ≤ y.node = x.label, since
+        // min-propagation includes self — so correctness is unchanged, but
+        // convergence drops from O(diameter) to O(log diameter) rounds
+        // (round-5 measurement: 9 rounds → 4 on the same corpus). Each
+        // round is a driver-blocking checkpoint, so rounds are the unit
+        // of cost that matters at any scale.
+        val jump = prop.select(col("node").as("jnode"), col("label").as("jlabel"))
+        val next = prop
+          .join(lab(jump), col("label") === col("jnode"), "left")
+          .select(col("node"),
+            coalesce(col("jlabel"), col("label")).as("label"))
           .localCheckpoint(true)
+        if (debug) System.err.println(
+          f"[cc] round $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // The superseded round's blocks are unreachable the moment `next`
+        // materializes — release them now instead of pinning one frame per
+        // round for the life of the session.
+        graft.Caches.releaseCheckpoint(labels)
+        labels = next
         prevSum = curSum
-        curSum = labels.agg(sum("label")).head.getLong(0)
+        curSum = sumLabels(labels)
         iter += 1
       }
-      labels
+      // Converged subgraph labels + every untouched doc as its own
+      // singleton cluster. The subgraph frame is small — broadcast it.
+      val out = Tables.t(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+        .join(broadcast(labels).withColumnRenamed("label", "sub_label"),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("sub_label"), col("node")).as("label"))
+        .localCheckpoint(true)
+      graft.Caches.releaseCheckpoint(labels)
+      graft.Caches.track(s, dir, "cluster_labels",
+        Set("text_dedup_clusters", "text_dedup_keep_best"),
+        () => labelCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
+      out
     })
+
+  /** Convergence scalar for the label-propagation loop — one row to the
+    * driver per round (never the data). Empty subgraph (no near-dup
+    * edges) sums to 0 instead of a null NPE.
+    */
+  private def sumLabels(labels: org.apache.spark.sql.DataFrame): Long =
+    labels.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
 
   /** Oracle CTE bodies matching [[simhashSigs]]/[[simhashEdges]] (DuckDB). */
   private val simsSql = """

@@ -100,6 +100,10 @@ object TextVecOps extends OpGroup {
                 concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))),
               g -> xxhash64(g)))""").as("gs"))
           .localCheckpoint(true)
+        // Per-invocation artifact: release its pinned blocks once this
+        // key's consumer (Bench/Verify) reports done — see graft.Caches.
+        graft.Caches.track(s, dir, "ngram_shingles", Set("text_ngram_jaccard"),
+          () => graft.Caches.releaseCheckpoint(d))
         val a = d.select(col("doc_id").as("a"), col("lang"), col("gs").as("ga"))
         val b = d.select(col("doc_id").as("b"), col("lang").as("lang_b"), col("gs").as("gb"))
         // j >= 0.8 implies 4·max(|a|,|b|) <= 5·min — prune before the
