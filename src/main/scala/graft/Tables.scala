@@ -42,15 +42,27 @@ object Tables {
   /** All timestamps are normalized to TimestampNTZ so parquet output is
     * naive-µs — exactly what the DuckDB oracle produces. (Session tz is
     * UTC, so LTZ→NTZ casts are wall-clock identities.)
+    *
+    * The analyzed frame is cached per (session, sfDir, table): a fresh
+    * `spark.read.parquet` re-lists the path and re-reads the footer for
+    * schema inference on EVERY call, and a 132-key pass makes hundreds of
+    * them against static test data. The cached object is an immutable
+    * logical plan — reuse across queries is exactly how a shared metastore
+    * table behaves on a real cluster.
     */
+  private val tableCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     conf(spark)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.dataType == TimestampType)
-        d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
-      else d
-    }
+    tableCache.getOrElseUpdate((spark, sfDir, name), {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        if (f.dataType == TimestampType)
+          d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+        else d
+      }
+    })
   }
 
   /** `events` with `ts` converted ns→µs TimestampNTZ. Integer division —
