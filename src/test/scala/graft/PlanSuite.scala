@@ -206,4 +206,22 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("Subquery") || p.contains("ObjectHashAggregate"),
       "bloom should build via a scalar-subquery aggregate")
   }
+
+  test("kmeans step: codegen'd distance, broadcast centroids, no window sort") {
+    val p = plan("vec_kmeans_step")
+    // The round-4 failure modes, pinned: distance must be the native
+    // vec_l2q_dist expression (an interpreted aggregate/zip_with HOF never
+    // enters whole-stage codegen and re-evaluates per crossJoin row)...
+    assert(p.contains("vec_l2q_dist"), "distance must use the codegen'd expression")
+    assert(!p.contains("aggregate(zip_with"), "interpreted HOF distance crept back")
+    // ...the k-row centroid frame streams in via broadcast (never a
+    // shuffle of the n-row vector side against k rows)...
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroids must broadcast into the assignment join")
+    // ...and the argmin is a partial-aggregatable min(struct(...)), not a
+    // row_number window over an n×k sort shuffle.
+    assert(!p.contains("Window"), "argmin must not plan as a window sort")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      "argmin should be a two-phase aggregate")
+  }
 }
