@@ -435,6 +435,38 @@ object AggOps extends OpGroup {
                 FROM events GROUP BY user_id, event_type)
           GROUP BY user_id
         ) ORDER BY user_id
+      """.trim)),
+
+    // Per-language heavy-hitter tokens: every token whose in-language
+    // frequency is ≥ 0.5% (cnt·200 ≥ total — integer compare, no float
+    // surface). Two hash aggregates + a broadcast of the per-group totals;
+    // at 100 TB the same report runs on a count-min/SpaceSaving sketch
+    // (mergeable map-side state), with this exact formulation as its
+    // verification oracle. The vocabulary-vs-corpus asymmetry is the
+    // point: token counts shuffle, the tiny totals frame broadcasts.
+    Op("agg_heavy_hitters",
+      (s, dir) => {
+        val tok = Tables.t(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        val counts = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+        val totals = tok.groupBy("lang").agg(count(lit(1)).as("total"))
+        counts.join(broadcast(totals), Seq("lang"))
+          .filter(col("cnt") * 200 >= col("total"))
+          .select(col("lang"), col("token"), col("cnt"), col("total"))
+          .orderBy("lang", "token")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+        ), counts AS (
+          SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token
+        ), totals AS (
+          SELECT lang, COUNT(*) AS total FROM tok GROUP BY lang
+        )
+        SELECT lang, token, cnt, total
+        FROM counts JOIN totals USING (lang)
+        WHERE cnt * 200 >= total
+        ORDER BY lang, token
       """.trim))
   )
 }

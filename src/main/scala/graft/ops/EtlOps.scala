@@ -70,6 +70,65 @@ object EtlOps extends OpGroup {
         ORDER BY o_orderkey
       """.trim)),
 
+    // CDC-style snapshot diff: given yesterday's and today's table states,
+    // emit every Added / Deleted / Changed key with old/new values —
+    // the reconciliation report run before publishing an incremental
+    // load. Snapshots derive deterministically from orders (B = A with
+    // 1995-'F' rows deleted, 1996-'F' rows repriced +5% exact-decimal,
+    // 1997 rows added). One full-outer shuffle join on the key — at
+    // 100 TB bucket both snapshots on the key (join_bucketed_colocated
+    // layout) and it degenerates to a zipped merge; the unchanged
+    // majority is filtered before the output sort so only the delta
+    // (typically ≪1%) flows downstream.
+    Op("etl_snapshot_diff",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val snapA = o.filter(year(col("o_orderdate")) <= 1996)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val snapB = o.filter(year(col("o_orderdate")) <= 1997)
+          .filter(!(year(col("o_orderdate")) === 1995 && col("o_orderstatus") === "F"))
+          .select(col("o_orderkey"),
+            when(year(col("o_orderdate")) === 1996 && col("o_orderstatus") === "F",
+              round(col("o_totalprice").cast(DecimalType(18, 2))
+                  * lit(BigDecimal("1.05")).cast(DecimalType(3, 2)), 2)
+                .cast(DecimalType(18, 2)).cast("double"))
+              .otherwise(col("o_totalprice")).as("price_b"))
+        snapA.join(snapB, Seq("o_orderkey"), "full")
+          .withColumn("status",
+            when(col("o_totalprice").isNull, "A")
+              .when(col("price_b").isNull, "D")
+              .when(col("price_b") =!= col("o_totalprice"), "C")
+              .otherwise("U"))
+          .filter(col("status") =!= "U")
+          .select(col("o_orderkey"), col("status"),
+            col("o_totalprice").as("old_price"), col("price_b").as("new_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH snapA AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE year(o_orderdate) <= 1996
+        ), snapB AS (
+          SELECT o_orderkey,
+            CASE WHEN year(o_orderdate) = 1996 AND o_orderstatus = 'F'
+              THEN CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2)), 2) AS DECIMAL(18,2)) AS DOUBLE)
+              ELSE o_totalprice END AS price_b
+          FROM orders
+          WHERE year(o_orderdate) <= 1997
+            AND NOT (year(o_orderdate) = 1995 AND o_orderstatus = 'F')
+        )
+        SELECT o_orderkey, status, old_price, new_price FROM (
+          SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+            CASE WHEN a.o_orderkey IS NULL THEN 'A'
+                 WHEN b.o_orderkey IS NULL THEN 'D'
+                 WHEN b.price_b <> a.o_totalprice THEN 'C'
+                 ELSE 'U' END AS status,
+            a.o_totalprice AS old_price, b.price_b AS new_price
+          FROM snapA a FULL JOIN snapB b ON a.o_orderkey = b.o_orderkey
+        ) WHERE status <> 'U'
+        ORDER BY o_orderkey
+      """.trim)),
+
     // Recursive CTE (Spark 4 WITH RECURSIVE): generate the 48-month date
     // spine 1995-01..1998-12 recursively, left-join per-month order counts
     // — the date-dimension pattern. Zero-order months stay present (spine

@@ -148,6 +148,80 @@ object EventOps extends OpGroup {
         ORDER BY hour
       """.trim)),
 
+    // Linear interpolation over the hourly spine: missing hours get
+    // v_prev + (v_next − v_prev)·(Δt_prev/Δt_span) between the nearest
+    // observed neighbors (ts_gap_fill's zero-fill twin for continuous
+    // metrics). Neighbor lookup is last/first IGNORE NULLS over the
+    // spine — an unpartitioned window, which is fine BECAUSE the frame is
+    // the hourly time grid (bounded by calendar span, not data volume);
+    // per-series interpolation at scale partitions the same window by
+    // series key. Float parity: hourly sums are exact 2-dp decimals cast
+    // to double, and the interpolation expression tree is written
+    // identically on both engines (IEEE ops on identical inputs are
+    // deterministic), so the dumped doubles match without rounding.
+    Op("ts_interpolate_linear",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("hr", date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+        val hourly = ev.groupBy("hr")
+          .agg(sum(Tables.dec2(col("value"))).cast(DecimalType(18, 2))
+            .cast("double").as("v"))
+        val spine = ev.agg(min(col("hr")).as("min_hr"), max(col("hr")).as("max_hr"))
+          .select(explode(expr("sequence(min_hr, max_hr, INTERVAL 1 HOUR)")).as("hour"))
+        val joined = spine.join(hourly, spine("hour") === hourly("hr"), "left")
+          .select(col("hour"), col("v"))
+        val wPrev = Window.orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.orderBy("hour")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        joined
+          .withColumn("v_prev", last(col("v"), ignoreNulls = true).over(wPrev))
+          .withColumn("t_prev",
+            last(when(col("v").isNotNull, col("hour")), ignoreNulls = true).over(wPrev))
+          .withColumn("v_next", first(col("v"), ignoreNulls = true).over(wNext))
+          .withColumn("t_next",
+            first(when(col("v").isNotNull, col("hour")), ignoreNulls = true).over(wNext))
+          .withColumn("filled",
+            when(col("v").isNotNull, col("v")).otherwise(
+              col("v_prev") + (col("v_next") - col("v_prev"))
+                * (expr("CAST(timestampdiff(HOUR, t_prev, hour) AS DOUBLE)")
+                  / expr("CAST(timestampdiff(HOUR, t_prev, t_next) AS DOUBLE)"))))
+          .select(col("hour"), col("filled"), col("v").isNull.as("interpolated"))
+          .orderBy("hour")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS v
+          FROM events GROUP BY 1
+        ), spine AS (
+          SELECT unnest(generate_series((SELECT MIN(hr) FROM hourly),
+                                        (SELECT MAX(hr) FROM hourly),
+                                        INTERVAL 1 HOUR)) AS hour
+        ), neighbors AS (
+          SELECT hour, v,
+            LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+            LAST_VALUE(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+              OVER (ORDER BY hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_prev,
+            FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY hour
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+            FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+              OVER (ORDER BY hour
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t_next
+          FROM spine LEFT JOIN hourly ON hour = hr
+        )
+        SELECT hour,
+          CASE WHEN v IS NOT NULL THEN v
+               ELSE v_prev + (v_next - v_prev)
+                 * (CAST(date_diff('hour', t_prev, hour) AS DOUBLE)
+                   / CAST(date_diff('hour', t_prev, t_next) AS DOUBLE)) END AS filled,
+          (v IS NULL) AS interpolated
+        FROM neighbors
+        ORDER BY hour
+      """.trim)),
+
     // OHLC resampling: hourly (bucket, event_type) bars — open/close via
     // first_value/last_value over a fully-framed (ts, event_id)-ordered
     // window (the event_id tiebreak matters: ns→µs truncation can tie
