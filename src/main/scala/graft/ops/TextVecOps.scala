@@ -18,6 +18,35 @@ import org.apache.spark.sql.functions._
   */
 object TextVecOps extends OpGroup {
 
+  /** (doc_id, lang, toks) — each doc's distinct tokens as SORTED xxhash64
+    * longs, shared by the exact-Jaccard pair join and the MinHash LSH
+    * pipeline (identical derivation; set cardinalities — and so Jaccard —
+    * are unchanged by hashing, and the per-pair intersection becomes the
+    * codegen'd two-pointer `sorted_intersect_size` merge). Materialized
+    * once per (session, sfDir): the LSH op alone references the frame
+    * three times (signature build + both verify sides), and without the
+    * checkpoint each reference re-runs the interpreted tokenize HOF over
+    * the corpus. Registered with [[graft.Caches]]; the repartition spreads
+    * the HOF across cores (documents.parquet is one file → one input
+    * partition otherwise).
+    */
+  private val tokCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def tokenSets(s: org.apache.spark.sql.SparkSession, dir: String) =
+    tokCache.getOrElseUpdate((s, dir), {
+      val d = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"),
+          expr("array_sort(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)))").as("toks"))
+        .localCheckpoint(true)
+      graft.Caches.track(s, dir, "token_sets",
+        Set("text_near_dup_jaccard", "text_minhash_lsh"),
+        () => tokCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
+      d
+    })
+
   val ops: Seq[Op] = Seq(
     Op("text_exact_dedup",
       (s, dir) => {
@@ -36,14 +65,11 @@ object TextVecOps extends OpGroup {
     // inter / (|a| + |b| - inter) over distinct token sets.
     Op("text_near_dup_jaccard",
       (s, dir) => {
-        // Token sets as SORTED xxhash64 longs: set cardinalities (and so
-        // Jaccard) are unchanged, but the per-pair intersection becomes a
-        // codegen'd two-pointer merge over longs (sorted_intersect_size,
-        // graft.functions) — sort once per doc, no per-pair allocation.
-        // The oracle keeps string tokens (identical counts).
-        val d = Tables.t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            expr("array_sort(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)))").as("toks"))
+        // Shared sorted-token-hash frame (tokenSets): intersection is the
+        // codegen'd two-pointer merge over longs — sort once per doc, no
+        // per-pair allocation. The oracle keeps string tokens (identical
+        // counts).
+        val d = tokenSets(s, dir)
         val a = d.select(col("doc_id").as("a"), col("lang"), col("toks").as("ta"))
         val b = d.select(col("doc_id").as("b"), col("lang").as("lang_b"), col("toks").as("tb"))
         // Size-ratio prune: j >= 0.9 implies 9·max(|a|,|b|) <= 10·min —
@@ -149,9 +175,7 @@ object TextVecOps extends OpGroup {
       (s, dir) => {
         val nBands = 10
         val rowsPerBand = 10
-        val d = Tables.t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            expr("array_sort(transform(array_distinct(split(text, ' ')), t -> xxhash64(t)))").as("toks"))
+        val d = tokenSets(s, dir)
           .filter(expr("size(toks) > 0"))
         // Signature: sig[s] = min over token hashes of xxhash64(th, s) —
         // one custom-expression pass per doc (graft.functions).
