@@ -48,8 +48,11 @@ object StreamOps extends OpGroup {
     // One micro-batch into a memory sink doesn't need 32 state-store
     // partitions — cap the stateful shuffle for the streaming stage only
     // (the query pins the value at start; restore for batch ops after).
+    // 2, not 4: every partition is a state-store instance with its own
+    // snapshot/commit per batch, and the single-file AvailableNow source
+    // can't use more parallelism than the data has anyway.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     try {
       val q = df.writeStream
         .outputMode(mode)
