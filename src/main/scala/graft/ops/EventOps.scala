@@ -222,6 +222,77 @@ object EventOps extends OpGroup {
         ORDER BY hour
       """.trim)),
 
+    // Rolling z-score anomaly flags: each hour's value against the mean/σ
+    // of the TRAILING 24 observed hours (current row excluded — the point
+    // under test must not contaminate its own baseline); emit hours with
+    // |z| > 2.5. The monitoring shape for any metric stream. Float
+    // discipline (the agg_entropy rule applied to windows): mean and
+    // variance fold left-to-right over the frame-ORDERED collect_list on
+    // both engines — never a bare SUM(v²) whose combine order is
+    // nondeterministic — and hourly inputs are exact 2-dp decimals, so
+    // both engines fold identical doubles in identical order. One window
+    // pass over the hourly series (bounded by the calendar, not data
+    // volume; per-series at scale partitions by series key).
+    Op("ts_anomaly_zscore",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .withColumn("hr", date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+          .groupBy("hr")
+          .agg(sum(Tables.dec2(col("value"))).cast(DecimalType(18, 2))
+            .cast("double").as("v"))
+        val w = Window.orderBy("hr").rowsBetween(-24, -1)
+        // Denominators are structurally nonzero (greatest/nullif) rather
+        // than filter-guarded: the optimizer collapses the guards and the
+        // divisions into ONE Filter conjunction, and ANSI mode then
+        // evaluates a division whose guard hasn't short-circuited yet.
+        // greatest(size,1) only touches rows the size filter drops;
+        // nullif(σ,0) nulls z exactly where the variance filter drops the
+        // row — semantics identical, no runtime error surface.
+        hourly
+          .withColumn("hist", collect_list(col("v")).over(w))
+          .filter(size(col("hist")) >= 12)
+          .withColumn("mean",
+            expr("aggregate(hist, CAST(0 AS DOUBLE), (a, x) -> a + x) / greatest(size(hist), 1)"))
+          .withColumn("variance",
+            expr("aggregate(hist, CAST(0 AS DOUBLE), (a, x) -> a + (x - mean) * (x - mean)) / greatest(size(hist), 1)"))
+          .filter(col("variance") > 0.0)
+          .withColumn("z", (col("v") - col("mean")) / expr("nullif(sqrt(variance), CAST(0 AS DOUBLE))"))
+          .filter(abs(col("z")) > 2.5)
+          .select(col("hr"), col("v"),
+            expr("CAST(ROUND(CAST(CAST(z AS STRING) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0").as("z3"),
+            (col("z") > 0).as("spike"))
+          .orderBy("hr")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+            CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS v
+          FROM events GROUP BY 1
+        ), rolled AS (
+          SELECT hr, v,
+            list(v) OVER (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS hist
+          FROM hourly
+        ), stats AS (
+          SELECT hr, v, hist,
+            list_sum(hist) / len(hist) AS mean
+          FROM rolled WHERE len(hist) >= 12
+        ), scored AS (
+          SELECT hr, v,
+            (v - mean) / sqrt(variance) AS z
+          FROM (
+            SELECT hr, v, mean,
+              list_sum(list_transform(hist, x -> (x - mean) * (x - mean))) / len(hist) AS variance
+            FROM stats
+          ) WHERE variance > 0.0
+        )
+        SELECT hr, v,
+          CAST(ROUND(CAST(CAST(z AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS z3,
+          (z > 0) AS spike
+        FROM scored
+        WHERE abs(z) > 2.5
+        ORDER BY hr
+      """.trim)),
+
     // OHLC resampling: hourly (bucket, event_type) bars — open/close via
     // first_value/last_value over a fully-framed (ts, event_id)-ordered
     // window (the event_id tiebreak matters: ns→µs truncation can tie

@@ -87,6 +87,12 @@ object SourceOps extends OpGroup {
         val out = tmpDir("graft_part")
         Tables.t(s, dir, "orders")
           .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+          // Shuffle by the partition column before the partitioned write:
+          // otherwise every one of the 32 input tasks opens a writer per
+          // year directory (~32×7 small files); co-locating each year in
+          // one task writes 1 file per directory — the layout a downstream
+          // partition-pruned scan wants at any scale.
+          .repartition(col("o_year"))
           .write.mode("overwrite").partitionBy("o_year").parquet(out)
         s.read.parquet(out)
           .filter(col("o_year").isin(1996, 1997))
