@@ -278,6 +278,39 @@ object JoinOps extends OpGroup {
         GROUP BY o_orderpriority ORDER BY o_orderpriority
       """.trim)),
 
+    // LATERAL (correlated table subquery) join: top-2 orders per customer
+    // expressed as a per-row dependent subquery — the SQL-standard dual of
+    // the window top-k (win_rownum_topk). Catalyst decorrelates the
+    // ORDER BY + LIMIT subquery into the same rank-filter shape a window
+    // formulation plans to, so the lateral SYNTAX costs nothing at scale —
+    // which is exactly what a user porting LATERAL-heavy warehouse SQL
+    // needs to know.
+    Op("join_lateral",
+      (s, dir) => {
+        Tables.t(s, dir, "customer").createOrReplaceTempView("graft_lat_customer")
+        Tables.t(s, dir, "orders").createOrReplaceTempView("graft_lat_orders")
+        s.sql("""
+          SELECT c_custkey, c_mktsegment, t.o_orderkey, t.o_totalprice
+          FROM graft_lat_customer, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM graft_lat_orders
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+          ) t
+          ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """)
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM customer, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey
+      """.trim)),
+
     // Skew-salted join: the manual hot-key treatment for when AQE's
     // skew-join split isn't available (e.g. forced SMJ, or pre-3.x
     // compatibility semantics). The per-user profile (build side) is
