@@ -155,9 +155,16 @@ object PipelineOps extends OpGroup {
   private val labelCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
-  private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String) =
-    labelCache.getOrElseUpdate((s, dir), {
-      val edges = simhashEdges(s, dir).select("a", "b")
+  /** Min-label connected components over an (a, b) edge frame: converged
+    * (node, label) for every edge-incident node, label = min node id of
+    * the component. Pregel-style propagation with a pointer-jumping hop —
+    * extracted from [[clusterLabels]] so PropertySuite can pin it against
+    * a reference union-find on arbitrary random graphs (the oracle only
+    * exercises the corpus graphs).
+    */
+  private[graft] def connectedComponents(
+      edgesIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val edges = edgesIn.select("a", "b")
       // Only edge-incident nodes can ever receive a label below their own
       // doc_id, so the propagation iterates over THAT subgraph (a few % of
       // any real corpus — near-dup cohorts are rare); the untouched docs
@@ -215,6 +222,12 @@ object PipelineOps extends OpGroup {
         curSum = sumLabels(labels)
         iter += 1
       }
+      labels
+  }
+
+  private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String) =
+    labelCache.getOrElseUpdate((s, dir), {
+      val labels = connectedComponents(simhashEdges(s, dir))
       // Converged subgraph labels + every untouched doc as its own
       // singleton cluster. The subgraph frame is small — broadcast it.
       val out = Tables.t(s, dir, "documents")

@@ -122,4 +122,43 @@ class PropertySuite extends AnyFunSuite {
       assert(sig(df.coalesce(1)) == sig(df.repartition(8)))
     }
   }
+
+  test("pointer-jumping connected components == union-find on random graphs") {
+    // The Pregel + pointer-jump loop (PipelineOps.connectedComponents) is
+    // the one custom iterative algorithm in the engine; the DuckDB oracle
+    // only exercises the corpus graphs, so pin it here against a textbook
+    // union-find over random edge sets — including long chains, which is
+    // the shape where a broken jump step would diverge (a chain's
+    // diameter is what the jump collapses).
+    val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L)))
+    val cases = (0 until 6).flatMap(i =>
+      edgeGen(Gen.Parameters.default.withSize(25), Seed(1000L + i))) :+
+      (0L to 30L).sliding(2).map(s => (s.head, s.last)).toList // 30-long chain
+    cases.filter(_.nonEmpty).foreach { raw =>
+      val es = raw.filter { case (a, b) => a != b }
+      if (es.nonEmpty) {
+        // Reference union-find with path compression.
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        // Canonicalize: every node labeled with the MIN node of its root's
+        // component (union-find roots aren't min by construction).
+        val byRoot = nodes.groupBy(find)
+        val expected = byRoot.values.flatMap { members =>
+          val m = members.min; members.map(_ -> m)
+        }.toMap
+        val got = ops.PipelineOps.connectedComponents(
+            es.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"CC mismatch on ${es.size} edges")
+      }
+    }
+  }
 }
