@@ -207,6 +207,19 @@ class PlanSuite extends AnyFunSuite {
       "bloom should build via a scalar-subquery aggregate")
   }
 
+  test("lateral join decorrelates to the window top-k shape, never a loop join") {
+    val p = plan("join_lateral")
+    // Catalyst must rewrite the correlated ORDER BY + LIMIT subquery into
+    // the rank-filter shape (WindowGroupLimit pushed below the shuffle,
+    // then an equi-join back to the outer side) — a per-outer-row subquery
+    // execution or a nested-loop join would be quadratic at scale.
+    assert(p.contains("WindowGroupLimit"), "decorrelated rank-limit missing")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "outer side must rejoin via an equi-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "lateral must not plan as a loop join")
+  }
+
   test("kmeans step: codegen'd distance, broadcast centroids, no window sort") {
     val p = plan("vec_kmeans_step")
     // The round-4 failure modes, pinned: distance must be the native
