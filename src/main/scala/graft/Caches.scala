@@ -44,8 +44,14 @@ object Caches {
     * progress set and releases the replaced artifact immediately.
     */
   def track(s: SparkSession, dir: String, name: String,
-            consumers: Set[String], release: () => Unit): Unit =
+            consumers: Set[String], release: () => Unit): Unit = {
+    // Drop entries of stopped sessions — their blocks died with the
+    // session; retaining the closures would pin dead SessionStates.
+    entries.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) entries.remove(k)
+    }
     entries.put((s, dir, name), new Entry(consumers, release)).foreach(_.release())
+  }
 
   /** Report `key` finished for (session, sfDir); fires any cache release
     * whose consumer set is now fully done.

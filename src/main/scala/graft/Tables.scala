@@ -55,6 +55,12 @@ object Tables {
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     conf(spark)
+    // Evict entries of stopped sessions: a long-lived JVM cycling sessions
+    // (sbt interactive, per-suite sessions) must not retain dead
+    // SessionStates/file indexes through cached plans.
+    tableCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) tableCache.remove(k)
+    }
     tableCache.getOrElseUpdate((spark, sfDir, name), {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       df.schema.fields.foldLeft(df) { (d, f) =>

@@ -20,12 +20,16 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
-      else try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      else {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        // Unconditionally (like Bench): a failed key must still count as
+        // "done" for cache release, or its shared checkpoints stay pinned
+        // for the rest of the pass.
         Caches.keyDone(spark, sfDir, name)
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -104,7 +104,10 @@ case class VecNormSq(child: Expression)
   * `aggregate(zip_with(q, svec, (x, sv) -> (x - sv/n)^2), 0D, (a,v) -> a+v)`
   * it replaces (ExpressionSuite pins bit-equality), and of the DuckDB
   * oracle's `list_sum(list_transform(...))`, so near-tie argmins cannot
-  * diverge. A norm-expansion (`‖q‖²−2q·c+‖c‖²`) would be cheaper per pair
+  * diverge. Ragged inputs (len(q) ≠ len(svec)) return NULL, matching the
+  * zip_with form (its null-padded elements null the whole fold) — a
+  * silent common-prefix distance could win an argmin the oracle rejects.
+  * A norm-expansion (`‖q‖²−2q·c+‖c‖²`) would be cheaper per pair
   * but rounds differently — compare-only distances must stay bit-stable.
   */
 case class VecL2QDist(first: Expression, second: Expression, third: Expression)
@@ -113,11 +116,14 @@ case class VecL2QDist(first: Expression, second: Expression, third: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_l2q_dist"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(q: Any, sv: Any, nv: Any): Any = {
     val a = q.asInstanceOf[ArrayData]
     val b = sv.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val n = nv.asInstanceOf[Long].toDouble
-    val len = math.min(a.numElements(), b.numElements())
+    val len = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < len) {
@@ -136,14 +142,18 @@ case class VecL2QDist(first: Expression, second: Expression, third: Expression)
       val d = ctx.freshName("d")
       val nd = ctx.freshName("nd")
       s"""
-        final int $len = java.lang.Math.min($a.numElements(), $b.numElements());
-        final double $nd = (double) $nv;
-        double $acc = 0.0;
-        for (int $i = 0; $i < $len; $i++) {
-          final double $d = ((double) $a.getLong($i)) - ((double) $b.getLong($i)) / $nd;
-          $acc += $d * $d;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          final int $len = $a.numElements();
+          final double $nd = (double) $nv;
+          double $acc = 0.0;
+          for (int $i = 0; $i < $len; $i++) {
+            final double $d = ((double) $a.getLong($i)) - ((double) $b.getLong($i)) / $nd;
+            $acc += $d * $d;
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 

@@ -449,7 +449,11 @@ object AggOps extends OpGroup {
         val tok = Tables.t(s, dir, "documents")
           .select(col("lang"), explode(split(col("text"), " ")).as("token"))
         val counts = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
-        val totals = tok.groupBy("lang").agg(count(lit(1)).as("total"))
+        // Totals roll up from the counts frame — NOT a second scan +
+        // explode of the corpus (the two aggregates differ, so the
+        // exchange would not be reused; at 100 TB that is a full
+        // redundant pass).
+        val totals = counts.groupBy("lang").agg(sum("cnt").as("total"))
         counts.join(broadcast(totals), Seq("lang"))
           .filter(col("cnt") * 200 >= col("total"))
           .select(col("lang"), col("token"), col("cnt"), col("total"))
@@ -461,7 +465,7 @@ object AggOps extends OpGroup {
         ), counts AS (
           SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token
         ), totals AS (
-          SELECT lang, COUNT(*) AS total FROM tok GROUP BY lang
+          SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total FROM counts GROUP BY lang
         )
         SELECT lang, token, cnt, total
         FROM counts JOIN totals USING (lang)

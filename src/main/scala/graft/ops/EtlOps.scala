@@ -83,8 +83,11 @@ object EtlOps extends OpGroup {
     Op("etl_snapshot_diff",
       (s, dir) => {
         val o = Tables.t(s, dir, "orders")
+        // Presence markers, not value-null proxies: the oracle tests key
+        // nullness on each side of the full-outer join, and a data row
+        // with a NULL price would otherwise be misread as absent.
         val snapA = o.filter(year(col("o_orderdate")) <= 1996)
-          .select(col("o_orderkey"), col("o_totalprice"))
+          .select(col("o_orderkey"), col("o_totalprice"), lit(true).as("in_a"))
         val snapB = o.filter(year(col("o_orderdate")) <= 1997)
           .filter(!(year(col("o_orderdate")) === 1995 && col("o_orderstatus") === "F"))
           .select(col("o_orderkey"),
@@ -92,11 +95,12 @@ object EtlOps extends OpGroup {
               round(col("o_totalprice").cast(DecimalType(18, 2))
                   * lit(BigDecimal("1.05")).cast(DecimalType(3, 2)), 2)
                 .cast(DecimalType(18, 2)).cast("double"))
-              .otherwise(col("o_totalprice")).as("price_b"))
+              .otherwise(col("o_totalprice")).as("price_b"),
+            lit(true).as("in_b"))
         snapA.join(snapB, Seq("o_orderkey"), "full")
           .withColumn("status",
-            when(col("o_totalprice").isNull, "A")
-              .when(col("price_b").isNull, "D")
+            when(col("in_a").isNull, "A")
+              .when(col("in_b").isNull, "D")
               .when(col("price_b") =!= col("o_totalprice"), "C")
               .otherwise("U"))
           .filter(col("status") =!= "U")

@@ -155,6 +155,13 @@ object PipelineOps extends OpGroup {
   private val labelCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
+  /** Label frames at or under this row count broadcast into the CC loop's
+    * per-round joins and the final singleton join; above it both fall
+    * back to shuffle joins (a >4M-row broadcast is a driver OOM at the
+    * scale the loop is designed for).
+    */
+  private val BroadcastLabelCap = 4000000L
+
   /** Min-label connected components over an (a, b) edge frame: converged
     * (node, label) for every edge-incident node, label = min node id of
     * the component. Pregel-style propagation with a pointer-jumping hop —
@@ -185,7 +192,7 @@ object PipelineOps extends OpGroup {
       // twice per round. Past the threshold the joins fall back to
       // shuffles — and the edge frame's checkpoint-preserved hash
       // partitioning is reused across rounds.
-      val bcastLabels = seed.getLong(1) <= 4000000L
+      val bcastLabels = seed.getLong(1) <= BroadcastLabelCap
       def lab(df: org.apache.spark.sql.DataFrame) =
         if (bcastLabels) broadcast(df) else df
       var iter = 0
@@ -229,11 +236,17 @@ object PipelineOps extends OpGroup {
     labelCache.getOrElseUpdate((s, dir), {
       val labels = connectedComponents(simhashEdges(s, dir))
       // Converged subgraph labels + every untouched doc as its own
-      // singleton cluster. The subgraph frame is small — broadcast it.
+      // singleton cluster. Broadcast only under the same size guard the
+      // propagation loop uses — past it (edge-incident set too big for the
+      // driver) the singleton join falls back to a shuffle, same as the
+      // loop's joins. The count is one action on the materialized frame.
+      val labJoin =
+        if (labels.count() <= BroadcastLabelCap)
+          broadcast(labels).withColumnRenamed("label", "sub_label")
+        else labels.withColumnRenamed("label", "sub_label")
       val out = Tables.t(s, dir, "documents")
         .select(col("doc_id").as("node"))
-        .join(broadcast(labels).withColumnRenamed("label", "sub_label"),
-          Seq("node"), "left")
+        .join(labJoin, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("sub_label"), col("node")).as("label"))
         .localCheckpoint(true)

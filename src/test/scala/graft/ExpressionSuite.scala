@@ -109,6 +109,19 @@ class ExpressionSuite extends AnyFunSuite {
     assert(d2 == t * t)
   }
 
+  test("vec_l2q_dist: ragged lengths yield NULL (zip_with parity), both paths") {
+    // The zip_with form null-pads the shorter side, which nulls the whole
+    // fold — a silent common-prefix distance could win an argmin the
+    // oracle rejects. Eval path:
+    assert(VecL2QDist(longArr(1L, 2L), longArr(4L),
+      Literal.create(2L, LongType)).eval(null) == null)
+    // SQL/codegen path:
+    Tables.conf(spark)
+    val r = spark.sql(
+      "SELECT vec_l2q_dist(array(1L, 2L), array(4L), 2L) AS d").head
+    assert(r.isNullAt(0), "SQL path must return NULL for ragged arrays")
+  }
+
   test("vec_l2q_dist: SQL path bit-equals the interpreted HOF it replaced") {
     Tables.conf(spark)
     // The kmeans shapes: qv = 1e-3-quantized embedding, svec = integer
