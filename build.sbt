@@ -13,6 +13,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (TestSpark) and some assert on cache
+// registry / block-manager state around the keys they drive; run them
+// sequentially in the forked JVM (this is sbt's default for forked
+// tests — pinned here so flipping it can't silently race those suites).
+Test / testForkedParallel := false
 run / fork := true
 // Pass the forked run's stdout straight through (no "[info] " prefix) so
 // Bench's JSON line is bit-identical to what the driver's parser expects.

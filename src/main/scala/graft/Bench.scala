@@ -31,10 +31,19 @@ object Bench {
       Caches.keyDone(spark, sfDir, name)
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-key seconds at 3 decimals (ms precision is what cross-round
+    // comparisons use) keeps the line compact; "metric"/"value" go LAST
+    // in the object — JSON-equivalent for any parser, but the driver
+    // stores only a bounded tail of stdout, and a ~140-key map in front
+    // of the total has truncated the total out of every round's artifact
+    // so far (BENCH_r01..r05 all show parsed:null with the line's head
+    // cut off). With the total at the end it survives any tail ≥80 chars.
+    def sec3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s""""$k":${sec3(v)}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json =
+      s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${sec3(total)}}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))

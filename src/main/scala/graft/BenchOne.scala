@@ -20,10 +20,18 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.queries.head._2(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // The warm-up key may have registered a shared checkpoint cache;
+    // report it done (mirroring Bench) so its blocks don't stay pinned
+    // across every measured rep — that residency distortion is the very
+    // thing this tool exists to measure in isolation.
+    Caches.keyDone(spark, sfDir, SparkEntry.queries.head._1)
     for (key <- args; r <- 1 to reps) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(key)(spark, sfDir).count()
       println(f"$key rep$r: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      // Outside the timer, mirroring Bench: release any shared cache
+      // whose consumer set this rep completed.
+      Caches.keyDone(spark, sfDir, key)
     }
     spark.stop()
   }

@@ -26,6 +26,18 @@ object Caches {
   private val entries = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), Entry]
 
+  // Keys already reported via keyDone for a (session, sfDir) pass. A cache
+  // normally registers during its FIRST consumer's run, but if a consumer
+  // runs (or fails) before the cache exists — e.g. text_simhash throws
+  // before simhash_sigs registers, then text_simhash_neardup builds it —
+  // the late registration must still learn that the earlier consumer
+  // already ran, or its done-set can never fill and the blocks stay
+  // pinned for the rest of the pass. track() seeds Entry.done from here;
+  // a firing release clears its consumer keys (that pass is over, so a
+  // later rebuild by a re-run consumer starts a fresh pass).
+  private val completed = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[String]]
+
   /** Unpersist the block-manager blocks behind a `localCheckpoint(true)`
     * frame. The checkpointed Dataset's plan is a [[LogicalRDD]] leaf over
     * the internally cached RDD — unpersisting that RDD frees the blocks
@@ -50,21 +62,38 @@ object Caches {
     entries.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) entries.remove(k)
     }
-    entries.put((s, dir, name), new Entry(consumers, release)).foreach(_.release())
+    completed.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) completed.remove(k)
+    }
+    val e = new Entry(consumers, release)
+    // Seed with consumers that already ran this pass (failure path: the
+    // cache is being built by a LATER consumer). The builder itself can't
+    // be in the seed — its keyDone fires only after its query fn returns.
+    e.done = consumers.intersect(completed.getOrElse((s, dir), Set.empty))
+    entries.put((s, dir, name), e).foreach(_.release())
   }
 
   /** Report `key` finished for (session, sfDir); fires any cache release
     * whose consumer set is now fully done.
     */
-  def keyDone(s: SparkSession, dir: String, key: String): Unit =
+  def keyDone(s: SparkSession, dir: String, key: String): Unit = {
+    completed.updateWith((s, dir)) {
+      case Some(ks) => Some(ks + key)
+      case None     => Some(Set(key))
+    }
     entries.foreach { case (id @ (es, edir, _), e) =>
       if (es == s && edir == dir && e.consumers(key)) {
         e.synchronized { e.done += key }
         if (e.done == e.consumers) {
           entries.remove(id).foreach(_.release())
+          // This pass over the consumer set is finished; forget its keys
+          // so a rebuild (tests re-running keys) waits for the consumers
+          // to actually re-run instead of releasing on registration.
+          completed.updateWith((s, dir))(_.map(_ -- e.consumers))
         }
       }
     }
+  }
 
   /** Count of localCheckpoint/cache blocks currently pinned in the block
     * manager — the residency metric BenchBudgetSuite-style tests assert
@@ -72,4 +101,23 @@ object Caches {
     */
   def pinnedRddCount(s: SparkSession): Int =
     s.sparkContext.getPersistentRDDs.size
+
+  /** Names of caches still tracked (= still pinned) for (session, sfDir).
+    * Test-facing: lets a suite assert "this family's caches are gone"
+    * without racing other suites' concurrent checkpoints the way a global
+    * block count would.
+    */
+  def activeEntries(s: SparkSession, dir: String): Set[String] =
+    entries.keys.collect { case (es, edir, name) if es == s && edir == dir => name }.toSet
+
+  /** Release every cache tracked for (session, sfDir) immediately.
+    * Test-facing: lets a suite start from a clean slate regardless of
+    * what ran before it.
+    */
+  def releaseAll(s: SparkSession, dir: String): Unit = {
+    entries.keys.foreach { case id @ (es, edir, _) =>
+      if (es == s && edir == dir) entries.remove(id).foreach(_.release())
+    }
+    completed.remove((s, dir))
+  }
 }

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -19,6 +20,9 @@ import org.apache.spark.sql.types._
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecMath.requireTypes(prettyName,
+      left.dataType -> "array<float>", right.dataType -> "array<float>")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
@@ -59,6 +63,8 @@ case class VecDot(left: Expression, right: Expression)
 case class VecNormSq(child: Expression)
     extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecMath.requireTypes(prettyName, child.dataType -> "array<float>")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm_sq"
 
@@ -113,6 +119,13 @@ case class VecNormSq(child: Expression)
 case class VecL2QDist(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
 
+  // Analysis-time validation: without this, vec_l2q_dist(array<int>, …)
+  // fails at EXECUTION with a ClassCastException on the interpreted path
+  // while codegen may silently misread bytes via getLong — divergent
+  // behavior for invalid types instead of one analysis error.
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecMath.requireTypes(prettyName, first.dataType -> "array<bigint>",
+      second.dataType -> "array<bigint>", third.dataType -> "bigint")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_l2q_dist"
 
@@ -163,6 +176,26 @@ case class VecL2QDist(first: Expression, second: Expression, third: Expression)
 }
 
 object VecMath {
+
+  /** Analysis-time input validation shared by the vector expressions.
+    * `ExpectsInputTypes` would be the idiomatic carrier, but its
+    * `inputTypes` signature needs the `private[sql]` `AbstractDataType`;
+    * `checkInputDataTypes` is the public equivalent hook and fails the
+    * query at analysis instead of ClassCastException-at-execution (or,
+    * worse, codegen silently misreading bytes via getLong). Expected
+    * types are compared by catalog string, which ignores nullability the
+    * way `AbstractDataType.acceptsType` does for concrete array types.
+    */
+  private[functions] def requireTypes(
+      fn: String, actualVsExpected: (DataType, String)*): TypeCheckResult = {
+    val bad = actualVsExpected.zipWithIndex.collect {
+      case ((actual, expected), i) if actual.catalogString != expected =>
+        s"argument ${i + 1} requires $expected, found ${actual.catalogString}"
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$fn: ${bad.mkString("; ")}")
+  }
+
   /** Register `vec_dot(a, b)`, `vec_norm_sq(a)`, `vec_l2q_dist(q, svec, n)`
     * (idempotent). */
   def register(spark: SparkSession): Unit = {

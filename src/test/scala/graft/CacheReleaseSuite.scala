@@ -7,7 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * round 4 measured monotone block growth across the 132-key bench as the
   * plausible cause of downstream-key inflation. This suite drives the
   * consumer keys the way Bench does (run key → Caches.keyDone) and
-  * asserts residency returns to its starting level.
+  * asserts the registry entries (and hence their blocks) are gone.
+  *
+  * Each test calls Caches.releaseAll first so it is self-contained:
+  * correctness does not depend on test order, and the assertions are on
+  * THIS suite's registry entries rather than a global pinned-RDD count
+  * that another suite's concurrent checkpoint could legitimately bump.
   */
 class CacheReleaseSuite extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -18,30 +23,66 @@ class CacheReleaseSuite extends AnyFunSuite {
     "text_dedup_clusters", "text_dedup_keep_best")
 
   test("simhash-family caches release after their last consumer key") {
-    val before = Caches.pinnedRddCount(spark)
+    Caches.releaseAll(spark, dir)
     simFamily.foreach { k =>
       assert(SparkEntry.queries(k)(spark, dir).count() > 0, s"$k returned 0 rows")
       Caches.keyDone(spark, dir, k)
     }
-    val after = Caches.pinnedRddCount(spark)
-    assert(after <= before,
-      s"pinned RDDs grew across the simhash family: $before -> $after")
+    val live = Caches.activeEntries(spark, dir)
+    assert(!live.exists(Set("simhash_sigs", "simhash_edges", "cluster_labels")),
+      s"simhash-family caches still pinned after their last consumer: $live")
   }
 
   test("ngram shingle checkpoint releases after its consumer key") {
-    val before = Caches.pinnedRddCount(spark)
+    Caches.releaseAll(spark, dir)
     assert(SparkEntry.queries("text_ngram_jaccard")(spark, dir).count() >= 0)
     Caches.keyDone(spark, dir, "text_ngram_jaccard")
-    val after = Caches.pinnedRddCount(spark)
-    assert(after <= before,
-      s"pinned RDDs grew across text_ngram_jaccard: $before -> $after")
+    val live = Caches.activeEntries(spark, dir)
+    assert(!live("ngram_shingles"),
+      s"ngram_shingles still pinned after text_ngram_jaccard: $live")
   }
 
   test("released caches rebuild transparently on the next consumer") {
-    // After the release in the previous test the TrieMap entry is gone;
-    // a fresh invocation must rebuild and stay oracle-correct (row count
-    // pinned by GoldenSuite — here just non-empty and re-releasable).
+    Caches.releaseAll(spark, dir)
+    // Drive the family to a full release, then re-run one consumer: the
+    // caches must rebuild (oracle-correct row count pinned by GoldenSuite
+    // — here just non-empty) and be re-releasable by a fresh pass.
+    simFamily.foreach { k =>
+      SparkEntry.queries(k)(spark, dir).count()
+      Caches.keyDone(spark, dir, k)
+    }
     assert(SparkEntry.queries("text_dedup_clusters")(spark, dir).count() > 0)
     simFamily.foreach(k => Caches.keyDone(spark, dir, k))
+    assert(!Caches.activeEntries(spark, dir)("simhash_sigs"))
+  }
+
+  test("late registration seeds consumers that already ran (failure path)") {
+    Caches.releaseAll(spark, dir)
+    // Consumer kA runs (or fails) BEFORE the cache exists; the cache is
+    // then built during kB's run. The registration must learn kA already
+    // ran this pass, or the entry can never complete and the blocks stay
+    // pinned for the rest of the pass.
+    Caches.keyDone(spark, dir, "kA")
+    var released = 0
+    Caches.track(spark, dir, "late_cache", Set("kA", "kB"), () => released += 1)
+    assert(released == 0, "must not release before the building consumer reports")
+    Caches.keyDone(spark, dir, "kB")
+    assert(released == 1, "last consumer reported; release must fire")
+  }
+
+  test("a completed pass does not pre-release the next pass's rebuild") {
+    Caches.releaseAll(spark, dir)
+    var released = 0
+    Caches.track(spark, dir, "pass_cache", Set("kA", "kB"), () => released += 1)
+    Seq("kA", "kB").foreach(Caches.keyDone(spark, dir, _))
+    assert(released == 1)
+    // Second pass (tests re-running keys): the rebuild's registration must
+    // NOT be satisfied by the first pass's completions.
+    Caches.track(spark, dir, "pass_cache", Set("kA", "kB"), () => released += 1)
+    assert(released == 1, "rebuild must wait for its consumers to re-run")
+    Caches.keyDone(spark, dir, "kA")
+    assert(released == 1)
+    Caches.keyDone(spark, dir, "kB")
+    assert(released == 2)
   }
 }

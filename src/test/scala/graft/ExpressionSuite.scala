@@ -122,6 +122,25 @@ class ExpressionSuite extends AnyFunSuite {
     assert(r.isNullAt(0), "SQL path must return NULL for ragged arrays")
   }
 
+  test("vec expressions: wrong input types fail at ANALYSIS, not execution") {
+    // Without checkInputDataTypes, vec_l2q_dist(array<int>, …) throws
+    // ClassCastException at execution on the interpreted path while the
+    // codegen path silently misreads bytes via getLong — two different
+    // wrong behaviors. With it, both collapse to one analysis error.
+    Tables.conf(spark)
+    for (bad <- Seq(
+        "SELECT vec_l2q_dist(array(1, 2), array(4, 6), 2L)",   // array<int>
+        "SELECT vec_l2q_dist(array(1L), array(4L), 2)",        // int n
+        "SELECT vec_dot(array(1.0D), array(2.0D))",            // array<double>
+        "SELECT vec_norm_sq(array(1L))")) {                    // array<bigint>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(bad).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("requires"),
+        s"expected a type-check failure for: $bad — got: ${e.getMessage}")
+    }
+  }
+
   test("vec_l2q_dist: SQL path bit-equals the interpreted HOF it replaced") {
     Tables.conf(spark)
     // The kmeans shapes: qv = 1e-3-quantized embedding, svec = integer
