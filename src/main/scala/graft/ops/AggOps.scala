@@ -471,6 +471,62 @@ object AggOps extends OpGroup {
         FROM counts JOIN totals USING (lang)
         WHERE cnt * 200 >= total
         ORDER BY lang, token
+      """.trim)),
+
+    // Count-min sketch, expressed RELATIONALLY so it stays oracle-checkable:
+    // d=4 hash rows × w=256 counters over the l_partkey stream; per-key
+    // estimate = min over rows of the key's counter; report the top-20
+    // exact keys with exact count, estimate, and the structural guarantee
+    // estimate ≥ exact (`over_ok`). The counter build is a two-phase hash
+    // aggregate over (row, bucket) — the shuffle carries at most
+    // d×w=1024 partial counters per map task REGARDLESS of input size,
+    // which is the whole point of the sketch at 100 TB (a custom
+    // TypedImperativeAggregate carrying the same 1024-long buffer is the
+    // single-pass packaging of this identical dataflow; MinHashSketchAgg
+    // demonstrates that form elsewhere in this repo). Hashes derive from
+    // md5 (60-bit positive) so DuckDB reproduces them bit-for-bit.
+    Op("agg_countmin",
+      (s, dir) => {
+        val md5B = (e: String) =>
+          s"pmod(CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT), 256)"
+        val vals = Tables.t(s, dir, "lineitem").select(col("l_partkey").as("k"))
+        val hashed = vals
+          .select(col("k"), explode(expr("sequence(0, 3)")).as("i"))
+          .select(col("i"), expr(md5B("concat(k, ':', i)")).as("bucket"))
+        val counters = hashed.groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+        val exact = vals.groupBy("k").agg(count(lit(1)).as("exact"))
+        // Per distinct key: its 4 (i, bucket) probes → broadcast-join the
+        // 1024-row counter table → min over i. Only distinct keys (not the
+        // stream) flow through this stage.
+        val est = exact
+          .select(col("k"), col("exact"), explode(expr("sequence(0, 3)")).as("i"))
+          .select(col("k"), col("exact"), col("i"),
+            expr(md5B("concat(k, ':', i)")).as("bucket"))
+          .join(broadcast(counters), Seq("i", "bucket"))
+          .groupBy("k", "exact").agg(min(col("c")).as("est"))
+        est.select(col("k"), col("exact"), col("est"),
+            (col("est") >= col("exact")).as("over_ok"))
+          .orderBy(col("exact").desc, col("k")).limit(20)
+      },
+      Some("""
+        WITH vals AS (
+          SELECT l_partkey AS k FROM lineitem
+        ), hashed AS (
+          SELECT i, CAST(('0x' || substring(md5(k || ':' || i), 1, 15)) AS BIGINT) % 256 AS bucket
+          FROM vals, (SELECT unnest(range(4)) AS i)
+        ), counters AS (
+          SELECT i, bucket, COUNT(*) AS c FROM hashed GROUP BY i, bucket
+        ), exact AS (
+          SELECT k, COUNT(*) AS exact FROM vals GROUP BY k
+        ), probes AS (
+          SELECT k, exact, i,
+            CAST(('0x' || substring(md5(k || ':' || i), 1, 15)) AS BIGINT) % 256 AS bucket
+          FROM exact, (SELECT unnest(range(4)) AS i)
+        )
+        SELECT k, exact, MIN(c) AS est, MIN(c) >= exact AS over_ok
+        FROM probes JOIN counters USING (i, bucket)
+        GROUP BY k, exact
+        ORDER BY exact DESC, k LIMIT 20
       """.trim))
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -251,6 +252,41 @@ object EtlOps extends OpGroup {
           FROM lineitem
         )
         GROUP BY reason ORDER BY reason
+      """.trim)),
+
+    // Incremental aggregate maintenance: the daily-load pattern where a
+    // per-key aggregate state (count + exact-decimal sum) is maintained by
+    // MERGING yesterday's state with the new partition's partial state —
+    // never re-scanning history. Base = orders < 1997, delta = 1997+.
+    // Both sub-aggregations shuffle only their own rows; the merge is a
+    // full-outer join of two agg states (count and decimal-sum are
+    // commutative monoids, so merged state == full recompute — which is
+    // exactly what the oracle computes, over the whole table). At 100 TB
+    // the state table is bucketed on the key and the daily merge touches
+    // only delta-affected buckets.
+    Op("etl_incremental_agg",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        def state(f: DataFrame): DataFrame = f.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"))
+        val base = state(o.filter(year(col("o_orderdate")) < 1997))
+          .select(col("o_custkey"), col("n").as("n_b"), col("s").as("s_b"))
+        val delta = state(o.filter(year(col("o_orderdate")) >= 1997))
+          .select(col("o_custkey"), col("n").as("n_d"), col("s").as("s_d"))
+        base.join(delta, Seq("o_custkey"), "full")
+          .select(col("o_custkey"),
+            (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+            (coalesce(col("s_b"), lit(BigDecimal(0)).cast(DecimalType(18, 2)))
+              + coalesce(col("s_d"), lit(BigDecimal(0)).cast(DecimalType(18, 2))))
+              .cast(DecimalType(18, 2)).cast("double").as("total"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY o_custkey ORDER BY o_custkey
       """.trim))
   )
 }

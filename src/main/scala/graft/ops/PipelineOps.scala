@@ -944,6 +944,111 @@ object PipelineOps extends OpGroup {
           )
         ) WHERE rk = 1
         ORDER BY vec_id
+      """.trim)),
+
+    // PII scrubbing — the redaction pass every training-data pipeline runs
+    // before a corpus ships. The synthetic corpus contains no PII-shaped
+    // strings (measured: zero '@', digit-runs, or URLs), so the op first
+    // CONSTRUCTS a deterministic PII-bearing column (email for even
+    // doc_ids, phone for doc_id%3=0, an IP for every doc — a documented
+    // fixture, the same role the decode stub's synthetic payload plays),
+    // then masks emails → [EMAIL], phones → [PHONE], IPs → [IP] and
+    // reports per-category match counts + the scrubbed text's md5. The
+    // scrub itself is one row-local projection — no shuffle, linear at
+    // any scale. Regexes use the Java∩RE2 common subset (classes,
+    // bounded quantifiers, \b) so Spark and DuckDB match identically;
+    // email is masked first so its dotted local part can't be re-matched
+    // as an IP fragment.
+    Op("text_pii_scrub",
+      (s, dir) => {
+        val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+        val phone = """\b555-[0-9]{4}\b"""
+        val ip = """\b10\.[0-9]{1,3}\.0\.[0-9]{1,3}\b"""
+        Tables.t(s, dir, "documents")
+          .withColumn("raw", concat(
+            col("text"),
+            when(col("doc_id") % 2 === 0,
+              concat(lit(" contact "), col("lang"), lit("."), col("doc_id"),
+                lit("@example.com"))).otherwise(""),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" call 555-"), lpad(col("doc_id") % 10000, 4, "0")))
+              .otherwise(""),
+            concat(lit(" ip 10."), col("doc_id") % 256, lit(".0."),
+              col("doc_id") % 100)))
+          .select(col("doc_id"),
+            // BIGINT to match DuckDB's len(list) count type.
+            regexp_count(col("raw"), lit(email)).cast("bigint").as("n_email"),
+            regexp_count(col("raw"), lit(phone)).cast("bigint").as("n_phone"),
+            regexp_count(col("raw"), lit(ip)).cast("bigint").as("n_ip"),
+            md5(regexp_replace(regexp_replace(regexp_replace(col("raw"),
+              email, "[EMAIL]"), phone, "[PHONE]"), ip, "[IP]")).as("scrub_hash"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH pii AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 2 = 0
+                 THEN ' contact ' || lang || '.' || doc_id || '@example.com'
+                 ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+            || ' ip 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) AS raw
+          FROM documents
+        )
+        SELECT doc_id,
+          len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+          len(regexp_extract_all(raw, '\b555-[0-9]{4}\b')) AS n_phone,
+          len(regexp_extract_all(raw, '\b10\.[0-9]{1,3}\.0\.[0-9]{1,3}\b')) AS n_ip,
+          md5(regexp_replace(regexp_replace(regexp_replace(raw,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\b555-[0-9]{4}\b', '[PHONE]', 'g'),
+            '\b10\.[0-9]{1,3}\.0\.[0-9]{1,3}\b', '[IP]', 'g')) AS scrub_hash
+        FROM pii ORDER BY doc_id
+      """.trim)),
+
+    // One damped-PageRank propagation step over the supplier→customer
+    // fulfillment graph (distinct (l_suppkey, o_custkey) edges through
+    // orders). From a uniform prior, each source spreads SCALE/outdeg to
+    // its targets; a node's inflow is the Σ of its incoming shares —
+    // the damped rank is the affine map (1-d)/N + d·inflow/(N·SCALE) of
+    // this integer numerator, so ranking by `inflow_scaled` IS ranking by
+    // PageRank-after-one-step. Integer division keeps the sum exact and
+    // shuffle-order-independent (a double Σ 1/(N·outdeg) would hash-
+    // diverge between engines on addition order). Shape: one distinct
+    // (edge dedup, shuffle on the pair), one outdeg agg over ≤|suppliers|
+    // rows (broadcast back), one groupBy dst — each stage
+    // partial-aggregates; nothing is ever per-pair quadratic. The
+    // iterated form reuses text_dedup_clusters' loop harness
+    // (localCheckpoint per round, one convergence scalar to the driver).
+    Op("graph_pagerank_step",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = Tables.t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+          .distinct()
+        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        edges.join(broadcast(outdeg), Seq("src"))
+          .select(col("dst"), expr("CAST(1000000000000 AS BIGINT) div outdeg").as("share"))
+          .groupBy("dst")
+          .agg(count(lit(1)).as("indeg"), sum("share").as("inflow_scaled"))
+          .orderBy(col("inflow_scaled").desc, col("dst"))
+          .limit(100)
+      },
+      Some("""
+        WITH edges AS (
+          SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), outdeg AS (
+          SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+        )
+        SELECT dst, COUNT(*) AS indeg,
+          CAST(SUM(1000000000000 // outdeg) AS BIGINT) AS inflow_scaled
+        FROM edges JOIN outdeg USING (src)
+        GROUP BY dst
+        ORDER BY inflow_scaled DESC, dst LIMIT 100
       """.trim))
   )
 }

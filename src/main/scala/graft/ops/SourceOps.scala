@@ -165,6 +165,72 @@ object SourceOps extends OpGroup {
       Some("""
         SELECT n_nationkey, n_name, n_regionkey
         FROM nation ORDER BY n_nationkey
+      """.trim)),
+
+    // Z-order layout write: interleave (o_custkey, orderdate-epoch-day)
+    // into a Morton code, bucket by z-range, write partitioned by bucket,
+    // and report each bucket's (custkey, date) bounding box from the
+    // read-back — narrow boxes are WHY the layout prunes multi-dimensional
+    // predicates (a filter on either dimension skips most buckets via
+    // file/partition min-max stats, which a single-column sort can give
+    // only for its leading column). The bit-spread is plain integer
+    // arithmetic, identical in both engines. NTILE over the total order
+    // (z, o_orderkey) makes the 8 range buckets deterministic for the
+    // oracle; at 100 TB the same boundaries come from repartitionByRange
+    // on z (sampled, not globally sorted) and the box report reads file
+    // footer stats instead of scanning.
+    Op("src_zorder_write",
+      (s, dir) => {
+        val out = tmpDir("graft_zorder")
+        Tables.t(s, dir, "orders")
+          .withColumn("z", expr(zorderSpark))
+          .withColumn("zbucket",
+            expr("CAST(ntile(8) OVER (ORDER BY z, o_orderkey) AS INT)"))
+          .repartition(col("zbucket"))
+          .write.mode("overwrite").partitionBy("zbucket").parquet(out)
+        s.read.parquet(out)
+          .groupBy("zbucket")
+          .agg(count(lit(1)).as("n"),
+            min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+            min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("min_date"),
+            max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("max_date"))
+          .orderBy("zbucket")
+      },
+      Some(s"""
+        WITH z AS (
+          SELECT o_custkey, o_orderdate, $zorderDuck AS z, o_orderkey
+          FROM orders
+        )
+        SELECT zbucket, COUNT(*) AS n,
+          MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+          MIN(strftime(o_orderdate, '%Y-%m-%d')) AS min_date,
+          MAX(strftime(o_orderdate, '%Y-%m-%d')) AS max_date
+        FROM (SELECT CAST(NTILE(8) OVER (ORDER BY z, o_orderkey) AS INT) AS zbucket,
+                o_custkey, o_orderdate FROM z)
+        GROUP BY zbucket ORDER BY zbucket
       """.trim))
   )
+
+  /** Morton interleave of (o_custkey, orderdate-epoch-day), 16 bits each,
+    * via the classic mask cascade — generated for BOTH engines from one
+    * mask table so the arithmetic cannot diverge. Only the shift syntax
+    * differs (Spark `shiftleft(x, n)`, DuckDB `x << n`).
+    */
+  private lazy val spreadMasks =
+    Seq((8, 16711935L), (4, 252645135L), (2, 858993459L), (1, 1431655765L))
+
+  private def spread(e: String, shl: (String, Int) => String): String =
+    spreadMasks.foldLeft(s"(($e) & 65535)") { case (a, (sh, m)) =>
+      s"((($a) | ${shl(a, sh)}) & $m)" }
+
+  private def zorder(x: String, y: String, shl: (String, Int) => String): String =
+    s"(${spread(x, shl)} | ${shl(spread(y, shl), 1)})"
+
+  private lazy val zorderSpark = zorder(
+    "o_custkey", "datediff(o_orderdate, DATE'1970-01-01')",
+    (e, n) => s"shiftleft(($e), $n)")
+
+  private lazy val zorderDuck = zorder(
+    "o_custkey", "datediff('day', DATE '1970-01-01', o_orderdate)",
+    (e, n) => s"(($e) << $n)")
 }
