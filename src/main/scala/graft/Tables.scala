@@ -37,6 +37,10 @@ object Tables {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.VecSelfDotRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.VecSelfDotRule
+    // Physical planning seam for the whole-operator extensions (asof join).
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 
   /** All timestamps are normalized to TimestampNTZ so parquet output is

@@ -414,6 +414,43 @@ object JoinOps extends OpGroup {
         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+      """.trim)),
+
+    // Native as-of join — same semantics and oracle as join_asof, executed
+    // by the custom whole-operator path (graft.plans: AsOfJoinPlan logical
+    // node → AsOfJoinStrategy → AsOfJoinExec streaming merge) instead of
+    // the window-over-union composition. Two sides: purchases (left) pick
+    // up the last click (right) of the same user strictly before them in
+    // (ts, event_id) order — event_id is the tiebreaker that makes the
+    // as-of ordering total, so ties resolve identically to the window
+    // formulation. PlanSuite pins AsOfJoinExec in the physical plan;
+    // at 100 TB this is two key-shuffles + in-partition sorts + one O(1)-
+    // memory forward merge per partition, vs the window's union + full
+    // per-key frame buffering.
+    Op("join_asof_native",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+            col("event_id").as("c_event_id"))
+        graft.plans.AsOfJoin.join(purchases, clicks,
+            leftKeys = Seq("user_id"), rightKeys = Seq("c_user_id"),
+            leftOrd = Seq("ts", "event_id"), rightOrd = Seq("c_ts", "c_event_id"))
+          .select(col("event_id"), col("c_ts").as("clicked_at"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, clicked_at FROM (
+          SELECT event_id, event_type,
+            last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS clicked_at
+          FROM events
+          WHERE event_type IN ('click', 'purchase')
+        ) WHERE event_type = 'purchase'
+        ORDER BY event_id
       """.trim))
   )
 }

@@ -63,5 +63,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
     ext.injectOptimizerRule(_ => VecSelfDotRule)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -18,6 +18,27 @@ class PlanSuite extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  test("join_asof_native plans the custom AsOfJoinExec with exchanges+sorts from requirements") {
+    val p = plan("join_asof_native")
+    assert(p.contains("AsOfJoin"),
+      "the custom strategy must plan the native as-of operator")
+    // EnsureRequirements must have supplied the key exchanges and the
+    // (key, ord) in-partition sorts the merge depends on — the operator
+    // declares them, it never schedules data movement itself.
+    assert("hashpartitioning\\(".r.findAllIn(p).size >= 2,
+      "both sides must be clustered on the join key")
+    assert("\\(\\d+\\) Sort\\b".r.findAllIn(p).size >= 2,
+      "both sides must be sorted within partitions")
+  }
+
+  test("join_asof_native row-equals the window composition join_asof") {
+    val native = SparkEntry.queries("join_asof_native")(spark, sf0001).collect()
+    val window = SparkEntry.queries("join_asof")(spark, sf0001).collect()
+    assert(native.length == window.length)
+    native.zip(window).foreach { case (n, w) =>
+      assert(n == w, s"asof divergence: native=$n window=$w") }
+  }
+
   test("filters reach the parquet scan (PushedFilters)") {
     val p = plan("filter_date_range")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual"))
