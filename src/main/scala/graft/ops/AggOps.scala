@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -487,32 +488,36 @@ object AggOps extends OpGroup {
     // md5 (60-bit positive) so DuckDB reproduces them bit-for-bit.
     Op("agg_countmin",
       (s, dir) => {
-        val md5B = (e: String) =>
-          s"pmod(CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT), 256)"
-        val vals = Tables.t(s, dir, "lineitem").select(col("l_partkey").as("k"))
-        val hashed = vals
-          .select(col("k"), explode(expr("sequence(0, 3)")).as("i"))
-          .select(col("i"), expr(md5B("concat(k, ':', i)")).as("bucket"))
-        val counters = hashed.groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+        // ONE md5 per row, sliced into four 32-bit hashes (8 hex chars per
+        // sketch row) — Spark's md5 builds a MessageDigest per call, so
+        // hashing once and slicing is 4× cheaper than four salted hashes
+        // at identical cross-engine determinism (slices of one md5 are
+        // independent enough for the demo; a production CMS would use d
+        // seeded xxhashes).
+        val vals = Tables.t(s, dir, "lineitem")
+          .select(col("l_partkey").as("k"))
+        def buckets(f: DataFrame): DataFrame = f
+          .withColumn("h", md5(col("k").cast("string")))
+          .withColumn("i", explode(expr("sequence(0, 3)")))
+          .withColumn("bucket",
+            expr("pmod(CAST(conv(substring(h, 1 + i * 8, 8), 16, 10) AS BIGINT), 256)"))
+        val counters = buckets(vals).groupBy("i", "bucket").agg(count(lit(1)).as("c"))
         val exact = vals.groupBy("k").agg(count(lit(1)).as("exact"))
         // Per distinct key: its 4 (i, bucket) probes → broadcast-join the
         // 1024-row counter table → min over i. Only distinct keys (not the
         // stream) flow through this stage.
-        val est = exact
-          .select(col("k"), col("exact"), explode(expr("sequence(0, 3)")).as("i"))
-          .select(col("k"), col("exact"), col("i"),
-            expr(md5B("concat(k, ':', i)")).as("bucket"))
+        buckets(exact)
           .join(broadcast(counters), Seq("i", "bucket"))
           .groupBy("k", "exact").agg(min(col("c")).as("est"))
-        est.select(col("k"), col("exact"), col("est"),
+          .select(col("k"), col("exact"), col("est"),
             (col("est") >= col("exact")).as("over_ok"))
           .orderBy(col("exact").desc, col("k")).limit(20)
       },
       Some("""
         WITH vals AS (
-          SELECT l_partkey AS k FROM lineitem
+          SELECT l_partkey AS k, md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem
         ), hashed AS (
-          SELECT i, CAST(('0x' || substring(md5(k || ':' || i), 1, 15)) AS BIGINT) % 256 AS bucket
+          SELECT i, CAST(('0x' || substring(h, 1 + i * 8, 8)) AS BIGINT) % 256 AS bucket
           FROM vals, (SELECT unnest(range(4)) AS i)
         ), counters AS (
           SELECT i, bucket, COUNT(*) AS c FROM hashed GROUP BY i, bucket
@@ -520,7 +525,7 @@ object AggOps extends OpGroup {
           SELECT k, COUNT(*) AS exact FROM vals GROUP BY k
         ), probes AS (
           SELECT k, exact, i,
-            CAST(('0x' || substring(md5(k || ':' || i), 1, 15)) AS BIGINT) % 256 AS bucket
+            CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1 + i * 8, 8)) AS BIGINT) % 256 AS bucket
           FROM exact, (SELECT unnest(range(4)) AS i)
         )
         SELECT k, exact, MIN(c) AS est, MIN(c) >= exact AS over_ok
