@@ -1049,6 +1049,110 @@ object PipelineOps extends OpGroup {
         FROM edges JOIN outdeg USING (src)
         GROUP BY dst
         ORDER BY inflow_scaled DESC, dst LIMIT 100
+      """.trim)),
+
+    // One BPE-training candidate-count step: the most frequent ADJACENT
+    // character pairs per language — the statistic a byte-pair-encoding
+    // tokenizer trainer computes before every merge (the top pair IS the
+    // next merge). Explode words → in-word character bigrams → hash
+    // aggregate → per-lang top-5 (rank window over the aggregated pair
+    // counts only). The count stage is the classic two-phase aggregate:
+    // the shuffle carries (lang, pair) partials, bounded by the pair
+    // vocabulary (≤ charset²·|langs|), never by corpus size — the shape
+    // that lets real tokenizer training run on the full 100 TB corpus.
+    Op("text_bpe_pair_count",
+      (s, dir) => {
+        val pairs = Tables.t(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .select(col("lang"), explode(
+            expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        val counts = pairs.groupBy("lang", "pair").agg(count(lit(1)).as("cnt"))
+        counts.withColumn("rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("lang").orderBy(col("cnt").desc, col("pair"))))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("rk"), col("pair"), col("cnt"))
+          .orderBy("lang", "rk")
+      },
+      Some("""
+        WITH words AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+        ), pairs AS (
+          SELECT lang, unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+          FROM words WHERE len(w) >= 2
+        ), counts AS (
+          SELECT lang, pair, COUNT(*) AS cnt FROM pairs GROUP BY lang, pair
+        )
+        SELECT lang, rk, pair, cnt FROM (
+          SELECT lang, pair, cnt,
+            CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, pair) AS INT) AS rk
+          FROM counts
+        ) WHERE rk <= 5
+        ORDER BY lang, rk
+      """.trim)),
+
+    // URL canonicalization — the dedup step for web-crawled corpora, where
+    // the same page hides behind case-varied hosts, default ports,
+    // tracking params, and fragments. The corpus has no URLs (measured),
+    // so a deterministic URL-bearing column is constructed first (same
+    // documented-fixture pattern as text_pii_scrub), then normalized:
+    // lowercase scheme+host, drop :443 default port, strip utm_* params
+    // and fragments; report each canonical URL's duplicate-group size.
+    // Row-local regex projection + one hash aggregate — linear; regexes
+    // stay in the Java∩RE2 subset (no lookahead — RE2 has none).
+    Op("text_url_normalize",
+      (s, dir) => {
+        val raw = concat(
+          when(col("doc_id") % 2 === 0, "HTTPS://WWW.").otherwise("https://www."),
+          col("source"), lit(".example.com"),
+          when(col("doc_id") % 3 === 0, ":443").otherwise(""),
+          lit("/d/"), col("doc_id") % 50,
+          when(col("doc_id") % 2 === 0,
+            concat(lit("?utm_campaign=x&ref="), col("doc_id") % 5))
+            .otherwise(concat(lit("?ref="), col("doc_id") % 5)),
+          when(col("doc_id") % 4 === 0, "#top").otherwise(""))
+        val hostPat = "^[A-Za-z]+://[^/:?#]+"
+        Tables.t(s, dir, "documents")
+          .withColumn("url", raw)
+          .withColumn("u1", // lowercase scheme+host, keep the rest as-is
+            concat(lower(regexp_extract(col("url"), hostPat, 0)),
+              regexp_replace(col("url"), hostPat, "")))
+          .withColumn("u2", regexp_replace(col("u1"), ":443/", "/"))
+          .withColumn("u3", regexp_replace(col("u2"), "#.*$", ""))
+          .withColumn("canonical", regexp_replace(
+            regexp_replace(col("u3"), "utm_[A-Za-z]+=[^&#]*&", ""),
+            "[?&]utm_[A-Za-z]+=[^&#]*", ""))
+          .groupBy("canonical")
+          .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_doc"))
+          .orderBy("canonical")
+      },
+      Some("""
+        WITH urls AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END)
+            || source || '.example.com'
+            || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+            || '/d/' || (doc_id % 50)
+            || (CASE WHEN doc_id % 2 = 0 THEN '?utm_campaign=x&ref=' || (doc_id % 5)
+                     ELSE '?ref=' || (doc_id % 5) END)
+            || (CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END) AS url
+          FROM documents
+        ), canon AS (
+          SELECT doc_id, regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  lower(regexp_extract(url, '^[A-Za-z]+://[^/:?#]+'))
+                    || regexp_replace(url, '^[A-Za-z]+://[^/:?#]+', ''),
+                  ':443/', '/'),
+                '#.*$', ''),
+              'utm_[A-Za-z]+=[^&#]*&', ''),
+            '[?&]utm_[A-Za-z]+=[^&#]*', '') AS canonical
+          FROM urls
+        )
+        SELECT canonical, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc
+        FROM canon GROUP BY canonical ORDER BY canonical
       """.trim))
   )
 }
