@@ -1153,6 +1153,95 @@ object PipelineOps extends OpGroup {
         )
         SELECT canonical, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc
         FROM canon GROUP BY canonical ORDER BY canonical
+      """.trim)),
+
+    // Product-quantization ANN — completes the similarity-search trio
+    // (vec_ivf_topk cell-probe, vec_lsh_topk hyperplane buckets, PQ is the
+    // compressed-domain scan): 64 dims → 8 subspaces × 8 dims; per
+    // subspace a 10-word codebook (per-label sub-centroids, exact integer
+    // sums over the same 1e-3-quantized components as vec_kmeans_step);
+    // every vector encodes as 8 code ids (argmin quantized L2, ties →
+    // lowest label); the query builds an 8×10 ADC look-up table and a
+    // vector's approximate distance is the Σ of 8 table entries — scaled
+    // to exact BIGINT via floor(d·1e6) so the Σ is addition-order-
+    // independent (a double Σ would hash-diverge). At 100 TB this is THE
+    // ANN recipe (IVF routes to cells, PQ scans them compressed at
+    // 8 bytes/vector); every stage here partial-aggregates, the codebook
+    // (80 rows) and ADC table broadcast, and nothing is all-pairs.
+    Op("vec_pq_topk",
+      (s, dir) => {
+        val q = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("qv"))
+        val sub = q.select(col("vec_id"), col("label"), explode(expr(
+            "transform(sequence(0, 7), s -> named_struct('s', s, 'sq', slice(qv, s * 8 + 1, 8)))")).as("x"))
+          .select(col("vec_id"), col("label"), col("x.s").as("s"), col("x.sq").as("sq"))
+        val cb = sub
+          .select(col("s"), col("label").as("cl"), posexplode(col("sq")).as(Seq("pos", "v")))
+          .groupBy("s", "cl", "pos")
+          .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+          .groupBy("s", "cl")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), t -> t.sv)").as("svec"),
+            max("n").as("n"))
+        // Encode: per (vec, subspace) the nearest codeword — the same
+        // codegen'd distance + min(struct) argmin as vec_kmeans_step.
+        val codes = sub.join(broadcast(cb), Seq("s"))
+          .withColumn("dist", expr("vec_l2q_dist(sq, svec, n)"))
+          .groupBy("vec_id", "s")
+          .agg(min(struct(col("dist"), col("cl"))).as("m"))
+          .select(col("vec_id"), col("s"), col("m.cl").as("code"))
+        // ADC table: the query's 8 sub-vectors against all 80 codewords.
+        // Fresh names on the ADC side: codes and adc share `sub`'s lineage,
+        // and a same-attribute join condition would be ambiguous.
+        val adc = sub.filter(col("vec_id") === 0)
+          .select(col("s"), col("sq").as("qsq"))
+          .join(cb, Seq("s"))
+          .select(col("s").as("adc_s"), col("cl").as("adc_cl"),
+            expr("CAST(FLOOR(vec_l2q_dist(qsq, svec, n) * 1000000) AS BIGINT)").as("dscaled"))
+        codes.join(broadcast(adc),
+            col("s") === col("adc_s") && col("code") === col("adc_cl"))
+          .groupBy("vec_id").agg(sum("dscaled").as("approx_dist_scaled"))
+          .filter(col("vec_id") =!= 0)
+          .orderBy(col("approx_dist_scaled"), col("vec_id")).limit(10)
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id, label,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS qv
+          FROM embeddings
+        ), sub AS (
+          SELECT vec_id, label, i.s AS s, qv[(i.s * 8 + 1):(i.s * 8 + 8)] AS sq
+          FROM q, (SELECT unnest(range(8)) AS s) i
+        ), cb AS (
+          SELECT s, cl, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT s, cl, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT s, label AS cl, generate_subscripts(sq, 1) - 1 AS pos,
+                unnest(sq) AS v
+              FROM sub
+            ) GROUP BY s, cl, pos
+          ) GROUP BY s, cl
+        ), dist AS (
+          SELECT sub.vec_id, sub.s, cb.cl,
+            list_sum(list_transform(range(1, len(sq) + 1), i ->
+              (CAST(sq[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n)
+                * (CAST(sq[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n))) AS dist
+          FROM sub JOIN cb USING (s)
+        ), codes AS (
+          SELECT vec_id, s, cl AS code FROM (
+            SELECT vec_id, s, cl,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cl) AS rk
+            FROM dist
+          ) WHERE rk = 1
+        ), adc AS (
+          SELECT s, cl, CAST(FLOOR(dist * 1000000) AS BIGINT) AS dscaled
+          FROM dist WHERE vec_id = 0
+        )
+        SELECT vec_id, CAST(SUM(dscaled) AS BIGINT) AS approx_dist_scaled
+        FROM codes JOIN adc ON codes.s = adc.s AND codes.code = adc.cl
+        WHERE vec_id <> 0
+        GROUP BY vec_id
+        ORDER BY approx_dist_scaled, vec_id LIMIT 10
       """.trim))
   )
 }
