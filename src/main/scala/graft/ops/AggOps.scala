@@ -496,37 +496,43 @@ object AggOps extends OpGroup {
         // seeded xxhashes).
         val vals = Tables.t(s, dir, "lineitem")
           .select(col("l_partkey").as("k"))
-        def buckets(f: DataFrame): DataFrame = f
+        // Pre-aggregate the stream ONCE: a bucket's counter is the Σ of
+        // its keys' counts, so the sketch builds from the 20k-row key
+        // table instead of re-hashing the 600k-row stream — the same
+        // algebra map-side combine applies, done explicitly (one scan,
+        // |keys| digests, byte-identical counters). localCheckpoint so
+        // the probe stage reuses the materialized frame instead of
+        // re-running the scan+hash lineage.
+        val exact = vals.groupBy("k").agg(count(lit(1)).as("exact"))
+        val probes = exact
           .withColumn("h", md5(col("k").cast("string")))
           .withColumn("i", explode(expr("sequence(0, 3)")))
           .withColumn("bucket",
             expr("pmod(CAST(conv(substring(h, 1 + i * 8, 8), 16, 10) AS BIGINT), 256)"))
-        val counters = buckets(vals).groupBy("i", "bucket").agg(count(lit(1)).as("c"))
-        val exact = vals.groupBy("k").agg(count(lit(1)).as("exact"))
+          .select(col("k"), col("exact"), col("i"), col("bucket"))
+          .localCheckpoint(true)
+        val counters = probes.groupBy("i", "bucket").agg(sum("exact").as("c"))
         // Per distinct key: its 4 (i, bucket) probes → broadcast-join the
-        // 1024-row counter table → min over i. Only distinct keys (not the
-        // stream) flow through this stage.
-        buckets(exact)
+        // 1024-row counter table → min over i.
+        val out = probes
           .join(broadcast(counters), Seq("i", "bucket"))
           .groupBy("k", "exact").agg(min(col("c")).as("est"))
           .select(col("k"), col("exact"), col("est"),
             (col("est") >= col("exact")).as("over_ok"))
           .orderBy(col("exact").desc, col("k")).limit(20)
+        graft.Caches.track(s, dir, "countmin_probes", Set("agg_countmin"),
+          () => graft.Caches.releaseCheckpoint(probes))
+        out
       },
       Some("""
-        WITH vals AS (
-          SELECT l_partkey AS k, md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem
-        ), hashed AS (
-          SELECT i, CAST(('0x' || substring(h, 1 + i * 8, 8)) AS BIGINT) % 256 AS bucket
-          FROM vals, (SELECT unnest(range(4)) AS i)
-        ), counters AS (
-          SELECT i, bucket, COUNT(*) AS c FROM hashed GROUP BY i, bucket
-        ), exact AS (
-          SELECT k, COUNT(*) AS exact FROM vals GROUP BY k
+        WITH exact AS (
+          SELECT l_partkey AS k, COUNT(*) AS exact FROM lineitem GROUP BY l_partkey
         ), probes AS (
           SELECT k, exact, i,
             CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1 + i * 8, 8)) AS BIGINT) % 256 AS bucket
           FROM exact, (SELECT unnest(range(4)) AS i)
+        ), counters AS (
+          SELECT i, bucket, CAST(SUM(exact) AS BIGINT) AS c FROM probes GROUP BY i, bucket
         )
         SELECT k, exact, MIN(c) AS est, MIN(c) >= exact AS over_ok
         FROM probes JOIN counters USING (i, bucket)
