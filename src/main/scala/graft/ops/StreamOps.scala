@@ -58,6 +58,10 @@ object StreamOps extends OpGroup {
         .outputMode(mode)
         .format("memory")
         .queryName(name)
+        // Explicit checkpoint on the tmpfs scratch root (Tables.tmpDir):
+        // the default temp checkpoint lands on java.io.tmpdir's disk and
+        // its offset/commit-log fsyncs dominate a 1-batch memory-sink run.
+        .option("checkpointLocation", Tables.tmpDir("graft_ckpt"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
