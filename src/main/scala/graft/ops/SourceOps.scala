@@ -167,6 +167,46 @@ object SourceOps extends OpGroup {
         FROM nation ORDER BY n_nationkey
       """.trim)),
 
+    // Schema evolution: two parquet batches with compatible-but-different
+    // schemas (the second adds a column) land in one directory; a
+    // mergeSchema read unifies them, null-filling the old batch — the
+    // lake-ingest reality every long-lived dataset hits. Batches derive
+    // deterministically from orders (1995 without, 1996 with o_priority);
+    // the oracle rebuilds the same union. At 100 TB the unified schema
+    // comes from the table catalog, not per-query footer merging — but
+    // the null-fill semantics verified here are identical.
+    Op("src_schema_evolution",
+      (s, dir) => {
+        val out = tmpDir("graft_evolve")
+        val o = Tables.t(s, dir, "orders")
+        o.filter(year(col("o_orderdate")) === 1995)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$out/b=1")
+        o.filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority").as("o_priority"))
+          .write.mode("overwrite").parquet(s"$out/b=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy("b", "o_priority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DecimalType(18, 2)).cast("double").as("sum_price"))
+          .orderBy(col("b"), col("o_priority").asc_nulls_first)
+      },
+      Some("""
+        SELECT b, o_priority, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+        FROM (
+          SELECT 1 AS b, o_orderkey, o_totalprice, NULL AS o_priority
+          FROM orders WHERE year(o_orderdate) = 1995
+          UNION ALL
+          SELECT 2 AS b, o_orderkey, o_totalprice, o_orderpriority AS o_priority
+          FROM orders WHERE year(o_orderdate) = 1996
+        )
+        GROUP BY b, o_priority
+        ORDER BY b, o_priority ASC NULLS FIRST
+      """.trim)),
+
     // Z-order layout write: interleave (o_custkey, orderdate-epoch-day)
     // into a Morton code, bucket by z-range, write partitioned by bucket,
     // and report each bucket's (custkey, date) bounding box from the
