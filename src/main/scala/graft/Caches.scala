@@ -86,10 +86,17 @@ object Caches {
         e.synchronized { e.done += key }
         if (e.done == e.consumers) {
           entries.remove(id).foreach(_.release())
-          // This pass over the consumer set is finished; forget its keys
-          // so a rebuild (tests re-running keys) waits for the consumers
-          // to actually re-run instead of releasing on registration.
-          completed.updateWith((s, dir))(_.map(_ -- e.consumers))
+          // The ledger stays MONOTONE — clearing this entry's keys here
+          // would starve a cache that registers later in the same pass
+          // with an overlapping consumer set (its seed would miss keys
+          // that already ran → done can never fill → blocks pinned for
+          // the rest of the pass, the exact leak this registry exists to
+          // prevent). The cost: a cache REBUILT after its pass completed
+          // seeds full and releases at its next consumer's report — a
+          // fresh rebuild per re-run consumer (release closures also
+          // evict the op-side frame caches, so consumers never touch an
+          // unpersisted checkpoint), which is perf-only and exactly what
+          // per-rep isolation measurement wants.
         }
       }
     }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 

@@ -1139,16 +1139,19 @@ object PipelineOps extends OpGroup {
             || (CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END) AS url
           FROM documents
         ), canon AS (
+          -- 'g' on every unanchored replace: DuckDB defaults to
+          -- first-match-only where Spark replaces all; the fixture emits
+          -- each pattern once, but the semantics must not depend on that.
           SELECT doc_id, regexp_replace(
             regexp_replace(
               regexp_replace(
                 regexp_replace(
                   lower(regexp_extract(url, '^[A-Za-z]+://[^/:?#]+'))
                     || regexp_replace(url, '^[A-Za-z]+://[^/:?#]+', ''),
-                  ':443/', '/'),
-                '#.*$', ''),
-              'utm_[A-Za-z]+=[^&#]*&', ''),
-            '[?&]utm_[A-Za-z]+=[^&#]*', '') AS canonical
+                  ':443/', '/', 'g'),
+                '#.*$', '', 'g'),
+              'utm_[A-Za-z]+=[^&#]*&', '', 'g'),
+            '[?&]utm_[A-Za-z]+=[^&#]*', '', 'g') AS canonical
           FROM urls
         )
         SELECT canonical, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc

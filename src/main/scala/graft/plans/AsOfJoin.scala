@@ -50,9 +50,18 @@ object AsOfJoin {
           s"asof join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]")))
     require(leftKeys.length == rightKeys.length && leftOrd.length == rightOrd.length,
       "asof join: key/ord lists must pair up")
-    GraftSqlShim.ofRows(left.sparkSession,
-      AsOfJoinPlan(lp, rp, attrs(lp, leftKeys), attrs(rp, rightKeys),
-        attrs(lp, leftOrd), attrs(rp, rightOrd)))
+    val (lk, rk) = (attrs(lp, leftKeys), attrs(rp, rightKeys))
+    val (lo, ro) = (attrs(lp, leftOrd), attrs(rp, rightOrd))
+    // The exec builds its comparators from the LEFT types and applies
+    // them to right-side projections — mismatched pairs would not error,
+    // they would silently mis-compare (e.g. an int read through a long
+    // ordering loses sign extension). Fail here instead.
+    (lk.zip(rk) ++ lo.zip(ro)).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"asof join: paired columns ${l.name} (${l.dataType.catalogString}) and " +
+          s"${r.name} (${r.dataType.catalogString}) must have identical types")
+    }
+    GraftSqlShim.ofRows(left.sparkSession, AsOfJoinPlan(lp, rp, lk, rk, lo, ro))
   }
 }
 
@@ -153,9 +162,17 @@ case class AsOfJoinExec(
           val lOrdRow = lOrdProj(l)
           var advancing = rHead != null
           while (advancing) {
-            val c = keyCmp.compare(rKeyProj(rHead), lKey)
+            val rKey = rKeyProj(rHead)
+            val c = keyCmp.compare(rKey, lKey)
             if (c < 0 || (c == 0 && ordCmp.compare(rOrdProj(rHead), lOrdRow) < 0)) {
-              if (c == 0) { cand = rHead; candKey = rKeyProj(rHead).copy() }
+              if (c == 0) {
+                cand = rHead
+                // Re-copy the key only on key-group change — within a
+                // group every matched row shares it, and this is the
+                // innermost loop.
+                if (candKey == null || keyCmp.compare(candKey, rKey) != 0)
+                  candKey = rKey.copy()
+              }
               rHead = fetchRight()
               advancing = rHead != null
             } else advancing = false

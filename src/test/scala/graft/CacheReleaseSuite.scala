@@ -24,6 +24,9 @@ class CacheReleaseSuite extends AnyFunSuite {
 
   test("simhash-family caches release after their last consumer key") {
     Caches.releaseAll(spark, dir)
+    // Residency check is meaningful because suites run sequentially in
+    // the forked JVM (Test / testForkedParallel := false in build.sbt).
+    val pinnedBefore = Caches.pinnedRddCount(spark)
     simFamily.foreach { k =>
       assert(SparkEntry.queries(k)(spark, dir).count() > 0, s"$k returned 0 rows")
       Caches.keyDone(spark, dir, k)
@@ -31,6 +34,11 @@ class CacheReleaseSuite extends AnyFunSuite {
     val live = Caches.activeEntries(spark, dir)
     assert(!live.exists(Set("simhash_sigs", "simhash_edges", "cluster_labels")),
       s"simhash-family caches still pinned after their last consumer: $live")
+    // Entry removal alone would pass even if the release closure stopped
+    // unpersisting — assert the block-manager blocks actually went away.
+    val pinnedAfter = Caches.pinnedRddCount(spark)
+    assert(pinnedAfter <= pinnedBefore,
+      s"pinned RDDs grew across the simhash family: $pinnedBefore -> $pinnedAfter")
   }
 
   test("ngram shingle checkpoint releases after its consumer key") {
@@ -70,19 +78,27 @@ class CacheReleaseSuite extends AnyFunSuite {
     assert(released == 1, "last consumer reported; release must fire")
   }
 
-  test("a completed pass does not pre-release the next pass's rebuild") {
+  test("the completion ledger is monotone: overlapping late registrations never starve") {
     Caches.releaseAll(spark, dir)
     var released = 0
     Caches.track(spark, dir, "pass_cache", Set("kA", "kB"), () => released += 1)
     Seq("kA", "kB").foreach(Caches.keyDone(spark, dir, _))
     assert(released == 1)
-    // Second pass (tests re-running keys): the rebuild's registration must
-    // NOT be satisfied by the first pass's completions.
+    // A cache registering AFTER that release, with an overlapping
+    // consumer set, must still see kB's completion — clearing the ledger
+    // on release would leave this entry pinned for the rest of the pass.
+    var late = 0
+    Caches.track(spark, dir, "late_overlap", Set("kB", "kC"), () => late += 1)
+    assert(late == 0)
+    Caches.keyDone(spark, dir, "kC")
+    assert(late == 1, "ledger must retain kB across the earlier release")
+    // A REBUILD after its pass completed seeds full and releases at the
+    // next consumer report (never at registration — the builder is still
+    // inside its query fn then): perf-only fresh rebuilds per re-run
+    // consumer, which is what per-rep isolation measurement wants.
     Caches.track(spark, dir, "pass_cache", Set("kA", "kB"), () => released += 1)
-    assert(released == 1, "rebuild must wait for its consumers to re-run")
+    assert(released == 1, "no release at registration")
     Caches.keyDone(spark, dir, "kA")
-    assert(released == 1)
-    Caches.keyDone(spark, dir, "kB")
-    assert(released == 2)
+    assert(released == 2, "rebuild releases at the next consumer report")
   }
 }
