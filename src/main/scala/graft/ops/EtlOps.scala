@@ -287,6 +287,50 @@ object EtlOps extends OpGroup {
           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         FROM orders
         GROUP BY o_custkey ORDER BY o_custkey
+      """.trim)),
+
+    // Dynamic partition overwrite: the backfill write mode every
+    // partitioned lake table depends on — rewriting ONE partition's data
+    // in place (1996 repriced +5%, exact decimal) while every other
+    // partition's files stay untouched. partitionOverwriteMode=dynamic
+    // replaces only the partitions present in the incoming frame; static
+    // mode (the default) would truncate the whole table first. Read-back
+    // aggregates per year prove 1996 changed and the rest didn't. At
+    // 100 TB this is the nightly-restatement primitive: the job writes
+    // |changed partitions| of data, never the table.
+    Op("etl_partition_overwrite",
+      (s, dir) => {
+        val out = Tables.tmpDir("graft_dynpart")
+        val o = Tables.t(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+        o.repartition(col("o_year"))
+          .write.mode("overwrite").partitionBy("o_year").parquet(out)
+        val restated = o.filter(col("o_year") === 1996)
+          .withColumn("o_totalprice",
+            round(col("o_totalprice").cast(DecimalType(18, 2))
+                * lit(BigDecimal("1.05")).cast(DecimalType(3, 2)), 2)
+              .cast(DecimalType(18, 2)).cast("double"))
+        val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try restated.repartition(col("o_year"))
+          .write.mode("overwrite").partitionBy("o_year").parquet(out)
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.read.parquet(out)
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DecimalType(18, 2)).cast("double").as("sum_price"))
+          .orderBy("o_year")
+      },
+      Some("""
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(
+            CASE WHEN year(o_orderdate) = 1996
+              THEN CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2)), 2) AS DECIMAL(18,2)) AS DOUBLE)
+              ELSE o_totalprice END
+            AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY 1 ORDER BY o_year
       """.trim))
   )
 }
