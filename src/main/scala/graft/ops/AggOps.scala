@@ -537,6 +537,28 @@ object AggOps extends OpGroup {
         FROM probes JOIN counters USING (i, bucket)
         GROUP BY k, exact
         ORDER BY exact DESC, k LIMIT 20
-      """.trim))
+      """.trim)),
+
+    // Two-level HLL rollup — the sketch-MERGE pattern that makes
+    // distinct-count rollups incremental at 100 TB: per (event_type,
+    // week) the Datasketches HLL of user_id is built ONCE (the nightly
+    // partial artifact a real pipeline persists), then coarser grains
+    // re-aggregate the binary sketches with hll_union_agg — never
+    // re-touching the raw events. Exact countDistinct at the coarse
+    // grain would re-shuffle all (type, user) pairs every rollup;
+    // union-of-sketches ships |weeks|×1.5 KB. Non-oracle (DuckDB's HLL
+    // isn't bit-compatible); EquivalenceSuite bounds the estimate
+    // against exact within the sketch's published error.
+    Op("agg_hll_merge",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("event_type"), weekofyear(col("ts")).as("wk"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .groupBy("event_type")
+          .agg(round(hll_sketch_estimate(hll_union_agg(col("sk"))), 0)
+            .cast("long").as("approx_users"))
+          .orderBy("event_type")
+      },
+      None)
   )
 }

@@ -331,6 +331,84 @@ object EtlOps extends OpGroup {
             AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
         FROM orders
         GROUP BY 1 ORDER BY o_year
+      """.trim)),
+
+    // Small-file compaction: the other half of lake maintenance next to
+    // etl_partition_overwrite. A nightly ingest writes each partition dir
+    // with one file per writer task (8 here — the fragmented shape), the
+    // compactor re-clusters BY the partition column so each dir gets
+    // exactly one writer, and the read-back proves it from data alone:
+    // one distinct file path per partition, same row counts. At 100 TB
+    // compaction is per-partition-subtree and its job size is |small
+    // files|, never |table| — the repartition(col) is the whole trick
+    // (hash-cluster rows by the dir key so writer tasks and dirs are 1:1).
+    Op("etl_compact_files",
+      (s, dir) => {
+        val frag = Tables.tmpDir("graft_frag")
+        val comp = Tables.tmpDir("graft_compact")
+        val e = Tables.t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        e.repartition(8)
+          .write.mode("overwrite").partitionBy("event_type").parquet(frag)
+        s.read.parquet(frag).repartition(col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(comp)
+        s.read.parquet(comp)
+          .select(col("event_type"), col("_metadata.file_path").as("fp"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"), countDistinct(col("fp")).as("n_files"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS n_files
+        FROM events GROUP BY 1 ORDER BY event_type
+      """.trim)),
+
+    // Data-quality expectations report (the dbt-test / Deequ pattern):
+    // five declared constraints on `orders` — key not-null, key unique,
+    // price positive, status in domain, date in [1995-01-01, 2000-12-31]
+    // (the last one genuinely FAILS on this data: orders run to 2001-08)
+    // — verified in ONE scan + one exact-distinct shuffle, then unpivoted
+    // to a (check, violations, pass) report via stack(). The single-pass
+    // shape is the 100 TB story: N constraints cost one pass over the
+    // table, not N, because every violation counter is a partial-
+    // aggregatable sum fused into the same HashAggregate.
+    Op("etl_validate_constraints",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.agg(
+            sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("c_null"),
+            (count(lit(1)) - countDistinct(col("o_orderkey"))).as("c_dup"),
+            sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("c_price"),
+            sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("c_status"),
+            sum(when(col("o_orderdate") < lit("1995-01-01").cast("timestamp_ntz")
+              || col("o_orderdate") > lit("2000-12-31").cast("timestamp_ntz"), 1L)
+              .otherwise(0L)).as("c_date"))
+          .select(expr("""stack(5,
+              'orderkey_not_null',   c_null,
+              'orderkey_unique',     c_dup,
+              'totalprice_positive', c_price,
+              'orderstatus_domain',  c_status,
+              'orderdate_in_range',  c_date) AS (check_name, n_violations)"""))
+          .withColumn("pass", col("n_violations") === 0L)
+          .orderBy("check_name")
+      },
+      Some("""
+        WITH m AS (
+          SELECT
+            CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_null,
+            CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS c_dup,
+            CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_price,
+            CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS c_status,
+            CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                       OR o_orderdate > TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END) AS BIGINT) AS c_date
+          FROM orders)
+        SELECT * FROM (
+          SELECT 'orderkey_not_null' AS check_name, c_null AS n_violations, c_null = 0 AS pass FROM m
+          UNION ALL SELECT 'orderkey_unique', c_dup, c_dup = 0 FROM m
+          UNION ALL SELECT 'totalprice_positive', c_price, c_price = 0 FROM m
+          UNION ALL SELECT 'orderstatus_domain', c_status, c_status = 0 FROM m
+          UNION ALL SELECT 'orderdate_in_range', c_date, c_date = 0 FROM m)
+        ORDER BY check_name
       """.trim))
   )
 }

@@ -1245,6 +1245,88 @@ object PipelineOps extends OpGroup {
         WHERE vec_id <> 0
         GROUP BY vec_id
         ORDER BY approx_dist_scaled, vec_id LIMIT 10
+      """.trim)),
+
+    // Fixed-budget chunking with overlap — the step that turns a cleaned
+    // corpus into training examples: 500-char chunks on a 400-char stride
+    // (100-char overlap so no sentence is lost at a boundary; the
+    // char-budget stands in for a token budget — swap length() for
+    // text_token_count's regex to chunk by tokens). Pure per-row explode:
+    // no shuffle except the presentation sort, so it streams at 100 TB —
+    // output size is input × (1 + overlap/stride), the only cost knob.
+    Op("text_chunk_overlap",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        d.select(col("doc_id"), col("text"),
+            explode(sequence(lit(0L),
+              greatest(length(col("text")).cast("long") - 1, lit(0L)),
+              lit(400L))).as("chunk_start"))
+          .select(col("doc_id"), col("chunk_start"),
+            col("text").substr((col("chunk_start") + 1).cast("int"), lit(500)).as("chunk"))
+          .filter(length(col("chunk")) > 0)
+          .select(col("doc_id"), col("chunk_start"),
+            length(col("chunk")).cast("long").as("chunk_len"), col("chunk"))
+          .orderBy("doc_id", "chunk_start")
+      },
+      Some("""
+        SELECT doc_id, chunk_start, CAST(length(chunk) AS BIGINT) AS chunk_len, chunk FROM (
+          SELECT doc_id, chunk_start,
+                 substring(text, CAST(chunk_start AS INT) + 1, 500) AS chunk FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, GREATEST(length(text) - 1, 0), 400)) AS chunk_start
+            FROM documents))
+        WHERE length(chunk) > 0
+        ORDER BY doc_id, chunk_start
+      """.trim)),
+
+    // Train/eval contamination check — the audit every training corpus
+    // needs before a benchmark number can be trusted: which training docs
+    // share verbatim word-8-grams with the held-out eval set (doc_id
+    // divisible by 50 stands in for the benchmark), reported per eval doc
+    // with zero-contamination docs included. The 8-gram is the standard
+    // contamination unit (long enough that coincidence ~vanishes). Scale
+    // shape: the eval side is tiny by construction (benchmarks are KBs
+    // against a 100 TB corpus), so its distinct shingles BROADCAST and
+    // the check is one map-side semi-join pass over the training corpus —
+    // no shuffle of corpus shingles; on raw strings here for oracle
+    // parity, over 64-bit shingle hashes at scale.
+    Op("corpus_contamination",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val sh = d.withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 8)
+          .select(col("doc_id"),
+            explode(array_distinct(expr(
+              "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))"))).as("g"))
+        val evalSh = sh.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("eval_id"), col("g"))
+        val trainSh = sh.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id").as("train_id"), col("g"))
+        val hits = trainSh.join(broadcast(evalSh), Seq("g"))
+          .groupBy("eval_id", "train_id").agg(count(lit(1)).as("n_shared"))
+        d.filter(col("doc_id") % 50 === 0).select(col("doc_id").as("eval_id"))
+          .join(hits, Seq("eval_id"), "left")
+          .groupBy("eval_id")
+          .agg(count(col("train_id")).as("n_train_docs"),
+            coalesce(max(col("n_shared")), lit(0L)).as("max_shared"))
+          .orderBy("eval_id")
+      },
+      Some("""
+        WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 7),
+            i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS g
+          FROM documents),
+        hits AS (
+          SELECT e.doc_id AS eval_id, t.doc_id AS train_id, COUNT(*) AS n_shared
+          FROM sh t JOIN sh e ON t.g = e.g AND t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+          GROUP BY 1, 2)
+        SELECT d.doc_id AS eval_id,
+          CAST(COUNT(h.train_id) AS BIGINT) AS n_train_docs,
+          CAST(COALESCE(MAX(h.n_shared), 0) AS BIGINT) AS max_shared
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.eval_id
+        WHERE d.doc_id % 50 = 0
+        GROUP BY 1 ORDER BY eval_id
       """.trim))
   )
 }

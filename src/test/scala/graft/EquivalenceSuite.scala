@@ -105,6 +105,27 @@ class EquivalenceSuite extends AnyFunSuite {
     }
   }
 
+  test("agg_hll_merge: merged weekly sketches within 5% of exact distinct users") {
+    val approx = rows("agg_hll_merge")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf0001)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx=$a exact=$e")
+    }
+    // The merge path must equal the single-level sketch of the same data:
+    // HLL union is lossless over disjoint partials of one stream.
+    val oneLevel = Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(round(hll_sketch_estimate(hll_sketch_agg(col("user_id"))), 0)
+        .cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx == oneLevel)
+  }
+
   test("agg_approx_percentile within 2% of the exact row_number median") {
     val approx = rows("agg_approx_percentile")
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
