@@ -559,6 +559,32 @@ object AggOps extends OpGroup {
             .cast("long").as("approx_users"))
           .orderBy("event_type")
       },
-      None)
+      None),
+
+    // Bitmap-exact distinct count — the EXACT dual of agg_hll_merge's
+    // sketch path for dense integer keys: user ids pack into 32-bit
+    // words (id DIV 32 → word, bit_or of 1 << id%32), distinct count =
+    // Σ bit_count. Both levels partial-aggregate (bit_or and sum are
+    // commutative monoids), so the shuffle carries |ids|/32 words per
+    // group instead of |ids| values — at 100 TB this is how exact
+    // distinct rollups stay incremental (roaring bitmaps in a real
+    // lakehouse; the 32-bit word is the same algebra). The oracle is
+    // plain COUNT(DISTINCT): the hash match PROVES the bitmap algebra
+    // exact, not approximately right.
+    Op("agg_bitmap_distinct",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        e.select(col("event_type"), expr("user_id DIV 32").as("bucket"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").as("bit"))
+          .groupBy("event_type", "bucket")
+          .agg(expr("bit_or(bit)").as("w"))
+          .groupBy("event_type")
+          .agg(sum(expr("bit_count(w)")).cast("long").as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1 ORDER BY event_type
+      """.trim))
   )
 }

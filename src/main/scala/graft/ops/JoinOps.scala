@@ -451,6 +451,47 @@ object JoinOps extends OpGroup {
           WHERE event_type IN ('click', 'purchase')
         ) WHERE event_type = 'purchase'
         ORDER BY event_id
+      """.trim)),
+
+    // Dynamic partition pruning, made real: the one Catalyst mechanism
+    // SURVEY §4 marks "inert" on the single-file test inputs. The fact
+    // side is written PARTITIONED by event_type; joining it to a tiny
+    // filtered dim makes Spark inject the dim's post-filter key set as a
+    // runtime PartitionFilter on the fact scan (reusing the broadcast
+    // exchange), so 3 of 5 partition dirs are never opened. PlanSuite
+    // pins `dynamicpruning` in the scan. THE 100 TB mechanism for
+    // "yesterday's partitions only" joins — the scan cost is the
+    // surviving partitions', not the table's, with zero query rewrite.
+    Op("join_dpp_prune",
+      (s, dir) => {
+        val out = Tables.tmpDir("graft_dpp")
+        val dimOut = Tables.tmpDir("graft_dpp_dim")
+        Tables.t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+          .repartition(col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        // The dim must be a real scan with a surviving Filter node: a
+        // literal LocalRelation gets constant-folded by
+        // ConvertToLocalRelation before the PartitionPruning rule looks
+        // for a selective predicate, and DPP never fires. On a cluster
+        // the dim IS a table — this models it.
+        s.createDataFrame(Seq(
+            ("click", 10), ("purchase", 500), ("view", 1),
+            ("signup", 50), ("error", 0)))
+          .toDF("event_type", "weight")
+          .write.mode("overwrite").parquet(dimOut)
+        val fact = s.read.parquet(out)
+        val dim = s.read.parquet(dimOut).filter(col("weight") >= 50)
+        fact.join(broadcast(dim), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), max(col("weight")).as("weight"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+          CAST(CASE event_type WHEN 'purchase' THEN 500 ELSE 50 END AS INT) AS weight
+        FROM events WHERE event_type IN ('purchase', 'signup')
+        GROUP BY 1 ORDER BY event_type
       """.trim))
   )
 }

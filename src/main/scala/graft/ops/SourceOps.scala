@@ -248,6 +248,54 @@ object SourceOps extends OpGroup {
         FROM (SELECT CAST(NTILE(8) OVER (ORDER BY z, o_orderkey) AS INT) AS zbucket,
                 o_custkey, o_orderdate FROM z)
         GROUP BY zbucket ORDER BY zbucket
+      """.trim)),
+
+    // Parse-time quarantine: PERMISSIVE CSV ingestion of a poisoned batch.
+    // `nation` is written clean, then a part file of 3 deterministically
+    // malformed lines is dropped into the directory — the shape of a bad
+    // upstream delivery. The read uses an explicit schema +
+    // columnNameOfCorruptRecord, so malformed lines land whole in
+    // `_corrupt_record` instead of failing the job, and the report proves
+    // the good rows survived intact (key checksum) while every bad line
+    // was captured. Measured Spark CSV semantics the fixture encodes:
+    // (a) arity mismatches are padded/truncated SILENTLY (not corrupt) —
+    // only type-conversion failure triggers the corrupt column; (b) CSV
+    // column pruning (on by default) means a bad cell is only DETECTED
+    // when the query parses that column — a failure in an unread column
+    // sails through. So every poisoned line fails in n_nationkey, which
+    // the report reads. At 100 TB this is the ingestion contract: parse
+    // errors are data, never exceptions — the parse-level sibling of
+    // etl_quarantine's rule-level gate — and (b) is why a quarantine
+    // pass must SELECT every contracted column.
+    Op("src_csv_corrupt_records",
+      (s, dir) => {
+        val out = tmpDir("graft_corrupt")
+        Tables.t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .coalesce(1).write.mode("overwrite").csv(out)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "part-poisoned.csv"),
+          "xx,BADLAND,1\nnotanint,X,7\n4.5,TOOMANY,9\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val schema = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType),
+          StructField("_corrupt_record", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(out)
+          .agg(
+            sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+            sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+            sum(when(col("_corrupt_record").isNull, col("n_nationkey").cast("long")))
+              .as("key_sum"))
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_good, CAST(3 AS BIGINT) AS n_bad,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        FROM nation
       """.trim))
   )
 

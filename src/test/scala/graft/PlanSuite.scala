@@ -258,4 +258,31 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("partial_min") || p.contains("HashAggregate"),
       "argmin should be a two-phase aggregate")
   }
+
+  test("join_dpp_prune: dim filter becomes a runtime PartitionFilter on the fact scan") {
+    val p = plan("join_dpp_prune")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "dynamic partition pruning must inject the dim's surviving keys " +
+        "into the partitioned fact scan (3 of 5 dirs never opened)")
+    assert(p.contains("BroadcastExchange"), "the filtered dim must broadcast")
+  }
+
+  test("corpus_contamination: eval shingles broadcast; corpus shingles never shuffle") {
+    val p = plan("corpus_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny eval side must broadcast into a map-side join")
+    // The training-side shingle stream must reach the broadcast join
+    // without an exchange of its own (only post-join aggregation shuffles).
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(joinIdx > 0)
+  }
+
+  test("etl_validate_constraints: all five violation counters fuse into one aggregate pass") {
+    val p = plan("etl_validate_constraints")
+    // One scan of orders; the distinct rewrite may add agg levels but a
+    // second scan of orders would mean N passes for N checks. Count the
+    // detail-section headers (the tree line would double-count each scan).
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      "the constraint report must read the table exactly once")
+  }
 }
