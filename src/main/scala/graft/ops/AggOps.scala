@@ -585,6 +585,32 @@ object AggOps extends OpGroup {
       Some("""
         SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY 1 ORDER BY event_type
+      """.trim)),
+
+    // grouping()/grouping_id() — the piece that makes rollup/cube results
+    // machine-consumable: a NULL group key in a subtotal row is
+    // indistinguishable from a NULL in the data without the grouping
+    // markers (this data has no NULL flags, which is exactly why the
+    // marker, not the NULL, must carry the level). gid bit order: most
+    // significant bit = first rollup column, matching 2·g(a)+g(b).
+    Op("agg_grouping_id",
+      (s, dir) => {
+        val l = Tables.t(s, dir, "lineitem")
+        l.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            grouping_id().cast("long").as("gid"),
+            grouping(col("l_returnflag")).cast("int").as("g_flag"),
+            grouping(col("l_linestatus")).cast("int").as("g_status"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+          CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+          CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus
       """.trim))
   )
 }

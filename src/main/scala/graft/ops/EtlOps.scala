@@ -409,6 +409,51 @@ object EtlOps extends OpGroup {
           UNION ALL SELECT 'orderstatus_domain', c_status, c_status = 0 FROM m
           UNION ALL SELECT 'orderdate_in_range', c_date, c_date = 0 FROM m)
         ORDER BY check_name
+      """.trim)),
+
+    // Referential-integrity audit: per FK relation, how many child rows
+    // point at a missing parent. Two dims are deterministically "botched"
+    // (every 100th customer, every 50th part dropped — the partial-dim-
+    // load failure mode) so the report shows real orphan counts next to
+    // a passing relation. Each check is ONE left-anti join collapsing to
+    // a single counter — anti joins broadcast the parent key set when it
+    // fits, and every counter partial-aggregates, so N relations cost N
+    // key-only passes, never a row explosion. At 100 TB the
+    // lineitem→orders check runs on bucketed snapshots as a zipped anti
+    // merge — the same shape as join_bucketed_colocated.
+    Op("etl_fk_orphan_check",
+      (s, dir) => {
+        val orders = Tables.t(s, dir, "orders")
+        val li = Tables.t(s, dir, "lineitem")
+        val cust = Tables.t(s, dir, "customer").filter(col("c_custkey") % 100 =!= 0)
+        val part = Tables.t(s, dir, "part").filter(col("p_partkey") % 50 =!= 0)
+        def orphans(child: DataFrame, key: String,
+            parent: DataFrame, pkey: String, rel: String): DataFrame =
+          child.join(parent, child(key) === parent(pkey), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+            .select(lit(rel).as("relation"), col("n_orphans"))
+        orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer")
+          .unionAll(orphans(li, "l_partkey", part, "p_partkey", "lineitem->part"))
+          .unionAll(orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"))
+          .withColumn("pass", col("n_orphans") === 0L)
+          .orderBy("relation")
+      },
+      Some("""
+        SELECT relation, n_orphans, n_orphans = 0 AS pass FROM (
+          SELECT 'orders->customer' AS relation, CAST(COUNT(*) AS BIGINT) AS n_orphans
+          FROM orders o WHERE NOT EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 100 <> 0)
+          UNION ALL
+          SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
+          FROM lineitem l WHERE NOT EXISTS (
+            SELECT 1 FROM part p
+            WHERE p.p_partkey = l.l_partkey AND p.p_partkey % 50 <> 0)
+          UNION ALL
+          SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT)
+          FROM lineitem l WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        ORDER BY relation
       """.trim))
   )
 }

@@ -123,6 +123,37 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("chunking with overlap covers every character and reconstructs the doc") {
+    // Every document position is covered by >=1 chunk; concatenating each
+    // chunk's non-overlapping prefix (the stride) plus the final chunk's
+    // tail reconstructs the document exactly.
+    val rows = SparkEntry.queries("text_chunk_overlap")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .groupBy(_._1)
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) =>
+      if (text.nonEmpty) {
+        val chunks = rows(id).sortBy(_._2)
+        assert(chunks.head._2 == 0L, s"doc $id: first chunk must start at 0")
+        // Strides are contiguous: each chunk starts exactly 400 after the
+        // previous, and each chunk spans past the next start (overlap > 0)
+        // unless it is the last.
+        chunks.sliding(2).foreach {
+          case Array((_, s1, c1), (_, s2, _)) =>
+            assert(s2 == s1 + 400, s"doc $id: stride gap at $s1")
+            assert(s1 + c1.length > s2, s"doc $id: no overlap at $s1")
+          case _ => ()
+        }
+        val rebuilt = chunks.map { case (_, start, c) =>
+          if (start == chunks.last._2) c else c.take(400)
+        }.mkString
+        assert(rebuilt == text, s"doc $id: reconstruction mismatch")
+      }
+    }
+  }
+
   test("pointer-jumping connected components == union-find on random graphs") {
     // The Pregel + pointer-jump loop (PipelineOps.connectedComponents) is
     // the one custom iterative algorithm in the engine; the DuckDB oracle
