@@ -611,6 +611,40 @@ object AggOps extends OpGroup {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY gid, l_returnflag, l_linestatus
+      """.trim)),
+
+    // max_by/min_by (DuckDB arg_max/arg_min) — "which entity holds the
+    // extreme", without a rank window: per event_type the top/bottom
+    // spender by exact-decimal total. The ordering key is
+    // total·10⁶ + user_id (cent-quantized totals space keys 10,000 apart,
+    // user ids < 10,000) so ties are IMPOSSIBLE and the nondeterminism
+    // that plagues arg-extremes on ties never surfaces. Two hash
+    // aggregates, both partial-aggregatable — max_by's buffer is one
+    // (key, value) pair per group, the cheapest possible top-1.
+    Op("agg_max_by",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "events")
+        e.groupBy("event_type", "user_id")
+          .agg(sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("total"))
+          .withColumn("ord",
+            (col("total") * 1000000).cast("long") + col("user_id"))
+          .groupBy("event_type")
+          .agg(
+            max_by(col("user_id"), col("ord")).as("top_user"),
+            min_by(col("user_id"), col("ord")).as("bottom_user"),
+            max(col("total")).cast("double").as("top_total"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH t AS (
+          SELECT event_type, user_id,
+            CAST(SUM(CAST(ROUND("value", 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+          FROM events GROUP BY 1, 2)
+        SELECT event_type,
+          arg_max(user_id, CAST(total * 1000000 AS BIGINT) + user_id) AS top_user,
+          arg_min(user_id, CAST(total * 1000000 AS BIGINT) + user_id) AS bottom_user,
+          CAST(MAX(total) AS DOUBLE) AS top_total
+        FROM t GROUP BY 1 ORDER BY event_type
       """.trim))
   )
 }

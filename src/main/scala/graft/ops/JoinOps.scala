@@ -492,6 +492,39 @@ object JoinOps extends OpGroup {
           CAST(CASE event_type WHEN 'purchase' THEN 500 ELSE 50 END AS INT) AS weight
         FROM events WHERE event_type IN ('purchase', 'signup')
         GROUP BY 1 ORDER BY event_type
+      """.trim)),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM) — the ETL trap
+    // this op pins: a plain equi-join silently DROPS every null-keyed row
+    // on both sides, and a reconciliation built on one loses exactly the
+    // unkeyed population it most needs to see. Keys are made nullable
+    // deterministically (bucket 0 → NULL via nullif) on both sides; the
+    // null bucket must survive the join as a matched group. Same
+    // hash-shuffle shape as an equi-join — null-safe equality is still a
+    // hashable key (Spark plans SMJ/SHJ on it, null hashes as a value),
+    // NOT a theta join.
+    Op("join_null_safe_eq",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .groupBy(nullif(col("o_custkey") % 10, lit(0)).as("k"))
+          .agg(count(lit(1)).as("n_orders"))
+        val c = Tables.t(s, dir, "customer")
+          .groupBy(nullif(col("c_custkey") % 10, lit(0)).as("ck"))
+          .agg(count(lit(1)).as("n_cust"))
+        o.join(c, o("k") <=> c("ck"))
+          .select(col("k").cast("long").as("k"), col("n_orders"), col("n_cust"))
+          .orderBy(asc_nulls_first("k"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT nullif(o_custkey % 10, 0) AS k, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1),
+        c AS (
+          SELECT nullif(c_custkey % 10, 0) AS ck, COUNT(*) AS n_cust
+          FROM customer GROUP BY 1)
+        SELECT CAST(k AS BIGINT) AS k, n_orders, n_cust
+        FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.ck
+        ORDER BY k NULLS FIRST
       """.trim))
   )
 }

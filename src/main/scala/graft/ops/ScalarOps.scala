@@ -373,6 +373,38 @@ object ScalarOps extends OpGroup {
         SELECT c_custkey, 'id=' || c_custkey || ';seg=' || c_mktsegment AS s_str,
           c_mktsegment AS seg_again
         FROM customer ORDER BY c_custkey
+      """.trim)),
+
+    // try_cast — the safe-cast ingestion surface: a deterministically
+    // poisoned string column (every 7th part's size prefixed with 'x')
+    // parsed back with TRY_CAST semantics — bad cells become NULL, never
+    // exceptions, and the report counts both populations plus the sum of
+    // what parsed. The row-local dual of src_csv_corrupt_records' parse
+    // quarantine: this is how a 100 TB ingest survives a dirty column
+    // without a single task retry.
+    Op("fn_try_cast",
+      (s, dir) => {
+        val p = Tables.t(s, dir, "part")
+        p.select(
+            when(col("p_partkey") % 7 === 0,
+              concat(lit("x"), col("p_size").cast("string")))
+              .otherwise(col("p_size").cast("string")).as("raw"))
+          .select(expr("try_cast(raw AS INT)").as("v"))
+          .agg(
+            sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_parsed"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_failed"),
+            sum(col("v").cast("long")).as("size_sum"))
+      },
+      Some("""
+        SELECT
+          CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+          CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+          CAST(SUM(v) AS BIGINT) AS size_sum
+        FROM (
+          SELECT TRY_CAST(CASE WHEN p_partkey % 7 = 0
+            THEN 'x' || CAST(p_size AS VARCHAR)
+            ELSE CAST(p_size AS VARCHAR) END AS INT) AS v
+          FROM part)
       """.trim))
   )
 }
