@@ -190,6 +190,30 @@ object StreamOps extends OpGroup {
           .agg(count(lit(1)).as("n_sessions"))
           .orderBy("user_id")
       },
+      None),
+
+    // Stream-static enrichment join — the OTHER streaming join (vs the
+    // stream-stream interval join above): each micro-batch joins against
+    // a static dim frame re-planned per batch, stateless, no watermark
+    // needed on the static side. THE shape of a 100 TB/day enrich-on-
+    // ingest pipeline (stream ⋈ broadcast dim); the dim here is the
+    // per-user first-seen day derived in batch, and the result counts
+    // events per (event_type, cohort_known) — proving null handling for
+    // dim misses (left join) inside the micro-batch.
+    Op("stream_static_join",
+      (s, dir) => {
+        val cohorts = Tables.events(s, dir)
+          .filter(col("user_id") % 3 =!= 0) // every 3rd user missing: dim-miss path
+          .groupBy("user_id")
+          .agg(date_format(min(col("ts")), "yyyy-MM-dd").as("cohort"))
+        val enriched = eventStream(s, dir)
+          .join(broadcast(cohorts), Seq("user_id"), "left")
+          .select(col("event_type"), col("cohort").isNotNull.as("cohort_known"))
+        runToMemory(s, enriched, "graft_stream_static", "append")
+          .groupBy("event_type", "cohort_known")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "cohort_known")
+      },
       None)
   )
 }

@@ -93,6 +93,20 @@ class EquivalenceSuite extends AnyFunSuite {
     }
   }
 
+  test("stream_static_join enrichment counts match the batch join") {
+    val streaming = rows("stream_static_join")
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sf0001)
+    val cohorts = ev.filter(col("user_id") % 3 =!= 0)
+      .groupBy("user_id")
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd").as("cohort"))
+    val batch = ev.join(cohorts, Seq("user_id"), "left")
+      .groupBy(col("event_type"), col("cohort").isNotNull.as("cohort_known"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(streaming == batch)
+  }
+
   test("agg_approx_distinct within 5% of exact distinct counts") {
     val approx = rows("agg_approx_distinct")
       .map(r => r.getString(0) -> r.getLong(1)).toMap
