@@ -430,6 +430,49 @@ object EventOps extends OpGroup {
           CAST(ROUND(CAST(CAST(CAST(n_active AS DOUBLE) / cohort_n AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) AS retention
         FROM act JOIN sized ON act.cohort_day = sized.cohort_day
         ORDER BY act.cohort_day, "offset"
+      """.trim)),
+
+    // Longest consecutive-day activity streak per user — gaps-and-islands
+    // with the date-minus-row_number trick: within a user, consecutive
+    // days share (d − row_number) as a constant group key, so islands
+    // fall out of ONE window + one aggregate (no self-join, no recursive
+    // expansion). Ties (equal-length streaks) break to the latest start —
+    // deterministic. Same single-shuffle-by-entity shape as etl_scd2;
+    // streaks over 100 TB of events cost one shuffle by user, full stop.
+    Op("ts_longest_streak",
+      (s, dir) => {
+        val days = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("d")
+        val streaks = days
+          .withColumn("grp", expr("date_sub(d, row_number() OVER " +
+            "(PARTITION BY user_id ORDER BY d))"))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("streak_len"), min(col("d")).as("start"))
+        streaks
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("user_id")
+              .orderBy(col("streak_len").desc, col("start").desc)))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("streak_len"),
+            date_format(col("start"), "yyyy-MM-dd").as("streak_start"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        streaks AS (
+          SELECT user_id, grp, COUNT(*) AS streak_len, MIN(d) AS start FROM (
+            SELECT user_id, d,
+              d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS grp
+            FROM days)
+          GROUP BY 1, 2)
+        SELECT user_id, streak_len, strftime(start, '%Y-%m-%d') AS streak_start FROM (
+          SELECT user_id, streak_len, start,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY streak_len DESC, start DESC) AS rk
+          FROM streaks)
+        WHERE rk = 1 ORDER BY user_id
       """.trim))
   )
 }
