@@ -296,6 +296,39 @@ object SourceOps extends OpGroup {
         SELECT CAST(COUNT(*) AS BIGINT) AS n_good, CAST(3 AS BIGINT) AS n_bad,
                CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
         FROM nation
+      """.trim)),
+
+    // Raw-asset ingestion via the binaryFile source — how a multimodal
+    // pipeline STARTS at 100 TB: a landing zone of opaque files becomes a
+    // DataFrame of (path, length, content: binary) rows feeding the
+    // decode/feature-extract stubs downstream. Fixture: the first 20
+    // docs land as one text file each (partitioned text write; docs are
+    // measured newline-free so file content = text + '\n' exactly). The
+    // report is order-insensitive: file count, total bytes, Σ of 48-bit
+    // md5(content) prefixes (48, not 60: the sum of 60-bit values
+    // overflows BIGINT under ANSI arithmetic) — a content checksum no file ordering can
+    // perturb. Spark md5 runs on raw binary; the oracle reproduces the
+    // digests from the source table (same UTF-8 bytes + chr(10)).
+    Op("src_binary_files",
+      (s, dir) => {
+        val out = tmpDir("graft_bin")
+        Tables.t(s, dir, "documents")
+          .filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+          .write.mode("overwrite").partitionBy("doc_id").text(out)
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.txt").option("recursiveFileLookup", "true")
+          .load(out)
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("length")).as("total_bytes"),
+            sum(expr("CAST(conv(substring(md5(content), 1, 12), 16, 10) AS BIGINT)"))
+              .as("sig_sum"))
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+          CAST(SUM(strlen(text) + 1) AS BIGINT) AS total_bytes,
+          CAST(SUM(CAST(('0x' || substring(md5(text || chr(10)), 1, 12)) AS BIGINT)) AS BIGINT) AS sig_sum
+        FROM documents WHERE doc_id < 20
       """.trim))
   )
 
