@@ -259,6 +259,36 @@ class PlanSuite extends AnyFunSuite {
       "argmin should be a two-phase aggregate")
   }
 
+  test("sketch/graph keys: no window sorts, no cartesians, partial aggregation everywhere") {
+    // The round-6 scale claims, pinned structurally. None of these may
+    // regress to a window sort (n×k shuffle) or a cartesian product, and
+    // each must keep map-side partial aggregation.
+    val countmin = plan("agg_countmin")
+    assert(!countmin.contains("Window") && !countmin.contains("Cartesian"))
+    assert(countmin.contains("partial_"), "counter build must partial-aggregate")
+    assert(countmin.contains("BroadcastExchange"),
+      "the 1024-row counter frame must broadcast to the probe join")
+
+    val pq = plan("vec_pq_topk")
+    assert(!pq.contains("Window"), "PQ encode argmin must be min(struct), not a window sort")
+    assert(pq.contains("vec_l2q_dist"), "PQ distances must use the codegen'd expression")
+    assert("BroadcastExchange".r.findAllIn(pq).size >= 2,
+      "codebooks and the ADC table must broadcast")
+
+    val bitmap = plan("agg_bitmap_distinct")
+    assert(bitmap.contains("bit_or"), "words must combine with bit_or")
+    assert(bitmap.contains("partial_"),
+      "both bitmap levels must partial-aggregate (the 100 TB claim)")
+    assert(!bitmap.contains("Expand"),
+      "the bitmap path must not fall back to a distinct-rewrite Expand")
+
+    val pr = plan("graph_pagerank_step")
+    assert(!pr.contains("Cartesian"))
+    assert(pr.contains("BroadcastExchange"),
+      "out-degrees must broadcast back onto the edge stream")
+    assert(pr.contains("partial_"), "inflow sums must partial-aggregate")
+  }
+
   test("join_dpp_prune: dim filter becomes a runtime PartitionFilter on the fact scan") {
     val p = plan("join_dpp_prune")
     assert(p.toLowerCase.contains("dynamicpruning"),
