@@ -1327,6 +1327,65 @@ object PipelineOps extends OpGroup {
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.eval_id
         WHERE d.doc_id % 50 = 0
         GROUP BY 1 ORDER BY eval_id
+      """.trim)),
+
+    // The capstone composition: a training-corpus prep pipeline end to
+    // end — re-crawl ingestion (every 10th doc re-lands under a new id:
+    // the exact-dup population), whitespace/case normalization, exact
+    // dedup (md5 of normalized text, keep-min — groupBy+join, NOT a
+    // window: both stages partial-aggregate, the 100 TB shape), a
+    // token-count quality gate (<20 tokens drops ~p10 of this corpus),
+    // and the per-lang yield report every corpus build publishes: kept /
+    // dropped-dup / dropped-lowq / bytes kept. Each stage is an
+    // oracle-checked primitive elsewhere in the inventory
+    // (text_normalize, text_exact_dedup, text_token_count,
+    // corpus_mix_report); this key proves they COMPOSE.
+    Op("corpus_prep_pipeline",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents").select("doc_id", "lang", "text")
+        val recrawl = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"))
+        val norm = d.unionAll(recrawl)
+          .withColumn("h", md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+        val keep = norm.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+        norm.join(keep, Seq("h"))
+          .select(col("lang"),
+            (col("doc_id") =!= col("keep_id")).as("is_dup"),
+            (col("doc_id") === col("keep_id") && col("n_tokens") < 20).as("is_lowq"),
+            octet_length(col("text")).cast("long").as("n_bytes"))
+          .groupBy("lang")
+          .agg(
+            sum(when(!col("is_dup") && !col("is_lowq"), 1L).otherwise(0L)).as("docs_kept"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("dropped_dup"),
+            sum(when(col("is_lowq"), 1L).otherwise(0L)).as("dropped_lowq"),
+            sum(when(!col("is_dup") && !col("is_lowq"), col("n_bytes"))
+              .otherwise(0L)).as("bytes_kept"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, lang, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 10 = 0),
+        norm AS (
+          SELECT doc_id, lang, text,
+            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h,
+            len(string_split(text, ' ')) AS n_tokens
+          FROM corpus),
+        keep AS (SELECT h, MIN(doc_id) AS keep_id FROM norm GROUP BY h),
+        flagged AS (
+          SELECT lang,
+            doc_id <> keep_id AS is_dup,
+            (doc_id = keep_id AND n_tokens < 20) AS is_lowq,
+            strlen(text) AS n_bytes
+          FROM norm JOIN keep USING (h))
+        SELECT lang,
+          CAST(SUM(CASE WHEN NOT is_dup AND NOT is_lowq THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+          CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dropped_dup,
+          CAST(SUM(CASE WHEN is_lowq THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lowq,
+          CAST(SUM(CASE WHEN NOT is_dup AND NOT is_lowq THEN n_bytes ELSE 0 END) AS BIGINT) AS bytes_kept
+        FROM flagged GROUP BY 1 ORDER BY lang
       """.trim))
   )
 }
