@@ -233,6 +233,46 @@ object JoinOps extends OpGroup {
         GROUP BY 1 ORDER BY user_id
       """.trim)),
 
+    // The interval join's 100 TB twin: identical semantics + oracle as
+    // join_range_interval, but the candidate space is bounded by a
+    // TIME-BUCKET equi key, not just the user key. Each click's 5-minute
+    // window expands to the 1-2 covering 5-minute buckets (explode of a
+    // ≤2-element sequence); each purchase maps to exactly ONE bucket, so
+    // every true pair matches exactly once and no dedup is needed. The
+    // join is then a plain hash join on (user, bucket) + residual time
+    // predicate — when one user has millions of events (the failure mode
+    // of keying on user alone), per-task candidates stay bounded by the
+    // bucket width. The general recipe for interval/range joins at scale:
+    // bucketize → equi-join → residual-verify.
+    Op("join_interval_bucketed",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("u1"), col("ts").as("ts1"))
+          .withColumn("b", explode(sequence(
+            floor(unix_timestamp(col("ts1")) / 300),
+            floor((unix_timestamp(col("ts1")) + 300) / 300))))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u2"), col("ts").as("ts2"))
+          .withColumn("b2", floor(unix_timestamp(col("ts2")) / 300))
+        clicks.join(purchases,
+          col("u1") === col("u2") && col("b") === col("b2")
+            && col("ts2") > col("ts1")
+            && col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTE"))
+          .groupBy(col("u1").as("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT e1.user_id AS user_id, COUNT(*) AS n_pairs
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+          AND CAST(e2.ts AS TIMESTAMP) > CAST(e1.ts AS TIMESTAMP)
+          AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        WHERE e1.event_type = 'click' AND e2.event_type = 'purchase'
+        GROUP BY 1 ORDER BY user_id
+      """.trim)),
+
     // Bucketed co-located big-big join: both facts written bucketBy(8) on
     // the join key, then joined with a merge hint — the bucketed layout
     // satisfies the join's distribution requirement, so NO shuffle of

@@ -289,6 +289,19 @@ class PlanSuite extends AnyFunSuite {
     assert(pr.contains("partial_"), "inflow sums must partial-aggregate")
   }
 
+  test("join_interval_bucketed row-equals join_range_interval and keys on the bucket") {
+    val bucketed = SparkEntry.queries("join_interval_bucketed")(spark, sf0001).collect()
+    val naive = SparkEntry.queries("join_range_interval")(spark, sf0001).collect()
+    assert(bucketed.length == naive.length)
+    bucketed.zip(naive).foreach { case (b, n) =>
+      assert(b == n, s"interval-join divergence: bucketed=$b naive=$n") }
+    // The candidate join must be an equi hash/merge join including the
+    // bucket key, never a per-user nested loop.
+    val p = plan("join_interval_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      "bucketing must make the interval join an equi join")
+  }
+
   test("join_dpp_prune: dim filter becomes a runtime PartitionFilter on the fact scan") {
     val p = plan("join_dpp_prune")
     assert(p.toLowerCase.contains("dynamicpruning"),
