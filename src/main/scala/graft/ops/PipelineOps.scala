@@ -1386,6 +1386,77 @@ object PipelineOps extends OpGroup {
           CAST(SUM(CASE WHEN is_lowq THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lowq,
           CAST(SUM(CASE WHEN NOT is_dup AND NOT is_lowq THEN n_bytes ELSE 0 END) AS BIGINT) AS bytes_kept
         FROM flagged GROUP BY 1 ORDER BY lang
+      """.trim)),
+
+    // Distribution-drift report (Population Stability Index) — the
+    // data-drift gate an ML pipeline runs before trusting a new batch:
+    // per event_type, PSI between two deterministic time slices (odd vs
+    // even ISO weeks) over 10 fixed-width value bins, Laplace-smoothed
+    // over the FULL bin spine so empty bins can't produce ±∞. Float
+    // discipline follows agg_entropy: all counts integer until the last
+    // step, the PSI fold runs left-to-right over a bin-ORDERED list on
+    // both engines (hash-agg combine order never touches a double), and
+    // the oracle uses the repr-based ROUND form (§2.0 rule 9). Shuffle
+    // carries ≤ |types|×10 bin counters — sketch-sized at any corpus.
+    Op("quality_drift_report",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val binned = e.select(col("event_type"),
+          (weekofyear(col("ts")) % 2 === 1).as("slice_a"),
+          least(floor(col("value") / 50).cast("int"), lit(9)).as("bin"))
+        val counts = binned.groupBy("event_type", "bin")
+          .agg(sum(when(col("slice_a"), 1L).otherwise(0L)).as("ca"),
+            sum(when(!col("slice_a"), 1L).otherwise(0L)).as("cb"))
+        val spine = binned.select("event_type").distinct()
+          .crossJoin(s.range(10).select(col("id").cast("int").as("bin")))
+        spine.join(counts, Seq("event_type", "bin"), "left")
+          .select(col("event_type"), col("bin"),
+            coalesce(col("ca"), lit(0L)).as("ca"),
+            coalesce(col("cb"), lit(0L)).as("cb"))
+          .groupBy("event_type")
+          .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+            expr("array_sort(collect_list(struct(bin, ca, cb)))").as("sorted"))
+          .withColumn("psi", expr("""
+            round(aggregate(sorted, CAST(0 AS DOUBLE), (acc, x) ->
+              acc + ((CAST(x.ca + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE))
+                   - (CAST(x.cb + 1 AS DOUBLE) / CAST(n_b + 10 AS DOUBLE)))
+                  * ln((CAST(x.ca + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE))
+                     / (CAST(x.cb + 1 AS DOUBLE) / CAST(n_b + 10 AS DOUBLE)))), 4) + 0.0"""))
+          .select(col("event_type"), col("n_a"), col("n_b"), col("psi"),
+            (col("psi") > 0.1).as("drifted"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH binned AS (
+          SELECT event_type,
+            weekofyear(CAST(ts AS TIMESTAMP)) % 2 = 1 AS slice_a,
+            LEAST(CAST(FLOOR("value" / 50) AS INT), 9) AS bin
+          FROM events),
+        counts AS (
+          SELECT event_type, bin,
+            CAST(SUM(CASE WHEN slice_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+            CAST(SUM(CASE WHEN NOT slice_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM binned GROUP BY 1, 2),
+        spine AS (
+          SELECT DISTINCT event_type, b.bin
+          FROM binned, (SELECT CAST(unnest(range(10)) AS INT) AS bin) b),
+        full_bins AS (
+          SELECT s.event_type, s.bin, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.bin = c.bin),
+        agg AS (
+          SELECT event_type, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+            list(ca ORDER BY bin) AS las, list(cb ORDER BY bin) AS lbs
+          FROM full_bins GROUP BY 1),
+        scored AS (
+          SELECT event_type, n_a, n_b,
+            CAST(ROUND(CAST(CAST(
+              list_sum(list_transform(range(1, 11), i ->
+                ((CAST(las[i] + 1 AS DOUBLE) / (n_a + 10)) - (CAST(lbs[i] + 1 AS DOUBLE) / (n_b + 10)))
+                * ln((CAST(las[i] + 1 AS DOUBLE) / (n_a + 10)) / (CAST(lbs[i] + 1 AS DOUBLE) / (n_b + 10)))))
+              AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS psi
+          FROM agg)
+        SELECT event_type, n_a, n_b, psi, psi > 0.1 AS drifted
+        FROM scored ORDER BY event_type
       """.trim))
   )
 }
