@@ -443,7 +443,6 @@ object EventOps extends OpGroup {
       (s, dir) => {
         val days = Tables.events(s, dir)
           .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-        val w = Window.partitionBy("user_id").orderBy("d")
         val streaks = days
           .withColumn("grp", expr("date_sub(d, row_number() OVER " +
             "(PARTITION BY user_id ORDER BY d))"))

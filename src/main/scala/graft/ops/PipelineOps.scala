@@ -1407,7 +1407,10 @@ object PipelineOps extends OpGroup {
         val counts = binned.groupBy("event_type", "bin")
           .agg(sum(when(col("slice_a"), 1L).otherwise(0L)).as("ca"),
             sum(when(!col("slice_a"), 1L).otherwise(0L)).as("cb"))
-        val spine = binned.select("event_type").distinct()
+        // Spine from the aggregated counts frame (≤ |types|×10 rows), NOT
+        // a second scan of events — every type has ≥1 event so the
+        // distinct-type sets are identical.
+        val spine = counts.select("event_type").distinct()
           .crossJoin(s.range(10).select(col("id").cast("int").as("bin")))
         spine.join(counts, Seq("event_type", "bin"), "left")
           .select(col("event_type"), col("bin"),

@@ -130,14 +130,22 @@ class EquivalenceSuite extends AnyFunSuite {
       val a = approx(k)
       assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx=$a exact=$e")
     }
-    // The merge path must equal the single-level sketch of the same data:
-    // HLL union is lossless over disjoint partials of one stream.
+    // The merge path must agree with the single-level sketch of the same
+    // data. HLL registers are max-mergeable, but the ESTIMATORS can
+    // differ once sketches leave exact coupon mode (direct builds use the
+    // HIP estimator, union results the composite estimator), so the pin
+    // is a tolerance, not bit-equality — exact agreement only holds while
+    // cardinalities stay inside the coupon capacity.
     val oneLevel = Tables.events(spark, sf0001)
       .groupBy("event_type")
       .agg(round(hll_sketch_estimate(hll_sketch_agg(col("user_id"))), 0)
         .cast("long").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx == oneLevel)
+    assert(approx.keySet == oneLevel.keySet)
+    oneLevel.foreach { case (k, o) =>
+      assert(math.abs(approx(k) - o).toDouble / math.max(o, 1L) <= 0.02,
+        s"$k: merged=${approx(k)} single-level=$o")
+    }
   }
 
   test("agg_approx_percentile within 2% of the exact row_number median") {

@@ -311,13 +311,28 @@ class PlanSuite extends AnyFunSuite {
   }
 
   test("corpus_contamination: eval shingles broadcast; corpus shingles never shuffle") {
-    val p = plan("corpus_contamination")
-    assert(p.contains("BroadcastHashJoin"),
-      "the tiny eval side must broadcast into a map-side join")
-    // The training-side shingle stream must reach the broadcast join
-    // without an exchange of its own (only post-join aggregation shuffles).
-    val joinIdx = p.indexOf("BroadcastHashJoin")
-    assert(joinIdx > 0)
+    // Assert on the physical-plan TREE, not the explain text: the
+    // training-side (streamed) child of the broadcast join must contain
+    // no shuffle exchange — only post-join aggregation may shuffle.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // AQE wraps the tree in AdaptiveSparkPlanExec (opaque to collect) —
+    // plan without it for this structural inspection only.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exec =
+      try SparkEntry.queries("corpus_contamination")(spark, sf0001)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val joins = exec.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "the tiny eval side must broadcast into a map-side join")
+    val shingleJoin = joins.last // bottom-most broadcast join = the shingle join
+    val streamedShuffles = (shingleJoin.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => shingleJoin.left
+      case _ => shingleJoin.right
+    }).collect { case e: ShuffleExchangeLike => e }
+    assert(streamedShuffles.isEmpty,
+      "corpus shingles must flow into the broadcast join without an exchange")
   }
 
   test("etl_validate_constraints: all five violation counters fuse into one aggregate pass") {
