@@ -32,9 +32,10 @@ object Caches {
   // before simhash_sigs registers, then text_simhash_neardup builds it —
   // the late registration must still learn that the earlier consumer
   // already ran, or its done-set can never fill and the blocks stay
-  // pinned for the rest of the pass. track() seeds Entry.done from here;
-  // a firing release clears its consumer keys (that pass is over, so a
-  // later rebuild by a re-run consumer starts a fresh pass).
+  // pinned for the rest of the pass. track() seeds Entry.done from here.
+  // The ledger is MONOTONE: a firing release does NOT clear its consumer
+  // keys (see the inline note in keyDone and the "ledger is monotone"
+  // test) — only releaseAll or session stop resets it.
   private val completed = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Set[String]]
 

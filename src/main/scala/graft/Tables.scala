@@ -119,9 +119,19 @@ object Tables {
     */
   private lazy val tmpRoot: Option[java.nio.file.Path] = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-      Some(shm)
-    else None
+    // Capacity gate, not just writability: a full 167-key pass parks
+    // write-op outputs + stream checkpoints here until JVM exit, and
+    // shuffle spills (scratchLocalDir) share the same tmpfs. A small
+    // /dev/shm would hit ENOSPC mid-run with no fallback — require
+    // ≥ 4 GiB usable (sf0.1 pass peaks well under 1 GiB measured;
+    // 4 GiB leaves headroom for spills) before electing it.
+    try {
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm) &&
+          java.nio.file.Files.getFileStore(shm).getUsableSpace >= (4L << 30))
+        Some(shm)
+      else None
+    } catch { case _: java.io.IOException => None }
   }
 
   def tmpDir(prefix: String): String = {

@@ -247,14 +247,26 @@ object JoinOps extends OpGroup {
     Op("join_interval_bucketed",
       (s, dir) => {
         val ev = Tables.events(s, dir)
+        // Bucket key derived from the NTZ wall-clock value itself
+        // (days-since-epoch × 86400 + time-of-day), NOT unix_timestamp():
+        // that one converts through the SESSION timezone, and near a DST
+        // transition in a non-UTC session the epoch delta diverges from
+        // the wall-clock delta the residual predicate uses — a true
+        // pair's bucket could fall outside the 2 covered buckets and be
+        // silently dropped. Wall-clock seconds agree with NTZ interval
+        // arithmetic in every session timezone. (Verify pins UTC; Bench
+        // and tests inherit the host's.)
+        def wallSec(c: org.apache.spark.sql.Column) =
+          datediff(c.cast("date"), lit("1970-01-01")).cast("long") * 86400L +
+            hour(c) * 3600L + minute(c) * 60L + second(c)
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id").as("u1"), col("ts").as("ts1"))
           .withColumn("b", explode(sequence(
-            floor(unix_timestamp(col("ts1")) / 300),
-            floor((unix_timestamp(col("ts1")) + 300) / 300))))
+            floor(wallSec(col("ts1")) / 300),
+            floor((wallSec(col("ts1")) + 300) / 300))))
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id").as("u2"), col("ts").as("ts2"))
-          .withColumn("b2", floor(unix_timestamp(col("ts2")) / 300))
+          .withColumn("b2", floor(wallSec(col("ts2")) / 300))
         clicks.join(purchases,
           col("u1") === col("u2") && col("b") === col("b2")
             && col("ts2") > col("ts1")

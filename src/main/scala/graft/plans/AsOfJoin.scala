@@ -148,10 +148,14 @@ case class AsOfJoinExec(
       new Iterator[InternalRow] {
         // Sorter output buffers are reused — copy anything retained across
         // next() calls (the lookahead row and the current candidate).
-        private def fetchRight(): UnsafeRow =
-          if (rIter.hasNext) rIter.next().asInstanceOf[UnsafeRow].copy() else null
-        private var rHead: UnsafeRow = fetchRight()
-        private var cand: UnsafeRow = _
+        // InternalRow, not UnsafeRow: if EnsureRequirements elides the
+        // Sort (child already satisfies ordering/distribution) the child
+        // may emit non-Unsafe rows, and a blind cast would CCE at runtime
+        // — same buffering contract as SortMergeJoin's.
+        private def fetchRight(): InternalRow =
+          if (rIter.hasNext) rIter.next().copy() else null
+        private var rHead: InternalRow = fetchRight()
+        private var cand: InternalRow = _
         private var candKey: UnsafeRow = _
 
         override def hasNext: Boolean = lIter.hasNext
