@@ -33,6 +33,12 @@ object Bench {
       warm.write.mode("overwrite").parquet(Tables.tmpDir("graft_warm_pq"))
       warm.write.mode("overwrite").csv(Tables.tmpDir("graft_warm_csv"))
     } catch { case _: Throwable => () }
+    // Untimed build of the shared demo layouts (DPP fact, bucketed tables,
+    // z-order, compaction fixture): the write is fixture, the read/join
+    // probe is the mechanism each key demonstrates — timing the write was
+    // measuring the harness (round-6 verdict item 5). Caches releases each
+    // layout right after its consumer key reports done.
+    Setups.warm(spark, sfDir, SparkEntry.queries.keySet)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -28,6 +28,9 @@ object BenchOne {
     // thing this tool exists to measure in isolation.
     Caches.keyDone(spark, sfDir, SparkEntry.queries.head._1)
     for (key <- args; r <- 1 to reps) {
+      // Mirror Bench's untimed fixture build — keyDone below releases the
+      // layout after each rep, so every rep rebuilds it here, untimed.
+      Setups.warm(spark, sfDir, Set(key))
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(key)(spark, sfDir).count()
       println(f"$key rep$r: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")

@@ -97,18 +97,52 @@ object Tables {
   private val tmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
   private lazy val tmpHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
       var p = tmpDirs.poll()
       while (p != null) {
-        try {
-          val walk = Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-          finally walk.close()
-        } catch { case _: Throwable => () }
+        deleteRecursively(p)
         p = tmpDirs.poll()
       }
     }))
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = try {
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+  } catch { case _: Throwable => () }
+
+  /** One-time demo/setup write per (session, sfDir, name). The write-shaped
+    * ops (DPP fact layout, z-order layout, compaction fixture, bucketed
+    * tables) used to rebuild their demonstration datasets on EVERY
+    * invocation, so Bench timed the setup write instead of the probe the
+    * key demonstrates (round-6 verdict nit #1). First call builds the
+    * dataset under a tmp dir and registers a [[Caches]] release for its
+    * consumer keys; the release (fired by keyDone when the last consumer
+    * has run) deletes the dir eagerly and evicts the memo — scratch space
+    * is bounded by the keys in flight, not the whole 167-key pass, and a
+    * later re-run transparently rebuilds. `extraRelease` drops any
+    * session-catalog state the setup created (bucketed tables).
+    */
+  private val setupCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), String]
+
+  def sharedWrite(s: SparkSession, dir: String, name: String,
+      consumers: Set[String], extraRelease: () => Unit = () => ())(
+      write: String => Unit): String = {
+    setupCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) setupCache.remove(k)
+    }
+    setupCache.getOrElseUpdate((s, dir, name), {
+      val out = tmpDir(s"graft_$name")
+      write(out)
+      Caches.track(s, dir, name, consumers, () => {
+        setupCache.remove((s, dir, name))
+        extraRelease()
+        deleteRecursively(java.nio.file.Paths.get(out))
+      })
+      out
+    })
+  }
 
   /** Scratch root: prefer the tmpfs at /dev/shm (java.io.tmpdir is on a
     * disk-backed filesystem in this container, and the round-trip /

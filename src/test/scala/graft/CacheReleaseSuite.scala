@@ -78,6 +78,28 @@ class CacheReleaseSuite extends AnyFunSuite {
     assert(released == 1, "last consumer reported; release must fire")
   }
 
+  test("shared setup writes release their scratch dir after the consumer key") {
+    Caches.releaseAll(spark, dir)
+    // Build the DPP fixture the way Bench's untimed warm-up does, run the
+    // consumer, and assert the layout dir is DELETED (not just untracked):
+    // scratch space must be bounded by keys in flight, not the whole pass.
+    val base = ops.JoinOps.dppDemo(spark, dir)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(base, "fact")))
+    assert(SparkEntry.queries("join_dpp_prune")(spark, dir).count() > 0)
+    Caches.keyDone(spark, dir, "join_dpp_prune")
+    assert(!Caches.activeEntries(spark, dir)("dpp_demo"),
+      "dpp_demo still tracked after its consumer ran")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(base)),
+      s"setup dir $base not deleted on release")
+    // Rebuild is transparent: the next invocation writes a FRESH dir and
+    // the result is still correct (row count pinned by GoldenSuite).
+    val base2 = ops.JoinOps.dppDemo(spark, dir)
+    assert(base2 != base && java.nio.file.Files.exists(java.nio.file.Paths.get(base2)))
+    assert(SparkEntry.queries("join_dpp_prune")(spark, dir).count() > 0)
+    Caches.keyDone(spark, dir, "join_dpp_prune")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(base2)))
+  }
+
   test("the completion ledger is monotone: overlapping late registrations never starve") {
     Caches.releaseAll(spark, dir)
     var released = 0
