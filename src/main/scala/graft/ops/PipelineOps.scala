@@ -1357,11 +1357,19 @@ object PipelineOps extends OpGroup {
         val norm = d.unionAll(recrawl)
           .withColumn("h", md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
           .withColumn("n_tokens", size(split(col("text"), " ")))
+          // One Gopher rule from text_quality_rules' battery composed into
+          // the gate: a kept doc must also contain ≥2 distinct stopwords
+          // (the cheap fluency proxy) — proving the quality battery and
+          // the dedup keep-decision fuse into the same single-pass gate.
+          .withColumn("stop_hits", size(array_intersect(
+            array_distinct(split(lower(col("text")), " ")),
+            array(Seq("the", "a", "of", "to", "and", "in").map(lit): _*))))
         val keep = norm.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
         norm.join(keep, Seq("h"))
           .select(col("lang"),
             (col("doc_id") =!= col("keep_id")).as("is_dup"),
-            (col("doc_id") === col("keep_id") && col("n_tokens") < 20).as("is_lowq"),
+            (col("doc_id") === col("keep_id")
+              && (col("n_tokens") < 20 || col("stop_hits") < 2)).as("is_lowq"),
             octet_length(col("text")).cast("long").as("n_bytes"))
           .groupBy("lang")
           .agg(
@@ -1380,13 +1388,15 @@ object PipelineOps extends OpGroup {
         norm AS (
           SELECT doc_id, lang, text,
             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h,
-            len(string_split(text, ' ')) AS n_tokens
+            len(string_split(text, ' ')) AS n_tokens,
+            len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                ['the','a','of','to','and','in'])) AS stop_hits
           FROM corpus),
         keep AS (SELECT h, MIN(doc_id) AS keep_id FROM norm GROUP BY h),
         flagged AS (
           SELECT lang,
             doc_id <> keep_id AS is_dup,
-            (doc_id = keep_id AND n_tokens < 20) AS is_lowq,
+            (doc_id = keep_id AND (n_tokens < 20 OR stop_hits < 2)) AS is_lowq,
             strlen(text) AS n_bytes
           FROM norm JOIN keep USING (h))
         SELECT lang,
@@ -1469,6 +1479,82 @@ object PipelineOps extends OpGroup {
           FROM agg)
         SELECT event_type, n_a, n_b, psi, psi > 0.1 AS drifted
         FROM scored ORDER BY event_type
+      """.trim)),
+
+    // Gopher-style quality-rule battery (Rae et al. 2021's repetition /
+    // symbol / word-shape filters, the standard pre-training gate): five
+    // row-local rules per doc — word count in [50, 100k], mean word
+    // length in [3, 10], symbol ratio < 0.1, distinct-word ratio > 0.2
+    // (the repetition filter), ≥ 2 distinct stopwords — rolled up to a
+    // per-lang fail-count report. Everything is integer until the two
+    // threshold divisions, and those compare long/long IEEE quotients
+    // computed identically in both engines — no ROUND needed. One
+    // projection + one partial-aggregating groupBy: shuffle carries
+    // |langs| rows. At 100 TB this is THE shape: the battery fuses into
+    // one codegen'd pass over the corpus, cost = one scan.
+    Op("text_quality_rules",
+      (s, dir) => {
+        val stop = array(Seq("the", "a", "of", "to", "and", "in").map(lit): _*)
+        val m = Tables.t(s, dir, "documents")
+          .select(col("lang"),
+            size(split(col("text"), " ")).as("n_words"),
+            size(array_distinct(split(col("text"), " "))).as("n_distinct"),
+            length(translate(col("text"), " ", "")).as("n_nonspace"),
+            length(col("text")).as("n_chars"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")))
+              .as("n_symbols"),
+            size(array_intersect(
+              array_distinct(split(lower(col("text")), " ")), stop))
+              .as("stop_hits"))
+        val r = m.select(col("lang"),
+          (col("n_words") >= 50 && col("n_words") <= 100000).as("ok_wordcount"),
+          (col("n_nonspace") / col("n_words") >= 3.0
+            && col("n_nonspace") / col("n_words") <= 10.0).as("ok_wordlen"),
+          (col("n_symbols") / col("n_chars") < 0.1).as("ok_symbol"),
+          (col("n_distinct") / col("n_words") > 0.2).as("ok_distinct"),
+          (col("stop_hits") >= 2).as("ok_stopword"))
+        r.groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(!col("ok_wordcount"), 1L).otherwise(0L)).as("fail_wordcount"),
+            sum(when(!col("ok_wordlen"), 1L).otherwise(0L)).as("fail_wordlen"),
+            sum(when(!col("ok_symbol"), 1L).otherwise(0L)).as("fail_symbol"),
+            sum(when(!col("ok_distinct"), 1L).otherwise(0L)).as("fail_distinct"),
+            sum(when(!col("ok_stopword"), 1L).otherwise(0L)).as("fail_stopword"),
+            sum(when(col("ok_wordcount") && col("ok_wordlen") && col("ok_symbol")
+              && col("ok_distinct") && col("ok_stopword"), 1L).otherwise(0L))
+              .as("n_pass"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH m AS (
+          SELECT lang,
+            len(string_split(text, ' ')) AS n_words,
+            len(list_distinct(string_split(text, ' '))) AS n_distinct,
+            length(replace(text, ' ', '')) AS n_nonspace,
+            length(text) AS n_chars,
+            length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_symbols,
+            len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                ['the','a','of','to','and','in'])) AS stop_hits
+          FROM documents
+        ), r AS (
+          SELECT lang,
+            (n_words BETWEEN 50 AND 100000) AS ok_wordcount,
+            (n_nonspace / n_words >= 3.0 AND n_nonspace / n_words <= 10.0) AS ok_wordlen,
+            (n_symbols / n_chars < 0.1) AS ok_symbol,
+            (n_distinct / n_words > 0.2) AS ok_distinct,
+            (stop_hits >= 2) AS ok_stopword
+          FROM m)
+        SELECT lang,
+          COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN NOT ok_wordcount THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordcount,
+          CAST(SUM(CASE WHEN NOT ok_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+          CAST(SUM(CASE WHEN NOT ok_symbol THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+          CAST(SUM(CASE WHEN NOT ok_distinct THEN 1 ELSE 0 END) AS BIGINT) AS fail_distinct,
+          CAST(SUM(CASE WHEN NOT ok_stopword THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+          CAST(SUM(CASE WHEN ok_wordcount AND ok_wordlen AND ok_symbol
+            AND ok_distinct AND ok_stopword THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM r GROUP BY lang ORDER BY lang
       """.trim))
   )
 }
