@@ -382,6 +382,53 @@ object EtlOps extends OpGroup {
     // shape is the 100 TB story: N constraints cost one pass over the
     // table, not N, because every violation counter is a partial-
     // aggregatable sum fused into the same HashAggregate.
+    // Zero-extra-pass write audit via Dataset.observe(): the metrics every
+    // production ETL attaches to a write (row count, null-key count,
+    // domain violations, exact-decimal mass total, max key) are computed
+    // AS the rows stream through the write — no second scan, unlike
+    // etl_validate_constraints' standalone report pass. Observation wraps
+    // a QueryExecutionListener: the named CollectMetrics node accumulates
+    // per-partition partials, the listener delivers the merged row on
+    // query success, and obs.get blocks until it lands. At 100 TB the
+    // audit is free — the observe projection fuses into the write stage's
+    // codegen — and the pattern generalizes to any sink. The returned
+    // frame is the delivered metrics row itself (driver-side by design:
+    // audit metrics are a per-query scalar bundle for the orchestrator);
+    // the oracle re-derives every number with plain SQL over the same
+    // table, so the listener path is hash-checked end to end.
+    Op("etl_observe_metrics",
+      (s, dir) => {
+        val obs = org.apache.spark.sql.Observation("graft_write_audit")
+        val out = Tables.tmpDir("graft_observe")
+        Tables.t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .observe(obs,
+            count(lit(1)).as("n_rows"),
+            sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null_cust"),
+            sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+              .as("n_bad_status"),
+            sum(Tables.dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sum_price"),
+            max(col("o_orderkey")).as("max_key"))
+          .write.mode("overwrite").parquet(out)
+        val m = obs.get
+        import s.implicits._
+        Seq((
+          m("n_rows").asInstanceOf[Long],
+          m("n_null_cust").asInstanceOf[Long],
+          m("n_bad_status").asInstanceOf[Long],
+          m("sum_price").asInstanceOf[java.math.BigDecimal].doubleValue(),
+          m("max_key").asInstanceOf[Long]))
+          .toDF("n_rows", "n_null_cust", "n_bad_status", "sum_price", "max_key")
+      },
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_cust,
+          CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+          MAX(o_orderkey) AS max_key
+        FROM orders
+      """.trim)),
+
     Op("etl_validate_constraints",
       (s, dir) => {
         val o = Tables.t(s, dir, "orders")
