@@ -946,6 +946,102 @@ object PipelineOps extends OpGroup {
         ORDER BY vec_id
       """.trim)),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    // the embedding-cluster-then-dedup family — cluster vectors into
+    // coarse cells, compute pairwise cosine only WITHIN a cell, and among
+    // near-duplicate pairs keep the member farthest from the cell
+    // centroid (low centroid-similarity = the "edge" example the paper
+    // retains). Never all-pairs: the pair join is an equi-join on the
+    // cell id, exactly the vec_neardup_blocked blocking shape. The cell
+    // here is the stored `label` (at 100 TB it comes from a trained
+    // coarse quantizer — vec_kmeans_step is that trainer's step).
+    //
+    // Determinism: the keep-order rank needs a cross-engine-identical
+    // centroid similarity. Float mean centroids would inherit
+    // shuffle-order float-sum drift, so the centroid is the EXACT integer
+    // component-sum of 1e-3-quantized vectors (the vec_kmeans_step
+    // recipe); within a cell the centroid norm and the 1/n scaling are
+    // rank-invariant, so ordering by dot(qv, svec)/sqrt(|qv|²) — one
+    // division and one sqrt from exact integers, bit-identical IEEE on
+    // both engines — orders identically to true centroid cosine.
+    // The dup decision is the paper's rank-scan approximation (no
+    // connected components): drop v if cos(v, u) ≥ τ for ANY
+    // higher-ranked u in its cell, τ = 0.30. Output is all-integer/bool
+    // (no float column surfaces).
+    //
+    // Scale: centroid pass partial-aggregates to k×dim rows (broadcast);
+    // the rank is a per-cell window (cell size is bounded by the
+    // quantizer's k, not corpus size); the pair join is cell-bounded.
+    Op("vec_semantic_dedup",
+      (s, dir) => {
+        val q = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("qv"))
+        val cent = q
+          .select(col("label").as("clabel"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("clabel", "pos")
+          .agg(sum("v").as("sv"))
+          .groupBy("clabel")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), s -> s.sv)").as("svec"))
+        val ranked = q.join(broadcast(cent), col("label") === col("clabel"))
+          .withColumn("cnum", expr(
+            "aggregate(zip_with(qv, svec, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+          .withColumn("nq", expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+          .withColumn("cdist", col("cnum") / sqrt(col("nq").cast("double")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("label").orderBy(asc("cdist"), asc("vec_id"))))
+          .select("vec_id", "label", "rk", "embedding")
+        val keepers = ranked.select(col("label").as("la"),
+          col("rk").as("rka"), col("embedding").as("ea"))
+        val dropped = keepers
+          .join(ranked.select(col("label").as("lb"), col("vec_id").as("bid"),
+              col("rk").as("rkb"), col("embedding").as("eb")),
+            col("la") === col("lb") && col("rka") < col("rkb"))
+          .withColumn("sim", expr("vec_dot(ea, eb)")
+            / (sqrt(expr("vec_norm_sq(ea)")) * sqrt(expr("vec_norm_sq(eb)"))))
+          .filter(col("sim") >= 0.30)
+          .select(col("bid")).distinct()
+        ranked.join(dropped, ranked("vec_id") === dropped("bid"), "left")
+          .select(col("vec_id"), col("label"), col("rk"),
+            col("bid").isNull.as("kept"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS qv
+          FROM embeddings
+        ), cent AS (
+          SELECT clabel, list(sv ORDER BY pos) AS svec FROM (
+            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv FROM (
+              SELECT label AS clabel, generate_subscripts(qv, 1) - 1 AS pos,
+                unnest(qv) AS v
+              FROM q
+            ) GROUP BY clabel, pos
+          ) GROUP BY clabel
+        ), ranked AS (
+          SELECT vec_id, label, emb,
+            CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY cdist, vec_id) AS INT) AS rk
+          FROM (
+            SELECT q.vec_id, q.label, q.emb,
+              CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                i -> qv[i] * svec[i])) AS DOUBLE)
+                / sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS cdist
+            FROM q JOIN cent ON q.label = cent.clabel
+          )
+        ), dropped AS (
+          SELECT DISTINCT b.vec_id AS bid
+          FROM ranked a JOIN ranked b ON a.label = b.label AND a.rk < b.rk
+          WHERE list_dot_product(a.emb, b.emb)
+            / (sqrt(list_sum(list_transform(a.emb, v -> v * v)))
+               * sqrt(list_sum(list_transform(b.emb, v -> v * v)))) >= 0.30
+        )
+        SELECT r.vec_id, r.label, r.rk, (d.bid IS NULL) AS kept
+        FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.bid
+        ORDER BY r.vec_id
+      """.trim)),
+
     // PII scrubbing — the redaction pass every training-data pipeline runs
     // before a corpus ships. The synthetic corpus contains no PII-shaped
     // strings (measured: zero '@', digit-runs, or URLs), so the op first

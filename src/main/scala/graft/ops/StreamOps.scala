@@ -214,6 +214,54 @@ object StreamOps extends OpGroup {
           .agg(count(lit(1)).as("n"))
           .orderBy("event_type", "cohort_known")
       },
+      None),
+
+    // Arbitrary stateful processing via Spark 4's transformWithState —
+    // the successor API to flatMapGroupsWithState (stream_custom_state
+    // above keeps the legacy surface). A StatefulProcessor holds the
+    // per-user cumulative count in a named ValueState obtained from the
+    // StatefulProcessorHandle; state schema is declared per-variable
+    // (vs the single implicit state type of the old API), which is what
+    // enables schema evolution + multiple state variables on a
+    // long-running 100 TB/day query. transformWithState requires the
+    // RocksDB state store provider (state off-heap — the provider a
+    // production query would run anyway); pinned for this query and
+    // restored after. ScalaTest pins the final per-user counts to the
+    // oracle-checked batch per-user counts, same as stream_custom_state.
+    Op("stream_transform_with_state",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+        import s.implicits._
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val users = eventStream(s, dir).select(col("user_id")).as[Long]
+          val proc = new StatefulProcessor[Long, Long, (Long, Long)] {
+            @transient private var total: ValueState[Long] = _
+            override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+              total = getHandle.getValueState[Long]("total",
+                implicitly[org.apache.spark.sql.Encoder[Long]], TTLConfig.NONE)
+            override def handleInputRows(user: Long, rows: Iterator[Long],
+                tv: TimerValues): Iterator[(Long, Long)] = {
+              val t = (if (total.exists()) total.get() else 0L) + rows.size
+              total.update(t)
+              Iterator((user, t))
+            }
+          }
+          val counts = users.groupByKey(identity)
+            .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+            .toDF("user_id", "running_count")
+          runToMemory(s, counts, "graft_stream_tws", "append")
+            .groupBy("user_id")
+            .agg(max(col("running_count")).as("n_events"))
+            .orderBy("user_id")
+        } finally prev match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None    => s.conf.unset(providerKey)
+        }
+      },
       None)
   )
 }

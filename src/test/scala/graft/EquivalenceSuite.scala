@@ -50,6 +50,19 @@ class EquivalenceSuite extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("stream_transform_with_state counts match batch per-user counts") {
+    // The Spark 4 StatefulProcessor API must land on exactly the same
+    // per-user totals as the legacy flatMapGroupsWithState op and the
+    // batch groupBy truth.
+    val streaming = rows("stream_transform_with_state")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streaming.nonEmpty, "transformWithState returned no rows — test is vacuous")
+    val batch = Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streaming == batch)
+  }
+
   test("stream_stream_join pair counts match batch join_range_interval") {
     val streaming = rows("stream_stream_join")
       .map(r => (r.getLong(0), r.getLong(1))).toSet
