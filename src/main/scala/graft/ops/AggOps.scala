@@ -645,6 +645,172 @@ object AggOps extends OpGroup {
           arg_min(user_id, CAST(total * 1000000 AS BIGINT) + user_id) AS bottom_user,
           CAST(MAX(total) AS DOUBLE) AS top_total
         FROM t GROUP BY 1 ORDER BY event_type
+      """.trim)),
+
+    // Per-group OLS regression (slope/intercept/r²) of extendedprice-cents
+    // on quantity — the regr_slope/regr_r2 family, built from the six
+    // classic sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) so every
+    // stage is a partial-aggregatable SUM: one hash aggregate, shuffle
+    // carries 6 numbers per group, any scale. Σy² of cent-quantized
+    // prices overflows BIGINT past ~sf0.3, so the power sums accumulate
+    // in DECIMAL(38,0) (exact, order-insensitive; DuckDB's HUGEINT sums
+    // are the same thing). The final slope/intercept/r² chain converts
+    // each exact sum to DOUBLE once and uses only +,-,*,/ in an
+    // identical tree on both engines — no libm, bit-identical — then
+    // rule-9 repr-ROUND at 6 dp. (Native regr_* aggregates stream
+    // doubles in partition order — cross-engine nondeterministic — which
+    // is why the exact-sufficient-statistics form is the one that ships.)
+    Op("agg_linreg",
+      (s, dir) => {
+        val d38 = DecimalType(38, 0)
+        val x = col("l_quantity").cast("long")
+        val y = round(col("l_extendedprice") * 100).cast("long")
+        val sums = Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag"), x.as("x"), y.as("y"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("x").cast(d38)).cast("double").as("sx"),
+            sum(col("y").cast(d38)).cast("double").as("sy"),
+            sum((col("x") * col("x")).cast(d38)).cast("double").as("sxx"),
+            sum((col("x").cast(d38) * col("y").cast(d38))).cast("double").as("sxy"),
+            sum((col("y").cast(d38) * col("y").cast(d38))).cast("double").as("syy"))
+        sums
+          .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("slope",
+            (col("n") * col("sxy") - col("sx") * col("sy")) / col("den"))
+          .withColumn("icept", (col("sy") - col("slope") * col("sx")) / col("n"))
+          .withColumn("r2",
+            ((col("n") * col("sxy") - col("sx") * col("sy"))
+              * (col("n") * col("sxy") - col("sx") * col("sy")))
+              / (col("den") * (col("n") * col("syy") - col("sy") * col("sy"))))
+          .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+            round(col("slope"), 6).as("slope_cents"),
+            round(col("icept"), 6).as("intercept_cents"),
+            round(col("r2"), 6).as("r2"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH sums AS (
+          SELECT l_returnflag,
+            CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS HUGEINT)) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS HUGEINT) * CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY 1),
+        d AS (
+          SELECT *, n * sxx - sx * sx AS den,
+            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+          FROM sums)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+          CAST(ROUND(CAST(CAST(slope AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS slope_cents,
+          CAST(ROUND(CAST(CAST((sy - slope * sx) / n AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS intercept_cents,
+          CAST(ROUND(CAST(CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / (den * (n * syy - sy * sy)) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS r2
+        FROM d ORDER BY l_returnflag
+      """.trim)),
+
+    // Skewness / excess kurtosis per group from integer power sums
+    // (Σx..Σx⁴ of quantity ≤ 50 ⇒ x⁴ ≤ 6.25e6 — BIGINT-safe to ~sf100):
+    // the same one-hash-aggregate shape as agg_linreg, 4 numbers per
+    // group over the shuffle. Native skewness()/kurtosis() stream
+    // doubles in partition order (nondeterministic across engines); the
+    // moment-sum form is exact until one final double chain using only
+    // +,-,*,/,sqrt (sqrt is IEEE-exact — pow(m2,1.5) deliberately
+    // written as m2*sqrt(m2) to keep libm out), then repr-ROUND 6 dp.
+    Op("agg_higher_moments",
+      (s, dir) => {
+        val x = col("l_quantity").cast("long")
+        Tables.t(s, dir, "lineitem")
+          .select(col("l_linestatus"), x.as("x"))
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("x")).cast("double").as("s1"),
+            sum(col("x") * col("x")).cast("double").as("s2"),
+            sum(col("x") * col("x") * col("x")).cast("double").as("s3"),
+            sum(col("x") * col("x") * col("x") * col("x")).cast("double").as("s4"))
+          .withColumn("mean", col("s1") / col("n"))
+          .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
+          .withColumn("m3", col("s3") / col("n")
+            - lit(3.0) * col("mean") * (col("s2") / col("n"))
+            + lit(2.0) * col("mean") * col("mean") * col("mean"))
+          .withColumn("m4", col("s4") / col("n")
+            - lit(4.0) * col("mean") * (col("s3") / col("n"))
+            + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n"))
+            - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+          .select(col("l_linestatus"), col("n").cast("long").as("n_rows"),
+            round(col("mean"), 6).as("mean_qty"),
+            round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skewness"),
+            round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6).as("kurtosis_excess"))
+          .orderBy("l_linestatus")
+      },
+      Some("""
+        WITH sums AS (
+          SELECT l_linestatus, CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+            CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+            CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+            CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s4
+          FROM lineitem GROUP BY 1),
+        m AS (
+          SELECT l_linestatus, n, s1 / n AS mean,
+            s2 / n - (s1 / n) * (s1 / n) AS m2,
+            s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+            s4 / n - 4.0 * (s1 / n) * (s3 / n) + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+          FROM sums)
+        SELECT l_linestatus, CAST(n AS BIGINT) AS n_rows,
+          CAST(ROUND(CAST(CAST(mean AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS mean_qty,
+          CAST(ROUND(CAST(CAST(m3 / (m2 * sqrt(m2)) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS skewness,
+          CAST(ROUND(CAST(CAST(m4 / (m2 * m2) - 3.0 AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS kurtosis_excess
+        FROM m ORDER BY l_linestatus
+      """.trim)),
+
+    // Weighted percentiles (revenue-weighted median + p90 of order size):
+    // "half the revenue comes from orders of at most X units". Exact and
+    // all-integer: pre-aggregate weight per distinct value (kills window
+    // tie-order ambiguity — the running sum is over DISTINCT ordered
+    // values), one cumulative-sum window over ≤50 rows per group, pick
+    // the first value whose cumulative weight crosses the quantile
+    // boundary (2·cum ≥ tot / 10·cum ≥ 9·tot — integer comparisons, no
+    // division). At 100 TB the per-value pre-aggregation is the thing
+    // that makes this feasible: the window runs over |distinct values|
+    // rows, not |input| rows.
+    Op("agg_weighted_percentile",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy("qty")
+        val byVal = Tables.t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+            round(col("l_extendedprice") * 100).cast("long").as("w"))
+          .groupBy("l_returnflag", "qty")
+          .agg(sum("w").as("wv"))
+        byVal
+          .withColumn("cum", sum("wv").over(w))
+          .withColumn("tot", sum("wv").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")))
+          .groupBy("l_returnflag")
+          .agg(min(when(col("cum") * 2 >= col("tot"), col("qty"))).as("w_median_qty"),
+            min(when(col("cum") * 10 >= col("tot") * 9, col("qty"))).as("w_p90_qty"),
+            max(col("tot")).as("total_weight_cents"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH byval AS (
+          SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+            CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS wv
+          FROM lineitem GROUP BY 1, 2),
+        cums AS (
+          SELECT l_returnflag, qty, wv,
+            CAST(SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY qty) AS BIGINT) AS cum,
+            CAST(SUM(wv) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+          FROM byval)
+        SELECT l_returnflag,
+          MIN(CASE WHEN cum * 2 >= tot THEN qty END) AS w_median_qty,
+          MIN(CASE WHEN cum * 10 >= tot * 9 THEN qty END) AS w_p90_qty,
+          MAX(tot) AS total_weight_cents
+        FROM cums GROUP BY 1 ORDER BY l_returnflag
       """.trim))
   )
 }

@@ -472,6 +472,56 @@ object EventOps extends OpGroup {
               ORDER BY streak_len DESC, start DESC) AS rk
           FROM streaks)
         WHERE rk = 1 ORDER BY user_id
+      """.trim)),
+
+    // Fixed-depth EWMA (α=1/2, 4 taps) per user over event time — the
+    // smoothing pass monitoring/finance pipelines run next to
+    // ts_moving_avg's flat window. The truncated-EWMA weights 8/4/2/1
+    // renormalize over the taps actually present at the series head, so
+    // early rows are exact too. One lag-window per user (same single
+    // shuffle as every ts_* op); the arithmetic is a fixed-order
+    // +,*,/ chain over the 2-dp values — bit-identical IEEE on both
+    // engines — then repr-ROUND 4 dp (§2.0 rule 9). Total order pinned
+    // by (ts, event_id) so duplicate timestamps can't reorder taps.
+    Op("ts_ewma",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("v1", lag("value", 1).over(w))
+          .withColumn("v2", lag("value", 2).over(w))
+          .withColumn("v3", lag("value", 3).over(w))
+          .withColumn("num",
+            col("value") * 8
+              + coalesce(col("v1"), lit(0.0)) * 4
+              + coalesce(col("v2"), lit(0.0)) * 2
+              + coalesce(col("v3"), lit(0.0)))
+          .withColumn("den",
+            lit(8.0)
+              + when(col("v1").isNotNull, 4.0).otherwise(0.0)
+              + when(col("v2").isNotNull, 2.0).otherwise(0.0)
+              + when(col("v3").isNotNull, 1.0).otherwise(0.0))
+          .select(col("user_id"), col("event_id"),
+            col("ts").cast("timestamp_ntz").as("ts"),
+            round(col("num") / col("den"), 4).as("ewma4"))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""
+        WITH lags AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, "value",
+            LAG("value", 1) OVER w AS v1,
+            LAG("value", 2) OVER w AS v2,
+            LAG("value", 3) OVER w AS v3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        SELECT user_id, event_id, ts,
+          CAST(ROUND(CAST(CAST(
+            ("value" * 8 + COALESCE(v1, 0.0) * 4 + COALESCE(v2, 0.0) * 2 + COALESCE(v3, 0.0))
+            / (8.0 + CASE WHEN v1 IS NOT NULL THEN 4.0 ELSE 0.0 END
+                   + CASE WHEN v2 IS NOT NULL THEN 2.0 ELSE 0.0 END
+                   + CASE WHEN v3 IS NOT NULL THEN 1.0 ELSE 0.0 END)
+            AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS ewma4
+        FROM lags ORDER BY user_id, ts, event_id
       """.trim))
   )
 }

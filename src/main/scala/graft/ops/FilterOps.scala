@@ -195,6 +195,41 @@ object FilterOps extends OpGroup {
         FROM orders
         WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         GROUP BY 1 ORDER BY month
+      """.trim)),
+
+    // Weighted sampling without replacement — Efraimidis-Spirakis A-ES
+    // (2006): each doc draws priority u^(1/w) from a reproducible
+    // md5-uniform u and weight w = n_chars, global top-20 by priority.
+    // The quality/length-weighted corpus draw every training-mix build
+    // runs; A-ES is THE distributed algorithm for it (priority is
+    // row-local, selection is a top-k — one partial top-k per partition,
+    // no global sort, no sequential pass like reservoir sampling). u is
+    // exact-rational (md5Long%1e6 + 0.5)/1e6 so both engines feed pow
+    // identical doubles; keys of distinct docs are ~1e-6 apart so the
+    // ≤1-ulp libm pow skew can't flip the ranking (doc_id tiebreak
+    // regardless). The priority itself is not dumped — ids, weight, rank.
+    Op("sample_weighted",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .withColumn("u", (expr(
+            "CAST(conv(substring(md5(concat('ws_', doc_id)), 1, 15), 16, 10) AS BIGINT) % 1000000")
+            + lit(0.5)) / lit(1000000.0))
+          .withColumn("priority", pow(col("u"), lit(1.0) / col("n_chars")))
+          .orderBy(desc("priority"), asc("doc_id"))
+          .limit(20)
+          .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(desc("priority"), asc("doc_id"))))
+          .select(col("rk"), col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("rk")
+      },
+      Some("""
+        SELECT rk, doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+            CAST(ROW_NUMBER() OVER (ORDER BY
+              pow((CAST(('0x' || substr(md5('ws_' || doc_id), 1, 15)) AS BIGINT) % 1000000 + 0.5) / 1000000.0,
+                  1.0 / n_chars) DESC, doc_id) AS INT) AS rk
+          FROM documents
+        ) WHERE rk <= 20 ORDER BY rk
       """.trim))
   )
 }

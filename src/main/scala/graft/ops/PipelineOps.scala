@@ -1651,6 +1651,100 @@ object PipelineOps extends OpGroup {
           CAST(SUM(CASE WHEN ok_wordcount AND ok_wordlen AND ok_symbol
             AND ok_distinct AND ok_stopword THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         FROM r GROUP BY lang ORDER BY lang
+      """.trim)),
+
+    // Gopher repetition-section filters (Rae et al. 2021 §A1.1.3) — the
+    // half of the quality battery text_quality_rules doesn't cover:
+    // per-doc top-word fraction, top-bigram fraction, and duplicate-word
+    // fraction, with thresholds (≤0.15 / ≤0.08 / ≤0.60) set mid-range on
+    // the measured corpus distributions so the gate discriminates.
+    // Everything is row-local array algebra over ≤~100-word docs
+    // (O(distinct·words) per row, no shuffle until the final sort) —
+    // at 100 TB this is one scan, embarrassingly parallel. The pass
+    // flags compare RAW integer-quotient doubles (identical IEEE on both
+    // engines); the reported fractions are repr-ROUNDed per §2.0 rule 9.
+    Op("text_repetition_filter",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .withColumn("nw", size(col("words")))
+          .withColumn("topw", expr(
+            "array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w))))"))
+          .withColumn("bigrams", expr(
+            "transform(sequence(1, nw - 1), i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"))
+          .withColumn("topb", expr(
+            "array_max(transform(array_distinct(bigrams), b -> size(filter(bigrams, x -> x = b))))"))
+          .withColumn("ndup", col("nw") - size(array_distinct(col("words"))))
+        d.select(col("doc_id"), col("nw").cast("long").as("n_words"),
+            round(col("topw").cast("double") / col("nw"), 4).as("top_word_frac"),
+            round(col("topb").cast("double") / (col("nw") - 1), 4).as("top_bigram_frac"),
+            round(col("ndup").cast("double") / col("nw"), 4).as("dup_word_frac"),
+            (col("topw").cast("double") / col("nw") <= 0.15
+              && col("topb").cast("double") / (col("nw") - 1) <= 0.08
+              && col("ndup").cast("double") / col("nw") <= 0.60).as("pass"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ), f AS (
+          SELECT doc_id, len(words) AS nw,
+            list_aggregate(list_transform(list_distinct(words),
+              w -> len(list_filter(words, x -> x = w))), 'max') AS topw,
+            list_aggregate(list_transform(
+              list_distinct(list_transform(range(1, len(words)),
+                i -> words[i] || ' ' || words[i + 1])),
+              b -> len(list_filter(list_transform(range(1, len(words)),
+                i -> words[i] || ' ' || words[i + 1]), x -> x = b))), 'max') AS topb,
+            len(words) - len(list_distinct(words)) AS ndup
+          FROM m)
+        SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+          CAST(ROUND(CAST(CAST(CAST(topw AS DOUBLE) / nw AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS top_word_frac,
+          CAST(ROUND(CAST(CAST(CAST(topb AS DOUBLE) / (nw - 1) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS top_bigram_frac,
+          CAST(ROUND(CAST(CAST(CAST(ndup AS DOUBLE) / nw AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS dup_word_frac,
+          (CAST(topw AS DOUBLE) / nw <= 0.15
+            AND CAST(topb AS DOUBLE) / (nw - 1) <= 0.08
+            AND CAST(ndup AS DOUBLE) / nw <= 0.60) AS pass
+        FROM f ORDER BY doc_id
+      """.trim)),
+
+    // k-NN graph construction (k=3, in-cell): the neighbor-list build
+    // step every graph-ANN index (NN-descent, HNSW bulk load) and
+    // graph-based dedup starts from. Directed: each vector ranks its
+    // same-cell peers by exact cosine and keeps the top 3 (ties
+    // impossible on this data; b asc pins determinism anyway). The pair
+    // join is the vec_neardup_blocked cell-bounded equi-join — never
+    // all-pairs — and the per-source window ranks candidate lists whose
+    // size is cell-bounded, so the plan survives any corpus size with
+    // cells from a trained coarse quantizer.
+    Op("vec_knn_graph",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val a = e.select(col("label").as("la"), col("vec_id").as("a"), col("embedding").as("ea"))
+        val b = e.select(col("label").as("lb"), col("vec_id").as("b"), col("embedding").as("eb"))
+        val w = Window.partitionBy("a").orderBy(desc("sim"), asc("b"))
+        a.join(b, col("la") === col("lb") && col("a") =!= col("b"))
+          .withColumn("sim", expr("vec_dot(ea, eb)")
+            / (sqrt(expr("vec_norm_sq(ea)")) * sqrt(expr("vec_norm_sq(eb)"))))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("a"), col("rk"), col("b"),
+            (round(col("sim"), 3) + 0.0).as("cos_sim"))
+          .orderBy("a", "rk")
+      },
+      Some("""
+        SELECT a, rk, b, ROUND(cos, 3) + 0.0 AS cos_sim FROM (
+          SELECT a, b, cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b) AS INT) AS rk
+          FROM (
+            SELECT x.vec_id AS a, y.vec_id AS b,
+              list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                / (sqrt(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)))
+                   * sqrt(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)))) AS cos
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          )
+        ) WHERE rk <= 3 ORDER BY a, rk
       """.trim))
   )
 }

@@ -341,6 +341,39 @@ object SourceOps extends OpGroup {
           CAST(SUM(strlen(text) + 1) AS BIGINT) AS total_bytes,
           CAST(SUM(CAST(('0x' || substring(md5(text || chr(10)), 1, 12)) AS BIGINT)) AS BIGINT) AS sig_sum
         FROM documents WHERE doc_id < 20
+      """.trim)),
+
+    // Line-oriented text source roundtrip — the rawest ingest format a
+    // corpus pipeline meets (one record per line, schema applied by the
+    // reader). Docs land as TSV lines via the text sink, come back as a
+    // single `value` column, and the reader re-derives (doc_id, lang,
+    // text) by a bounded split. Safe here because the corpus is
+    // measured newline/tab-free; a real pipeline would JSONL-escape.
+    // The whole parse is row-local projection — one scan at any scale —
+    // and the oracle recomputes the same aggregates straight from the
+    // source table (roundtrip must be the identity).
+    Op("src_text_lines",
+      (s, dir) => {
+        val out = tmpDir("graft_textlines")
+        Tables.t(s, dir, "documents")
+          .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+          .write.mode("overwrite").text(out)
+        val parts = split(col("value"), "\t", 3)
+        s.read.text(out)
+          .select(parts.getItem(0).cast("long").as("doc_id"),
+            parts.getItem(1).as("lang"),
+            parts.getItem(2).as("text"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_chars"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(strlen(text)) AS BIGINT) AS sum_chars,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM documents GROUP BY lang ORDER BY lang
       """.trim))
   )
 
