@@ -511,6 +511,84 @@ object EtlOps extends OpGroup {
           FROM lineitem l WHERE NOT EXISTS (
             SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
         ORDER BY relation
+      """.trim)),
+
+    // Ordered CDC-log application — the multi-version sibling of
+    // etl_upsert (which applies at most ONE change per key): a change
+    // log carries several versioned ops per key (v1 reprice, v2 second
+    // reprice, v3 delete, each on deterministic key slices) and only the
+    // HIGHEST version may win. Latest-wins = one max_by per key (cheap
+    // single-pair aggregation buffer, partial-aggregatable — no rank
+    // window needed), then one full-outer merge with the base, deletes
+    // dropped. Summarized per status with exact-decimal mass so the
+    // whole apply is hash-checked. At 100 TB: the log is tiny vs the
+    // base — aggregate the log first (shuffle |log|), bucket the base,
+    // and the merge is a zipped join touching only affected buckets.
+    Op("etl_cdc_apply",
+      (s, dir) => {
+        val base = Tables.t(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        def reprice(f: Double) = round(col("price")
+          * lit(BigDecimal(f.toString)).cast(DecimalType(3, 2)), 2)
+          .cast(DecimalType(18, 2))
+        val log = base.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), lit(1).as("ver"), lit("U").as("op"),
+            reprice(1.10).as("new_price"))
+          .unionByName(base.filter(col("o_orderkey") % 10 === 0)
+            .select(col("o_orderkey"), lit(2).as("ver"), lit("U").as("op"),
+              reprice(1.20).as("new_price")))
+          .unionByName(base.filter(col("o_orderkey") % 13 === 0)
+            .select(col("o_orderkey"), lit(3).as("ver"), lit("D").as("op"),
+              // 0-sentinel, never read (D rows are filtered): DuckDB's
+              // arg_max skips NULL args, Spark's max_by keeps them —
+              // a non-null sentinel sidesteps the semantic gap.
+              lit(BigDecimal(0).setScale(2)).cast(DecimalType(18, 2)).as("new_price")))
+        val latest = log.groupBy("o_orderkey")
+          .agg(max_by(col("op"), col("ver")).as("op"),
+            max_by(col("new_price"), col("ver")).as("new_price"))
+        base.join(latest, Seq("o_orderkey"), "full")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("o_orderstatus"),
+            coalesce(col("new_price"), col("price")).as("p"),
+            col("op").isNotNull.as("changed"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed"),
+            sum(col("p")).cast(DecimalType(18, 2)).cast("double").as("price_mass"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+            CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          FROM orders WHERE year(o_orderdate) = 1996),
+        log AS (
+          SELECT o_orderkey, 1 AS ver, 'U' AS op,
+            CAST(ROUND(price * CAST(1.10 AS DECIMAL(3,2)), 2) AS DECIMAL(18,2)) AS new_price
+          FROM base WHERE o_orderkey % 5 = 0
+          UNION ALL
+          SELECT o_orderkey, 2, 'U',
+            CAST(ROUND(price * CAST(1.20 AS DECIMAL(3,2)), 2) AS DECIMAL(18,2))
+          FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey, 3, 'D', CAST(0.00 AS DECIMAL(18,2))
+          FROM base WHERE o_orderkey % 13 = 0),
+        latest AS (
+          SELECT o_orderkey, arg_max(op, ver) AS op,
+            arg_max(new_price, ver) AS new_price
+          FROM log GROUP BY 1),
+        merged AS (
+          SELECT b.o_orderstatus,
+            COALESCE(l.new_price, b.price) AS p,
+            (l.o_orderkey IS NOT NULL) AS changed
+          FROM base b FULL JOIN latest l ON b.o_orderkey = l.o_orderkey
+          WHERE l.op IS NULL OR l.op <> 'D')
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+          CAST(CAST(SUM(p) AS DECIMAL(18,2)) AS DOUBLE) AS price_mass
+        FROM merged GROUP BY 1 ORDER BY o_orderstatus
       """.trim))
   )
 }

@@ -1745,6 +1745,130 @@ object PipelineOps extends OpGroup {
               ON x.label = y.label AND x.vec_id <> y.vec_id
           )
         ) WHERE rk <= 3 ORDER BY a, rk
+      """.trim)),
+
+    // Training-sequence packing — the step between a filtered corpus and
+    // the dataloader: concatenate docs (per lang, in deterministic
+    // doc_id order) into a token stream and chunk it into fixed 2048-
+    // token sequences; each doc belongs to the sequence holding its
+    // start offset. Reports per-sequence doc count / token mass / fill.
+    // One running-sum window PER LANG — which is also the 100 TB shape:
+    // packing is always done within a shard (here: language), never as
+    // one global sequential pass, so the window parallelizes across
+    // shards and the shuffle is one partition-by-lang. All-integer.
+    Op("text_pack_sequences",
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr("CAST(aggregate(split(text, ' '), 0, (a, x) -> a + greatest(1, CAST(ceil(length(x) / 4.0) AS INT))) AS BIGINT)")
+              .as("tok"))
+          .withColumn("cum", sum("tok").over(w))
+          .withColumn("seq_id", ((col("cum") - col("tok")) / 2048).cast("long"))
+          .groupBy("lang", "seq_id")
+          .agg(count(lit(1)).as("n_docs"),
+            min("doc_id").as("first_doc"),
+            sum("tok").as("tokens_started"))
+          .orderBy("lang", "seq_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang,
+            CAST(list_sum(list_transform(string_split(text, ' '),
+              x -> greatest(1, CAST(ceil(len(x) / 4.0) AS INT)))) AS BIGINT) AS tok
+          FROM documents),
+        packed AS (
+          SELECT doc_id, lang, tok,
+            CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+          FROM toks)
+        SELECT lang, CAST(FLOOR((cum - tok) / 2048) AS BIGINT) AS seq_id,
+          COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+          CAST(SUM(tok) AS BIGINT) AS tokens_started
+        FROM packed GROUP BY 1, 2 ORDER BY lang, seq_id
+      """.trim)),
+
+    // One power-iteration step toward the top principal component —
+    // v₁ ∝ (Σᵢ xᵢxᵢᵀ)·v₀ computed WITHOUT materializing the Gram matrix:
+    // per row the scalar sᵢ = ⟨qvᵢ, v₀⟩ (v₀ = all-ones ⇒ the component
+    // sum), then per position Σᵢ sᵢ·qvᵢ[p] — two integer reductions over
+    // one scan, shuffle bounded by dim (64 partials), exact BIGINT
+    // arithmetic throughout (qv ≤ 1e3, s ≤ 6.4e4 ⇒ products ≤ 6.4e7,
+    // sums ≤ ~1e11 at sf0.1). The normalized component is one double
+    // division by a norm folded in pos order (deterministic), repr-
+    // ROUND 6 dp. The PCA/embedding-whitening primitive at corpus scale.
+    Op("vec_power_iteration",
+      (s, dir) => {
+        val q = Tables.t(s, dir, "embeddings")
+          .select(expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("qv"))
+          .withColumn("sc", expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        val v1 = q.select(col("sc"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("pos")
+          .agg(sum(col("sc") * col("v")).as("v1"))
+        val norm = v1.agg(expr(
+          """aggregate(transform(array_sort(collect_list(struct(pos, v1))), s -> s.v1),
+               CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""").as("nsq"))
+        v1.crossJoin(norm)
+          .select(col("pos"), col("v1"),
+            round(col("v1") / sqrt(col("nsq")), 6).as("v1_unit"))
+          .orderBy("pos")
+      },
+      Some("""
+        WITH q AS (
+          SELECT list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS qv
+          FROM embeddings),
+        sc AS (
+          SELECT qv, CAST(list_sum(qv) AS BIGINT) AS sc FROM q),
+        v1 AS (
+          SELECT pos, CAST(SUM(sc * v) AS BIGINT) AS v1 FROM (
+            SELECT sc, generate_subscripts(qv, 1) - 1 AS pos, unnest(qv) AS v FROM sc
+          ) GROUP BY pos),
+        nrm AS (
+          SELECT list_sum(list_transform(list(CAST(v1 AS DOUBLE) ORDER BY pos),
+            x -> x * x)) AS nsq FROM v1)
+        SELECT pos, v1,
+          CAST(ROUND(CAST(CAST(v1 / sqrt(nsq) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS v1_unit
+        FROM v1, nrm ORDER BY pos
+      """.trim)),
+
+    // 1-bit binary quantization + Hamming top-k — the cheapest ANN
+    // prefilter there is: each 64-dim float vector collapses to TWO
+    // 32-bit sign words (4 bytes of index per vector per word), distance
+    // is bit_count(xor) — integer, SIMD-friendly, exact on both engines.
+    // The modern binary-quantization rerank stack's first stage
+    // (vec_quantize_int8 / vec_pq_topk are its finer ladders). Top-10 by
+    // (hamming, vec_id) against the vec_id-0 query; all-integer output.
+    // At 100 TB: the packed index is ~8 bytes/vector, the scan is one
+    // projection + top-k — no shuffle beyond the k-row reduction.
+    Op("vec_binary_quantize",
+      (s, dir) => {
+        def word(lo: Int): String =
+          s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (a, i) ->
+                a + IF(element_at(embedding, i + $lo + 1) >= 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            expr(word(0)).as("w0"), expr(word(32)).as("w1"))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("w0").as("q0"), col("w1").as("q1"))
+        e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+            (bit_count(expr("w0 ^ q0")) + bit_count(expr("w1 ^ q1"))).cast("int").as("hamming"))
+          .orderBy(asc("hamming"), asc("vec_id"))
+          .limit(10)
+      },
+      Some("""
+        WITH packed AS (
+          SELECT vec_id, label,
+            CAST(list_sum(list_transform(range(0, 32),
+              i -> CASE WHEN embedding[i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS w0,
+            CAST(list_sum(list_transform(range(0, 32),
+              i -> CASE WHEN embedding[i + 33] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS w1
+          FROM embeddings),
+        q AS (SELECT w0 AS q0, w1 AS q1 FROM packed WHERE vec_id = 0)
+        SELECT vec_id, label,
+          CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) AS INT) AS hamming
+        FROM packed, q WHERE vec_id <> 0
+        ORDER BY hamming, vec_id LIMIT 10
       """.trim))
   )
 }
