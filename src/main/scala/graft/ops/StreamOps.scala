@@ -16,6 +16,29 @@ import org.apache.spark.sql.types._
   */
 object StreamOps extends OpGroup {
 
+  /** Per-user cumulative event count for `stream_transform_with_state`.
+    * A NAMED class (not an anonymous subclass inside the op lambda): an
+    * anonymous processor closes over the op's lambda scope — including the
+    * SparkSession reached through `s.implicits` implicit-encoder lookup —
+    * and fails Task-not-serializable when the micro-batch ships it to
+    * executors. This class captures nothing; the state encoder is the
+    * session-free `Encoders.scalaLong`.
+    */
+  private class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, (Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Long],
+        tv: TimerValues): Iterator[(Long, Long)] = {
+      val t = (if (total.exists()) total.get() else 0L) + rows.size
+      total.update(t)
+      Iterator((user, t))
+    }
+  }
+
   /** Raw events schema under nanosAsLong (ts arrives as Long nanos). */
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -230,7 +253,7 @@ object StreamOps extends OpGroup {
     // oracle-checked batch per-user counts, same as stream_custom_state.
     Op("stream_transform_with_state",
       (s, dir) => {
-        import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
         import s.implicits._
         val providerKey = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.getOption(providerKey)
@@ -238,20 +261,9 @@ object StreamOps extends OpGroup {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         try {
           val users = eventStream(s, dir).select(col("user_id")).as[Long]
-          val proc = new StatefulProcessor[Long, Long, (Long, Long)] {
-            @transient private var total: ValueState[Long] = _
-            override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-              total = getHandle.getValueState[Long]("total",
-                implicitly[org.apache.spark.sql.Encoder[Long]], TTLConfig.NONE)
-            override def handleInputRows(user: Long, rows: Iterator[Long],
-                tv: TimerValues): Iterator[(Long, Long)] = {
-              val t = (if (total.exists()) total.get() else 0L) + rows.size
-              total.update(t)
-              Iterator((user, t))
-            }
-          }
           val counts = users.groupByKey(identity)
-            .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+            .transformWithState(new RunningCountProcessor, TimeMode.None(),
+              OutputMode.Append())
             .toDF("user_id", "running_count")
           runToMemory(s, counts, "graft_stream_tws", "append")
             .groupBy("user_id")
