@@ -1869,6 +1869,60 @@ object PipelineOps extends OpGroup {
           CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) AS INT) AS hamming
         FROM packed, q WHERE vec_id <> 0
         ORDER BY hamming, vec_id LIMIT 10
+      """.trim)),
+
+    // Exact substring-level duplicate-span detection — the fixed-k
+    // sliding-window approximation of suffix-array dedup (Lee et al.
+    // 2022's "dedup repeated substrings"): every 8-token span that
+    // appears in ≥2 distinct docs is a duplicated span; report per-doc
+    // span counts + duplicated fraction, the signal a corpus pipeline
+    // thresholds to drop boilerplate-heavy docs. Spans shuffle as 16-hex
+    // md5 prefixes (16 B/span), never as text — at 100 TB the shuffle is
+    // bounded by corpus token count × 16 B, the span→count agg is
+    // two-phase (partial map-side), and the flag join is key-partitioned
+    // equi — nothing quadratic, no driver state. (A true suffix array
+    // finds variable-length repeats; fixed k=8 is the standard
+    // distributed surrogate — any repeat ≥ k tokens is guaranteed to
+    // contain a duplicated k-span, so recall on ≥k repeats is exact.)
+    Op("text_dup_spans",
+      (s, dir) => {
+        val sp = Tables.t(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 8)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(1, size(w) - 7), i -> substring(md5(concat_ws(' ', slice(w, i, 8))), 1, 16))"))
+            .as(Seq("pos", "k")))
+        val dup = sp.groupBy("k")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("k"), lit(1).as("isdup"))
+        sp.join(dup, Seq("k"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("isdup").isNotNull, 1L).otherwise(0L)).as("n_dup_spans"))
+          .filter(col("n_dup_spans") > 0)
+          .withColumn("dup_frac",
+            round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        sp AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+            i -> substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16))) AS k
+          FROM d),
+        dup AS (
+          SELECT k FROM sp GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2)
+        SELECT s.doc_id, COUNT(*) AS n_spans,
+          CAST(SUM(CASE WHEN dup.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+          CAST(ROUND(CAST(CAST(CAST(SUM(CASE WHEN dup.k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS dup_frac
+        FROM sp s LEFT JOIN dup ON s.k = dup.k
+        GROUP BY s.doc_id
+        HAVING SUM(CASE WHEN dup.k IS NOT NULL THEN 1 ELSE 0 END) > 0
+        ORDER BY s.doc_id
       """.trim))
   )
 }

@@ -343,4 +343,64 @@ class PlanSuite extends AnyFunSuite {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
       "the constraint report must read the table exactly once")
   }
+
+  test("round-7 dedup/vector keys: label-blocked joins, no cartesians, no global-sort windows") {
+    // vec_semantic_dedup: centroids broadcast; the within-cluster pair
+    // join is a label-keyed equi join (the cell-blocking that keeps
+    // SemDeDup off the all-pairs cliff), never a cartesian.
+    val sd = plan("vec_semantic_dedup")
+    assert(!sd.contains("CartesianProduct"),
+      "semantic-dedup pair join must stay label-blocked")
+    assert(sd.contains("BroadcastExchange"), "centroid frame must broadcast")
+
+    // vec_knn_graph: same invariant — the kNN candidate join is blocked
+    // on label, and the per-node top-3 window is hash-partitioned by
+    // node, never a single-partition sort.
+    val knn = plan("vec_knn_graph")
+    assert(!knn.contains("CartesianProduct"), "kNN join must stay label-blocked")
+    assert(!knn.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "per-node ranking must not serialize onto one partition")
+
+    // vec_power_iteration: the matrix-vector product must partial-
+    // aggregate (shuffle bounded by dim, not rows).
+    val pi = plan("vec_power_iteration")
+    assert(pi.contains("partial_"), "per-position sums must partial-aggregate")
+    assert(!pi.contains("Window"), "no window sort in the power step")
+
+    // text_pack_sequences: packing windows are per-lang shards — the
+    // running sum must run behind hashpartitioning(lang), never a global
+    // single-partition window (the shape that can't scale past one core).
+    val pk = plan("text_pack_sequences")
+    assert(pk.contains("hashpartitioning(lang"),
+      "the packing window must shard by lang")
+    assert(!pk.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "packing must never globally serialize")
+
+    // vec_binary_quantize: 1-row query broadcast + top-k as
+    // TakeOrderedAndProject, never a global sort exchange.
+    val bq = plan("vec_binary_quantize")
+    assert(bq.contains("TakeOrderedAndProject"), "hamming top-10 must be a top-k")
+    assert(bq.contains("BroadcastExchange") || bq.contains("BroadcastNestedLoopJoin"),
+      "the 1-row query must broadcast")
+    assert(!bq.contains("Exchange rangepartitioning"),
+      "no global sort for a limit-10")
+  }
+
+  test("text_dup_spans: span counts two-phase, flag join keyed, no cartesian") {
+    val p = plan("text_dup_spans")
+    assert(p.contains("partial_"),
+      "span→doc-count must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the dup-flag join must stay a keyed equi join")
+  }
+
+  test("etl_cdc_apply plans exactly one full-outer join, no cartesian") {
+    val p = plan("etl_cdc_apply")
+    assert(p.contains("FullOuter"), "base↔latest must merge with one full-outer join")
+    assert("""Join""".r.findAllIn(
+      SparkEntry.queries("etl_cdc_apply")(spark, sf0001)
+        .queryExecution.optimizedPlan.toString).size == 1,
+      "exactly one join in the CDC merge")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
