@@ -522,6 +522,59 @@ object EventOps extends OpGroup {
                    + CASE WHEN v3 IS NOT NULL THEN 1.0 ELSE 0.0 END)
             AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS ewma4
         FROM lags ORDER BY user_id, ts, event_id
+      """.trim)),
+
+    // CUSUM changepoint detection — per entity, the point where the
+    // series' running sum deviates most from its own mean trend:
+    // S_i = n·cumsum_i − i·total (the mean-centered CUSUM scaled by n to
+    // stay in exact BIGINT — no per-row double accumulation, so the
+    // argmax is order-independent and engine-exact). The classic offline
+    // changepoint statistic (max_i |S_i| locates the level-shift point).
+    // One hash shuffle by user_id serves all four windows + the argmax
+    // rank (same partitioning reused, sorts only within partitions);
+    // magnitudes: qv ≤ 5.7e5 (value ≤ 600 × 1000), so n·cum fits BIGINT
+    // past 1000× the sf0.1 per-user series length. cp_stat = |S|/(1000·n)
+    // = the centered cumsum in original value units, repr-ROUND 4.
+    Op("ts_cusum_changepoint",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val scored = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").as("qv"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("cum", sum("qv").over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+          .withColumn("tot", sum("qv").over(Window.partitionBy("user_id")))
+          .withColumn("abs_s", abs(col("n") * col("cum") - col("i") * col("tot")))
+        scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("user_id").orderBy(desc("abs_s"), asc("event_id"))))
+          .filter(col("rk") === 1)
+          .select(col("user_id"), col("n"),
+            col("event_id").as("cp_event"),
+            round(col("abs_s").cast("double") / (col("n") * 1000.0), 4).as("cp_stat"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+            CAST(ROUND("value" * 1000, 0) AS BIGINT) AS qv
+          FROM events),
+        sc AS (
+          SELECT user_id, event_id,
+            CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+            CAST(SUM(qv) OVER w AS BIGINT) AS cum,
+            CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+            CAST(SUM(qv) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s2 AS (
+          SELECT user_id, n, event_id, abs(n * cum - i * tot) AS abs_s,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY abs(n * cum - i * tot) DESC, event_id) AS rk
+          FROM sc)
+        SELECT user_id, n, event_id AS cp_event,
+          CAST(ROUND(CAST(CAST(CAST(abs_s AS DOUBLE) / (n * 1000.0) AS VARCHAR)
+            AS DECIMAL(38,15)), 4) AS DOUBLE) AS cp_stat
+        FROM s2 WHERE rk = 1 ORDER BY user_id
       """.trim))
   )
 }

@@ -1923,6 +1923,52 @@ object PipelineOps extends OpGroup {
         GROUP BY s.doc_id
         HAVING SUM(CASE WHEN dup.k IS NOT NULL THEN 1 ELSE 0 END) > 0
         ORDER BY s.doc_id
+      """.trim)),
+
+    // Corpus-likelihood quality filter (the CCNet/kenlm shape without
+    // the LM): score each doc by how typical its word pairs are of its
+    // language's corpus — per-(lang, bigram) corpus counts c₁₂, then
+    // per-doc mean bigram frequency Σc₁₂/n. Garbled or off-language docs
+    // pair rare words and score low; the score is the thresholdable
+    // filter signal. log-probabilities are deliberately avoided: libm
+    // log differs in the last ulp across engines and a float sum is
+    // order-dependent — integer count mass is engine-exact and
+    // order-independent. At 100 TB: bigrams shuffle as 16-hex md5
+    // prefixes (16 B each), the model table is vocab²-bounded (broadcast
+    // or bucketed), both aggs partial map-side, scoring is one keyed
+    // equi join — linear in corpus tokens.
+    Op("text_bigram_likelihood",
+      (s, dir) => {
+        val bg = Tables.t(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), col("lang"), posexplode(expr(
+            "transform(sequence(1, size(w) - 1), i -> substring(md5(concat_ws(' ', slice(w, i, 2))), 1, 16))"))
+            .as(Seq("pos", "k")))
+        val model = bg.groupBy("lang", "k").agg(count(lit(1)).as("c12"))
+        bg.join(model, Seq("lang", "k"))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_bigrams"), sum("c12").as("freq_mass"))
+          .withColumn("avg_freq",
+            round(col("freq_mass").cast("double") / col("n_bigrams"), 4))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        bg AS (
+          SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+            i -> substr(md5(w[i] || ' ' || w[i + 1]), 1, 16))) AS k
+          FROM d),
+        model AS (
+          SELECT lang, k, COUNT(*) AS c12 FROM bg GROUP BY 1, 2)
+        SELECT b.doc_id, b.lang, COUNT(*) AS n_bigrams,
+          CAST(SUM(m.c12) AS BIGINT) AS freq_mass,
+          CAST(ROUND(CAST(CAST(CAST(SUM(m.c12) AS DOUBLE) / COUNT(*) AS VARCHAR)
+            AS DECIMAL(38,15)), 4) AS DOUBLE) AS avg_freq
+        FROM bg b JOIN model m ON b.lang = m.lang AND b.k = m.k
+        GROUP BY 1, 2 ORDER BY b.doc_id
       """.trim))
   )
 }
