@@ -39,6 +39,46 @@ object Bench {
     // measuring the harness (round-6 verdict item 5). Caches releases each
     // layout right after its consumer key reports done.
     Setups.warm(spark, sfDir, SparkEntry.queries.keySet)
+    // Untimed warm-up of the Structured Streaming machinery: the first
+    // stream_* key otherwise pays the one-time micro-batch engine
+    // classload + stateful-codegen + state-store provider init (~2-3 s of
+    // JVM cost, not query cost). A 2-row file source driven through a
+    // watermarked stateful agg into a memory sink touches the same
+    // planner/state paths the timed keys use; a second pass under the
+    // RocksDB provider preloads its native library for
+    // stream_transform_with_state.
+    if (SparkEntry.queries.keySet.exists(_.startsWith("stream_"))) {
+      def streamWarm(name: String): Unit = {
+        val src = Tables.tmpDir(s"graft_warm_$name")
+        spark.range(2)
+          .selectExpr("id", "timestamp_micros(id * 1000000) AS ts")
+          .write.mode("overwrite").parquet(src)
+        val q = spark.readStream
+          .schema("id LONG, ts TIMESTAMP")
+          .parquet(src)
+          .withWatermark("ts", "1 hour")
+          .groupBy(org.apache.spark.sql.functions.window(
+            org.apache.spark.sql.functions.col("ts"), "1 hour"))
+          .count()
+          .writeStream.outputMode("complete").format("memory").queryName(name)
+          .option("checkpointLocation", Tables.tmpDir(s"graft_warm_${name}_ckpt"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      try streamWarm("graft_warm_stream") catch { case _: Throwable => () }
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(providerKey)
+      try {
+        spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        streamWarm("graft_warm_stream_rocks")
+      } catch { case _: Throwable => () }
+      finally prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

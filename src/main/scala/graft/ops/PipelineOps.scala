@@ -59,6 +59,56 @@ object PipelineOps extends OpGroup {
       sigs
     })
 
+  /** (doc_id, lang, k) exploded bigram keys of text_bigram_likelihood —
+    * the frame feeds BOTH sides of the model⋈scoring self-join, and
+    * without materialization Spark recomputes the split/md5/explode over
+    * the full corpus once per branch (the round-7 verdict measured the
+    * recompute at up to 8.5 s of the 10 s key budget at sf0.1). One
+    * eager localCheckpoint makes both branches read the compact 3-column
+    * frame; Caches releases it the moment the key reports done. The
+    * repartition spreads the explode across all cores (documents.parquet
+    * is a single file → one input partition otherwise).
+    */
+  private val bigramCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def bigramFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    bigramCache.getOrElseUpdate((s, dir), {
+      val bg = Tables.t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> substring(md5(concat_ws(' ', slice(w, i, 2))), 1, 16))"))
+          .as("k"))
+        .localCheckpoint(true)
+      graft.Caches.track(s, dir, "bigram_frame", Set("text_bigram_likelihood"),
+        () => bigramCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
+      bg
+    })
+
+  /** (doc_id, k) exploded 8-token span keys of text_dup_spans — same
+    * double-branch shape as [[bigramFrame]] (span→distinct-doc counts and
+    * the per-doc flag join both consume it), same one-checkpoint fix.
+    */
+  private val spanCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def spanFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    spanCache.getOrElseUpdate((s, dir), {
+      val sp = Tables.t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 8)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 7), i -> substring(md5(concat_ws(' ', slice(w, i, 8))), 1, 16))"))
+          .as("k"))
+        .localCheckpoint(true)
+      graft.Caches.track(s, dir, "span_frame", Set("text_dup_spans"),
+        () => spanCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
+      sp
+    })
+
   /** Band buckets larger than this refine on a secondary half-band key
     * instead of joining all-pairs. 500 caps the per-bucket join at
     * ~125 k comparisons; above it the pair count grows quadratically
@@ -593,7 +643,7 @@ object PipelineOps extends OpGroup {
           .orderBy("a", "b")
       },
       Some("""
-        SELECT a, b, ROUND(cos, 3) AS cos_sim FROM (
+        SELECT a, b, CAST(ROUND(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) AS cos_sim FROM (
           SELECT x.vec_id AS a, y.vec_id AS b,
             list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
               / (sqrt(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)))
@@ -1663,6 +1713,11 @@ object PipelineOps extends OpGroup {
     // at 100 TB this is one scan, embarrassingly parallel. The pass
     // flags compare RAW integer-quotient doubles (identical IEEE on both
     // engines); the reported fractions are repr-ROUNDed per §2.0 rule 9.
+    // Total over arbitrary docs: a 1-word doc has no bigrams — the
+    // bigram branch is guarded (Spark's sequence(1, 0) is a DESCENDING
+    // [1, 0] and element_at(words, 0) would throw, where DuckDB's
+    // range(1, 1) is empty), its fraction is NULL on both engines, and
+    // the pass gate treats "no bigrams" as vacuously passing.
     Op("text_repetition_filter",
       (s, dir) => {
         val d = Tables.t(s, dir, "documents")
@@ -1671,7 +1726,9 @@ object PipelineOps extends OpGroup {
           .withColumn("topw", expr(
             "array_max(transform(array_distinct(words), w -> size(filter(words, x -> x = w))))"))
           .withColumn("bigrams", expr(
-            "transform(sequence(1, nw - 1), i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"))
+            """IF(nw >= 2,
+                 transform(sequence(1, nw - 1), i -> concat(element_at(words, i), ' ', element_at(words, i + 1))),
+                 CAST(array() AS ARRAY<STRING>))"""))
           .withColumn("topb", expr(
             "array_max(transform(array_distinct(bigrams), b -> size(filter(bigrams, x -> x = b))))"))
           .withColumn("ndup", col("nw") - size(array_distinct(col("words"))))
@@ -1680,7 +1737,7 @@ object PipelineOps extends OpGroup {
             round(col("topb").cast("double") / (col("nw") - 1), 4).as("top_bigram_frac"),
             round(col("ndup").cast("double") / col("nw"), 4).as("dup_word_frac"),
             (col("topw").cast("double") / col("nw") <= 0.15
-              && col("topb").cast("double") / (col("nw") - 1) <= 0.08
+              && coalesce(col("topb").cast("double") / (col("nw") - 1) <= 0.08, lit(true))
               && col("ndup").cast("double") / col("nw") <= 0.60).as("pass"))
           .orderBy("doc_id")
       },
@@ -1703,7 +1760,7 @@ object PipelineOps extends OpGroup {
           CAST(ROUND(CAST(CAST(CAST(topb AS DOUBLE) / (nw - 1) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS top_bigram_frac,
           CAST(ROUND(CAST(CAST(CAST(ndup AS DOUBLE) / nw AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS dup_word_frac,
           (CAST(topw AS DOUBLE) / nw <= 0.15
-            AND CAST(topb AS DOUBLE) / (nw - 1) <= 0.08
+            AND COALESCE(CAST(topb AS DOUBLE) / (nw - 1) <= 0.08, TRUE)
             AND CAST(ndup AS DOUBLE) / nw <= 0.60) AS pass
         FROM f ORDER BY doc_id
       """.trim)),
@@ -1733,7 +1790,7 @@ object PipelineOps extends OpGroup {
           .orderBy("a", "rk")
       },
       Some("""
-        SELECT a, rk, b, ROUND(cos, 3) + 0.0 AS cos_sim FROM (
+        SELECT a, rk, b, CAST(ROUND(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS cos_sim FROM (
           SELECT a, b, cos,
             CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b) AS INT) AS rk
           FROM (
@@ -1748,43 +1805,48 @@ object PipelineOps extends OpGroup {
       """.trim)),
 
     // Training-sequence packing — the step between a filtered corpus and
-    // the dataloader: concatenate docs (per lang, in deterministic
-    // doc_id order) into a token stream and chunk it into fixed 2048-
-    // token sequences; each doc belongs to the sequence holding its
-    // start offset. Reports per-sequence doc count / token mass / fill.
-    // One running-sum window PER LANG — which is also the 100 TB shape:
-    // packing is always done within a shard (here: language), never as
-    // one global sequential pass, so the window parallelizes across
-    // shards and the shuffle is one partition-by-lang. All-integer.
+    // the dataloader: concatenate docs (per (lang, shard), in
+    // deterministic doc_id order) into a token stream and chunk it into
+    // fixed 2048-token sequences; each doc belongs to the sequence
+    // holding its start offset. Reports per-sequence doc count / token
+    // mass / fill. One running-sum window PER (LANG, SHARD) — which is
+    // the 100 TB shape: packing is shard-local by definition (a training
+    // run streams shards independently), so the cumulative pass
+    // parallelizes over |langs|×16 shards instead of serializing each
+    // language onto one core (|langs| is 4 here — lang alone bounds
+    // parallelism at 4 no matter the cluster size). The shard key is a
+    // deterministic doc_id hash residue, so both engines pack identical
+    // shard streams. All-integer.
     Op("text_pack_sequences",
       (s, dir) => {
-        val w = Window.partitionBy("lang").orderBy("doc_id")
+        val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
         Tables.t(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
+            pmod(col("doc_id"), lit(16)).cast("int").as("shard"),
             expr("CAST(aggregate(split(text, ' '), 0, (a, x) -> a + greatest(1, CAST(ceil(length(x) / 4.0) AS INT))) AS BIGINT)")
               .as("tok"))
           .withColumn("cum", sum("tok").over(w))
           .withColumn("seq_id", ((col("cum") - col("tok")) / 2048).cast("long"))
-          .groupBy("lang", "seq_id")
+          .groupBy("lang", "shard", "seq_id")
           .agg(count(lit(1)).as("n_docs"),
             min("doc_id").as("first_doc"),
             sum("tok").as("tokens_started"))
-          .orderBy("lang", "seq_id")
+          .orderBy("lang", "shard", "seq_id")
       },
       Some("""
         WITH toks AS (
-          SELECT doc_id, lang,
+          SELECT doc_id, lang, CAST(doc_id % 16 AS INT) AS shard,
             CAST(list_sum(list_transform(string_split(text, ' '),
               x -> greatest(1, CAST(ceil(len(x) / 4.0) AS INT)))) AS BIGINT) AS tok
           FROM documents),
         packed AS (
-          SELECT doc_id, lang, tok,
-            CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+          SELECT doc_id, lang, shard, tok,
+            CAST(SUM(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS BIGINT) AS cum
           FROM toks)
-        SELECT lang, CAST(FLOOR((cum - tok) / 2048) AS BIGINT) AS seq_id,
+        SELECT lang, shard, CAST(FLOOR((cum - tok) / 2048) AS BIGINT) AS seq_id,
           COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
           CAST(SUM(tok) AS BIGINT) AS tokens_started
-        FROM packed GROUP BY 1, 2 ORDER BY lang, seq_id
+        FROM packed GROUP BY 1, 2, 3 ORDER BY lang, shard, seq_id
       """.trim)),
 
     // One power-iteration step toward the top principal component —
@@ -1886,12 +1948,7 @@ object PipelineOps extends OpGroup {
     // contain a duplicated k-span, so recall on ≥k repeats is exact.)
     Op("text_dup_spans",
       (s, dir) => {
-        val sp = Tables.t(s, dir, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= 8)
-          .select(col("doc_id"), posexplode(expr(
-            "transform(sequence(1, size(w) - 7), i -> substring(md5(concat_ws(' ', slice(w, i, 8))), 1, 16))"))
-            .as(Seq("pos", "k")))
+        val sp = spanFrame(s, dir)
         val dup = sp.groupBy("k")
           .agg(count_distinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2)
@@ -1939,12 +1996,7 @@ object PipelineOps extends OpGroup {
     // equi join — linear in corpus tokens.
     Op("text_bigram_likelihood",
       (s, dir) => {
-        val bg = Tables.t(s, dir, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= 2)
-          .select(col("doc_id"), col("lang"), posexplode(expr(
-            "transform(sequence(1, size(w) - 1), i -> substring(md5(concat_ws(' ', slice(w, i, 2))), 1, 16))"))
-            .as(Seq("pos", "k")))
+        val bg = bigramFrame(s, dir)
         val model = bg.groupBy("lang", "k").agg(count(lit(1)).as("c12"))
         bg.join(model, Seq("lang", "k"))
           .groupBy("doc_id", "lang")

@@ -367,12 +367,13 @@ class PlanSuite extends AnyFunSuite {
     assert(pi.contains("partial_"), "per-position sums must partial-aggregate")
     assert(!pi.contains("Window"), "no window sort in the power step")
 
-    // text_pack_sequences: packing windows are per-lang shards — the
-    // running sum must run behind hashpartitioning(lang), never a global
-    // single-partition window (the shape that can't scale past one core).
+    // text_pack_sequences: packing windows are per-(lang, shard) — the
+    // running sum must run behind hashpartitioning(lang, shard), never a
+    // per-lang window (parallelism bounded by |langs| = 4, the round-7
+    // scale finding) and never a single-partition one.
     val pk = plan("text_pack_sequences")
-    assert(pk.contains("hashpartitioning(lang"),
-      "the packing window must shard by lang")
+    assert("""hashpartitioning\(lang#\d+, shard#\d+""".r.findFirstIn(pk).isDefined,
+      "the packing window must shard by (lang, shard)")
     assert(!pk.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
       "packing must never globally serialize")
 
@@ -392,6 +393,21 @@ class PlanSuite extends AnyFunSuite {
       "span→doc-count must partial-aggregate map-side")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the dup-flag join must stay a keyed equi join")
+    // The exploded span frame is checkpointed once — both the count and
+    // flag branches must read the materialized RDD, never re-run the
+    // split/md5/explode from parquet per branch.
+    assert(p.contains("ExistingRDD") && !p.contains("Scan parquet"),
+      "both branches must consume the one materialized span frame")
+  }
+
+  test("text_bigram_likelihood: model and scoring read one materialized bigram frame") {
+    val p = plan("text_bigram_likelihood")
+    assert(p.contains("ExistingRDD") && !p.contains("Scan parquet"),
+      "model build + scoring must consume the one checkpointed bigram frame")
+    assert(p.contains("partial_"),
+      "the (lang, bigram) model agg must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "scoring must stay a keyed equi join")
   }
 
   test("etl_cdc_apply plans exactly one full-outer join, no cartesian") {
