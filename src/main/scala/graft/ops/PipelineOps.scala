@@ -2021,6 +2021,352 @@ object PipelineOps extends OpGroup {
             AS DECIMAL(38,15)), 4) AS DOUBLE) AS avg_freq
         FROM bg b JOIN model m ON b.lang = m.lang AND b.k = m.k
         GROUP BY 1, 2 ORDER BY b.doc_id
+      """.trim)),
+
+    // Full Lloyd training loop (3 fixed iterations) — the trainer that
+    // vec_kmeans_step is one step of, composed with text_dedup_clusters'
+    // iterative harness: per iteration the centroid model is the EXACT
+    // integer state (component sums + counts of 1e-3-quantized vectors —
+    // never a float mean, so the model is shuffle-order-independent),
+    // broadcast as k×dim BIGINTs; reassignment is one scan via the
+    // codegen'd vec_l2q_dist with min(struct(dist, clabel)) argmin
+    // (partial-aggregatable — 1 row/vector leaves each map task). The
+    // per-round assignment frame is eagerly localCheckpointed so the plan
+    // does not grow with iterations, and the previous round's blocks are
+    // unpersisted the moment the next materializes. Distances are
+    // compare-only doubles computed index-order-identically in both
+    // engines (vec_kmeans_step's determinism argument, per iteration).
+    // Fixed iteration count (not a convergence test) keeps the oracle an
+    // unrolled CTE chain. Output: per-cluster membership after round 3 —
+    // all-integer. At 100 TB: per iteration one scan + a (k×dim)-bounded
+    // shuffle; only (vec_id, c) carries between iterations.
+    Op("vec_kmeans_train",
+      (s, dir) => {
+        val q = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("qv"))
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "kmeans_qv", Set("vec_kmeans_train"),
+          () => graft.Caches.releaseCheckpoint(q))
+        var assign = q.select(col("vec_id"), col("label").as("c"))
+        var prev: Option[org.apache.spark.sql.DataFrame] = None
+        for (_ <- 1 to 3) {
+          val cent = q.join(assign, "vec_id")
+            .select(col("c").as("clabel"), posexplode(col("qv")).as(Seq("pos", "v")))
+            .groupBy("clabel", "pos")
+            .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+            .groupBy("clabel")
+            .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), s -> s.sv)").as("svec"),
+              max("n").as("n"))
+          val next = q.crossJoin(broadcast(cent))
+            .withColumn("dist", expr("vec_l2q_dist(qv, svec, n)"))
+            .groupBy("vec_id")
+            .agg(min(struct(col("dist"), col("clabel"))).as("m"))
+            .select(col("vec_id"), col("m.clabel").as("c"))
+            .localCheckpoint(true)
+          prev.foreach(graft.Caches.releaseCheckpoint)
+          prev = Some(next)
+          assign = next
+        }
+        val fin = assign
+        graft.Caches.track(s, dir, "kmeans_assign", Set("vec_kmeans_train"),
+          () => graft.Caches.releaseCheckpoint(fin))
+        q.select(col("vec_id"), col("label")).join(fin, "vec_id")
+          .groupBy(col("c").as("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(when(col("label") =!= col("c"), 1L).otherwise(0L)).as("n_moved_in"),
+            min("vec_id").as("first_vec"))
+          .orderBy("cluster")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id, label,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS qv
+          FROM embeddings),
+        a0 AS (SELECT vec_id, label AS c FROM q),
+        c1 AS (
+          SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT a.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
+                unnest(q.qv) AS v
+              FROM q JOIN a0 a USING (vec_id)
+            ) GROUP BY clabel, pos
+          ) GROUP BY clabel),
+        a1 AS (
+          SELECT vec_id, clabel AS c FROM (
+            SELECT vec_id, clabel,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
+            FROM (
+              SELECT q.vec_id, c1.clabel,
+                list_sum(list_transform(range(1, len(qv) + 1), i ->
+                  (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n)
+                    * (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n))) AS dist
+              FROM q, c1
+            )
+          ) WHERE rk = 1),
+        c2 AS (
+          SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT a.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
+                unnest(q.qv) AS v
+              FROM q JOIN a1 a USING (vec_id)
+            ) GROUP BY clabel, pos
+          ) GROUP BY clabel),
+        a2 AS (
+          SELECT vec_id, clabel AS c FROM (
+            SELECT vec_id, clabel,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
+            FROM (
+              SELECT q.vec_id, c2.clabel,
+                list_sum(list_transform(range(1, len(qv) + 1), i ->
+                  (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n)
+                    * (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n))) AS dist
+              FROM q, c2
+            )
+          ) WHERE rk = 1),
+        c3 AS (
+          SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT a.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
+                unnest(q.qv) AS v
+              FROM q JOIN a2 a USING (vec_id)
+            ) GROUP BY clabel, pos
+          ) GROUP BY clabel),
+        a3 AS (
+          SELECT vec_id, clabel AS c FROM (
+            SELECT vec_id, clabel,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
+            FROM (
+              SELECT q.vec_id, c3.clabel,
+                list_sum(list_transform(range(1, len(qv) + 1), i ->
+                  (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n)
+                    * (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n))) AS dist
+              FROM q, c3
+            )
+          ) WHERE rk = 1)
+        SELECT a.c AS cluster, COUNT(*) AS n_members,
+          CAST(SUM(CASE WHEN q.label <> a.c THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
+          MIN(q.vec_id) AS first_vec
+        FROM q JOIN a3 a USING (vec_id)
+        GROUP BY 1 ORDER BY cluster
+      """.trim)),
+
+    // Two-sample Kolmogorov–Smirnov drift gate per order priority: split
+    // orders into even/odd o_orderkey halves (the A/B slices a pipeline
+    // compares across loads); D = max |F1 − F2| over the pooled value
+    // axis. Exact to the last bit: with Fᵢ = cumᵢ/nᵢ the max is taken
+    // over the INTEGER cross-difference |cum1·n2 − cum2·n1| (one window
+    // pass over per-value counts), and the α=0.05 reject decision
+    // D > 1.358·√((n1+n2)/(n1·n2)) is evaluated as the equivalent
+    // integer comparison D²·250000 > 461041·(n1+n2)·n1·n2 in DECIMAL(38)
+    // / HUGEINT — no float sum, no sqrt, no rounding anywhere in the
+    // decision; only the reported statistic is a repr-ROUNDed display
+    // double. At 100 TB: per-(group, value) partial-agg counts shuffle
+    // (bounded by |distinct values|), one window per group — the
+    // win_running_sum shape, nothing global.
+    Op("quality_ks_drift",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_orderpriority").as("grp"),
+            Tables.dec2(col("o_totalprice")).as("v"),
+            (col("o_orderkey") % 2 === 0).as("even"))
+        val counts = o.groupBy("grp", "v")
+          .agg(sum(when(col("even"), 1L).otherwise(0L)).as("c1"),
+            sum(when(!col("even"), 1L).otherwise(0L)).as("c2"))
+        val tot = o.groupBy("grp")
+          .agg(sum(when(col("even"), 1L).otherwise(0L)).as("n1"),
+            sum(when(!col("even"), 1L).otherwise(0L)).as("n2"))
+        val w = Window.partitionBy("grp").orderBy("v")
+        counts
+          .withColumn("cum1", sum("c1").over(w))
+          .withColumn("cum2", sum("c2").over(w))
+          .join(tot, "grp")
+          .withColumn("d", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          .groupBy("grp", "n1", "n2")
+          .agg(max("d").as("d_int"))
+          .select(col("grp"), col("n1"), col("n2"), col("d_int"),
+            round(col("d_int").cast("double") / (col("n1") * col("n2")).cast("double"), 6).as("ks_d"),
+            (col("d_int").cast("decimal(38,0)") * col("d_int") * lit(250000)
+              > lit(461041).cast("decimal(38,0)") * (col("n1") + col("n2")) * col("n1") * col("n2"))
+              .as("drift"))
+          .orderBy("grp")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderpriority AS grp,
+            CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS v,
+            (o_orderkey % 2 = 0) AS even
+          FROM orders),
+        counts AS (
+          SELECT grp, v,
+            CAST(SUM(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+            CAST(SUM(CASE WHEN NOT even THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM o GROUP BY grp, v),
+        tot AS (
+          SELECT grp,
+            CAST(SUM(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN NOT even THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM o GROUP BY grp),
+        cum AS (
+          SELECT grp, v,
+            CAST(SUM(c1) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum1,
+            CAST(SUM(c2) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum2
+          FROM counts),
+        d AS (
+          SELECT c.grp, t.n1, t.n2,
+            CAST(MAX(ABS(cum1 * t.n2 - cum2 * t.n1)) AS BIGINT) AS d_int
+          FROM cum c JOIN tot t USING (grp) GROUP BY 1, 2, 3)
+        SELECT grp, n1, n2, d_int,
+          CAST(ROUND(CAST(CAST(CAST(d_int AS DOUBLE) / (n1 * n2) AS VARCHAR)
+            AS DECIMAL(38,15)), 6) AS DOUBLE) AS ks_d,
+          (CAST(d_int AS HUGEINT) * d_int * 250000
+            > CAST(461041 AS HUGEINT) * (n1 + n2) * n1 * n2) AS drift
+        FROM d ORDER BY grp
+      """.trim)),
+
+    // Triangle counting over the mutual-3NN graph — the clustering-
+    // coefficient/community signal on the neighbor lists vec_knn_graph
+    // builds. Edges: a↔b kept iff each is in the other's in-cell top-3
+    // (mutuality prunes asymmetric hub edges), stored once as a < b.
+    // Degree is bounded by k=3, so the wedge join (e1.b = e2.a with
+    // a<b<c) emits ≤ k rows per edge and the closure check is one keyed
+    // semi join — degree-bounded triangle enumeration, the shape that
+    // stays linear in |edges| at any corpus size when degree is
+    // index-bounded. The mutual edge set is checkpointed once (three
+    // consumers: wedge left, wedge right, closure probe). All-integer.
+    Op("graph_triangle_count",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val l = e.select(col("label").as("la"), col("vec_id").as("a"), col("embedding").as("ea"))
+        val r = e.select(col("label").as("lb"), col("vec_id").as("b"), col("embedding").as("eb"))
+        val w = Window.partitionBy("a").orderBy(desc("sim"), asc("b"))
+        val knn = l.join(r, col("la") === col("lb") && col("a") =!= col("b"))
+          .withColumn("sim", expr("vec_dot(ea, eb)")
+            / (sqrt(expr("vec_norm_sq(ea)")) * sqrt(expr("vec_norm_sq(eb)"))))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("la").as("l"), col("a"), col("b"))
+        val mutual = knn.filter(col("a") < col("b"))
+          .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "leftsemi")
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "tri_edges", Set("graph_triangle_count"),
+          () => graft.Caches.releaseCheckpoint(mutual))
+        val tri = mutual
+          .join(mutual.select(col("a").as("b"), col("b").as("c")), "b")
+          .join(mutual.select(col("a"), col("b").as("c")), Seq("a", "c"), "leftsemi")
+        val nodes = e.groupBy(col("label").as("l"))
+          .agg(count_distinct(col("vec_id")).as("n_nodes"))
+        val edges = mutual.groupBy("l").agg(count(lit(1)).as("n_edges"))
+        val tris = tri.groupBy("l").agg(count(lit(1)).as("n_triangles"))
+        nodes.join(edges, Seq("l"), "left").join(tris, Seq("l"), "left")
+          .select(col("l").as("label"), col("n_nodes"),
+            coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+          .orderBy("label")
+      },
+      Some("""
+        WITH knn AS (
+          SELECT l, a, b FROM (
+            SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
+              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)))
+                     * sqrt(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)))) DESC,
+                y.vec_id) AS rk
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          ) WHERE rk <= 3),
+        mutual AS (
+          SELECT k1.l, k1.a, k1.b FROM knn k1 JOIN knn k2
+            ON k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b),
+        tri AS (
+          SELECT e1.l FROM mutual e1 JOIN mutual e2 ON e1.b = e2.a
+          WHERE EXISTS (SELECT 1 FROM mutual m WHERE m.a = e1.a AND m.b = e2.b)),
+        nodes AS (
+          SELECT label AS l, COUNT(DISTINCT vec_id) AS n_nodes
+          FROM embeddings GROUP BY 1),
+        edges AS (SELECT l, COUNT(*) AS n_edges FROM mutual GROUP BY 1),
+        tris AS (SELECT l, COUNT(*) AS n_tri FROM tri GROUP BY 1)
+        SELECT n.l AS label, n.n_nodes,
+          COALESCE(e.n_edges, 0) AS n_edges,
+          COALESCE(t.n_tri, 0) AS n_triangles
+        FROM nodes n LEFT JOIN edges e USING (l) LEFT JOIN tris t USING (l)
+        ORDER BY label
+      """.trim)),
+
+    // ANN quality evaluation: recall@10 of the IVF(probe=3) index path
+    // against the exact brute-force top-10 for the query vector — the
+    // measurement every index deployment runs before trusting an
+    // approximate path, expressed as a query so it rides the same
+    // engine. Both rankings replicate vec_ivf_topk / vec_cosine_topk
+    // exactly; recall = |ivf ∩ exact| / 10 (small-integer division —
+    // one IEEE op, identical both engines, no rounding needed). One row
+    // out. At 100 TB this runs per query-sample as a broadcast-driven
+    // probe — the corpus is scanned, never joined quadratically.
+    Op("vec_recall_eval",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        val scored = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("sim", expr("vec_dot(embedding, qemb)")
+            / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
+        val exact = scored.orderBy(desc("sim"), asc("vec_id")).limit(10).select("vec_id")
+        val centroids = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg((sum(col("v").cast("double")) / count(lit(1))).as("m"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cemb"))
+        val topCells = centroids.crossJoin(broadcast(q))
+          .withColumn("cdot", expr(
+            "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+          .withColumn("csim", col("cdot")
+            / (sqrt(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"))
+              * sqrt(expr("vec_norm_sq(qemb)"))))
+          .orderBy(desc("csim"), asc("label"))
+          .limit(3)
+          .select("label")
+        val ivf = scored.join(broadcast(topCells), "label")
+          .orderBy(desc("sim"), asc("vec_id")).limit(10).select("vec_id")
+        exact.join(ivf, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(10).cast("int").as("k"), col("n_hits"),
+            (col("n_hits").cast("double") / 10).as("recall_at_10"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id, label,
+            list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
+              / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+                 * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS sim
+          FROM embeddings, q WHERE vec_id <> 0),
+        exact AS (SELECT vec_id FROM scored ORDER BY sim DESC, vec_id LIMIT 10),
+        cent AS (
+          SELECT label, list(m ORDER BY pos) AS cemb FROM (
+            SELECT label, pos, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m FROM (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                unnest(CAST(embedding AS DOUBLE[])) AS v
+              FROM embeddings
+            ) GROUP BY label, pos
+          ) GROUP BY label),
+        cells AS (
+          SELECT label FROM (
+            SELECT label, list_dot_product(cemb, qemb)
+              / (sqrt(list_sum(list_transform(cemb, x -> x * x)))
+                 * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS csim
+            FROM cent, q
+          ) ORDER BY csim DESC, label LIMIT 3),
+        ivf AS (
+          SELECT vec_id FROM scored JOIN cells USING (label)
+          ORDER BY sim DESC, vec_id LIMIT 10)
+        SELECT CAST(10 AS INT) AS k, COUNT(*) AS n_hits,
+          CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
+        FROM exact JOIN ivf USING (vec_id)
       """.trim))
   )
 }

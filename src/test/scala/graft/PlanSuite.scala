@@ -410,6 +410,44 @@ class PlanSuite extends AnyFunSuite {
       "scoring must stay a keyed equi join")
   }
 
+  test("round-8 keys: kmeans state checkpointed, KS window sharded per group, triangles keyed, recall top-k") {
+    // vec_kmeans_train: the iteration state (quantized vectors + final
+    // assignment) is materialized — the returned report joins two
+    // ExistingRDD leaves and partial-aggregates; per-iteration centroid
+    // broadcasts happened eagerly inside the loop (each round's plan is
+    // gone by the time the report plans, by design: checkpoints truncate).
+    val km = plan("vec_kmeans_train")
+    assert(km.contains("ExistingRDD"),
+      "the training state must be checkpointed, not re-derived")
+    assert(km.contains("partial_"), "the membership report must partial-aggregate")
+    assert(!km.contains("CartesianProduct"))
+
+    // quality_ks_drift: the cumulative-count window shards by group —
+    // never a single-partition sort — and the per-value counts
+    // partial-aggregate before the shuffle.
+    val ks = plan("quality_ks_drift")
+    assert("""hashpartitioning\(grp#\d+""".r.findFirstIn(ks).isDefined,
+      "the KS cumulative window must shard by group")
+    assert(!ks.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "the KS pass must never globally serialize")
+    assert(ks.contains("partial_"), "per-value counts must partial-aggregate")
+
+    // graph_triangle_count: wedge + closure are keyed equi joins over the
+    // checkpointed mutual edge set; nothing cartesian.
+    val tc = plan("graph_triangle_count")
+    assert(!tc.contains("CartesianProduct"), "wedge/closure joins must stay keyed")
+    assert(tc.contains("ExistingRDD"),
+      "the mutual edge set must be materialized once for its three consumers")
+
+    // vec_recall_eval: both top-10 cuts are top-k operators, and the
+    // query/cell frames broadcast into the scans.
+    val re = plan("vec_recall_eval")
+    assert(re.contains("TakeOrderedAndProject"),
+      "top-10 cuts must be top-k, not global sorts")
+    assert(re.contains("BroadcastExchange") || re.contains("BroadcastNestedLoopJoin"),
+      "query vector and probed cells must broadcast")
+  }
+
   test("etl_cdc_apply plans exactly one full-outer join, no cartesian") {
     val p = plan("etl_cdc_apply")
     assert(p.contains("FullOuter"), "base↔latest must merge with one full-outer join")
