@@ -575,6 +575,63 @@ object EventOps extends OpGroup {
           CAST(ROUND(CAST(CAST(CAST(abs_s AS DOUBLE) / (n * 1000.0) AS VARCHAR)
             AS DECIMAL(38,15)), 4) AS DOUBLE) AS cp_stat
         FROM s2 WHERE rk = 1 ORDER BY user_id
+      """.trim)),
+
+    // Last-touch conversion attribution: each purchase is attributed to
+    // the same user's most recent click strictly before it, then rolled
+    // up by conversion-lag bucket (value mass in exact DECIMAL — the
+    // revenue-attribution report). The purchase→click lookup runs on the
+    // NATIVE as-of operator (graft.plans.AsOfJoinExec — the second
+    // surface reusing it after join_asof_native, proving the custom
+    // physical operator composes like any built-in): two key shuffles +
+    // in-partition sorts + an O(1)-memory forward merge per partition.
+    // Lag compares exact integer microseconds — no timestamp-truncation
+    // divergence surface. At 100 TB this is THE attribution shape:
+    // nothing buffers more than one click per user at a time.
+    Op("ts_attribution_last_touch",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+            col("event_id").as("c_event_id"))
+        graft.plans.AsOfJoin.join(purchases, clicks,
+            leftKeys = Seq("user_id"), rightKeys = Seq("c_user_id"),
+            leftOrd = Seq("ts", "event_id"), rightOrd = Seq("c_ts", "c_event_id"))
+          .withColumn("lag_us",
+            unix_micros(col("ts").cast("timestamp"))
+              - unix_micros(col("c_ts").cast("timestamp")))
+          .withColumn("bucket",
+            when(col("c_ts").isNull, "4_never")
+              .when(col("lag_us") < 300000000L, "0_lt5m")
+              .when(col("lag_us") < 1800000000L, "1_5to30m")
+              .when(col("lag_us") < 3600000000L, "2_30to60m")
+              .otherwise("3_60m_plus"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(dec2(col("value"))).cast(DecimalType(18, 2)).cast("double").as("value_mass"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH j AS (
+          SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS pts,
+            last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS clicked_at
+          FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        p AS (
+          SELECT value,
+            CASE WHEN clicked_at IS NULL THEN '4_never'
+                 WHEN epoch_us(pts) - epoch_us(clicked_at) < 300000000 THEN '0_lt5m'
+                 WHEN epoch_us(pts) - epoch_us(clicked_at) < 1800000000 THEN '1_5to30m'
+                 WHEN epoch_us(pts) - epoch_us(clicked_at) < 3600000000 THEN '2_30to60m'
+                 ELSE '3_60m_plus' END AS bucket
+          FROM j WHERE event_type = 'purchase')
+        SELECT bucket, COUNT(*) AS n_purchases,
+          CAST(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS value_mass
+        FROM p GROUP BY bucket ORDER BY bucket
       """.trim))
   )
 }

@@ -906,6 +906,73 @@ object PipelineOps extends OpGroup {
         ) ORDER BY doc_id
       """.trim)),
 
+    // Batched multimodal inference stub — the third multimodal seam next
+    // to multimodal_decode_stub (per-record decode) and
+    // multimodal_frame_sample (within-record sampling): records are
+    // grouped into FIXED-SIZE batches inside mapPartitions (grouped(64),
+    // order-preserving — the GPU/model-call shape a real embedding model
+    // needs) and each "model call" embeds every record of its batch. The
+    // stub model is a deterministic quarter-window byte mean per
+    // dimension, so the per-record output is partition-independent (batch
+    // boundaries affect only call granularity, never values) and the
+    // oracle can replay it. At 100 TB: one scan, embarrassingly parallel,
+    // batch size = the accelerator's throughput knob.
+    Op("multimodal_infer_batched",
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        val inferred = src.as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.grouped(64).flatMap { batch =>
+              // One "model call" per batch in production; the loop below
+              // is that call's per-record output.
+              batch.iterator.map { case (id, bytes) =>
+                val n = bytes.length
+                val q = n / 4
+                val emb = Array.tabulate(4) { d =>
+                  val from = d * q
+                  val until = if (d == 3) n else (d + 1) * q
+                  if (until <= from) 0.0
+                  else {
+                    var acc = 0.0; var i = from
+                    while (i < until) { acc += bytes(i); i += 1 }
+                    acc / (until - from)
+                  }
+                }
+                (id, n, emb(0), emb(1), emb(2), emb(3))
+              }
+            }
+          }
+          .toDF("doc_id", "n_bytes", "e0", "e1", "e2", "e3")
+        inferred.select(col("doc_id"), col("n_bytes").cast("int").as("n_bytes"),
+            round(col("e0"), 3).as("e0"), round(col("e1"), 3).as("e1"),
+            round(col("e2"), 3).as("e2"), round(col("e3"), 3).as("e3"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id, text, len(text) AS n, len(text) // 4 AS q FROM documents)
+        SELECT doc_id, CAST(n AS INT) AS n_bytes,
+          CASE WHEN q = 0 THEN 0.0 ELSE
+            CAST(ROUND(CAST(CAST(list_sum(list_transform(range(1, q + 1),
+              i -> CAST(unicode(substr(text, i, 1)) AS DOUBLE))) / q AS VARCHAR)
+              AS DECIMAL(38,15)), 3) AS DOUBLE) END AS e0,
+          CASE WHEN q = 0 THEN 0.0 ELSE
+            CAST(ROUND(CAST(CAST(list_sum(list_transform(range(q + 1, 2 * q + 1),
+              i -> CAST(unicode(substr(text, i, 1)) AS DOUBLE))) / q AS VARCHAR)
+              AS DECIMAL(38,15)), 3) AS DOUBLE) END AS e1,
+          CASE WHEN q = 0 THEN 0.0 ELSE
+            CAST(ROUND(CAST(CAST(list_sum(list_transform(range(2 * q + 1, 3 * q + 1),
+              i -> CAST(unicode(substr(text, i, 1)) AS DOUBLE))) / q AS VARCHAR)
+              AS DECIMAL(38,15)), 3) AS DOUBLE) END AS e2,
+          CASE WHEN n - 3 * q <= 0 THEN 0.0 ELSE
+            CAST(ROUND(CAST(CAST(list_sum(list_transform(range(3 * q + 1, n + 1),
+              i -> CAST(unicode(substr(text, i, 1)) AS DOUBLE))) / (n - 3 * q) AS VARCHAR)
+              AS DECIMAL(38,15)), 3) AS DOUBLE) END AS e3
+        FROM m ORDER BY doc_id
+      """.trim)),
+
     // Corpus composition report: docs/chars per (source, lang) with the
     // doc-count share of the whole corpus — the mixture table a training
     // run is configured against. One hash aggregate; the share window

@@ -167,6 +167,55 @@ object WindowOps extends OpGroup {
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         ORDER BY c_custkey
+      """.trim)),
+
+    // Cumulative distinct users per (event_type, day) — COUNT(DISTINCT)
+    // OVER is unsupported in Spark AND DuckDB, and the naive rewrite
+    // (per-row set state) cannot distribute. The scalable rewrite IS the
+    // op: a user is "new" only on its first day per type (one
+    // shuffle-by-(type, user) aggregate), daily new-user counts then
+    // cumulate with an ordinary running-sum window over the |types|×|days|
+    // aggregated rows — never over raw events. The growth-curve /
+    // cumulative-reach query every engagement dashboard runs; at 100 TB
+    // the only corpus-sized shuffle is the first-seen aggregate.
+    Op("win_cumulative_distinct",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        val firstSeen = ev.groupBy("event_type", "user_id")
+          .agg(min("day").as("first_day"))
+        val newPerDay = firstSeen
+          .groupBy(col("event_type"), col("first_day").as("day"))
+          .agg(count(lit(1)).as("n_new_users"))
+        val perDay = ev.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n_events"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        perDay.join(newPerDay, Seq("event_type", "day"), "left")
+          .withColumn("n_new_users", coalesce(col("n_new_users"), lit(0L)))
+          .withColumn("cum_distinct_users", sum("n_new_users").over(w))
+          .select("event_type", "day", "n_events", "n_new_users", "cum_distinct_users")
+          .orderBy("event_type", "day")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, user_id,
+            strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+          FROM events),
+        first_seen AS (
+          SELECT event_type, user_id, MIN(day) AS first_day
+          FROM ev GROUP BY 1, 2),
+        new_per_day AS (
+          SELECT event_type, first_day AS day, COUNT(*) AS n_new_users
+          FROM first_seen GROUP BY 1, 2),
+        per_day AS (
+          SELECT event_type, day, COUNT(*) AS n_events FROM ev GROUP BY 1, 2)
+        SELECT p.event_type, p.day, p.n_events,
+          COALESCE(n.n_new_users, 0) AS n_new_users,
+          CAST(SUM(COALESCE(n.n_new_users, 0)) OVER (
+            PARTITION BY p.event_type ORDER BY p.day) AS BIGINT) AS cum_distinct_users
+        FROM per_day p LEFT JOIN new_per_day n USING (event_type, day)
+        ORDER BY p.event_type, p.day
       """.trim))
   )
 }

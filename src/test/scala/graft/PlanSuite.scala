@@ -448,6 +448,32 @@ class PlanSuite extends AnyFunSuite {
       "query vector and probed cells must broadcast")
   }
 
+  test("round-8 batch 2: cumulative-distinct sharded, attribution on native asof, batched stub keeps one scan") {
+    // win_cumulative_distinct: the running-sum window shards by
+    // event_type over ALREADY-AGGREGATED (type, day) rows; both upstream
+    // aggregates partial-aggregate map-side.
+    val cd = plan("win_cumulative_distinct")
+    assert("""hashpartitioning\(event_type#\d+""".r.findFirstIn(cd).isDefined,
+      "the cumulative window must shard by event_type")
+    assert(cd.contains("partial_"), "first-seen/daily counts must partial-aggregate")
+    assert(!cd.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "no global serialization in the growth-curve pass")
+
+    // ts_attribution_last_touch: the purchase→click lookup must run on
+    // the custom native as-of operator, not a window-over-union rewrite.
+    val at = plan("ts_attribution_last_touch")
+    assert(at.contains("AsOfJoin"),
+      "attribution must execute on the native as-of operator")
+    assert(at.contains("partial_"), "the bucket rollup must partial-aggregate")
+
+    // multimodal_infer_batched: one parquet scan feeding the imperative
+    // batch seam — no second scan, no shuffle before the output sort.
+    val ib = plan("multimodal_infer_batched")
+    assert(ib.contains("MapPartitions"), "the batch seam must be a mapPartitions")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(ib).size == 1,
+      "the inference pass must read the corpus exactly once")
+  }
+
   test("etl_cdc_apply plans exactly one full-outer join, no cartesian") {
     val p = plan("etl_cdc_apply")
     assert(p.contains("FullOuter"), "base↔latest must merge with one full-outer join")
