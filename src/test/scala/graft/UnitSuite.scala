@@ -114,4 +114,100 @@ class UnitSuite extends AnyFunSuite {
       (2L, Some("2024-01-01T00:00:10")),
       (3L, None)))
   }
+
+  test("kmeans train: mislabeled point crosses clusters, then the loop is stable") {
+    // Cluster A hugs the x-axis, cluster B the y-axis; v3 starts with the
+    // wrong label and must move on iteration 1 (centroid math checked by
+    // hand: d(v3, cA)=150² vs d(v3, cB)=533.3²+633.3²), after which both
+    // centroids are pure and iterations 2-3 change nothing.
+    val dir = miniDir("embeddings" -> Seq(
+      (1L, Seq(1.0f, 0f, 0f), 0),
+      (2L, Seq(0.9f, 0f, 0f), 0),
+      (3L, Seq(0.8f, 0f, 0f), 1), // mislabeled: belongs with cluster 0
+      (4L, Seq(0f, 1.0f, 0f), 1),
+      (5L, Seq(0f, 0.9f, 0f), 1))
+      .toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("vec_kmeans_train")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0, 3L, 1L, 1L), (1, 2L, 0L, 4L)))
+  }
+
+  test("KS drift: identical halves D=0, disjoint halves D=n1*n2") {
+    val dir = miniDir("orders" -> Seq(
+      (1L, "A", 1.0), (2L, "A", 1.0), (3L, "A", 2.0), (4L, "A", 2.0),
+      (5L, "B", 10.0), (6L, "B", 1.0), (7L, "B", 10.0), (8L, "B", 1.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    val got = SparkEntry.queries("quality_ks_drift")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      ("A", 2L, 2L, 0L, 0.0, false),
+      // even keys all at 1.0, odd all at 10.0 → D hits the n1·n2 ceiling;
+      // n=2 per side is below the α=.05 critical value, so drift=false.
+      ("B", 2L, 2L, 4L, 1.0, false)))
+  }
+
+  test("triangle count: a mutual 4-clique has 6 edges and 4 triangles; a singleton has none") {
+    val dir = miniDir("embeddings" -> Seq(
+      (1L, Seq(1.0f, 0f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0f), 0),
+      (3L, Seq(0.8f, 0.2f, 0f), 0),
+      (4L, Seq(0.7f, 0.3f, 0f), 0), // 4 in-cell vectors → top-3 = all others
+      (5L, Seq(0f, 0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("graph_triangle_count")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0, 4L, 6L, 4L), (1, 1L, 0L, 0L)))
+  }
+
+  test("recall eval: single-cell corpus makes IVF exact → recall 1.0") {
+    val rows = (0L, Seq(1.0f, 0f, 0f), 0) +:
+      (1 to 11).map(i => (i.toLong, Seq(1.0f, 0.01f * i, 0f), 0))
+    val dir = miniDir("embeddings" -> rows.toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("vec_recall_eval")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((10, 10L, 1.0)))
+  }
+
+  test("attribution buckets: 4min → lt5m, 45min → 30to60m, clickless → never") {
+    val sec = 1000L * 1000 * 1000 // ns
+    val base = 1704067200L * sec
+    val dir = miniDir("events" -> Seq(
+      (0L, base, 7L, "click", 1.0, "{}"),
+      (1L, base + 4 * 60 * sec, 7L, "purchase", 10.0, "{}"),
+      (2L, base + 45 * 60 * sec, 7L, "purchase", 5.25, "{}"), // same click attributes
+      (3L, base, 8L, "purchase", 2.0, "{}"))                  // no click → never
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("ts_attribution_last_touch")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("0_lt5m", 1L, 10.0), ("2_30to60m", 1L, 5.25), ("4_never", 1L, 2.0)))
+  }
+
+  test("cumulative distinct: returning user counts once, new user grows the curve") {
+    val day = 24L * 3600 * 1000 * 1000 * 1000 // ns
+    val base = 1704067200L * 1000 * 1000 * 1000
+    val dir = miniDir("events" -> Seq(
+      (0L, base, 1L, "click", 1.0, "{}"),
+      (1L, base + day, 1L, "click", 1.0, "{}"),  // returning: not new on day 2
+      (2L, base + day, 2L, "click", 1.0, "{}"))  // new on day 2
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("win_cumulative_distinct")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("click", "2024-01-01", 1L, 1L, 1L),
+      ("click", "2024-01-02", 2L, 1L, 2L)))
+  }
+
+  test("batched infer stub: quarter-window byte means on a known payload") {
+    // "ABCD EFGH": n=9, q=2 → windows AB | CD | ' 'E | FGH.
+    val dir = miniDir("documents" -> Seq(
+      (1L, "ABCD EFGH", "en", "src0", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = SparkEntry.queries("multimodal_infer_batched")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq((1L, 9, 65.5, 67.5, 50.5, 71.0)))
+  }
 }
