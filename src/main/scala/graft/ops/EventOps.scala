@@ -632,6 +632,45 @@ object EventOps extends OpGroup {
         SELECT bucket, COUNT(*) AS n_purchases,
           CAST(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS value_mass
         FROM p GROUP BY bucket ORDER BY bucket
+      """.trim)),
+
+    // Forecast backtest, seasonal-naive baseline: predict each hour's
+    // event count per type with the SAME HOUR YESTERDAY (the baseline
+    // every real forecaster must beat), score by MAE over the hours
+    // where both sides exist. The eval join is an exact 24 h timestamp
+    // equi-join on the AGGREGATED hourly frame — integer counts, exact
+    // integer absolute errors, one partial-aggregating rollup; missing
+    // hours drop out of the inner join instead of silently scoring as
+    // zero. At 100 TB the hourly frame is |types|×|hours| — the backtest
+    // costs two passes over aggregates, never over raw events.
+    Op("ts_forecast_eval_naive",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
+          .agg(count(lit(1)).as("n"))
+        val pred = hourly.select(col("event_type"),
+          (col("h") + expr("INTERVAL 24 HOURS")).as("h"), col("n").as("n_pred"))
+        hourly.join(pred, Seq("event_type", "h"))
+          .withColumn("abs_err", abs(col("n") - col("n_pred")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_eval"), sum("abs_err").as("total_abs_err"))
+          .withColumn("mae",
+            round(col("total_abs_err").cast("double") / col("n_eval"), 4))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+            COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT a.event_type, COUNT(*) AS n_eval,
+          CAST(SUM(ABS(a.n - p.n)) AS BIGINT) AS total_abs_err,
+          CAST(ROUND(CAST(CAST(CAST(SUM(ABS(a.n - p.n)) AS DOUBLE) / COUNT(*) AS VARCHAR)
+            AS DECIMAL(38,15)), 4) AS DOUBLE) AS mae
+        FROM hourly a JOIN hourly p
+          ON a.event_type = p.event_type AND p.h + INTERVAL 24 HOUR = a.h
+        GROUP BY 1 ORDER BY 1
       """.trim))
   )
 }

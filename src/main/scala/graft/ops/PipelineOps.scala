@@ -87,9 +87,10 @@ object PipelineOps extends OpGroup {
       bg
     })
 
-  /** (doc_id, k) exploded 8-token span keys of text_dup_spans — same
-    * double-branch shape as [[bigramFrame]] (span→distinct-doc counts and
-    * the per-doc flag join both consume it), same one-checkpoint fix.
+  /** (doc_id, k) exploded 8-token span keys shared by text_dup_spans and
+    * text_span_novelty — same double-branch shape as [[bigramFrame]]
+    * (span→group aggregates and the per-doc join both consume it), same
+    * one-checkpoint fix; released once both consumer keys have run.
     */
   private val spanCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
@@ -104,7 +105,8 @@ object PipelineOps extends OpGroup {
           "transform(sequence(1, size(w) - 7), i -> substring(md5(concat_ws(' ', slice(w, i, 8))), 1, 16))"))
           .as("k"))
         .localCheckpoint(true)
-      graft.Caches.track(s, dir, "span_frame", Set("text_dup_spans"),
+      graft.Caches.track(s, dir, "span_frame",
+        Set("text_dup_spans", "text_span_novelty"),
         () => spanCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       sp
     })
@@ -2434,6 +2436,94 @@ object PipelineOps extends OpGroup {
         SELECT CAST(10 AS INT) AS k, COUNT(*) AS n_hits,
           CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
         FROM exact JOIN ivf USING (vec_id)
+      """.trim)),
+
+    // Matryoshka (MRL) truncation evaluation: recall@10 of the
+    // FIRST-16-DIMS cosine ranking vs the full-dim exact top-10 — the
+    // measurement behind every "store the 64-dim vector, search the
+    // 16-dim prefix" deployment (truncated prefixes of MRL-trained
+    // embeddings keep most of the ranking; this op quantifies exactly
+    // how much on THIS corpus). Same broadcast-query + top-k shape as
+    // vec_recall_eval; the truncated scan reads 4× fewer floats per
+    // row — at 100 TB that is the index-size/recall dial. One row out.
+    Op("vec_matryoshka_recall",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qemb"),
+            slice(col("embedding"), 1, 16).as("qtr"))
+        val scored = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("sim_full", expr("vec_dot(embedding, qemb)")
+            / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
+          .withColumn("tr", slice(col("embedding"), 1, 16))
+          .withColumn("sim_tr", expr("vec_dot(tr, qtr)")
+            / (sqrt(expr("vec_norm_sq(tr)")) * sqrt(expr("vec_norm_sq(qtr)"))))
+        val full = scored.orderBy(desc("sim_full"), asc("vec_id")).limit(10).select("vec_id")
+        val trunc = scored.orderBy(desc("sim_tr"), asc("vec_id")).limit(10).select("vec_id")
+        full.join(trunc, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(16).cast("int").as("trunc_dims"), col("n_hits"),
+            (col("n_hits").cast("double") / 10).as("recall_at_10"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qemb,
+            CAST(embedding[1:16] AS DOUBLE[]) AS qtr
+          FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+            list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
+              / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+                 * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS sim_full,
+            list_dot_product(CAST(embedding[1:16] AS DOUBLE[]), qtr)
+              / (sqrt(list_sum(list_transform(CAST(embedding[1:16] AS DOUBLE[]), x -> x * x)))
+                 * sqrt(list_sum(list_transform(qtr, x -> x * x)))) AS sim_tr
+          FROM embeddings, q WHERE vec_id <> 0),
+        f AS (SELECT vec_id FROM scored ORDER BY sim_full DESC, vec_id LIMIT 10),
+        t AS (SELECT vec_id FROM scored ORDER BY sim_tr DESC, vec_id LIMIT 10)
+        SELECT CAST(16 AS INT) AS trunc_dims, COUNT(*) AS n_hits,
+          CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
+        FROM f JOIN t USING (vec_id)
+      """.trim)),
+
+    // Per-doc novelty against the corpus-so-far: the fraction of a doc's
+    // 8-token spans FIRST INTRODUCED by that doc (span's minimum doc_id
+    // is this doc) — the "how much new content does this doc add" signal
+    // a streaming corpus build thresholds for ingestion order dedup and
+    // mixing decisions (complement of text_dup_spans' "how much of this
+    // doc is boilerplate"). Shares the checkpointed [[spanFrame]]; the
+    // first-introducer pass is one partial-aggregating min per span key
+    // and the rollup is one keyed join — linear in corpus tokens, same
+    // 16-byte md5-prefix shuffle discipline as dup_spans.
+    Op("text_span_novelty",
+      (s, dir) => {
+        val sp = spanFrame(s, dir)
+        val first = sp.groupBy("k").agg(min("doc_id").as("first_doc"))
+        sp.join(first, "k")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_frac",
+            round(col("n_novel").cast("double") / col("n_spans"), 4))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        sp AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+            i -> substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16))) AS k
+          FROM d),
+        first AS (
+          SELECT k, MIN(doc_id) AS first_doc FROM sp GROUP BY k)
+        SELECT s.doc_id, COUNT(*) AS n_spans,
+          CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          CAST(ROUND(CAST(CAST(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS novelty_frac
+        FROM sp s JOIN first f USING (k)
+        GROUP BY s.doc_id ORDER BY s.doc_id
       """.trim))
   )
 }

@@ -474,6 +474,32 @@ class PlanSuite extends AnyFunSuite {
       "the inference pass must read the corpus exactly once")
   }
 
+  test("round-8 batch 3: matryoshka top-k, novelty over the shared span frame, backtest over aggregates") {
+    // vec_matryoshka_recall: both rankings are top-k cuts with the
+    // query broadcast — never a global sort.
+    val mr = plan("vec_matryoshka_recall")
+    assert(mr.contains("TakeOrderedAndProject"),
+      "full + truncated top-10 must be top-k operators")
+    assert(mr.contains("BroadcastExchange") || mr.contains("BroadcastNestedLoopJoin"),
+      "the query vector must broadcast")
+
+    // text_span_novelty: consumes the one checkpointed span frame (no
+    // parquet re-scan) and the first-introducer min partial-aggregates.
+    val nv = plan("text_span_novelty")
+    assert(nv.contains("ExistingRDD") && !nv.contains("Scan parquet"),
+      "novelty must read the shared materialized span frame")
+    assert(nv.contains("partial_"), "per-span min must partial-aggregate")
+    assert(!nv.contains("CartesianProduct") && !nv.contains("BroadcastNestedLoopJoin"),
+      "the first-introducer join must stay keyed")
+
+    // ts_forecast_eval_naive: the eval join runs over the aggregated
+    // hourly frame with a keyed equi join; everything partial-aggregates.
+    val fe = plan("ts_forecast_eval_naive")
+    assert(fe.contains("partial_"), "hourly counts + MAE rollup must partial-aggregate")
+    assert(!fe.contains("CartesianProduct") && !fe.contains("BroadcastNestedLoopJoin"),
+      "the 24h-shift eval join must stay a keyed equi join")
+  }
+
   test("etl_cdc_apply plans exactly one full-outer join, no cartesian") {
     val p = plan("etl_cdc_apply")
     assert(p.contains("FullOuter"), "base↔latest must merge with one full-outer join")

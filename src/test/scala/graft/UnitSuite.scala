@@ -200,6 +200,52 @@ class UnitSuite extends AnyFunSuite {
       ("click", "2024-01-02", 2L, 1L, 2L)))
   }
 
+  test("matryoshka recall: prefix-flattering tail vector displaces one true neighbor") {
+    // v11's 17th dim is huge: truncated-to-16-dims ranking loves it
+    // (tiny prefix angle) while the full ranking puts it last — so the
+    // truncated top-10 admits v11, drops v10, and recall is 0.9.
+    def vec(d1: Float, tail: Float): Seq[Float] =
+      (Seq(1.0f, d1) ++ Seq.fill(14)(0f)) :+ tail
+    val rows = (0L, vec(0f, 0f), 0) +:
+      (1 to 10).map(i => (i.toLong, vec(0.01f * i, 0f), 0)) :+
+      (11L, vec(0.001f, 10f), 0)
+    val dir = miniDir("embeddings" -> rows.toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("vec_matryoshka_recall")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((16, 9L, 0.9)))
+  }
+
+  test("span novelty: duplicate doc introduces nothing, extension introduces its new span") {
+    val dir = miniDir("documents" -> Seq(
+      (1L, "a b c d e f g h", "en", "src0", 15L),   // 1 span, novel
+      (2L, "a b c d e f g h", "en", "src0", 15L),   // same span → 0 novel
+      (3L, "a b c d e f g h i", "en", "src0", 17L)) // spans: doc1's + 1 new
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = SparkEntry.queries("text_span_novelty")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 1L, 1L, 1.0), (2L, 1L, 0L, 0.0), (3L, 2L, 1L, 0.5)))
+  }
+
+  test("seasonal-naive backtest: |3-2|=1 then |3-3|=0 → MAE 0.5 over 2 eval hours") {
+    val sec = 1000L * 1000 * 1000
+    val hour = 3600L * sec
+    val base = 1704067200L * sec
+    val ev = Seq(
+      (0L, base, 1L, "click", 1.0, "{}"),
+      (1L, base + 60 * sec, 2L, "click", 1.0, "{}"),       // hour 0: n=2
+      (2L, base + 24 * hour, 1L, "click", 1.0, "{}"),
+      (3L, base + 24 * hour + 60 * sec, 2L, "click", 1.0, "{}"),
+      (4L, base + 24 * hour + 120 * sec, 3L, "click", 1.0, "{}"), // hour 24: n=3
+      (5L, base + 48 * hour, 1L, "click", 1.0, "{}"),
+      (6L, base + 48 * hour + 60 * sec, 2L, "click", 1.0, "{}"),
+      (7L, base + 48 * hour + 120 * sec, 3L, "click", 1.0, "{}")) // hour 48: n=3
+    val dir = miniDir("events" -> ev
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("ts_forecast_eval_naive")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("click", 2L, 1L, 0.5)))
+  }
+
   test("batched infer stub: quarter-window byte means on a known payload") {
     // "ABCD EFGH": n=9, q=2 → windows AB | CD | ' 'E | FGH.
     val dir = miniDir("documents" -> Seq(
