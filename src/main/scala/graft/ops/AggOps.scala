@@ -249,10 +249,10 @@ object AggOps extends OpGroup {
       },
       Some("""
         SELECT l_returnflag,
-          ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 3) + 0.0 AS sd_qty,
-          ROUND((sxx - sx * sx / n) / (n - 1), 3) + 0.0 AS var_qty,
-          ROUND((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 3) + 0.0 AS corr_qty_price,
-          ROUND((sxy - sx * sy / n) / (n - 1), 3) + 0.0 AS cov_qty_price
+          CAST(ROUND(CAST(CAST(sqrt((sxx - sx * sx / n) / (n - 1)) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS sd_qty,
+          CAST(ROUND(CAST(CAST((sxx - sx * sx / n) / (n - 1) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS var_qty,
+          CAST(ROUND(CAST(CAST((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS corr_qty_price,
+          CAST(ROUND(CAST(CAST((sxy - sx * sy / n) / (n - 1) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS cov_qty_price
         FROM (
           SELECT l_returnflag,
             CAST(COUNT(*) AS DOUBLE) AS n,

@@ -713,7 +713,8 @@ object PipelineOps extends OpGroup {
           ) ORDER BY csim DESC, label LIMIT 3
         )
         SELECT vec_id, label, cos_sim FROM (
-          SELECT vec_id, label, ROUND(sim, 3) + 0.0 AS cos_sim, sim FROM (
+          SELECT vec_id, label,
+            CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS cos_sim, sim FROM (
             SELECT vec_id, label,
               list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
                 / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
@@ -787,7 +788,8 @@ object PipelineOps extends OpGroup {
           WHERE q.vec_id = 0 AND b.vec_id <> 0
         )
         SELECT vec_id, cos_sim FROM (
-          SELECT vec_id, ROUND(sim, 3) + 0.0 AS cos_sim, sim FROM (
+          SELECT vec_id,
+            CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS cos_sim, sim FROM (
             SELECT e.vec_id,
               list_dot_product(CAST(e.embedding AS DOUBLE[]), qemb)
                 / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
@@ -858,9 +860,10 @@ object PipelineOps extends OpGroup {
           concat_ws('x', CAST((n_chars % 64) + 1 AS INT),
             CAST((n_chars // 64) + 1 AS INT)) AS meta,
           CASE WHEN len(text) = 0 THEN 0.0
-               ELSE ROUND(list_sum(list_transform(range(1, least(16, len(text)) + 1),
-                      i -> CAST(unicode(substr(text, i, 1)) AS DOUBLE)))
-                    / least(16, len(text)), 2) END AS brightness
+               ELSE CAST(ROUND(CAST(CAST(
+                      list_sum(list_transform(range(1, least(16, len(text)) + 1),
+                        i -> CAST(unicode(substr(text, i, 1)) AS DOUBLE)))
+                      / least(16, len(text)) AS VARCHAR) AS DECIMAL(38,15)), 2) AS DOUBLE) END AS brightness
         FROM documents ORDER BY doc_id
       """.trim)),
 

@@ -127,10 +127,10 @@ object ScalarOps extends OpGroup {
       },
       Some("""
         SELECT l_orderkey, l_linenumber,
-          ROUND(sqrt(l_quantity), 4) AS sqrt_qty,
-          ROUND(ln(l_quantity + 1), 4) AS ln_qty,
-          ROUND(log10(l_extendedprice), 4) AS log10_price,
-          ROUND(pow(l_discount, 2), 6) AS disc_sq,
+          CAST(ROUND(CAST(CAST(sqrt(l_quantity) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS sqrt_qty,
+          CAST(ROUND(CAST(CAST(ln(l_quantity + 1) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS ln_qty,
+          CAST(ROUND(CAST(CAST(log10(l_extendedprice) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS log10_price,
+          CAST(ROUND(CAST(CAST(pow(l_discount, 2) AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) AS disc_sq,
           abs(l_quantity - 25) AS abs_dev,
           CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_q7,
           CAST(floor(l_quantity / 7) AS BIGINT) AS floor_q7,
@@ -203,9 +203,9 @@ object ScalarOps extends OpGroup {
       },
       Some("""
         SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
-          ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
-          ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) + 0.0 AS max_val,
-          ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4) + 0.0 AS min_val,
+          CAST(ROUND(CAST(CAST(CAST(embedding[1] AS DOUBLE) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS first_val,
+          CAST(ROUND(CAST(CAST(CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS max_val,
+          CAST(ROUND(CAST(CAST(CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS min_val,
           CAST(len(list_slice(embedding, 1, 8)) AS INT) AS slice_len
         FROM embeddings ORDER BY vec_id
       """.trim)),

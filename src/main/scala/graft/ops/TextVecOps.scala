@@ -300,7 +300,8 @@ object TextVecOps extends OpGroup {
           .orderBy("lang", "rank")
       },
       Some("""
-        SELECT lang, rank, term, ROUND(score, 4) AS score FROM (
+        SELECT lang, rank, term,
+          CAST(ROUND(CAST(CAST(score AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS score FROM (
           SELECT lang, term, score,
             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) AS INT) AS rank
           FROM (
@@ -327,7 +328,8 @@ object TextVecOps extends OpGroup {
       },
       Some("""
         SELECT vec_id,
-          ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 3) AS norm
+          CAST(ROUND(CAST(CAST(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+            AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) AS norm
         FROM embeddings ORDER BY vec_id
       """.trim)),
 
@@ -351,7 +353,8 @@ object TextVecOps extends OpGroup {
       },
       Some("""
         SELECT vec_id, cos_sim FROM (
-          SELECT vec_id, ROUND(sim, 3) + 0.0 AS cos_sim, sim FROM (
+          SELECT vec_id,
+            CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS cos_sim, sim FROM (
             SELECT vec_id,
               list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
                 / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
