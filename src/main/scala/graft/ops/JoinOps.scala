@@ -541,6 +541,47 @@ object JoinOps extends OpGroup {
         ORDER BY event_id
       """.trim)),
 
+    // As-of join with a tolerance bound — the pandas merge_asof
+    // (tolerance=1h) variant: a purchase matches its most recent prior
+    // click ONLY if that click is within the last hour; staler matches
+    // degrade to misses (NULL), exactly how a feature-freshness lookup
+    // must behave. Executes on the same native AsOfJoinExec (third
+    // surface) with the tolerance applied as a post-merge projection —
+    // the merge still buffers O(1) per key, and the tolerance compare is
+    // exact integer microseconds. The window-formulation oracle applies
+    // the identical bound inside its CASE.
+    Op("join_asof_tolerance",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+            col("event_id").as("c_event_id"))
+        graft.plans.AsOfJoin.join(purchases, clicks,
+            leftKeys = Seq("user_id"), rightKeys = Seq("c_user_id"),
+            leftOrd = Seq("ts", "event_id"), rightOrd = Seq("c_ts", "c_event_id"))
+          .select(col("event_id"),
+            when(unix_micros(col("ts").cast("timestamp"))
+                - unix_micros(col("c_ts").cast("timestamp")) <= 3600000000L,
+              col("c_ts")).as("clicked_at"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id,
+          CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(clicked_at) <= 3600000000
+               THEN clicked_at END AS clicked_at
+        FROM (
+          SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+            last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS clicked_at
+          FROM events
+          WHERE event_type IN ('click', 'purchase')
+        ) WHERE event_type = 'purchase'
+        ORDER BY event_id
+      """.trim)),
+
     // Dynamic partition pruning, made real: the one Catalyst mechanism
     // SURVEY §4 marks "inert" on the single-file test inputs. The fact
     // side is written PARTITIONED by event_type; joining it to a tiny

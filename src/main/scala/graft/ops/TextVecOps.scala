@@ -537,6 +537,88 @@ object TextVecOps extends OpGroup {
         WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
         GROUP BY user_id, event_type
         ORDER BY user_id, event_type
+      """.trim)),
+
+    // Column-profile report over orders — the dbt-docs/Deequ-profiler
+    // shape: per column (key, FK, status, price, date) the row count,
+    // null count, exact distinct count, and min/max rendered through
+    // TYPE-PINNED string casts (BIGINT → digits, price → DECIMAL(18,2)
+    // text, date → fixed yyyy-MM-dd HH:mm:ss — never a raw double/
+    // timestamp repr, which differ across engines). ONE aggregate node
+    // computes all 16 measures in a single logical pass (the 5 exact
+    // distincts share one Expand), then a stack() unpivots the 1-row
+    // result to the 5-row report — the etl_validate_constraints shape
+    // generalized from rules to statistics. At 100 TB: profiling costs
+    // one scan + a 5-way expand; nothing per-row leaves the map side
+    // except distinct keys.
+    Op("quality_column_profile",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        o.agg(
+            count(lit(1)).as("n"),
+            sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
+            countDistinct(col("o_orderkey")).as("nd_key"),
+            min(col("o_orderkey")).cast("string").as("min_key"),
+            max(col("o_orderkey")).cast("string").as("max_key"),
+            sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+            countDistinct(col("o_custkey")).as("nd_cust"),
+            min(col("o_custkey")).cast("string").as("min_cust"),
+            max(col("o_custkey")).cast("string").as("max_cust"),
+            sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_status"),
+            countDistinct(col("o_orderstatus")).as("nd_status"),
+            min(col("o_orderstatus")).as("min_status"),
+            max(col("o_orderstatus")).as("max_status"),
+            sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_price"),
+            countDistinct(Tables.dec2(col("o_totalprice"))).as("nd_price"),
+            min(Tables.dec2(col("o_totalprice"))).cast("string").as("min_price"),
+            max(Tables.dec2(col("o_totalprice"))).cast("string").as("max_price"),
+            sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_date"),
+            countDistinct(col("o_orderdate")).as("nd_date"),
+            date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("min_date"),
+            date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("max_date"))
+          .select(col("n"), expr("""stack(5,
+              'o_orderkey',    null_key,    nd_key,    min_key,    max_key,
+              'o_custkey',     null_cust,   nd_cust,   min_cust,   max_cust,
+              'o_orderstatus', null_status, nd_status, min_status, max_status,
+              'o_totalprice',  null_price,  nd_price,  min_price,  max_price,
+              'o_orderdate',   null_date,   nd_date,   min_date,   max_date)
+            AS (column_name, n_null, n_distinct, vmin, vmax)"""))
+          .select(col("column_name"), col("n"), col("n_null"),
+            col("n_distinct"), col("vmin"), col("vmax"))
+          .orderBy("column_name")
+      },
+      Some("""
+        WITH m AS (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key,
+            COUNT(DISTINCT o_orderkey) AS nd_key,
+            CAST(MIN(o_orderkey) AS VARCHAR) AS min_key,
+            CAST(MAX(o_orderkey) AS VARCHAR) AS max_key,
+            CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+            COUNT(DISTINCT o_custkey) AS nd_cust,
+            CAST(MIN(o_custkey) AS VARCHAR) AS min_cust,
+            CAST(MAX(o_custkey) AS VARCHAR) AS max_cust,
+            CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_status,
+            COUNT(DISTINCT o_orderstatus) AS nd_status,
+            MIN(o_orderstatus) AS min_status,
+            MAX(o_orderstatus) AS max_status,
+            CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
+            COUNT(DISTINCT CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS nd_price,
+            CAST(MIN(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS VARCHAR) AS min_price,
+            CAST(MAX(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS VARCHAR) AS max_price,
+            CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_date,
+            COUNT(DISTINCT o_orderdate) AS nd_date,
+            strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+            strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+          FROM orders)
+        SELECT * FROM (
+          SELECT 'o_orderkey' AS column_name, n, null_key AS n_null, nd_key AS n_distinct,
+            min_key AS vmin, max_key AS vmax FROM m
+          UNION ALL SELECT 'o_custkey', n, null_cust, nd_cust, min_cust, max_cust FROM m
+          UNION ALL SELECT 'o_orderstatus', n, null_status, nd_status, min_status, max_status FROM m
+          UNION ALL SELECT 'o_totalprice', n, null_price, nd_price, min_price, max_price FROM m
+          UNION ALL SELECT 'o_orderdate', n, null_date, nd_date, min_date, max_date FROM m)
+        ORDER BY column_name
       """.trim))
   )
 }

@@ -500,6 +500,23 @@ class PlanSuite extends AnyFunSuite {
       "the 24h-shift eval join must stay a keyed equi join")
   }
 
+  test("round-8 batch 4: profile is one scan, tolerance asof stays native") {
+    // quality_column_profile: all 21 measures (incl. 5 exact distincts
+    // via one Expand) come out of a single table pass.
+    val cp = plan("quality_column_profile")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(cp).size == 1,
+      "the profile must read orders exactly once")
+    assert(cp.contains("Expand"),
+      "the multi-distinct rewrite must share one expand, not re-scan")
+    assert(cp.contains("partial_"), "profile measures must partial-aggregate")
+
+    // join_asof_tolerance: still the native operator; the tolerance is a
+    // projection, not a different join.
+    val tol = plan("join_asof_tolerance")
+    assert(tol.contains("AsOfJoin"),
+      "the tolerance variant must execute on the native as-of operator")
+  }
+
   test("etl_cdc_apply plans exactly one full-outer join, no cartesian") {
     val p = plan("etl_cdc_apply")
     assert(p.contains("FullOuter"), "base↔latest must merge with one full-outer join")

@@ -246,6 +246,43 @@ class UnitSuite extends AnyFunSuite {
     assert(got.toSeq == Seq(("click", 2L, 1L, 0.5)))
   }
 
+  test("asof tolerance: fresh click matches, stale click degrades to a miss") {
+    val sec = 1000L * 1000 * 1000
+    val base = 1704067200L * sec
+    val dir = miniDir("events" -> Seq(
+      (0L, base, 1L, "click", 1.0, "{}"),
+      (1L, base + 20 * sec, 1L, "purchase", 1.0, "{}"),       // 20s ago → match
+      (2L, base, 2L, "click", 1.0, "{}"),
+      (3L, base + 7200 * sec, 2L, "purchase", 1.0, "{}"),     // 2h ago → NULL
+      (4L, base, 3L, "purchase", 1.0, "{}"))                  // no click → NULL
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("join_asof_tolerance")(spark, dir)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString)))
+    assert(got.toSeq == Seq(
+      (1L, Some("2024-01-01T00:00")), // the click's ts, 00:00:00 (ISO drops :00 seconds)
+      (3L, None),
+      (4L, None)))
+  }
+
+  test("column profile: null-aware distinct counts and type-pinned min/max strings") {
+    val dir = miniDir("orders" -> Seq(
+      (1L, Option(10L), "O", 10.0, "1995-03-01 00:00:00"),
+      (2L, None, "F", 20.5, "1996-07-15 12:30:45"),
+      (3L, Option(10L), "O", 10.0, "1995-03-01 00:00:00"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "d")
+      .withColumn("o_orderdate", col("d").cast("timestamp_ntz")).drop("d"))
+    val got = SparkEntry.queries("quality_column_profile")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(got.toSeq == Seq(
+      ("o_custkey", 3L, 1L, 1L, "10", "10"),
+      ("o_orderdate", 3L, 0L, 2L, "1995-03-01 00:00:00", "1996-07-15 12:30:45"),
+      ("o_orderkey", 3L, 0L, 3L, "1", "3"),
+      ("o_orderstatus", 3L, 0L, 2L, "F", "O"),
+      ("o_totalprice", 3L, 0L, 2L, "10.00", "20.50")))
+  }
+
   test("batched infer stub: quarter-window byte means on a known payload") {
     // "ABCD EFGH": n=9, q=2 → windows AB | CD | ' 'E | FGH.
     val dir = miniDir("documents" -> Seq(
