@@ -569,7 +569,10 @@ object TextVecOps extends OpGroup {
             min(col("o_orderstatus")).as("min_status"),
             max(col("o_orderstatus")).as("max_status"),
             sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_price"),
-            countDistinct(Tables.dec2(col("o_totalprice"))).as("nd_price"),
+            // Distinct on the RAW double: the column is 2-dp by contract,
+            // so distinct doubles ≡ distinct DECIMAL(18,2) values, and the
+            // expand rows hash an 8-byte double instead of a decimal.
+            countDistinct(col("o_totalprice")).as("nd_price"),
             min(Tables.dec2(col("o_totalprice"))).cast("string").as("min_price"),
             max(Tables.dec2(col("o_totalprice"))).cast("string").as("max_price"),
             sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_date"),
@@ -603,7 +606,7 @@ object TextVecOps extends OpGroup {
             MIN(o_orderstatus) AS min_status,
             MAX(o_orderstatus) AS max_status,
             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
-            COUNT(DISTINCT CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS nd_price,
+            COUNT(DISTINCT o_totalprice) AS nd_price,
             CAST(MIN(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS VARCHAR) AS min_price,
             CAST(MAX(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS VARCHAR) AS max_price,
             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_date,
