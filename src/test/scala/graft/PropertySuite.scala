@@ -192,4 +192,27 @@ class PropertySuite extends AnyFunSuite {
       }
     }
   }
+
+  test("round-8 keys are partitioning-invariant (digest equal at 3 vs 11 shuffle partitions)") {
+    // The 100 TB correctness property: a result that changes with the
+    // shuffle-partition count has an order-dependent accumulation hiding
+    // in it (float sums, nondeterministic ties). Run each round-8 key at
+    // two co-prime partition counts and compare the order-insensitive
+    // Golden digest. sf0.001 keeps this cheap (<1 s/run).
+    val keys = Seq(
+      "vec_kmeans_train", "quality_ks_drift", "graph_triangle_count",
+      "vec_recall_eval", "win_cumulative_distinct", "ts_attribution_last_touch",
+      "multimodal_infer_batched", "vec_matryoshka_recall", "text_span_novelty",
+      "ts_forecast_eval_naive", "quality_column_profile", "join_asof_tolerance")
+    val conf = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(conf)
+    try keys.foreach { k =>
+      val digests = Seq("3", "11").map { p =>
+        spark.conf.set(conf, p)
+        Golden.digest(SparkEntry.queries(k)(spark, sf0001), k)
+      }
+      assert(digests(0) == digests(1),
+        s"$k output depends on shuffle partitioning: ${digests(0)} vs ${digests(1)}")
+    } finally spark.conf.set(conf, prev)
+  }
 }
