@@ -203,7 +203,12 @@ class PropertySuite extends AnyFunSuite {
       "vec_kmeans_train", "quality_ks_drift", "graph_triangle_count",
       "vec_recall_eval", "win_cumulative_distinct", "ts_attribution_last_touch",
       "multimodal_infer_batched", "vec_matryoshka_recall", "text_span_novelty",
-      "ts_forecast_eval_naive", "quality_column_profile", "join_asof_tolerance")
+      "ts_forecast_eval_naive", "quality_column_profile", "join_asof_tolerance",
+      // The float-surfacing older keys — the set where an order-dependent
+      // accumulation would most plausibly hide.
+      "agg_stats", "agg_linreg", "agg_higher_moments", "agg_weighted_percentile",
+      "ts_ewma", "ts_cusum_changepoint", "vec_power_iteration",
+      "vec_ivf_topk", "text_tfidf_topterms", "quality_drift_report")
     val conf = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(conf)
     try keys.foreach { k =>
