@@ -671,6 +671,110 @@ object EventOps extends OpGroup {
         FROM hourly a JOIN hourly p
           ON a.event_type = p.event_type AND p.h + INTERVAL 24 HOUR = a.h
         GROUP BY 1 ORDER BY 1
+      """.trim)),
+
+    // Day-of-week seasonality profile: mean/stddev of DAILY counts per
+    // (event_type, weekday) — the per-cell traffic shape a forecaster or
+    // anomaly detector conditions on. Two-level aggregation: the daily
+    // rollup shrinks raw events to |types|×|days| before the profile agg,
+    // so at 100 TB the window of heavy compute is one partial-aggregating
+    // pass over events and the profile itself is metadata-sized.
+    // weekday(): 0=Monday..6 — matched by DuckDB's isodow - 1.
+    Op("ts_dow_profile",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("timestamp_ntz").as("d"))
+          .agg(count(lit(1)).as("n"))
+        daily
+          .withColumn("dow", weekday(col("d")))
+          .groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("days_n"),
+            round(sum("n").cast("double") / count(lit(1)), 3).as("avg_n"),
+            round(stddev_samp(col("n").cast("double")), 3).as("sd_n"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+            COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, CAST(isodow(d) - 1 AS INT) AS dow,
+          COUNT(*) AS days_n,
+          CAST(ROUND(CAST(CAST(CAST(SUM(n) AS DOUBLE) / COUNT(*) AS VARCHAR)
+            AS DECIMAL(38,15)), 3) AS DOUBLE) AS avg_n,
+          CAST(ROUND(CAST(CAST(stddev_samp(CAST(n AS DOUBLE)) AS VARCHAR)
+            AS DECIMAL(38,15)), 3) AS DOUBLE) AS sd_n
+        FROM daily GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim)),
+
+    // Year-over-year growth on the multi-year table (orders; events spans
+    // only 30 days). Monthly revenue in exact DECIMAL, then lag(12 months)
+    // expressed as lag(1 year) over a window PARTITIONED BY month-of-year —
+    // 12 independent partitions instead of one global ordered pass, and the
+    // windowed frame is the month-level aggregate (|years|×12 rows), never
+    // raw orders. Growth pct is a double quotient → repr-ROUND (§2.0 r9)
+    // and + 0.0 (negative growth can round to -0.0).
+    Op("ts_yoy_growth",
+      (s, dir) => {
+        val monthly = Tables.t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+          .agg(sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev"))
+        val w = Window.partitionBy("mo").orderBy("yr")
+        monthly
+          .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+          .withColumn("yoy_pct",
+            round((col("rev") - col("prev_rev")).cast("double") * 100.0
+              / col("prev_rev").cast("double"), 2) + 0.0)
+          .select(col("yr"), col("mo"), col("rev").cast("double").as("rev"),
+            col("prev_rev").cast("double").as("prev_rev"), col("yoy_pct"))
+          .orderBy("yr", "mo")
+      },
+      Some("""
+        WITH m AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS yr,
+            CAST(month(o_orderdate) AS INT) AS mo,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+          FROM orders GROUP BY 1, 2),
+        l AS (
+          SELECT yr, mo, rev,
+            lag(rev) OVER (PARTITION BY mo ORDER BY yr) AS prev_rev
+          FROM m)
+        SELECT yr, mo, CAST(rev AS DOUBLE) AS rev,
+          CAST(prev_rev AS DOUBLE) AS prev_rev,
+          CAST(ROUND(CAST(CAST(CAST(rev - prev_rev AS DOUBLE) * 100.0
+            / CAST(prev_rev AS DOUBLE) AS VARCHAR) AS DECIMAL(38,15)), 2) AS DOUBLE)
+            + 0.0 AS yoy_pct
+        FROM l ORDER BY yr, mo
+      """.trim)),
+
+    // Trailing-7-day rolling MEDIAN of daily counts per type — the robust
+    // smoother (vs ts_ewma's mean-based one). Exact percentile over a
+    // 7-row frame on the DAILY aggregate: the expensive pass is the first
+    // rollup; the window sorts |types|×|days| rows partitioned by type.
+    // Median of ≤7 integers is an integer or .5 — exact in double, no
+    // rounding needed.
+    Op("ts_rolling_median",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("timestamp_ntz").as("d"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+        daily
+          .withColumn("med7", expr("percentile(n, 0.5d)").over(w))
+          .select("event_type", "d", "n", "med7")
+          .orderBy("event_type", "d")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+            COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, d, n,
+          CAST(median(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS med7
+        FROM daily ORDER BY event_type, d
       """.trim))
   )
 }

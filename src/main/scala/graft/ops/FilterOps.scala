@@ -230,6 +230,36 @@ object FilterOps extends OpGroup {
                   1.0 / n_chars) DESC, doc_id) AS INT) AS rk
           FROM documents
         ) WHERE rk <= 20 ORDER BY rk
+      """.trim)),
+
+    // Deterministic train/val/test split (80/10/10) by md5-bucket of the
+    // document key — the reproducible split a training pipeline needs:
+    // stable across runs, engines, partitionings, and INCREMENTAL data
+    // (a new doc lands in a split without moving any existing doc, unlike
+    // rand() or modulo-of-row-number). Report is the per-split×lang
+    // composition audit. Pure map-side bucket + one partial agg.
+    Op("sample_split_train_test",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .withColumn("b", expr(
+            "CAST(conv(substring(md5(concat('split_', doc_id)), 1, 15), 16, 10) AS BIGINT) % 10"))
+          .withColumn("split",
+            when(col("b") < 8, "train").when(col("b") === 8, "val").otherwise("test"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_total"))
+          .orderBy("split", "lang")
+      },
+      Some("""
+        SELECT split, lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        FROM (
+          SELECT lang, n_chars,
+            CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+          FROM (
+            SELECT lang, n_chars,
+              CAST(('0x' || substr(md5('split_' || doc_id), 1, 15)) AS BIGINT) % 10 AS b
+            FROM documents))
+        GROUP BY 1, 2 ORDER BY 1, 2
       """.trim))
   )
 }

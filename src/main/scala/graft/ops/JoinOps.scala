@@ -643,6 +643,42 @@ object JoinOps extends OpGroup {
         SELECT CAST(k AS BIGINT) AS k, n_orders, n_cust
         FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.ck
         ORDER BY k NULLS FIRST
+      """.trim)),
+
+    // Record linkage (entity resolution): blocked fuzzy self-join — the
+    // classic blocking-key + edit-distance pattern. Candidate pairs are
+    // generated ONLY within (nation, segment) blocks (the quadratic is
+    // per-block, |block|², never |table|²) with k1 < k2 de-duping the
+    // pair space; levenshtein scores each candidate. At 100 TB the block
+    // key is the shuffle key and each block's pair generation is local
+    // to one task — the standard scalable linkage topology. Output is the
+    // per-nation linkage audit: candidate volume, matches under the
+    // threshold, and the tightest pair.
+    Op("link_fuzzy_blocked",
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        val a = c.toDF("k1", "n1", "nk", "seg")
+        val b = c.toDF("k2", "n2", "nk2", "seg2")
+        a.join(b, col("nk") === col("nk2") && col("seg") === col("seg2")
+            && col("k1") < col("k2"))
+          .withColumn("lev", levenshtein(col("n1"), col("n2")))
+          .groupBy(col("nk").as("nation"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("lev") <= 3, 1L).otherwise(0L)).as("n_match"),
+            min("lev").as("min_lev"))
+          .orderBy("nation")
+      },
+      Some("""
+        WITH p AS (
+          SELECT a.c_nationkey AS nation, levenshtein(a.c_name, b.c_name) AS lev
+          FROM customer a JOIN customer b
+            ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+           AND a.c_custkey < b.c_custkey)
+        SELECT nation, COUNT(*) AS n_pairs,
+          CAST(SUM(CASE WHEN lev <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+          CAST(MIN(lev) AS INT) AS min_lev
+        FROM p GROUP BY 1 ORDER BY 1
       """.trim))
   )
 }

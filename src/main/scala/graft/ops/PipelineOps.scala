@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Group J2 — extended training-data-pipeline operators beyond the core
   * inventory: SimHash dedup, winnowing-style n-gram fingerprinting,
@@ -2527,6 +2528,98 @@ object PipelineOps extends OpGroup {
             / COUNT(*) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS novelty_frac
         FROM sp s JOIN first f USING (k)
         GROUP BY s.doc_id ORDER BY s.doc_id
+      """.trim)),
+
+    // Token-budget sampling: greedy hash-ordered selection per
+    // (lang, source) shard until the shard's cumulative token count hits
+    // the budget — how a corpus is downsampled to a target token mix
+    // without a global sort. The running sum is windowed per (lang,
+    // source) — |langs|×|sources| independent shards, each a bounded
+    // sequential pass (same sharding stance as text_pack_sequences after
+    // the round-7 fix). Hash order makes the greedy prefix an unbiased,
+    // reproducible draw.
+    Op("corpus_token_budget",
+      (s, dir) => {
+        val w = Window.partitionBy("lang", "source")
+          .orderBy(col("hk"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(s, dir, "documents")
+          .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+          .withColumn("hk", md5(concat(lit("tb_"), col("doc_id"))))
+          .withColumn("kept", sum("ntok").over(w) <= lit(150L))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs_total"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("docs_kept"),
+            sum(when(col("kept"), col("ntok")).otherwise(0L)).as("tokens_kept"),
+            sum("ntok").as("tokens_total"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH d AS (
+          SELECT lang, source, doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+            md5('tb_' || doc_id) AS hk
+          FROM documents),
+        c AS (
+          SELECT lang, ntok,
+            SUM(ntok) OVER (PARTITION BY lang, source ORDER BY hk, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 150 AS kept
+          FROM d)
+        SELECT lang, COUNT(*) AS docs_total,
+          CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+          CAST(SUM(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT) AS tokens_kept,
+          CAST(SUM(ntok) AS BIGINT) AS tokens_total
+        FROM c GROUP BY 1 ORDER BY 1
+      """.trim)),
+
+    // Character-bigram Shannon entropy per doc → per-lang profile: the
+    // cheap language/quality signal that separates natural text from
+    // boilerplate or noise (low-entropy = repetitive). Per-doc summation
+    // runs over the SORTED bigram-count list (same determinism stance as
+    // agg_entropy: both engines add identical doubles in identical order),
+    // then the per-doc h is rounded to 6dp and averaged in exact DECIMAL —
+    // the cross-doc mean is order-insensitive by construction.
+    Op("text_char_entropy",
+      (s, dir) => {
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(expr(
+              "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+          .groupBy("doc_id", "lang", "bg")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "lang")
+          .agg(sum("c").as("n_bg"),
+            expr("array_sort(collect_list(struct(bg, c)))").as("sorted"))
+          .withColumn("h", expr("""
+            round(log2(CAST(n_bg AS DOUBLE)) - aggregate(sorted, CAST(0 AS DOUBLE),
+              (acc, s) -> acc + CAST(s.c AS DOUBLE) * log2(CAST(s.c AS DOUBLE)))
+              / CAST(n_bg AS DOUBLE), 6)"""))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("h").cast(DecimalType(18, 6))).cast("double")
+              / count(lit(1)), 3).as("mean_entropy"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH bg AS (
+          SELECT doc_id, lang,
+            unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
+          FROM documents),
+        cnt AS (
+          SELECT doc_id, lang, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+        doc AS (
+          SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_bg,
+            list(CAST(c AS DOUBLE) ORDER BY bg, c) AS sorted
+          FROM cnt GROUP BY 1, 2),
+        h AS (
+          SELECT lang,
+            ROUND(CAST(CAST(log2(CAST(n_bg AS DOUBLE)) - list_sum(list_transform(sorted,
+              c -> c * log2(c))) / CAST(n_bg AS DOUBLE) AS VARCHAR) AS DECIMAL(38,15)), 6) AS h
+          FROM doc)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(ROUND(CAST(CAST(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+            AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) AS mean_entropy
+        FROM h GROUP BY 1 ORDER BY 1
       """.trim))
   )
 }

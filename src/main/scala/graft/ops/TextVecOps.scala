@@ -622,6 +622,67 @@ object TextVecOps extends OpGroup {
           UNION ALL SELECT 'o_totalprice', n, null_price, nd_price, min_price, max_price FROM m
           UNION ALL SELECT 'o_orderdate', n, null_date, nd_date, min_date, max_date FROM m)
         ORDER BY column_name
+      """.trim)),
+
+    // Clustering-quality audit: simplified silhouette against the label
+    // centroids (a = distance to own centroid, b = nearest OTHER
+    // centroid, s = (b-a)/max(a,b)) — the standard "are these clusters
+    // real" check after vec_kmeans_train / vec_centroid_label. The
+    // centroid frame is |labels|×|dims| (tiny) and is BROADCAST; each
+    // point scores against all centroids map-side via zip_with, so the
+    // only shuffle is the centroid build itself. Exact silhouette's
+    // all-pairs O(n²) is deliberately avoided — centroid silhouette is
+    // the scalable estimator.
+    Op("vec_silhouette",
+      (s, dir) => {
+        val emb = Tables.t(s, dir, "embeddings")
+          .withColumn("e", col("embedding").cast("array<double>"))
+        val cent = emb
+          .select(col("label").as("clabel"), posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy("clabel", "pos")
+          .agg((sum("v") / count(lit(1))).as("cv"))
+          .groupBy("clabel")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+            .as("cvec"))
+        emb.crossJoin(broadcast(cent))
+          .withColumn("dist2", expr(
+            "aggregate(zip_with(e, cvec, (x, c) -> (x - c) * (x - c)), 0d, (acc, x) -> acc + x)"))
+          .groupBy("vec_id", "label")
+          .agg(min(when(col("clabel") === col("label"), col("dist2"))).as("a2"),
+            min(when(col("clabel") =!= col("label"), col("dist2"))).as("b2"))
+          .withColumn("sil", (sqrt(col("b2")) - sqrt(col("a2")))
+            / greatest(sqrt(col("a2")), sqrt(col("b2"))))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(avg("sil"), 3).as("mean_sil"))
+          .withColumn("mean_sil", col("mean_sil") + 0.0)
+          .orderBy("label")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+            unnest(CAST(embedding AS DOUBLE[])) AS v
+          FROM embeddings),
+        c AS (
+          SELECT label AS clabel, pos, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS cv
+          FROM e GROUP BY 1, 2),
+        d AS (
+          SELECT e.vec_id, e.label, c.clabel,
+            SUM((e.v - c.cv) * (e.v - c.cv)) AS dist2
+          FROM e JOIN c ON e.pos = c.pos
+          GROUP BY 1, 2, 3),
+        ab AS (
+          SELECT vec_id, label,
+            MIN(CASE WHEN clabel = label THEN dist2 END) AS a2,
+            MIN(CASE WHEN clabel <> label THEN dist2 END) AS b2
+          FROM d GROUP BY 1, 2),
+        sl AS (
+          SELECT label, (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)) AS sil
+          FROM ab)
+        SELECT label, COUNT(*) AS n,
+          CAST(ROUND(CAST(CAST(AVG(sil) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE)
+            + 0.0 AS mean_sil
+        FROM sl GROUP BY 1 ORDER BY 1
       """.trim))
   )
 }

@@ -216,6 +216,92 @@ object WindowOps extends OpGroup {
             PARTITION BY p.event_type ORDER BY p.day) AS BIGINT) AS cum_distinct_users
         FROM per_day p LEFT JOIN new_per_day n USING (event_type, day)
         ORDER BY p.event_type, p.day
+      """.trim)),
+
+    // Gaps-and-islands: per-user runs of CONSECUTIVE active days via the
+    // classic date-minus-row_number group key. Distinct (user, day) first
+    // (shrinks raw events to active-day granularity), then one window
+    // partitioned by user_id — high-cardinality, distributes evenly; no
+    // global pass anywhere. The island report (count/longest/total) is the
+    // engagement-streak shape behind ts_longest_streak, generalized to all
+    // islands per user.
+    Op("win_gaps_islands",
+      (s, dir) => {
+        val days = Tables.events(s, dir)
+          .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("d")
+        days
+          .withColumn("grp", date_sub(col("d"), row_number().over(w)))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum("len").as("active_days"),
+            max("len").as("max_island"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id,
+            CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+          FROM events),
+        g AS (
+          SELECT user_id, d,
+            d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS grp
+          FROM days),
+        i AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_islands,
+          CAST(SUM(len) AS BIGINT) AS active_days, MAX(len) AS max_island
+        FROM i GROUP BY 1 ORDER BY 1
+      """.trim)),
+
+    // Pareto / ABC classification: rank customers by revenue desc, running
+    // revenue share, class A = first 50% of revenue mass, B = next 30%,
+    // C = tail. The global-ordered window runs on the CUSTOMER-level
+    // aggregate (|customers| rows, not raw orders) — the same
+    // semantically-unavoidable global sort as win_ntile_percent, paid on
+    // the smallest possible frame. Revenue cumsum in exact DECIMAL; the
+    // share comparison divides identical exact doubles on both engines so
+    // the class boundary is deterministic.
+    Op("win_pareto_abc",
+      (s, dir) => {
+        val cust = Tables.t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev"))
+        val wc = Window.orderBy(desc("rev"), asc("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val total = cust.agg(sum(col("rev")).cast(DecimalType(18, 2)).as("total_rev"))
+        cust.crossJoin(broadcast(total))
+          .withColumn("cum_share",
+            sum("rev").over(wc).cast("double") / col("total_rev").cast("double"))
+          .withColumn("abc",
+            when(col("cum_share") <= 0.5, "A")
+              .when(col("cum_share") <= 0.8, "B").otherwise("C"))
+          .groupBy("abc")
+          .agg(count(lit(1)).as("n_customers"),
+            sum("rev").cast(DecimalType(18, 2)).cast("double").as("rev_mass"))
+          .orderBy("abc")
+      },
+      Some("""
+        WITH cust AS (
+          SELECT o_custkey,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+          FROM orders GROUP BY 1),
+        c AS (
+          SELECT o_custkey, rev,
+            CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / CAST((SELECT CAST(SUM(rev) AS DECIMAL(18,2)) FROM cust) AS DOUBLE)
+              AS cum_share
+          FROM cust),
+        k AS (
+          SELECT CASE WHEN cum_share <= 0.5 THEN 'A'
+                      WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc, rev
+          FROM c)
+        SELECT abc, COUNT(*) AS n_customers,
+          CAST(CAST(SUM(rev) AS DECIMAL(18,2)) AS DOUBLE) AS rev_mass
+        FROM k GROUP BY 1 ORDER BY 1
       """.trim))
   )
 }

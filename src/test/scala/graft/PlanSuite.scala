@@ -517,6 +517,84 @@ class PlanSuite extends AnyFunSuite {
       "the tolerance variant must execute on the native as-of operator")
   }
 
+  test("round-9 batch 1: sharded windows, blocked linkage stays keyed, centroids broadcast") {
+    // win_gaps_islands: the one window shards by user_id — never a
+    // single-partition pass — and the distinct + island aggs partial-agg.
+    val gi = plan("win_gaps_islands")
+    assert("""hashpartitioning\(user_id#\d+""".r.findFirstIn(gi).isDefined,
+      "the islands window must shard by user_id")
+    assert(!gi.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "no global serialization anywhere in the islands pass")
+    assert(gi.contains("partial_"), "active-day distinct must partial-aggregate")
+
+    // win_pareto_abc: the unavoidable global-ordered window consumes the
+    // customer-level aggregate, which itself partial-aggregates; the
+    // grand total broadcasts.
+    val pa = plan("win_pareto_abc")
+    assert(pa.contains("partial_"), "customer revenue rollup must partial-aggregate")
+    assert(pa.contains("BroadcastExchange") || pa.contains("BroadcastNestedLoopJoin"),
+      "the scalar grand total must broadcast")
+
+    // link_fuzzy_blocked: the pair generator is a keyed equi join on the
+    // block key — never a cartesian — and the audit partial-aggregates.
+    val lf = plan("link_fuzzy_blocked")
+    assert(!lf.contains("CartesianProduct") && !lf.contains("BroadcastNestedLoopJoin"),
+      "candidate pairs must come from the block-key equi join only")
+    assert(lf.contains("partial_"), "the linkage audit must partial-aggregate")
+
+    // sample_split_train_test: row-local bucketing — one scan, no join,
+    // report partial-aggregates.
+    val sp = plan("sample_split_train_test")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(sp).size == 1,
+      "the split must read documents exactly once")
+    assert(sp.contains("partial_"), "the composition report must partial-aggregate")
+
+    // corpus_token_budget: the greedy window shards by (lang, source).
+    val tb = plan("corpus_token_budget")
+    assert("""hashpartitioning\(lang#\d+, source#\d+""".r.findFirstIn(tb).isDefined,
+      "the budget window must shard by (lang, source)")
+    assert(!tb.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "token-budget selection must never globally serialize")
+
+    // vec_silhouette: the centroid frame broadcasts; point scoring is
+    // map-side (the only shuffles build the centroids and the report).
+    val sl = plan("vec_silhouette")
+    assert(sl.contains("BroadcastExchange") || sl.contains("BroadcastNestedLoopJoin"),
+      "the |labels|×|dims| centroid frame must broadcast")
+    assert(sl.contains("partial_"), "centroid build must partial-aggregate")
+  }
+
+  test("round-9 batch 1: seasonal profiles aggregate before their windows") {
+    // ts_dow_profile: two-level aggregation — both levels partial — and
+    // one scan of events.
+    val dp = plan("ts_dow_profile")
+    assert(dp.contains("partial_"), "daily rollup must partial-aggregate")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(dp).size == 1,
+      "the profile must read events exactly once")
+
+    // ts_yoy_growth: the lag window shards by month-of-year, not a
+    // global ordered pass.
+    val yg = plan("ts_yoy_growth")
+    assert("""hashpartitioning\(mo#\d+""".r.findFirstIn(yg).isDefined,
+      "the YoY lag window must shard by month-of-year")
+    assert(!yg.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "the YoY pass must never globally serialize")
+    assert(yg.contains("partial_"), "monthly revenue must partial-aggregate")
+
+    // ts_rolling_median: the 7-row percentile frame runs on the daily
+    // aggregate, windowed per event_type.
+    val rm = plan("ts_rolling_median")
+    assert("""hashpartitioning\(event_type#\d+""".r.findFirstIn(rm).isDefined,
+      "the rolling-median window must shard by event_type")
+    assert(rm.contains("partial_"), "daily counts must partial-aggregate")
+
+    // text_char_entropy: explode + two hash aggs — linear, never a
+    // cartesian or global sort before the per-lang report.
+    val ce = plan("text_char_entropy")
+    assert(ce.contains("partial_"), "bigram counts must partial-aggregate")
+    assert(!ce.contains("CartesianProduct"))
+  }
+
   test("etl_cdc_apply plans exactly one full-outer join, no cartesian") {
     val p = plan("etl_cdc_apply")
     assert(p.contains("FullOuter"), "base↔latest must merge with one full-outer join")

@@ -283,6 +283,132 @@ class UnitSuite extends AnyFunSuite {
       ("o_totalprice", 3L, 0L, 2L, "10.00", "20.50")))
   }
 
+  test("gaps-islands: runs 1-3, 5-6, 10 → three islands, longest 3") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val base = 1704067200L * 1000 * 1000 * 1000 // 2024-01-01
+    val ev = Seq(1, 1, 2, 3, 5, 6, 10).zipWithIndex.map { case (d, i) =>
+      (i.toLong, base + (d - 1) * day, 7L, "click", 1.0, "{}")
+    } :+ (99L, base, 8L, "click", 1.0, "{}")
+    val dir = miniDir("events" -> ev
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("win_gaps_islands")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((7L, 3L, 6L, 3L), (8L, 1L, 1L, 1L)))
+  }
+
+  test("pareto ABC: 50/30/10/10 revenue splits into A=1, B=1, C=2 customers") {
+    val dir = miniDir("orders" -> Seq(
+      (1L, 1L, 50.0), (2L, 2L, 30.0), (3L, 3L, 10.0), (4L, 4L, 10.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice"))
+    val got = SparkEntry.queries("win_pareto_abc")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("A", 1L, 50.0), ("B", 1L, 30.0), ("C", 2L, 20.0)))
+  }
+
+  test("train/test split matches an independent md5 computation (docs 1-10 → 9 train, 1 val)") {
+    // Buckets computed independently in python hashlib: doc 9 → bucket 8
+    // (val), all others < 8 (train); no doc lands in test.
+    val dir = miniDir("documents" -> (1L to 10L).map(i =>
+      (i, s"doc $i", "en", "src0", i * 10))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = SparkEntry.queries("sample_split_train_test")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("train", "en", 9L, 460L), ("val", "en", 1L, 90L)))
+  }
+
+  test("fuzzy linkage: ALICE~ALICE2 lev 1 matches, BOB stays distant, singleton block yields no pairs") {
+    val dir = miniDir("customer" -> Seq(
+      (1L, "ALICE", 1, "SEG"), (2L, "ALICE2", 1, "SEG"), (3L, "BOB", 1, "SEG"),
+      (4L, "CAROL", 2, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+    val got = SparkEntry.queries("link_fuzzy_blocked")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // pairs: (ALICE,ALICE2)=1, (ALICE,BOB)=5, (ALICE2,BOB)=6 (python-checked)
+    assert(got.toSeq == Seq((1, 3L, 1L, 1)))
+  }
+
+  test("token budget: three 100-token docs, budget 150 → exactly one kept whatever the hash order") {
+    val text100 = Seq.fill(100)("w").mkString(" ")
+    val dir = miniDir("documents" -> Seq(
+      (1L, text100, "en", "src0", 199L),
+      (2L, text100, "en", "src0", 199L),
+      (3L, text100, "en", "src0", 199L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = SparkEntry.queries("corpus_token_budget")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("en", 3L, 1L, 100L, 300L)))
+  }
+
+  test("char entropy: 'aaaa' is zero-entropy, 'abab' is H(2/3,1/3) = 0.918") {
+    val dir = miniDir("documents" -> Seq(
+      (1L, "aaaa", "rep", "src0", 4L),
+      (2L, "abab", "mix", "src0", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = SparkEntry.queries("text_char_entropy")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("mix", 1L, 0.918), ("rep", 1L, 0.0)))
+  }
+
+  test("silhouette: two well-separated 1-D clusters score 0.899 per label") {
+    // label 0 at {0,2} (centroid 1), label 1 at {10,12} (centroid 11):
+    // each point has a=1 and b∈{9,11} → mean s = (10/11 + 8/9)/2 ≈ 0.899.
+    val dir = miniDir("embeddings" -> Seq(
+      (1L, Seq(0f, 0f), 0), (2L, Seq(2f, 0f), 0),
+      (3L, Seq(10f, 0f), 1), (4L, Seq(12f, 0f), 1))
+      .toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("vec_silhouette")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0, 2L, 0.899), (1, 2L, 0.899)))
+  }
+
+  test("dow profile: Mondays [2,4] events → avg 3, sd √2; single Tuesday → null sd") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val base = 1704067200L * 1000 * 1000 * 1000 // 2024-01-01, a Monday
+    val ev =
+      (0 until 2).map(i => (i.toLong, base + i, 1L, "click", 1.0, "{}")) ++      // Mon 1/1: 2
+      (0 until 4).map(i => (10L + i, base + 7 * day + i, 1L, "click", 1.0, "{}")) ++ // Mon 1/8: 4
+      (0 until 3).map(i => (20L + i, base + day + i, 1L, "click", 1.0, "{}"))    // Tue 1/2: 3
+    val dir = miniDir("events" -> ev
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("ts_dow_profile")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      ("click", 0, 2L, 3.0, Some(1.414)),
+      ("click", 1, 1L, 3.0, None)))
+  }
+
+  test("yoy growth: 100 → 150 in January is +50%, months without a prior year stay null") {
+    val dir = miniDir("orders" -> Seq(
+      (1L, "1995-01-10 00:00:00", 100.0),
+      (2L, "1995-02-10 00:00:00", 200.0),
+      (3L, "1996-01-20 00:00:00", 150.0))
+      .toDF("o_orderkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("timestamp_ntz")).drop("d"))
+    val got = SparkEntry.queries("ts_yoy_growth")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (1995, 1, 100.0, None, None),
+      (1995, 2, 200.0, None, None),
+      (1996, 1, 150.0, Some(100.0), Some(50.0))))
+  }
+
+  test("rolling median: daily counts 1,3,2 → trailing medians 1, 2, 2") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val base = 1704067200L * 1000 * 1000 * 1000
+    val ev =
+      Seq((0L, base, 1L, "click", 1.0, "{}")) ++
+      (0 until 3).map(i => (10L + i, base + day + i, 1L, "click", 1.0, "{}")) ++
+      (0 until 2).map(i => (20L + i, base + 2 * day + i, 1L, "click", 1.0, "{}"))
+    val dir = miniDir("events" -> ev
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("ts_rolling_median")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("click", 1L, 1.0), ("click", 3L, 2.0), ("click", 2L, 2.0)))
+  }
+
   test("batched infer stub: quarter-window byte means on a known payload") {
     // "ABCD EFGH": n=9, q=2 → windows AB | CD | ' 'E | FGH.
     val dir = miniDir("documents" -> Seq(
