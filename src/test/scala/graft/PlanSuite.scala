@@ -588,11 +588,15 @@ class PlanSuite extends AnyFunSuite {
       "the rolling-median window must shard by event_type")
     assert(rm.contains("partial_"), "daily counts must partial-aggregate")
 
-    // text_char_entropy: explode + two hash aggs — linear, never a
-    // cartesian or global sort before the per-lang report.
+    // text_char_entropy: the per-doc fold is entirely row-local — no
+    // explode, no per-bigram shuffle; the one exchange is the |langs|-row
+    // report agg.
     val ce = plan("text_char_entropy")
-    assert(ce.contains("partial_"), "bigram counts must partial-aggregate")
-    assert(!ce.contains("CartesianProduct"))
+    assert(ce.contains("partial_"), "the lang report must partial-aggregate")
+    assert(!ce.contains("Generate"),
+      "per-doc entropy must fold in-row, never explode bigrams to rows")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(ce).size == 1,
+      "entropy must read documents exactly once")
   }
 
   test("etl_cdc_apply plans exactly one full-outer join, no cartesian") {
