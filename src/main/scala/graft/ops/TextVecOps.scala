@@ -683,6 +683,52 @@ object TextVecOps extends OpGroup {
           CAST(ROUND(CAST(CAST(AVG(sil) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE)
             + 0.0 AS mean_sil
         FROM sl GROUP BY 1 ORDER BY 1
+      """.trim)),
+
+    // Benford first-digit audit: observed first-significant-digit
+    // distribution of o_totalprice vs the Benford expectation
+    // log10(1 + 1/d) — the classic fabricated-data / corrupted-feed
+    // screen. The digit is the first char of the double's SHORTEST
+    // DECIMAL REPR — the one string both engines print identically (the
+    // same law rule 9's repr-ROUND leans on) — never a re-rounded cast
+    // that could carry 999.995 → 1000. One scan + one 9-row aggregate +
+    // a broadcast total: costs a partial-agg pass at any scale.
+    // Values ≥ 1 only (a leading "0." row would need mantissa shifting;
+    // TPC-H prices are ≥ 800, the filter documents totality).
+    Op("quality_benford",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "orders")
+          .where(col("o_totalprice") >= 1.0)
+          .withColumn("digit",
+            substring(col("o_totalprice").cast("string"), 1, 1).cast("int"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = d.agg(sum("n").as("total"))
+        d.crossJoin(broadcast(tot))
+          .withColumn("obs_frac",
+            round(col("n").cast("double") / col("total").cast("double"), 4))
+          .withColumn("benford_frac",
+            round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 4))
+          .withColumn("abs_dev", round(abs(col("obs_frac") - col("benford_frac")), 4))
+          .select("digit", "n", "obs_frac", "benford_frac", "abs_dev")
+          .orderBy("digit")
+      },
+      Some("""
+        WITH d AS (
+          SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit,
+            COUNT(*) AS n
+          FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d),
+        f AS (
+          SELECT digit, n,
+            CAST(ROUND(CAST(CAST(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+              AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS obs_frac,
+            CAST(ROUND(CAST(CAST(log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+              AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) AS benford_frac
+          FROM d, t)
+        SELECT digit, n, obs_frac, benford_frac,
+          CAST(ROUND(CAST(CAST(abs(obs_frac - benford_frac) AS VARCHAR)
+            AS DECIMAL(38,15)), 4) AS DOUBLE) AS abs_dev
+        FROM f ORDER BY digit
       """.trim))
   )
 }

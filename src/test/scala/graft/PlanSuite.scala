@@ -599,6 +599,57 @@ class PlanSuite extends AnyFunSuite {
       "entropy must read documents exactly once")
   }
 
+  test("round-9 batch 2: stats windows on aggregates, keyed linkage joins, CC on the checkpointed edges") {
+    // ts_acf: the lag windows shard by event_type and run over the daily
+    // aggregate; the Pearson sums partial-aggregate.
+    val ac = plan("ts_acf")
+    assert("""hashpartitioning\(event_type#\d+""".r.findFirstIn(ac).isDefined,
+      "the ACF lag window must shard by event_type")
+    assert(!ac.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "the ACF pass must never globally serialize")
+    assert(ac.contains("partial_"), "daily counts + moment sums must partial-aggregate")
+
+    // ts_transition_matrix: the lead window shards by user_id; the
+    // normalization window runs on the |types|² aggregate keyed by src.
+    val tm = plan("ts_transition_matrix")
+    assert("""hashpartitioning\(user_id#\d+""".r.findFirstIn(tm).isDefined,
+      "the lead window must shard by user_id")
+    assert("""hashpartitioning\(src#\d+""".r.findFirstIn(tm).isDefined,
+      "the probability normalization must shard by src")
+    assert(tm.contains("partial_"), "transition counts must partial-aggregate")
+
+    // ts_interval_union: one user_id shuffle serves both sweep windows;
+    // one scan of events.
+    val iu = plan("ts_interval_union")
+    assert("""hashpartitioning\(user_id#\d+""".r.findFirstIn(iu).isDefined,
+      "the sweep windows must shard by user_id")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(iu).size == 1,
+      "interval union must read events exactly once")
+    assert(iu.contains("partial_"), "the coverage report must partial-aggregate")
+
+    // quality_benford: one scan, partial-aggregated digit counts, the
+    // 9-row total broadcast back.
+    val bf = plan("quality_benford")
+    assert(bf.contains("partial_"), "digit counts must partial-aggregate")
+    assert(bf.contains("BroadcastExchange") || bf.contains("BroadcastNestedLoopJoin"),
+      "the scalar total must broadcast")
+
+    // etl_late_arriving_dim: both phases are keyed left joins — no
+    // cartesian anywhere — merged by one full-outer on the segment.
+    val la = plan("etl_late_arriving_dim")
+    assert(!la.contains("CartesianProduct"))
+    assert(la.contains("FullOuter"), "load/final phases must merge full-outer")
+    assert(la.contains("partial_"), "both phase rollups must partial-aggregate")
+
+    // graph_connected_components: consumes the checkpointed mutual edge
+    // set and the converged label frame — no cartesian, no re-derivation
+    // of the kNN build in the output plan.
+    val cc = plan("graph_connected_components")
+    assert(cc.contains("ExistingRDD"),
+      "CC must read the materialized labels/edges, not re-derive the kNN join")
+    assert(!cc.contains("CartesianProduct"))
+  }
+
   test("etl_cdc_apply plans exactly one full-outer join, no cartesian") {
     val p = plan("etl_cdc_apply")
     assert(p.contains("FullOuter"), "base↔latest must merge with one full-outer join")

@@ -154,8 +154,8 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
-  test("pointer-jumping connected components == union-find on random graphs") {
-    // The Pregel + pointer-jump loop (PipelineOps.connectedComponents) is
+  test("cluster-contraction connected components == union-find on random graphs") {
+    // The cluster-contraction loop (PipelineOps.connectedComponents) is
     // the one custom iterative algorithm in the engine; the DuckDB oracle
     // only exercises the corpus graphs, so pin it here against a textbook
     // union-find over random edge sets — including long chains, which is
@@ -193,10 +193,10 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
-  test("round-8 keys are partitioning-invariant (digest equal at 3 vs 11 shuffle partitions)") {
+  test("round-8/9 keys are partitioning-invariant (digest equal at 3 vs 11 shuffle partitions)") {
     // The 100 TB correctness property: a result that changes with the
     // shuffle-partition count has an order-dependent accumulation hiding
-    // in it (float sums, nondeterministic ties). Run each round-8 key at
+    // in it (float sums, nondeterministic ties). Run each listed key at
     // two co-prime partition counts and compare the order-insensitive
     // Golden digest. sf0.001 keeps this cheap (<1 s/run).
     val keys = Seq(
@@ -208,7 +208,14 @@ class PropertySuite extends AnyFunSuite {
       // accumulation would most plausibly hide.
       "agg_stats", "agg_linreg", "agg_higher_moments", "agg_weighted_percentile",
       "ts_ewma", "ts_cusum_changepoint", "vec_power_iteration",
-      "vec_ivf_topk", "text_tfidf_topterms", "quality_drift_report")
+      "vec_ivf_topk", "text_tfidf_topterms", "quality_drift_report",
+      // Round-9 keys, float-surfacing or loop-bearing first.
+      "vec_silhouette", "text_char_entropy", "ts_acf", "ts_dow_profile",
+      "ts_yoy_growth", "win_pareto_abc", "quality_benford",
+      "graph_connected_components", "ts_interval_union",
+      "ts_transition_matrix", "link_fuzzy_blocked", "corpus_token_budget",
+      "sample_split_train_test", "win_gaps_islands", "ts_rolling_median",
+      "etl_late_arriving_dim")
     val conf = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(conf)
     try keys.foreach { k =>

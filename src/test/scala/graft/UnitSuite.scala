@@ -409,6 +409,95 @@ class UnitSuite extends AnyFunSuite {
     assert(got.toSeq == Seq(("click", 1L, 1.0), ("click", 3L, 2.0), ("click", 2L, 2.0)))
   }
 
+  test("acf: perfectly alternating daily series has lag-1 autocorrelation -1") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val base = 1704067200L * 1000 * 1000 * 1000
+    // daily counts 1,2,1,2,1 → lag-1 r = -1, lag-2 r = +1 (3 pairs), lag-3 r = -1
+    val ev = Seq(1, 2, 1, 2, 1).zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => (d * 10L + i, base + d * day + i, 1L, "click", 1.0, "{}"))
+    }
+    val dir = miniDir("events" -> ev
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("ts_acf")(spark, dir)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1, 4L, -1.0), (2, 3L, 1.0), (3, 2L, -1.0)))
+  }
+
+  test("transition matrix: click→view twice, view→click once, rows normalize to 1") {
+    val sec = 1000L * 1000 * 1000
+    val base = 1704067200L * sec
+    val dir = miniDir("events" -> Seq(
+      (0L, base, 1L, "click", 1.0, "{}"),
+      (1L, base + sec, 1L, "view", 1.0, "{}"),
+      (2L, base + 2 * sec, 1L, "click", 1.0, "{}"),
+      (3L, base, 2L, "click", 1.0, "{}"),
+      (4L, base + sec, 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("ts_transition_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("click", "view", 2L, 1.0), ("view", "click", 1L, 1.0)))
+  }
+
+  test("interval union: overlapping 30-min intervals merge, disjoint ones don't") {
+    val min = 60L * 1000 * 1000 * 1000
+    val base = 1704067200L * 1000 * 1000 * 1000
+    val dir = miniDir("events" -> Seq(
+      (0L, base, 7L, "click", 1.0, "{}"),            // [0, 30)
+      (1L, base + 10 * min, 7L, "view", 1.0, "{}"),  // [10, 40) overlaps → [0, 40)
+      (2L, base + 50 * min, 7L, "view", 1.0, "{}"),  // [50, 80) disjoint
+      (3L, base, 8L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("ts_interval_union")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (7L, 2L, 70L * 60 * 1000 * 1000), // 40 + 30 minutes covered
+      (8L, 1L, 30L * 60 * 1000 * 1000)))
+  }
+
+  test("benford: 3-of-4 prices lead with 1 → obs 0.75 vs expected log10(2)") {
+    val dir = miniDir("orders" -> Seq(
+      (1L, 100.0), (2L, 150.5), (3L, 1999.99), (4L, 25.5))
+      .toDF("o_orderkey", "o_totalprice"))
+    val got = SparkEntry.queries("quality_benford")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1, 3L, 0.75, 0.301, 0.449),
+      (2, 1L, 0.25, 0.1761, 0.0739)))
+  }
+
+  test("late dim: facts of the withheld key land in UNKNOWN, backfill reassigns them") {
+    val dir = miniDir(
+      "customer" -> Seq((1L, "AUTOMOBILE"), (7L, "BUILDING"))
+        .toDF("c_custkey", "c_mktsegment"),
+      "orders" -> Seq((1L, 1L, 10.0), (2L, 7L, 20.0), (3L, 7L, 5.0))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice"))
+    val got = SparkEntry.queries("etl_late_arriving_dim")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("AUTOMOBILE", 1L, 10.0, 1L, 10.0),
+      ("BUILDING", 0L, 0.0, 2L, 25.0),
+      ("UNKNOWN", 2L, 25.0, 0L, 0.0)))
+  }
+
+  test("connected components: two 4-cliques and a singleton get min-id labels") {
+    // Two direction-clusters inside label 0 — each node's cosine top-3 is
+    // exactly its 3 cluster-mates, so mutual-3NN splits into two
+    // components; the lone label-1 node has no same-label peer → singleton.
+    val rows =
+      (1 to 4).map(i => (i.toLong, Seq(1f, 0.01f * (i - 1)), 0)) ++
+      (5 to 8).map(i => (i.toLong, Seq(0.01f * (i - 5), 1f), 0)) :+
+      (9L, Seq(1f, 1f), 1)
+    val dir = miniDir("embeddings" -> rows.toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("graph_connected_components")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 4), (2L, 1L, 4), (3L, 1L, 4), (4L, 1L, 4),
+      (5L, 5L, 4), (6L, 5L, 4), (7L, 5L, 4), (8L, 5L, 4),
+      (9L, 9L, 1)))
+  }
+
   test("batched infer stub: quarter-window byte means on a known payload") {
     // "ABCD EFGH": n=9, q=2 → windows AB | CD | ' 'E | FGH.
     val dir = miniDir("documents" -> Seq(
