@@ -289,8 +289,10 @@ object PipelineOps extends OpGroup {
       while (curSum != prevSum && iter < 40) {
         val t0 = if (debug) System.nanoTime() else 0L
         // TWO contraction sub-steps per driver-blocking checkpoint round:
-        // the cluster-chain shrinks 4× per round, and the second sub-step
-        // costs plan depth, not an extra materialization barrier.
+        // the cluster-chain shrinks 4× per round. Two is the measured
+        // sweet spot — a third sub-step deepens the per-round plan enough
+        // (extra broadcast builds + serialized stages) to cost more than
+        // the round it saves.
         val next = contract(contract(labels)).localCheckpoint(true)
         if (debug) System.err.println(
           f"[cc] round $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s")
