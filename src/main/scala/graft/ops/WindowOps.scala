@@ -302,6 +302,38 @@ object WindowOps extends OpGroup {
         SELECT abc, COUNT(*) AS n_customers,
           CAST(CAST(SUM(rev) AS DECIMAL(18,2)) AS DOUBLE) AS rev_mass
         FROM k GROUP BY 1 ORDER BY 1
+      """.trim)),
+
+    // TIME-based RANGE frame: for every event, the count and exact-
+    // decimal value mass of same-type events in the trailing hour —
+    // `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW` over
+    // event time. The batch twin of a sliding streaming aggregate, and a
+    // different engine surface from win_range_frame's NUMERIC range:
+    // the frame boundary is calendar arithmetic on the ORDER column.
+    // RANGE includes all ts-peers, so same-µs ties cannot make the
+    // result order-dependent; the mass is summed in DECIMAL inside the
+    // frame. One shuffle by event_type, like every ts_* window.
+    Op("win_range_time_frame",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .selectExpr("event_id", "event_type",
+            """count(1) OVER (PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h""",
+            """CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS val_1h""")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, event_type,
+          COUNT(*) OVER w AS n_1h,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS val_1h
+        FROM (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events)
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
       """.trim))
   )
 }

@@ -650,6 +650,16 @@ class PlanSuite extends AnyFunSuite {
     assert(!cc.contains("CartesianProduct"))
   }
 
+  test("win_range_time_frame: interval-range window shards by type over one scan") {
+    val p = plan("win_range_time_frame")
+    assert("""hashpartitioning\(event_type#\d+""".r.findFirstIn(p).isDefined,
+      "the time-range window must shard by event_type")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      "the sliding aggregate must read events exactly once")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "no global serialization in the time-range pass")
+  }
+
   test("etl_cdc_apply plans exactly one full-outer join, no cartesian") {
     val p = plan("etl_cdc_apply")
     assert(p.contains("FullOuter"), "base↔latest must merge with one full-outer join")

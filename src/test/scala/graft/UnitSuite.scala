@@ -498,6 +498,20 @@ class UnitSuite extends AnyFunSuite {
       (9L, 9L, 1)))
   }
 
+  test("time-range frame: trailing hour is inclusive at exactly -60min") {
+    val min = 60L * 1000 * 1000 * 1000
+    val base = 1704067200L * 1000 * 1000 * 1000
+    val dir = miniDir("events" -> Seq(
+      (0L, base, 1L, "click", 1.0, "{}"),
+      (1L, base + 30 * min, 1L, "click", 2.0, "{}"),
+      (2L, base + 60 * min, 1L, "click", 4.0, "{}"),   // frame [0, 60] → all three
+      (3L, base + 120 * min, 1L, "click", 8.0, "{}"))  // frame [60, 120] → two
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("win_range_time_frame")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 1L, 1.0), (1L, 2L, 3.0), (2L, 3L, 7.0), (3L, 2L, 12.0)))
+  }
+
   test("batched infer stub: quarter-window byte means on a known payload") {
     // "ABCD EFGH": n=9, q=2 → windows AB | CD | ' 'E | FGH.
     val dir = miniDir("documents" -> Seq(
