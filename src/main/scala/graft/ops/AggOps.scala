@@ -811,6 +811,157 @@ object AggOps extends OpGroup {
           MIN(CASE WHEN cum * 10 >= tot * 9 THEN qty END) AS w_p90_qty,
           MAX(tot) AS total_weight_cents
         FROM cums GROUP BY 1 ORDER BY l_returnflag
+      """.trim)),
+
+    // Welch's two-sample t-test: does mean order value differ between
+    // URGENT and LOW priority orders? All moments (n, Σx, Σx²) are EXACT
+    // — counts in BIGINT, Σx in DECIMAL(28,2), Σx² in DECIMAL(38,4)
+    // (2-dp × 2-dp is exactly 4-dp) — accumulated in ONE conditional
+    // single-pass aggregate; the t statistic and Welch-Satterthwaite df
+    // are one identical double expression tree at the very end on both
+    // engines (repr-ROUND rule 9). The test costs one partial-aggregating
+    // scan at any table size.
+    Op("agg_welch_ttest",
+      (s, dir) => {
+        val p = Tables.dec2(col("o_totalprice"))
+        val urgent = col("o_orderpriority") === "1-URGENT"
+        Tables.t(s, dir, "orders")
+          .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .agg(
+            sum(when(urgent, 1L).otherwise(0L)).as("n1"),
+            sum(when(urgent, p)).cast(DecimalType(28, 2)).as("sx1"),
+            sum(when(urgent, p * p)).cast(DecimalType(38, 4)).as("sxx1"),
+            sum(when(!urgent, 1L).otherwise(0L)).as("n2"),
+            sum(when(!urgent, p)).cast(DecimalType(28, 2)).as("sx2"),
+            sum(when(!urgent, p * p)).cast(DecimalType(38, 4)).as("sxx2"))
+          .withColumn("m1", expr("CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)"))
+          .withColumn("m2", expr("CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)"))
+          .withColumn("v1", expr(
+            "(CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)"))
+          .withColumn("v2", expr(
+            "(CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)"))
+          .withColumn("se2", expr("v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)"))
+          .selectExpr("n1", "n2",
+            "round(m1 - m2, 4) + 0.0 AS mean_diff",
+            "round((m1 - m2) / sqrt(se2), 4) + 0.0 AS t_stat",
+            """round(se2 * se2 / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)
+               + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)), 1) AS df""")
+      },
+      Some("""
+        WITH a AS (
+          SELECT
+            SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n1,
+            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+              THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS sx1,
+            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+              THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) END)
+              AS DECIMAL(38,4)) AS sxx1,
+            SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n2,
+            CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+              THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS sx2,
+            CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+              THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) END)
+              AS DECIMAL(38,4)) AS sxx2
+          FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        b AS (
+          SELECT n1, n2,
+            CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+            CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+            (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) AS v1,
+            (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE) AS v2
+          FROM a),
+        c AS (
+          SELECT n1, n2, m1, m2, v1, v2,
+            v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
+          FROM b)
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+          CAST(ROUND(CAST(CAST(m1 - m2 AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS mean_diff,
+          CAST(ROUND(CAST(CAST((m1 - m2) / sqrt(se2) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS t_stat,
+          CAST(ROUND(CAST(CAST(se2 * se2 / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE)
+            + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)) AS VARCHAR)
+            AS DECIMAL(38,15)), 1) AS DOUBLE) AS df
+        FROM c
+      """.trim)),
+
+    // Chi-square independence test on the (o_orderpriority ×
+    // o_orderstatus) contingency table, with Cramér's V effect size.
+    // Observed counts are exact integers from one partial-aggregating
+    // scan; row/column/grand totals come from windows over the 15-CELL
+    // aggregate (never the raw table); each cell's (o−e)²/e contribution
+    // is repr-rounded to 6 dp and summed in exact DECIMAL, so the
+    // cross-cell reduction is order-insensitive — the same determinism
+    // stance as agg_entropy and text_char_entropy.
+    Op("agg_chi_square",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // The observed-cell aggregate feeds three consumers (cells, row
+        // levels, column levels) — materialize its |levels|² rows once so
+        // the table is scanned exactly once, not per consumer.
+        val obs = Tables.t(s, dir, "orders")
+          .groupBy("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("obs"))
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "chi2_cells", Set("agg_chi_square"),
+          () => graft.Caches.releaseCheckpoint(obs))
+        // Complete the grid: a level pair that never co-occurs is a REAL
+        // zero cell and must contribute (0−e)²/e — dropping it understates
+        // the statistic. The grid is |levels|×|levels| (tiny), built from
+        // the observed margins themselves.
+        val cells = obs.select("o_orderpriority").distinct()
+          .crossJoin(obs.select("o_orderstatus").distinct())
+          .join(obs, Seq("o_orderpriority", "o_orderstatus"), "left")
+          .withColumn("o", coalesce(col("obs"), lit(0L)))
+        cells
+          .withColumn("rt", sum("o").over(Window.partitionBy("o_orderpriority")))
+          .withColumn("ct", sum("o").over(Window.partitionBy("o_orderstatus")))
+          .withColumn("n", sum("o").over(Window.partitionBy()))
+          .withColumn("e", expr("CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .withColumn("contrib", expr(
+            "CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 6) AS DECIMAL(18,6))"))
+          .agg(
+            countDistinct("o_orderpriority").as("r"),
+            countDistinct("o_orderstatus").as("c"),
+            max("n").as("n"),
+            sum("contrib").cast(DecimalType(28, 6)).as("chi2d"))
+          .selectExpr(
+            "CAST((r - 1) * (c - 1) AS INT) AS dof", "n",
+            "CAST(chi2d AS DOUBLE) AS chi2",
+            """round(sqrt(CAST(chi2d AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))), 4) AS cramers_v""")
+      },
+      Some("""
+        WITH obs AS (
+          SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+          FROM orders GROUP BY 1, 2),
+        cells AS (
+          SELECT r.o_orderpriority, c.o_orderstatus, COALESCE(o.obs, 0) AS o
+          FROM (SELECT DISTINCT o_orderpriority FROM obs) r
+          CROSS JOIN (SELECT DISTINCT o_orderstatus FROM obs) c
+          LEFT JOIN obs o ON o.o_orderpriority = r.o_orderpriority
+            AND o.o_orderstatus = c.o_orderstatus),
+        t AS (
+          SELECT o_orderpriority, o_orderstatus, o,
+            SUM(o) OVER (PARTITION BY o_orderpriority) AS rt,
+            SUM(o) OVER (PARTITION BY o_orderstatus) AS ct,
+            SUM(o) OVER () AS n
+          FROM cells),
+        k AS (
+          SELECT o_orderpriority, o_orderstatus, o, rt, ct, n,
+            CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e
+          FROM t),
+        x AS (
+          SELECT COUNT(DISTINCT o_orderpriority) AS r,
+            COUNT(DISTINCT o_orderstatus) AS c,
+            CAST(MAX(n) AS BIGINT) AS n,
+            CAST(SUM(CAST(ROUND(CAST(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+              AS VARCHAR) AS DECIMAL(38,15)), 6) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS chi2d
+          FROM k)
+        SELECT CAST((r - 1) * (c - 1) AS INT) AS dof, n,
+          CAST(chi2d AS DOUBLE) AS chi2,
+          CAST(ROUND(CAST(CAST(sqrt(CAST(chi2d AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))) AS VARCHAR)
+            AS DECIMAL(38,15)), 4) AS DOUBLE) AS cramers_v
+        FROM x
       """.trim))
   )
 }

@@ -650,6 +650,26 @@ class PlanSuite extends AnyFunSuite {
     assert(!cc.contains("CartesianProduct"))
   }
 
+  test("stat tests: one-scan moment aggregates, contingency windows on the cell grid") {
+    // agg_welch_ttest: all six conditional moments come from ONE scan +
+    // one partial-aggregating node; the t/df algebra is a projection.
+    val wt = plan("agg_welch_ttest")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(wt).size == 1,
+      "the t-test must read orders exactly once")
+    assert(wt.contains("partial_"), "moment sums must partial-aggregate")
+    assert(wt.contains("PushedFilters: [In(o_orderpriority"),
+      "the two-group filter must reach the scan")
+
+    // agg_chi_square: the observed-cell aggregate is materialized once
+    // (orders scanned exactly once, at build time); the margins/grid/
+    // statistic all run over the |levels|² ExistingRDD.
+    val cs = plan("agg_chi_square")
+    assert(cs.contains("ExistingRDD"),
+      "the cell aggregate must be materialized for its three consumers")
+    assert(!cs.contains("Scan parquet"),
+      "no consumer may re-scan orders — the cells carry everything")
+  }
+
   test("win_range_time_frame: interval-range window shards by type over one scan") {
     val p = plan("win_range_time_frame")
     assert("""hashpartitioning\(event_type#\d+""".r.findFirstIn(p).isDefined,

@@ -512,6 +512,34 @@ class UnitSuite extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 1L, 1.0), (1L, 2L, 3.0), (2L, 3L, 7.0), (3L, 2L, 12.0)))
   }
 
+  test("welch t-test: means 15 vs 10 with v1=50, v2=0 gives t=1, df=1") {
+    val dir = miniDir("orders" -> Seq(
+      (1L, "1-URGENT", 10.0), (2L, "1-URGENT", 20.0),
+      (3L, "5-LOW", 10.0), (4L, "5-LOW", 10.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    val got = SparkEntry.queries("agg_welch_ttest")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // se2 = 50/2 + 0 = 25 → t = 5/√25 = 1.0; df = 25²/(25²/1) = 1.0
+    assert(got.toSeq == Seq((2L, 2L, 5.0, 1.0, 1.0)))
+  }
+
+  test("chi-square: perfect association scores chi2=n and V=1, independence scores 0") {
+    val assoc = miniDir("orders" -> Seq(
+      (1L, "A", "X"), (2L, "A", "X"), (3L, "B", "Y"), (4L, "B", "Y"))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus"))
+    val a = SparkEntry.queries("agg_chi_square")(spark, assoc).head()
+    // 2×2, e=1 everywhere, all four cells (two of them ZERO cells)
+    // contribute (±1)²/1 → chi2 = 4 = n, V = 1.
+    assert((a.getInt(0), a.getLong(1), a.getDouble(2), a.getDouble(3)) == (1, 4L, 4.0, 1.0))
+
+    val indep = miniDir("orders" -> Seq(
+      (1L, "A", "X"), (2L, "A", "Y"), (3L, "B", "X"), (4L, "B", "Y"))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus"))
+    val i = SparkEntry.queries("agg_chi_square")(spark, indep).head()
+    assert((i.getInt(0), i.getLong(1), i.getDouble(2), i.getDouble(3)) == (1, 4L, 0.0, 0.0))
+  }
+
   test("batched infer stub: quarter-window byte means on a known payload") {
     // "ABCD EFGH": n=9, q=2 → windows AB | CD | ' 'E | FGH.
     val dir = miniDir("documents" -> Seq(
