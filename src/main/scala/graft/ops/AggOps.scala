@@ -813,6 +813,52 @@ object AggOps extends OpGroup {
         FROM cums GROUP BY 1 ORDER BY l_returnflag
       """.trim)),
 
+    // Gini coefficient of order-value concentration per priority class —
+    // the Lorenz-curve inequality statistic (0 = equal, →1 = one order
+    // carries all the value). Exact everywhere: prices in integer cents
+    // (the agg_weighted_percentile recipe), rank via row_number with an
+    // o_orderkey tie-break (tied values make the Σi·xᵢ term invariant to
+    // tie order, so the statistic is total-order deterministic), both
+    // Σxᵢ and Σi·xᵢ in DECIMAL(38,0) — one double quotient at the end.
+    // One shuffle by group for the rank window + one partial aggregate.
+    Op("agg_gini",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority").orderBy(col("cents"), col("o_orderkey"))
+        Tables.t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+          .withColumn("i", row_number().over(w))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents").cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("s0"),
+            sum((col("i").cast(DecimalType(19, 0))
+              * col("cents").cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
+              .cast(DecimalType(38, 0)).as("s1"))
+          .selectExpr("o_orderpriority", "n",
+            """round((2.0d * CAST(s1 AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0d) * CAST(s0 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE)), 4) + 0.0 AS gini""")
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        WITH r AS (
+          SELECT o_orderpriority,
+            CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+            ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), o_orderkey) AS i
+          FROM orders),
+        a AS (
+          SELECT o_orderpriority, COUNT(*) AS n,
+            CAST(SUM(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS s0,
+            CAST(SUM(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS s1
+          FROM r GROUP BY 1)
+        SELECT o_orderpriority, n,
+          CAST(ROUND(CAST(CAST((2.0 * CAST(s1 AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(s0 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE)
+            + 0.0 AS gini
+        FROM a ORDER BY o_orderpriority
+      """.trim)),
+
     // Welch's two-sample t-test: does mean order value differ between
     // URGENT and LOW priority orders? All moments (n, Σx, Σx²) are EXACT
     // — counts in BIGINT, Σx in DECIMAL(28,2), Σx² in DECIMAL(38,4)

@@ -643,6 +643,65 @@ object EtlOps extends OpGroup {
           COALESCE(CAST(m_final AS DOUBLE), 0.0) AS mass_final
         FROM ld FULL OUTER JOIN fin ON ld.seg = fin.seg
         ORDER BY seg
+      """.trim)),
+
+    // Anti-entropy table checksum: per partition (order year) an
+    // ORDER-INSENSITIVE content checksum — Σ over rows of the md5-prefix
+    // integer of a type-pinned payload string, accumulated in exact
+    // DECIMAL(38,0) (a BIGINT sum of 2⁶⁰-scale buckets overflows) — then
+    // compared against a replica with a deterministic drift (every
+    // 1000th key repriced +0.01), the replication-divergence audit a
+    // lake runs without moving any data. Payload strings are the
+    // quality_column_profile type-pinned casts, so both engines hash
+    // identical bytes. Two partial-aggregating scans + one |years| join;
+    // at 100 TB each side is one map-side pass, and only per-partition
+    // digests cross the wire — the point of the pattern.
+    Op("etl_table_checksum",
+      (s, dir) => {
+        def sums(price: org.apache.spark.sql.Column) =
+          Tables.t(s, dir, "orders")
+            .select(year(col("o_orderdate")).as("yr"),
+              concat_ws("|",
+                col("o_orderkey").cast("string"),
+                Tables.dec2(price).cast("string"),
+                col("o_orderstatus"),
+                date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as("payload"))
+            .select(col("yr"), expr(
+              "CAST(conv(substring(md5(payload), 1, 15), 16, 10) AS DECIMAL(38,0))").as("b"))
+            .groupBy("yr")
+            .agg(count(lit(1)).as("n_rows"), sum("b").cast(DecimalType(38, 0)).as("cks"))
+        val src = sums(col("o_totalprice"))
+        val rep = sums(when(pmod(col("o_orderkey"), lit(1000)) === 0,
+            col("o_totalprice") + 0.01).otherwise(col("o_totalprice")))
+          .select(col("yr"), col("cks").as("rcks"))
+        src.join(rep, Seq("yr"))
+          .select(col("yr"), col("n_rows"),
+            col("cks").cast("string").as("checksum"),
+            (col("cks") === col("rcks")).as("replica_match"))
+          .orderBy("yr")
+      },
+      Some("""
+        WITH src AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS n_rows,
+            SUM(CAST(CAST(('0x' || substr(md5(
+              CAST(o_orderkey AS VARCHAR) || '|' ||
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+              o_orderstatus || '|' ||
+              strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')), 1, 15)) AS BIGINT) AS HUGEINT)) AS cks
+          FROM orders GROUP BY 1),
+        rep AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS yr,
+            SUM(CAST(CAST(('0x' || substr(md5(
+              CAST(o_orderkey AS VARCHAR) || '|' ||
+              CAST(CAST(CASE WHEN o_orderkey % 1000 = 0 THEN o_totalprice + 0.01
+                             ELSE o_totalprice END AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+              o_orderstatus || '|' ||
+              strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')), 1, 15)) AS BIGINT) AS HUGEINT)) AS rcks
+          FROM orders GROUP BY 1)
+        SELECT src.yr, n_rows, CAST(cks AS VARCHAR) AS checksum,
+          cks = rcks AS replica_match
+        FROM src JOIN rep ON src.yr = rep.yr
+        ORDER BY src.yr
       """.trim))
   )
 }

@@ -670,6 +670,20 @@ class PlanSuite extends AnyFunSuite {
       "no consumer may re-scan orders — the cells carry everything")
   }
 
+  test("gini rank window shards by group; checksum audit stays keyed and partial-aggregated") {
+    val g = plan("agg_gini")
+    assert("""hashpartitioning\(o_orderpriority#\d+""".r.findFirstIn(g).isDefined,
+      "the Lorenz rank window must shard by priority class")
+    assert(g.contains("partial_"), "Σx and Σi·x must partial-aggregate")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(g).size == 1,
+      "gini must read orders exactly once")
+
+    val ck = plan("etl_table_checksum")
+    assert(ck.contains("partial_"), "per-partition digests must partial-aggregate")
+    assert(!ck.contains("CartesianProduct") && !ck.contains("BroadcastNestedLoopJoin"),
+      "the src↔replica comparison must stay a keyed join")
+  }
+
   test("win_range_time_frame: interval-range window shards by type over one scan") {
     val p = plan("win_range_time_frame")
     assert("""hashpartitioning\(event_type#\d+""".r.findFirstIn(p).isDefined,

@@ -216,7 +216,7 @@ class PropertySuite extends AnyFunSuite {
       "ts_transition_matrix", "link_fuzzy_blocked", "corpus_token_budget",
       "sample_split_train_test", "win_gaps_islands", "ts_rolling_median",
       "etl_late_arriving_dim", "win_range_time_frame", "agg_welch_ttest",
-      "agg_chi_square")
+      "agg_chi_square", "agg_gini", "etl_table_checksum")
     val conf = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(conf)
     try keys.foreach { k =>

@@ -540,6 +540,29 @@ class UnitSuite extends AnyFunSuite {
     assert((i.getInt(0), i.getLong(1), i.getDouble(2), i.getDouble(3)) == (1, 4L, 0.0, 0.0))
   }
 
+  test("gini: equal values score 0, one-order-takes-all approaches 2/3 at n=3") {
+    val dir = miniDir("orders" -> Seq(
+      (1L, "1-URGENT", 10.0), (2L, "1-URGENT", 10.0), (3L, "1-URGENT", 10.0),
+      (4L, "5-LOW", 0.0), (5L, "5-LOW", 0.0), (6L, "5-LOW", 10.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    val got = SparkEntry.queries("agg_gini")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // [0,0,1000]: S0=1000, S1=3000 → (6000-4000)/3000 = 0.6667
+    assert(got.toSeq == Seq(("1-URGENT", 3L, 0.0), ("5-LOW", 3L, 0.6667)))
+  }
+
+  test("table checksum: the drifted-key partition mismatches, clean partitions match") {
+    val dir = miniDir("orders" -> Seq(
+      (1000L, 10.0, "O", "1995-03-01 00:00:00"), // key%1000=0 → replica drift
+      (2L, 20.0, "F", "1995-06-01 00:00:00"),
+      (3L, 30.0, "O", "1996-01-01 00:00:00"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus", "d")
+      .withColumn("o_orderdate", col("d").cast("timestamp_ntz")).drop("d"))
+    val got = SparkEntry.queries("etl_table_checksum")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(3)))
+    assert(got.toSeq == Seq((1995, 2L, false), (1996, 1L, true)))
+  }
+
   test("batched infer stub: quarter-window byte means on a known payload") {
     // "ABCD EFGH": n=9, q=2 → windows AB | CD | ' 'E | FGH.
     val dir = miniDir("documents" -> Seq(
