@@ -75,13 +75,23 @@ object Tables {
     })
   }
 
-  /** `events` with `ts` converted ns→µs TimestampNTZ. Integer division —
-    * double division would lose the final µs digit (SURVEY.md §1.4).
-    * DuckDB side: `CAST(ts AS TIMESTAMP)` (ns→µs truncation) agrees.
+  /** `events` with `ts` normalized to µs TimestampNTZ regardless of how the
+    * driver generated the file. Two formats have been observed across
+    * rounds: parquet timestamp[ns] (arrives as Long under `nanosAsLong` —
+    * convert with integer division; double division would lose the final
+    * µs digit, SURVEY.md §1.4) and parquet timestamp[µs] (arrives as
+    * TIMESTAMP_NTZ already — `t()` has normalized any LTZ reading). The
+    * DuckDB oracle's `CAST(ts AS TIMESTAMP)` is the identity/truncation
+    * under both formats, so the two engines stay aligned either way.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)").cast(TimestampNTZType))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)").cast(TimestampNTZType))
+      case _ => df
+    }
+  }
 
   /** Money/value columns arrive as 2-dp doubles; exact order-insensitive
     * aggregation requires decimal (SURVEY.md §2.0.2).

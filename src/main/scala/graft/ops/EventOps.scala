@@ -60,8 +60,9 @@ object EventOps extends OpGroup {
     Op("ts_session_gap",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val ev = Tables.t(s, dir, "events")
-          .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
         val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
         val sessions = ev
           .withColumn("prev_us", lag(col("us"), 1).over(wOrd))

@@ -39,18 +39,23 @@ object StreamOps extends OpGroup {
     }
   }
 
-  /** Raw events schema under nanosAsLong (ts arrives as Long nanos). */
-  private val rawSchema = StructType(Seq(
+  /** Raw events schema for the streaming source, with `ts` typed to match
+    * how the driver generated the file: Long under nanosAsLong for the
+    * timestamp[ns] layout, TIMESTAMP_NTZ for the timestamp[µs] layout
+    * (the batch loader's cached schema tells us which — a readStream
+    * schema that mismatches the footer silently yields nulls).
+    */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of events with ts converted ns→µs TimestampType.
-    * The file source requires a directory, so the single parquet file is
-    * symlinked into a temp dir.
+  /** Streaming read of events with ts normalized to µs timestamps (same
+    * two-format contract as [[Tables.events]]). The file source requires
+    * a directory, so the single parquet file is symlinked into a temp dir.
     */
   private def eventStream(s: SparkSession, sfDir: String): DataFrame = {
     Tables.conf(s)
@@ -58,9 +63,17 @@ object StreamOps extends OpGroup {
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    s.readStream.schema(rawSchema)
+    val tsIsLong =
+      Tables.t(s, sfDir, "events").schema("ts").dataType == LongType
+    val raw = s.readStream
+      .schema(rawSchema(if (tsIsLong) LongType
+        else org.apache.spark.sql.types.TimestampNTZType))
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    // Watermarks require TIMESTAMP (LTZ): EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    // on NTZ event time as of Spark 4.1. Session tz is UTC, so the NTZ→LTZ
+    // cast is a wall-clock identity — downstream windows match the batch side.
+    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Run a streaming DataFrame to completion into a memory sink, return
