@@ -1008,6 +1008,96 @@ object AggOps extends OpGroup {
             / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))) AS VARCHAR)
             AS DECIMAL(38,15)), 4) AS DOUBLE) AS cramers_v
         FROM x
+      """.trim)),
+
+    // Mann-Whitney U rank-sum test (nonparametric complement to
+    // agg_welch_ttest): does the order-value DISTRIBUTION differ between
+    // URGENT and LOW priorities? Never ranks raw rows — values collapse
+    // to integer cents first (value-level aggregate), so tied ranks are
+    // handled exactly by construction: rank math needs only each value's
+    // prefix count, computed as a TWO-LEVEL distributed prefix sum
+    // (in-band running count partitioned by $10k price band + a
+    // band-offset window over the ~500-row band frame, broadcast back).
+    // All rank sums run in half-units (2·rank is integer) in
+    // DECIMAL(38,0); the z-score with tie correction is one identical
+    // double expression tree at the end (repr-ROUND rule 9).
+    Op("agg_mann_whitney",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // The value-level aggregate feeds two consumers (the in-band
+        // window and the band-offset frame) — materialize it once so
+        // orders is scanned exactly once, not per branch.
+        val byval = Tables.t(s, dir, "orders")
+          .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
+            when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("u"))
+          .groupBy("cents")
+          .agg(sum(col("u")).as("c1"), count(lit(1)).as("c"))
+          .withColumn("band", expr("cents DIV 1000000"))
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "mw_byval", Set("agg_mann_whitney"),
+          () => graft.Caches.releaseCheckpoint(byval))
+        val wIn = Window.partitionBy("band").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val inb = byval.withColumn("in_cb", sum(col("c")).over(wIn) - col("c"))
+        // Band-offset frame: one row per $10k band — bounded by the price
+        // DOMAIN (~50 bands/decade), not the row count, so the unpartitioned
+        // window and the broadcast stay tiny at any scale.
+        val wB = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+        val bandCb = byval.groupBy("band").agg(sum(col("c")).as("bc"))
+          .withColumn("band_cb", sum(col("bc")).over(wB) - col("bc"))
+          .select("band", "band_cb")
+        inb.join(broadcast(bandCb), "band")
+          .withColumn("cb", col("band_cb") + col("in_cb"))
+          .agg(
+            sum(col("c1")).as("n1"),
+            sum(col("c")).as("n"),
+            sum((col("c1").cast(DecimalType(19, 0))
+              * (col("cb") * 2 + col("c") + 1).cast(DecimalType(19, 0)))
+              .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("r2"),
+            sum((col("c").cast(DecimalType(19, 0)) * col("c") * col("c") - col("c"))
+              .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("tt"))
+          .selectExpr("CAST(n1 AS BIGINT) AS n1", "CAST(n - n1 AS BIGINT) AS n2",
+            "CAST(n AS DOUBLE) AS nd", "CAST(tt AS DOUBLE) AS ttd",
+            "CAST(r2 - CAST(n1 AS DECIMAL(38,0)) * CAST(n1 + 1 AS DECIMAL(38,0)) AS DOUBLE) AS ud")
+          .selectExpr("n1", "n2",
+            "ud / 2.0d AS u_stat",
+            """round((ud - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+               / (2.0d * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 * ((nd + 1.0d) - ttd / (nd * (nd - 1.0d))) / 12.0d)), 4) + 0.0 AS z_stat""",
+            """round((ud - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 4) + 0.0 AS r_rb""")
+      },
+      Some("""
+        WITH f AS (
+          SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+            CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u
+          FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        byval AS (
+          SELECT cents, CAST(SUM(u) AS BIGINT) AS c1, COUNT(*) AS c FROM f GROUP BY 1),
+        cum AS (
+          SELECT c1, c,
+            CAST(SUM(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS cb
+          FROM byval),
+        a AS (
+          SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c) AS BIGINT) AS n,
+            CAST(SUM(CAST(c1 AS HUGEINT) * (2 * cb + c + 1)) AS DECIMAL(38,0)) AS r2,
+            CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS DECIMAL(38,0)) AS tt
+          FROM cum),
+        b AS (
+          SELECT n1, n - n1 AS n2, CAST(n AS DOUBLE) AS nd, CAST(tt AS DOUBLE) AS ttd,
+            CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) AS ud
+          FROM a)
+        SELECT n1, n2,
+          ud / 2.0 AS u_stat,
+          CAST(ROUND(CAST(CAST((ud - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+            / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              * ((nd + 1.0) - ttd / (nd * (nd - 1.0))) / 12.0)) AS VARCHAR)
+            AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS z_stat,
+          CAST(ROUND(CAST(CAST((ud - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+            / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS VARCHAR)
+            AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS r_rb
+        FROM b
       """.trim))
   )
 }

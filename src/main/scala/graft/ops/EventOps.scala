@@ -920,6 +920,244 @@ object EventOps extends OpGroup {
         SELECT user_id, COUNT(*) AS n_busy_intervals,
           CAST(SUM(en - st) AS BIGINT) AS busy_us
         FROM i GROUP BY 1 ORDER BY 1
+      """.trim)),
+
+    // Kaplan-Meier survival curve for signup→first-purchase conversion,
+    // with REAL right-censoring: users who never purchase are censored at
+    // the dataset horizon (max ts — derived from the data, so the query
+    // stays deterministic). Subjects collapse to per-user rows, then to
+    // per-day (d_t, c_t) counts — the curve math runs on the bounded
+    // day-domain aggregate, never the raw stream. S(t) is the running
+    // product Π(1-d/n), computed as exp of an ORDERED running ln-sum
+    // (fixed add order both engines — the agg_entropy determinism stance).
+    Op("ts_survival_km",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        // One stream scan: the horizon (max ts) is derived from the
+        // per-user aggregate, which is materialized once for its two
+        // consumers (subjects + horizon).
+        val perUser = ev.groupBy("user_id")
+          .agg(min(col("ts")).as("t0"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+            max(col("ts")).as("tl"))
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "km_per_user", Set("ts_survival_km"),
+          () => graft.Caches.releaseCheckpoint(perUser))
+        val horizon = perUser.agg(max(col("tl")).as("tend"))
+        val subj = perUser.crossJoin(broadcast(horizon))
+          .select(
+            when(col("tp").isNotNull, 1L).otherwise(0L).as("e"),
+            when(col("tp").isNotNull, datediff(to_date(col("tp")), to_date(col("t0"))))
+              .otherwise(datediff(to_date(col("tend")), to_date(col("t0"))))
+              .cast("long").as("t"))
+        val byt = subj.groupBy("t")
+          .agg(sum(col("e")).as("d"), sum(lit(1L) - col("e")).as("cns"))
+        val wOrd = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        byt
+          .withColumn("ntot", sum(col("d") + col("cns")).over(wAll))
+          .withColumn("rem",
+            sum(col("d") + col("cns")).over(wOrd) - (col("d") + col("cns")))
+          .withColumn("n_risk", col("ntot") - col("rem"))
+          // A fully-consumed risk set (d = n, only possible at the last
+          // event time) is an exact zero factor: flag it instead of
+          // feeding ln(0) (DuckDB raises, Spark yields NULL — neither is
+          // the curve value).
+          .withColumn("lnf", expr(
+            "CASE WHEN d = n_risk THEN 0.0d ELSE ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) END"))
+          .withColumn("dead", max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wOrd))
+          .withColumn("sv", expr(
+            "CASE WHEN dead = 1 THEN 0.0d ELSE 1.0d END") * exp(sum(col("lnf")).over(wOrd)))
+          .where(col("d") > 0)
+          .selectExpr("t AS t_days", "d AS n_events", "cns AS n_censored",
+            "n_risk", "round(sv, 4) + 0.0 AS survival")
+          .orderBy("t_days")
+      },
+      Some("""
+        WITH pu AS (
+          SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t0,
+            MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS tp
+          FROM events GROUP BY 1),
+        h AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS tend FROM events),
+        subj AS (
+          SELECT CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS e,
+            CASE WHEN tp IS NOT NULL THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+                 ELSE date_diff('day', CAST(t0 AS DATE), CAST(tend AS DATE)) END AS t
+          FROM pu CROSS JOIN h),
+        byt AS (
+          SELECT t, CAST(SUM(e) AS BIGINT) AS d, CAST(SUM(1 - e) AS BIGINT) AS cns
+          FROM subj GROUP BY 1),
+        k AS (
+          SELECT t, d, cns,
+            SUM(d + cns) OVER () AS ntot,
+            SUM(d + cns) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - (d + cns) AS rem
+          FROM byt),
+        r AS (
+          SELECT t, d, cns, CAST(ntot - rem AS BIGINT) AS n_risk,
+            CASE WHEN d = ntot - rem THEN 0.0
+                 ELSE ln(CAST(ntot - rem - d AS DOUBLE) / CAST(ntot - rem AS DOUBLE)) END AS lnf,
+            CASE WHEN d = ntot - rem THEN 1 ELSE 0 END AS z
+          FROM k),
+        c AS (
+          SELECT t, d, cns, n_risk,
+            (CASE WHEN MAX(z) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+              THEN 0.0 ELSE 1.0 END)
+            * exp(SUM(lnf) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sv
+          FROM r)
+        SELECT t AS t_days, d AS n_events, cns AS n_censored, n_risk,
+          CAST(ROUND(CAST(CAST(sv AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS survival
+        FROM c WHERE d > 0 ORDER BY t_days
+      """.trim)),
+
+    // Lead-lag cross-correlation between two event streams: does today's
+    // click volume predict purchase volume k days later (k = 0..7)? Built
+    // on a gap-free date spine (absent days are REAL zeros, not missing
+    // rows — dropping them biases r toward the busy days). All moment
+    // sums are exact integers/decimals on the day-level aggregate; one
+    // Pearson quotient per lag at the end (repr-ROUND rule 9). Zero
+    // variance → NULL via an exact integer predicate, not a NaN surface.
+    Op("ts_xcorr",
+      (s, dir) => {
+        // The day-level aggregate feeds three consumers (spine bounds, x
+        // series, y series) — materialize it once; one stream scan total.
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "xcorr_daily", Set("ts_xcorr"),
+          () => graft.Caches.releaseCheckpoint(daily))
+        val spine = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+        val sx = spine.join(daily.select(col("d"), col("x")), Seq("d"), "left")
+          .select(col("d"), coalesce(col("x"), lit(0L)).as("x"))
+        val sy = spine.join(daily.select(col("d"), col("y")), Seq("d"), "left")
+          .select(col("d").as("dy"), coalesce(col("y"), lit(0L)).as("y"))
+        val lags = s.range(0, 8).select(col("id").cast("int").as("lag"))
+        sx.crossJoin(broadcast(lags))
+          .join(sy, expr("dy = date_add(d, lag)"))
+          .groupBy("lag")
+          .agg(
+            count(lit(1)).as("n_days"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum((col("x").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0)))
+              .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("sxy"),
+            sum((col("x").cast(DecimalType(19, 0)) * col("x").cast(DecimalType(19, 0)))
+              .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("sxx"),
+            sum((col("y").cast(DecimalType(19, 0)) * col("y").cast(DecimalType(19, 0)))
+              .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("syy"))
+          .withColumn("vx", expr("CAST(n_days AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))"))
+          .withColumn("vy", expr("CAST(n_days AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))"))
+          .selectExpr("lag", "n_days",
+            """CASE WHEN vx <= 0 OR vy <= 0 THEN CAST(NULL AS DOUBLE)
+               ELSE round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 4) + 0.0 END AS r_xy""")
+          .orderBy("lag")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        spine AS (
+          SELECT CAST(UNNEST(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY)) AS DATE) AS d
+          FROM daily),
+        sx AS (
+          SELECT s.d, COALESCE(dl.x, 0) AS x FROM spine s LEFT JOIN daily dl USING (d)),
+        sy AS (
+          SELECT s.d AS dy, COALESCE(dl.y, 0) AS y FROM spine s LEFT JOIN daily dl USING (d)),
+        lg AS (SELECT UNNEST(range(0, 8)) AS lag),
+        j AS (
+          SELECT lg.lag, sx.x, sy.y
+          FROM sx CROSS JOIN lg JOIN sy ON sy.dy = sx.d + CAST(lg.lag AS INT)),
+        a AS (
+          SELECT CAST(lag AS INT) AS lag, COUNT(*) AS n_days,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
+            CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+            CAST(SUM(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy
+          FROM j GROUP BY 1),
+        v AS (
+          SELECT lag, n_days, sx, sy, sxy,
+            CAST(n_days AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS vx,
+            CAST(n_days AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS vy
+          FROM a)
+        SELECT lag, n_days,
+          CASE WHEN vx <= 0 OR vy <= 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(ROUND(CAST(CAST((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) AS VARCHAR)
+              AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 END AS r_xy
+        FROM v ORDER BY lag
+      """.trim)),
+
+    // Robust anomaly detection: MAD-based z-score over a trailing-7-day
+    // frame of the daily count series (the breakdown-resistant version of
+    // ts_anomaly_zscore — one wild day can't inflate its own threshold
+    // the way it inflates a stddev). Median and MAD are EXACT: integer
+    // counts → medians are integers or halves, deviations are half-steps,
+    // picked from a sorted ≤7-element frame array on both engines — no
+    // float-sum surface at all; only the final 0.6745·dev/MAD quotient is
+    // double (repr-ROUND rule 9). The window runs on the day-level
+    // aggregate, partitioned by event_type.
+    Op("ts_anomaly_mad",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("timestamp_ntz").as("d"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+        daily
+          .withColumn("med7", expr("percentile(n, 0.5d)").over(w))
+          .withColumn("arr", collect_list(col("n")).over(w))
+          .withColumn("devs", expr(
+            "array_sort(transform(arr, v -> abs(CAST(v AS DOUBLE) - med7)))"))
+          .withColumn("k", size(col("arr")))
+          .withColumn("mad7", expr("""
+            CASE WHEN k % 2 = 1 THEN element_at(devs, CAST(k DIV 2 + 1 AS INT))
+                 ELSE (element_at(devs, CAST(k DIV 2 AS INT))
+                     + element_at(devs, CAST(k DIV 2 + 1 AS INT))) / 2.0d END"""))
+          .withColumn("rz_raw", expr(
+            "CASE WHEN mad7 > 0.0d THEN 0.6745d * (CAST(n AS DOUBLE) - med7) / mad7 END"))
+          .selectExpr("event_type", "d", "n", "med7", "mad7",
+            "round(rz_raw, 3) + 0.0 AS robust_z",
+            "coalesce(abs(rz_raw) > 3.5d, false) AS is_anomaly")
+          .orderBy("event_type", "d")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        win AS (
+          SELECT event_type, d, n,
+            median(CAST(n AS DOUBLE)) OVER w AS med7,
+            list(n) OVER w AS arr
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        m AS (
+          SELECT event_type, d, n, med7,
+            list_sort(list_transform(arr, v -> abs(CAST(v AS DOUBLE) - med7))) AS devs,
+            len(arr) AS k
+          FROM win),
+        z AS (
+          SELECT event_type, d, n, med7,
+            CASE WHEN k % 2 = 1 THEN devs[k // 2 + 1]
+                 ELSE (devs[k // 2] + devs[k // 2 + 1]) / 2.0 END AS mad7
+          FROM m),
+        rz AS (
+          SELECT event_type, d, n, med7, mad7,
+            CASE WHEN mad7 > 0.0 THEN 0.6745 * (CAST(n AS DOUBLE) - med7) / mad7 END AS rz_raw
+          FROM z)
+        SELECT event_type, d, n, med7, mad7,
+          CAST(ROUND(CAST(CAST(rz_raw AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS robust_z,
+          COALESCE(abs(rz_raw) > 3.5, false) AS is_anomaly
+        FROM rz ORDER BY event_type, d
       """.trim))
   )
 }

@@ -361,7 +361,8 @@ object PipelineOps extends OpGroup {
         .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "leftsemi")
         .localCheckpoint(true)
       graft.Caches.track(s, dir, "mutual_knn_edges",
-        Set("graph_triangle_count", "graph_connected_components"),
+        Set("graph_triangle_count", "graph_connected_components",
+          "graph_label_prop_step"),
         () => mutualEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       mutual
     })
@@ -2727,6 +2728,127 @@ object PipelineOps extends OpGroup {
         SELECT vec_id, comp,
           CAST(COUNT(*) OVER (PARTITION BY comp) AS INT) AS comp_size
         FROM lab ORDER BY vec_id
+      """.trim)),
+
+    // One synchronous label-propagation step (community detection's inner
+    // loop) over the mutual-3NN graph: each node adopts the MODE of its
+    // neighbors' classes, tie-broken toward the smaller class id via an
+    // injective ord = count·8 − class (classes are 0..6, so distinct
+    // (count, class) pairs can never collide — the pick is total-order
+    // deterministic with no float surface). Init classes are vec_id % 7,
+    // i.e. maximally mixed, so one step produces real movement to
+    // measure. Reuses the checkpointed mutual edge set (three graph ops
+    // share one build); the step itself is two hash aggregates over the
+    // degree-bounded (k=3) edge list — linear in |edges| at any scale.
+    Op("graph_label_prop_step",
+      (s, dir) => {
+        val ed = mutualKnnEdges(s, dir)
+        val sym = ed.select(col("l"), col("a").as("v"), col("b").as("nb"))
+          .unionAll(ed.select(col("l"), col("b").as("v"), col("a").as("nb")))
+        val cnt = sym.withColumn("nl", expr("nb % 7"))
+          .groupBy("l", "v", "nl").agg(count(lit(1)).as("c"))
+        cnt.groupBy("l", "v")
+          .agg(max_by(col("nl"), col("c") * 8 - col("nl")).as("new_class"))
+          .withColumn("old_class", expr("v % 7"))
+          .groupBy("l")
+          .agg(
+            count(lit(1)).as("n_nodes"),
+            sum(when(col("new_class") === col("old_class"), 1L).otherwise(0L))
+              .as("n_stable"),
+            sum(when(col("new_class") =!= col("old_class"), 1L).otherwise(0L))
+              .as("n_changed"),
+            count_distinct(col("new_class")).as("n_classes"))
+          .select(col("l").as("label"), col("n_nodes"), col("n_stable"),
+            col("n_changed"), col("n_classes"))
+          .orderBy("label")
+      },
+      Some("""
+        WITH knn AS (
+          SELECT l, a, b FROM (
+            SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
+              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)))
+                     * sqrt(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)))) DESC,
+                y.vec_id) AS rk
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          ) WHERE rk <= 3),
+        mutual AS (
+          SELECT k1.l, k1.a, k1.b FROM knn k1 JOIN knn k2
+            ON k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b),
+        sym AS (
+          SELECT l, a AS v, b AS nb FROM mutual
+          UNION ALL SELECT l, b AS v, a AS nb FROM mutual),
+        cnt AS (
+          SELECT l, v, nb % 7 AS nl, COUNT(*) AS c FROM sym GROUP BY 1, 2, 3),
+        pick AS (
+          SELECT l, v, arg_max(nl, c * 8 - nl) AS new_class FROM cnt GROUP BY 1, 2)
+        SELECT l AS label, COUNT(*) AS n_nodes,
+          CAST(SUM(CASE WHEN new_class = v % 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_stable,
+          CAST(SUM(CASE WHEN new_class <> v % 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+          CAST(COUNT(DISTINCT new_class) AS BIGINT) AS n_classes
+        FROM pick GROUP BY 1 ORDER BY label
+      """.trim)),
+
+    // Flesch reading-ease profile per language: words = alphabetic runs,
+    // sentences = terminal-punctuation runs (floored at 1), syllables ≈
+    // vowel-group runs (floored at one per word) — the standard
+    // regex-surrogate formulation. Each doc's score collapses to integer
+    // MILLI-points immediately (repr-ROUND rule 9 at the only float
+    // boundary), so the per-language rollup is exact integer arithmetic:
+    // the mean is one double quotient at the end and the easy-share is
+    // pure-integer basis points. One codegen'd scan; the aggregate
+    // carries three counters per language.
+    Op("text_readability",
+      (s, dir) => {
+        val scored = Tables.t(s, dir, "documents")
+          .select(col("lang"),
+            expr("size(regexp_extract_all(text, '[A-Za-z]+', 0))").as("w"),
+            expr("greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)").as("sen"),
+            expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))").as("syg"))
+          .where(col("w") > 0)
+          .withColumn("syl", greatest(col("syg"), col("w")))
+          .withColumn("score", expr(
+            """206.835d - 1.015d * (CAST(w AS DOUBLE) / CAST(sen AS DOUBLE))
+               - 84.6d * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))"""))
+          .withColumn("milli", expr("CAST(round(score * 1000.0d, 0) AS BIGINT)"))
+        scored.groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("milli")).as("sm"),
+            sum(when(col("milli") >= 60000L, 1L).otherwise(0L)).as("easy"))
+          .selectExpr("lang", "n_docs",
+            "round(CAST(sm AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000.0d, 3) + 0.0 AS avg_flesch",
+            "easy * 10000 DIV n_docs AS easy_bps")
+          .orderBy("lang")
+      },
+      Some("""
+        WITH scored AS (
+          SELECT lang,
+            len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+            greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sen,
+            len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syg
+          FROM documents),
+        m AS (
+          SELECT lang, w, sen, greatest(syg, w) AS syl,
+            206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(sen AS DOUBLE))
+              - 84.6 * (CAST(greatest(syg, w) AS DOUBLE) / CAST(w AS DOUBLE)) AS score
+          FROM scored WHERE w > 0),
+        q AS (
+          SELECT lang,
+            CAST(ROUND(CAST(CAST(score * 1000.0 AS VARCHAR) AS DECIMAL(38,15)), 0) AS BIGINT) AS milli
+          FROM m),
+        a AS (
+          SELECT lang, COUNT(*) AS n_docs, CAST(SUM(milli) AS BIGINT) AS sm,
+            CAST(SUM(CASE WHEN milli >= 60000 THEN 1 ELSE 0 END) AS BIGINT) AS easy
+          FROM q GROUP BY 1)
+        SELECT lang, n_docs,
+          CAST(ROUND(CAST(CAST(CAST(sm AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000.0 AS VARCHAR)
+            AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS avg_flesch,
+          easy * 10000 // n_docs AS easy_bps
+        FROM a ORDER BY lang
       """.trim))
   )
 }

@@ -703,4 +703,55 @@ class PlanSuite extends AnyFunSuite {
       "exactly one join in the CDC merge")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("mann-whitney ranks the value aggregate, never the raw table") {
+    val p = plan("agg_mann_whitney")
+    // The checkpointed value-level frame breaks lineage: the rank math
+    // must see no parquet scan at all (orders was read once at build).
+    assert(!p.contains("Scan parquet"),
+      "rank windows must run on the materialized distinct-cents frame")
+    assert("""hashpartitioning\(band#\d+""".r.findFirstIn(p).isDefined,
+      "the in-band prefix sum must shard by price band")
+    assert(p.contains("partial_"), "moment sums must partial-aggregate")
+  }
+
+  test("survival/xcorr: curve math runs on day-level aggregates off one materialized pass") {
+    val km = plan("ts_survival_km")
+    assert(!km.contains("Scan parquet"),
+      "the horizon and subjects must both come from the checkpointed per-user frame")
+    assert(km.contains("partial_"), "per-day (d,c) counts must partial-aggregate")
+
+    val xc = plan("ts_xcorr")
+    assert(!xc.contains("Scan parquet"),
+      "spine and both series must come from the checkpointed daily frame")
+    assert(!xc.contains("CartesianProduct"),
+      "the lag fan-out must stay a broadcast nested-loop over 8 rows, not a cartesian shuffle")
+  }
+
+  test("MAD anomaly shards its frame windows by event_type over one scan") {
+    val p = plan("ts_anomaly_mad")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      "daily aggregate must read events exactly once")
+    assert("""hashpartitioning\(event_type#\d+""".r.findFirstIn(p).isDefined,
+      "the rolling frame must shard by event_type")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "no global serialization in the MAD pass")
+  }
+
+  test("label propagation runs on the shared edge checkpoint with keyed aggregates only") {
+    val p = plan("graph_label_prop_step")
+    assert(!p.contains("Scan parquet"),
+      "the step must reuse the checkpointed mutual-knn edges, not rebuild them")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "mode-picking is hash aggregation — no join at all in the step")
+    assert(p.contains("partial_"), "neighbor-class counts must partial-aggregate")
+  }
+
+  test("readability is one codegen'd scan into a partial-aggregating rollup") {
+    val p = plan("text_readability")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      "documents must be read exactly once")
+    assert(p.contains("partial_"), "per-language counters must partial-aggregate")
+    assert(!p.contains("Window"), "no window pass — the rollup is pure aggregation")
+  }
 }

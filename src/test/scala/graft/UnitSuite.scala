@@ -573,4 +573,95 @@ class UnitSuite extends AnyFunSuite {
         r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
     assert(got.toSeq == Seq((1L, 9, 65.5, 67.5, 50.5, 71.0)))
   }
+
+  test("mann-whitney: fully separated 2v2 gives U=4, z=1.5492, r_rb=1") {
+    val dir = miniDir("orders" -> Seq(
+      (1L, "1-URGENT", 30.0), (2L, "1-URGENT", 40.0),
+      (3L, "5-LOW", 10.0), (4L, "5-LOW", 20.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    val got = SparkEntry.queries("agg_mann_whitney")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // Ranks 1..4, both URGENT on top: R1=7 → U1=4=n1·n2 (max), no ties:
+    // z = 4/(2·√(4·5/12)) = 1.5492, rank-biserial = 1.
+    assert(got.toSeq == Seq((2L, 2L, 4.0, 1.5492, 1.0)))
+  }
+
+  test("kaplan-meier: 3 subjects, events at t=2,5, one censored → S=2/3 then 1/3") {
+    val day = 86400L * 1000 * 1000 * 1000 // ns
+    val base = 1577836800L * 1000 * 1000 * 1000 // 2020-01-01
+    val dir = miniDir("events" -> Seq(
+      (0L, base, 1L, "view", 1.0, "{}"),
+      (1L, base + 2 * day, 1L, "purchase", 1.0, "{}"),
+      (2L, base, 2L, "view", 1.0, "{}"),
+      (3L, base + 10 * day, 2L, "click", 1.0, "{}"), // never purchases → censored at horizon
+      (4L, base, 3L, "view", 1.0, "{}"),
+      (5L, base + 5 * day, 3L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("ts_survival_km")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // t=2: 3 at risk, 1 event → 2/3; t=5: 2 at risk → 2/3·1/2 = 1/3;
+    // the t=10 censoring emits no curve row (d=0).
+    assert(got.toSeq == Seq((2L, 1L, 0L, 3L, 0.6667), (5L, 1L, 0L, 2L, 0.3333)))
+  }
+
+  test("xcorr: y = x shifted one day → r=1 at lag 1, -0.2 at lag 0, null on 1-point overlap") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val base = 1577836800L * 1000 * 1000 * 1000
+    // clicks/day: [1,2,3,0]; purchases/day: [0,1,2,3]
+    val clicks = Seq(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 2)
+      .map { case (id, d) => (id, base + d * day, 1L, "click", 1.0, "{}") }
+    val purch = Seq(6L -> 1, 7L -> 2, 8L -> 2, 9L -> 3, 10L -> 3, 11L -> 3)
+      .map { case (id, d) => (id, base + d * day, 1L, "purchase", 1.0, "{}") }
+    val dir = miniDir("events" -> (clicks ++ purch)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("ts_xcorr")(spark, dir)
+      .collect().map(r => (r.getInt(0), (r.getLong(1), Option(r.get(2))))).toMap
+    assert(got(0) == ((4L, Some(-0.2))))
+    assert(got(1) == ((3L, Some(1.0))))
+    assert(got(2) == ((2L, Some(1.0))))
+    assert(got(3) == ((1L, None))) // single pair: zero variance → NULL, not NaN
+  }
+
+  test("MAD anomaly: 100 after [10..13] noise flags at robust_z=59.356; flat day-1 frame stays null") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val base = 1577836800L * 1000 * 1000 * 1000
+    val counts = Seq(10, 12, 11, 13, 10, 12, 11, 100)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i => (d * 1000L + i, base + d * day, 1L, "click", 1.0, "{}"))
+    }
+    val dir = miniDir("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("ts_anomaly_mad")(spark, dir)
+      .collect().map(r => (r.getLong(2), (Option(r.get(5)), r.getBoolean(6))))
+    // Day 8 window sorted [10,11,11,12,12,13,100]: med=12, MAD=1 →
+    // rz = 0.6745·88 = 59.356. Day 1's single-row frame has MAD=0 → null.
+    assert(got.head == ((10L, (None, false))))
+    assert(got.last == ((100L, (Some(59.356), true))))
+  }
+
+  test("label propagation on K4: distinct-class tie breaks low, 4 nodes change, 2 classes remain") {
+    val dir = miniDir("embeddings" -> Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0),
+      (2L, Array(1f, 1f), 0), (3L, Array(1f, 2f), 0))
+      .toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("graph_label_prop_step")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // k=3 on 4 nodes = complete graph; every neighborhood has three
+    // distinct classes (count 1 each) → everyone adopts the smallest
+    // neighbor class: 0→1, {1,2,3}→0. Nothing is stable.
+    assert(got.toSeq == Seq((0, 4L, 0L, 4L, 2L)))
+  }
+
+  test("readability: 'The cat sat.' scores Flesch 119.19 and counts as easy") {
+    val dir = miniDir("documents" -> Seq(
+      (1L, "The cat sat.", "en", "src0", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = SparkEntry.queries("text_readability")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // 3 words, 1 sentence, 3 vowel groups: 206.835 − 1.015·3 − 84.6·1.
+    assert(got.toSeq == Seq(("en", 1L, 119.19, 10000L)))
+  }
 }
