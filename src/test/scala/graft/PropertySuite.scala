@@ -216,7 +216,12 @@ class PropertySuite extends AnyFunSuite {
       "ts_transition_matrix", "link_fuzzy_blocked", "corpus_token_budget",
       "sample_split_train_test", "win_gaps_islands", "ts_rolling_median",
       "etl_late_arriving_dim", "win_range_time_frame", "agg_welch_ttest",
-      "agg_chi_square", "agg_gini", "etl_table_checksum")
+      "agg_chi_square", "agg_gini", "etl_table_checksum",
+      // The statistical/curve keys added after the µs-testdata cutover —
+      // every one carries a float surface (rank z, ln/exp curve, Pearson
+      // quotient, MAD quotient, Flesch milli-points).
+      "agg_mann_whitney", "ts_survival_km", "ts_xcorr", "ts_anomaly_mad",
+      "graph_label_prop_step", "text_readability")
     val conf = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(conf)
     try keys.foreach { k =>
