@@ -2849,6 +2849,113 @@ object PipelineOps extends OpGroup {
             AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS avg_flesch,
           easy * 10000 // n_docs AS easy_bps
         FROM a ORDER BY lang
+      """.trim)),
+
+    // Exact ROC-AUC of a scalar score (squared norm) against a binary
+    // relevance target (label < 5), via the rank-sum identity
+    // AUC = (R₊ − n₊(n₊+1)/2)/(n₊n₋) — the model-eval primitive every
+    // ranking/classifier pipeline gates on. Same scale stance as
+    // agg_mann_whitney: scores collapse to a distinct-value aggregate
+    // (ties exact by construction), prefix counts via the two-level
+    // banded prefix sum, rank sums in half-units in DECIMAL(38,0); one
+    // double quotient at the end. AUC on a 100 TB eval set this way is
+    // two hash aggregates + a window over |distinct scores|.
+    Op("vec_auc_roc",
+      (s, dir) => {
+        val byval = Tables.t(s, dir, "embeddings")
+          .select(expr("vec_norm_sq(embedding)").as("score"),
+            when(col("label") < 5, 1L).otherwise(0L).as("pos"))
+          .groupBy("score")
+          .agg(sum(col("pos")).as("c1"), count(lit(1)).as("c"))
+          .withColumn("band", expr("CAST(floor(score) AS BIGINT)"))
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "auc_byval", Set("vec_auc_roc"),
+          () => graft.Caches.releaseCheckpoint(byval))
+        val wIn = Window.partitionBy("band").orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val inb = byval.withColumn("in_cb", sum(col("c")).over(wIn) - col("c"))
+        val wB = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+        val bandCb = byval.groupBy("band").agg(sum(col("c")).as("bc"))
+          .withColumn("band_cb", sum(col("bc")).over(wB) - col("bc"))
+          .select("band", "band_cb")
+        inb.join(broadcast(bandCb), "band")
+          .withColumn("cb", col("band_cb") + col("in_cb"))
+          .agg(
+            sum(col("c1")).as("n1"),
+            sum(col("c")).as("n"),
+            sum((col("c1").cast(org.apache.spark.sql.types.DecimalType(19, 0))
+              * (col("cb") * 2 + col("c") + 1)
+                .cast(org.apache.spark.sql.types.DecimalType(19, 0)))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("r2"))
+          .selectExpr("CAST(n1 AS BIGINT) AS n_pos", "CAST(n - n1 AS BIGINT) AS n_neg",
+            "CAST(r2 - CAST(n1 AS DECIMAL(38,0)) * CAST(n1 + 1 AS DECIMAL(38,0)) AS DOUBLE) AS ud")
+          .selectExpr("n_pos", "n_neg",
+            """round(ud / (2.0d * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 4)
+               + 0.0 AS auc""",
+            """round(ud / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0d, 4)
+               + 0.0 AS gini_coef""")
+      },
+      Some("""
+        WITH f AS (
+          SELECT list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS score,
+            CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+          FROM embeddings),
+        byval AS (
+          SELECT score, CAST(SUM(pos) AS BIGINT) AS c1, COUNT(*) AS c FROM f GROUP BY 1),
+        cum AS (
+          SELECT c1, c,
+            CAST(SUM(c) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS cb
+          FROM byval),
+        a AS (
+          SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c) AS BIGINT) AS n,
+            CAST(SUM(CAST(c1 AS HUGEINT) * (2 * cb + c + 1)) AS DECIMAL(38,0)) AS r2
+          FROM cum),
+        b AS (
+          SELECT n1 AS n_pos, n - n1 AS n_neg,
+            CAST(r2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) AS ud
+          FROM a)
+        SELECT n_pos, n_neg,
+          CAST(ROUND(CAST(CAST(ud / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+            AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS auc,
+          CAST(ROUND(CAST(CAST(ud / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0
+            AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS gini_coef
+        FROM b
+      """.trim)),
+
+    // Maximum-inner-product top-k (the recommender/retrieval scoring mode
+    // where magnitude MATTERS — a high-norm item can outrank a
+    // better-aligned low-norm one, so this is NOT vec_cosine_topk with
+    // different constants). Brute exact top-k by raw dot product as the
+    // oracle-checkable surface; at 100 TB the same query runs through the
+    // standard MIPS→cosine reduction (augment each item with
+    // √(M²−‖x‖²) so inner-product order becomes cosine order, then any
+    // cosine ANN index — IVF/LSH here — applies). TakeOrdered keeps the
+    // scan one pass with a per-partition heap — no global sort.
+    Op("vec_mips_topk",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("ip", expr("vec_dot(embedding, qemb)"))
+          .orderBy(desc("ip"), asc("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), (round(col("ip"), 3) + 0.0).as("inner_product"))
+          .orderBy(desc("inner_product"), asc("vec_id"))
+      },
+      Some("""
+        SELECT vec_id, inner_product FROM (
+          SELECT vec_id,
+            CAST(ROUND(CAST(CAST(ip AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS inner_product, ip
+          FROM (
+            SELECT vec_id,
+              list_dot_product(CAST(embedding AS DOUBLE[]), qemb) AS ip
+            FROM embeddings,
+              (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0)
+            WHERE vec_id <> 0
+          ) ORDER BY ip DESC, vec_id LIMIT 10
+        ) ORDER BY inner_product DESC, vec_id
       """.trim))
   )
 }

@@ -747,6 +747,20 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("partial_"), "neighbor-class counts must partial-aggregate")
   }
 
+  test("auc ranks the distinct-score aggregate; mips top-k heaps without a global sort") {
+    val auc = plan("vec_auc_roc")
+    assert(!auc.contains("Scan parquet"),
+      "rank math must run on the materialized distinct-score frame")
+    assert("""hashpartitioning\(band#\d+""".r.findFirstIn(auc).isDefined,
+      "the in-band prefix sum must shard by score band")
+
+    val mips = plan("vec_mips_topk")
+    assert(mips.contains("TakeOrderedAndProject"),
+      "top-k must be a per-partition heap, not a global sort")
+    assert(!mips.contains("CartesianProduct"),
+      "the single-row query side must broadcast")
+  }
+
   test("readability is one codegen'd scan into a partial-aggregating rollup") {
     val p = plan("text_readability")
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,

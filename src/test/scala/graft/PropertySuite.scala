@@ -221,7 +221,8 @@ class PropertySuite extends AnyFunSuite {
       // every one carries a float surface (rank z, ln/exp curve, Pearson
       // quotient, MAD quotient, Flesch milli-points).
       "agg_mann_whitney", "ts_survival_km", "ts_xcorr", "ts_anomaly_mad",
-      "graph_label_prop_step", "text_readability")
+      "graph_label_prop_step", "text_readability", "vec_auc_roc",
+      "vec_mips_topk")
     val conf = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(conf)
     try keys.foreach { k =>

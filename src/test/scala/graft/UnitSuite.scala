@@ -655,6 +655,30 @@ class UnitSuite extends AnyFunSuite {
     assert(got.toSeq == Seq((0, 4L, 0L, 4L, 2L)))
   }
 
+  test("auc: perfectly separating score gives AUC=1 and Gini=1") {
+    val dir = miniDir("embeddings" -> Seq(
+      (1L, Array(1f, 0f), 7), // neg, score 1
+      (2L, Array(2f, 0f), 0), // pos, score 4
+      (3L, Array(3f, 0f), 1)) // pos, score 9
+      .toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("vec_auc_roc")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // Both positives outscore the one negative: U = n₊n₋ → AUC = 1.
+    assert(got.toSeq == Seq((2L, 1L, 1.0, 1.0)))
+  }
+
+  test("mips top-k ranks by raw dot product, not cosine") {
+    val dir = miniDir("embeddings" -> Seq(
+      (0L, Array(1f, 0f), 0),  // query
+      (1L, Array(2f, 0f), 0),  // ip 2 (cos 1.0)
+      (2L, Array(5f, 5f), 0),  // ip 5 (cos 0.707) — MIPS winner, cosine loser
+      (3L, Array(0f, 9f), 0))  // ip 0
+      .toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("vec_mips_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((2L, 5.0), (1L, 2.0), (3L, 0.0)))
+  }
+
   test("readability: 'The cat sat.' scores Flesch 119.19 and counts as easy") {
     val dir = miniDir("documents" -> Seq(
       (1L, "The cat sat.", "en", "src0", 12L))
