@@ -1098,6 +1098,59 @@ object AggOps extends OpGroup {
             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS VARCHAR)
             AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS r_rb
         FROM b
+      """.trim)),
+
+    // Log2-bucketed value histogram (the HdrHistogram/latency-histogram
+    // shape): price cents land in power-of-two buckets, with exact
+    // median/p99 BUCKET markers from integer cumulative-count crossings.
+    // Bucket index = binary magnitude via length(bin(x))−1 — pure
+    // integer/string, NO float log2 (whose boundary behavior at exact
+    // powers differs per libm). The aggregate is a commutative monoid
+    // (count/min/max/sum per bucket), so at 100 TB it map-side combines
+    // and the window runs over ≤64 bucket rows — the mergeable-histogram
+    // algebra monitoring systems ship to a coordinator.
+    Op("agg_log_histogram",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = Tables.t(s, dir, "lineitem")
+          .select(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+          .select(expr("CAST(length(bin(cents)) - 1 AS INT)").as("bucket"), col("cents"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min("cents").as("min_cents"), max("cents").as("max_cents"),
+            sum(col("cents").cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("sc"))
+        val wOrd = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        b.withColumn("cum_n", sum(col("n")).over(wOrd))
+          .withColumn("tot", sum(col("n")).over(wAll))
+          .selectExpr("bucket", "shiftleft(CAST(1 AS BIGINT), bucket) AS lo_cents",
+            "n", "cum_n", "CAST(sc AS BIGINT) AS sum_cents",
+            "cum_n * 2 >= tot AND (cum_n - n) * 2 < tot AS is_p50_bucket",
+            "cum_n * 100 >= tot * 99 AND (cum_n - n) * 100 < tot * 99 AS is_p99_bucket")
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH v AS (
+          SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+          FROM lineitem),
+        b AS (
+          SELECT CAST(length(bin(cents)) - 1 AS INT) AS bucket,
+            COUNT(*) AS n,
+            CAST(MIN(cents) AS BIGINT) AS min_cents,
+            CAST(MAX(cents) AS BIGINT) AS max_cents,
+            CAST(SUM(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS sc
+          FROM v GROUP BY 1),
+        c AS (
+          SELECT bucket, n, min_cents, max_cents, sc,
+            CAST(SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+            CAST(SUM(n) OVER () AS BIGINT) AS tot
+          FROM b)
+        SELECT bucket, (CAST(1 AS BIGINT) << bucket) AS lo_cents,
+          n, cum_n, CAST(sc AS BIGINT) AS sum_cents,
+          cum_n * 2 >= tot AND (cum_n - n) * 2 < tot AS is_p50_bucket,
+          cum_n * 100 >= tot * 99 AND (cum_n - n) * 100 < tot * 99 AS is_p99_bucket
+        FROM c ORDER BY bucket
       """.trim))
   )
 }

@@ -702,6 +702,82 @@ object EtlOps extends OpGroup {
           cks = rcks AS replica_match
         FROM src JOIN rep ON src.yr = rep.yr
         ORDER BY src.yr
+      """.trim)),
+
+    // Bi-temporal as-of query: "what did the table say about valid time
+    // V, as the system knew it at transaction time T" — the audit/
+    // reproducibility primitive behind every restated financial report.
+    // The versioned fact is derived deterministically (v1 = original
+    // load at tx 1995-01-01; v2 = the F-status reprice batch landing at
+    // tx 1997-01-01 — the same +10% derivation as etl_upsert), probed at
+    // two (V, T) pairs that straddle the restatement. Per probe, each
+    // key's winning version is the max tx ≤ T (max_by on the integer
+    // version — no window over the fact needed), then valid-time filters
+    // and one partial aggregate. Prices stay exact DECIMAL→cents.
+    Op("etl_bitemporal_asof",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val v1 = o.select(col("o_orderkey"), col("o_orderdate"),
+          Tables.dec2(col("o_totalprice")).as("price"),
+          lit("1995-01-01 00:00:00").cast("timestamp_ntz").as("tx"), lit(1).as("ver"))
+        val v2 = o.where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            // The etl_upsert reprice recipe: 2-dp × 1-dp is an exact 3-dp
+            // decimal, ROUNDed half-up to 2 dp on BOTH engines (a bare
+            // DuckDB decimal CAST truncates — round-2 finding).
+            round(Tables.dec2(col("o_totalprice"))
+                * lit(BigDecimal("1.1")).cast(DecimalType(2, 1)), 2)
+              .cast(DecimalType(18, 2)).as("price"),
+            lit("1997-01-01 00:00:00").cast("timestamp_ntz").as("tx"), lit(2).as("ver"))
+        val probes = s.createDataFrame(Seq(
+            (1, "1996-06-01 00:00:00", "1996-01-01 00:00:00"),
+            (2, "1996-06-01 00:00:00", "1998-01-01 00:00:00")))
+          .toDF("probe_id", "v_time", "t_time")
+          .select(col("probe_id"),
+            col("v_time").cast("timestamp_ntz").as("v_time"),
+            col("t_time").cast("timestamp_ntz").as("t_time"))
+        v1.unionByName(v2)
+          .crossJoin(broadcast(probes))
+          .where(col("tx") <= col("t_time") && col("o_orderdate") <= col("v_time"))
+          .groupBy("probe_id", "o_orderkey")
+          .agg(max_by(expr("CAST(price * 100 AS BIGINT)"), col("ver")).as("pc"),
+            max(col("ver")).as("ver"))
+          .groupBy("probe_id")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("pc").cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("tc"),
+            sum(when(col("ver") === 2, 1L).otherwise(0L)).as("n_repriced"))
+          .selectExpr("probe_id", "n_orders", "CAST(tc AS BIGINT) AS total_cents",
+            "n_repriced")
+          .orderBy("probe_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT o_orderkey, o_orderdate,
+            CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS price,
+            TIMESTAMP '1995-01-01 00:00:00' AS tx, 1 AS ver
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_orderdate,
+            CAST(ROUND(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))
+              * CAST(1.1 AS DECIMAL(2,1)), 2) AS DECIMAL(18,2)) AS price,
+            TIMESTAMP '1997-01-01 00:00:00' AS tx, 2 AS ver
+          FROM orders WHERE o_orderstatus = 'F'),
+        probes AS (
+          SELECT 1 AS probe_id, TIMESTAMP '1996-06-01 00:00:00' AS v_time,
+            TIMESTAMP '1996-01-01 00:00:00' AS t_time
+          UNION ALL
+          SELECT 2, TIMESTAMP '1996-06-01 00:00:00', TIMESTAMP '1998-01-01 00:00:00'),
+        pick AS (
+          SELECT probe_id, o_orderkey,
+            arg_max(CAST(price * 100 AS BIGINT), ver) AS pc,
+            MAX(ver) AS ver
+          FROM v CROSS JOIN probes
+          WHERE tx <= t_time AND o_orderdate <= v_time
+          GROUP BY 1, 2)
+        SELECT probe_id, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(pc AS HUGEINT)) AS BIGINT) AS total_cents,
+          CAST(SUM(CASE WHEN ver = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repriced
+        FROM pick GROUP BY 1 ORDER BY probe_id
       """.trim))
   )
 }

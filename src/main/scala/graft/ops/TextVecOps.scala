@@ -729,6 +729,39 @@ object TextVecOps extends OpGroup {
           CAST(ROUND(CAST(CAST(abs(obs_frac - benford_frac) AS VARCHAR)
             AS DECIMAL(38,15)), 4) AS DOUBLE) AS abs_dev
         FROM f ORDER BY digit
+      """.trim)),
+
+    // Ingest-freshness audit: per event stream, when did data last
+    // arrive and how stale is it against the newest arrival anywhere —
+    // the operational monitor every scheduled pipeline gates on before
+    // trusting a downstream table. One partial-aggregating scan to a
+    // |types|-row frame; the global high-water mark is a window over
+    // that frame, never a second scan. All lag math in exact integer
+    // µs→hours (no float surface anywhere).
+    Op("quality_freshness_report",
+      (s, dir) => {
+        val per = Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_total"))
+        val wAll = Window.orderBy("event_type")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        per.withColumn("gmax", max(col("last_ts")).over(wAll))
+          .selectExpr("event_type", "last_ts", "n_total",
+            """(unix_micros(CAST(gmax AS TIMESTAMP))
+               - unix_micros(CAST(last_ts AS TIMESTAMP))) DIV 3600000000 AS hours_stale""",
+            """unix_micros(CAST(gmax AS TIMESTAMP))
+               - unix_micros(CAST(last_ts AS TIMESTAMP)) >= 86400000000 AS is_stale""")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH per AS (
+          SELECT event_type, MAX(CAST(ts AS TIMESTAMP)) AS last_ts, COUNT(*) AS n_total
+          FROM events GROUP BY 1),
+        g AS (SELECT per.*, MAX(last_ts) OVER () AS gmax FROM per)
+        SELECT event_type, last_ts, n_total,
+          (epoch_us(gmax) - epoch_us(last_ts)) // 3600000000 AS hours_stale,
+          epoch_us(gmax) - epoch_us(last_ts) >= 86400000000 AS is_stale
+        FROM g ORDER BY event_type
       """.trim))
   )
 }

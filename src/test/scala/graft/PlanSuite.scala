@@ -761,6 +761,24 @@ class PlanSuite extends AnyFunSuite {
       "the single-row query side must broadcast")
   }
 
+  test("log histogram / freshness / bitemporal keep their scans minimal and keyed") {
+    val h = plan("agg_log_histogram")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(h).size == 1,
+      "the bucket aggregate must read lineitem exactly once")
+    assert(h.contains("partial_"), "bucket counters must map-side combine")
+
+    val f = plan("quality_freshness_report")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(f).size == 1,
+      "the per-type aggregate must read events exactly once")
+    assert(f.contains("partial_"), "high-water marks must partial-aggregate")
+
+    val b = plan("etl_bitemporal_asof")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(b).size == 2,
+      "the two tx versions are two filtered branches of orders — no more")
+    assert(!b.contains("CartesianProduct"),
+      "the probe fan-out must broadcast its two rows")
+  }
+
   test("readability is one codegen'd scan into a partial-aggregating rollup") {
     val p = plan("text_readability")
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,

@@ -222,7 +222,8 @@ class PropertySuite extends AnyFunSuite {
       // quotient, MAD quotient, Flesch milli-points).
       "agg_mann_whitney", "ts_survival_km", "ts_xcorr", "ts_anomaly_mad",
       "graph_label_prop_step", "text_readability", "vec_auc_roc",
-      "vec_mips_topk")
+      "vec_mips_topk", "agg_log_histogram", "etl_bitemporal_asof",
+      "quality_freshness_report")
     val conf = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(conf)
     try keys.foreach { k =>

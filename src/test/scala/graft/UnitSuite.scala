@@ -679,6 +679,46 @@ class UnitSuite extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, 5.0), (1L, 2.0), (3L, 0.0)))
   }
 
+  test("log histogram: buckets at exact powers, integer p50/p99 crossings") {
+    val dir = miniDir("lineitem" -> Seq(
+      (1L, 0.01), (2L, 0.03), (3L, 10.24))
+      .toDF("l_orderkey", "l_extendedprice"))
+    val got = SparkEntry.queries("agg_log_histogram")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    // cents 1→bucket 0, 3→bucket 1 (median crossing), 1024→bucket 10 (p99).
+    assert(got.toSeq == Seq(
+      (0, 1L, 1L, 1L, 1L, false, false),
+      (1, 2L, 1L, 2L, 3L, true, false),
+      (10, 1024L, 1L, 3L, 1024L, false, true)))
+  }
+
+  test("bitemporal: the restatement is invisible before its tx time, visible after") {
+    val dir = miniDir("orders" -> Seq(
+      (1L, "1996-01-01 00:00:00", 100.0, "F"),
+      (2L, "1995-06-01 00:00:00", 50.0, "O"),
+      (3L, "1997-05-01 00:00:00", 10.0, "F")) // valid-after both probes' V
+      .toDF("o_orderkey", "d", "o_totalprice", "o_orderstatus")
+      .withColumn("o_orderdate", col("d").cast("timestamp_ntz")).drop("d"))
+    val got = SparkEntry.queries("etl_bitemporal_asof")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Probe 1 (as known 1996): original prices 100+50. Probe 2 (as known
+    // 1998): order 1 restated to 110, order 3 still outside valid time.
+    assert(got.toSeq == Seq((1, 2L, 15000L, 0L), (2, 2L, 16000L, 1L)))
+  }
+
+  test("freshness: the 30h-quiet stream is stale against the global high-water mark") {
+    val h = 3600L * 1000 * 1000 * 1000
+    val base = 1577836800L * 1000 * 1000 * 1000
+    val dir = miniDir("events" -> Seq(
+      (0L, base, 1L, "A", 1.0, "{}"),
+      (1L, base + 30 * h, 1L, "B", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("quality_freshness_report")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(("A", 1L, 30L, true), ("B", 1L, 0L, false)))
+  }
+
   test("readability: 'The cat sat.' scores Flesch 119.19 and counts as easy") {
     val dir = miniDir("documents" -> Seq(
       (1L, "The cat sat.", "en", "src0", 12L))
