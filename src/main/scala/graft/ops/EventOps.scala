@@ -1158,6 +1158,55 @@ object EventOps extends OpGroup {
           CAST(ROUND(CAST(CAST(rz_raw AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS robust_z,
           COALESCE(abs(rz_raw) > 3.5, false) AS is_anomaly
         FROM rz ORDER BY event_type, d
+      """.trim)),
+
+    // DAU/WAU engagement curve with stickiness — THE product-health
+    // metric. Rolling DISTINCT can't ride a window aggregate (distinct
+    // isn't a monoid over frames), so each (user, day) support row is
+    // EXPLODED into the ≤7 trailing window days it supports and the
+    // count-distinct runs per day as an ordinary two-level hash
+    // aggregate — linear ×7 in |user-days| (not |events|), fully
+    // partial-aggregatable, no window over users at all. Days past the
+    // data horizon are clipped so every reported day has a full frame's
+    // provenance. Stickiness is the one double quotient (repr-ROUND).
+    Op("ts_active_users_rolling",
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "wau_user_days", Set("ts_active_users_rolling"),
+          () => graft.Caches.releaseCheckpoint(ud))
+        val span = ud.agg(max(col("day")).as("dmax"))
+        val dau = ud.groupBy("day").agg(count_distinct(col("user_id")).as("dau"))
+        val wau = ud
+          .select(col("user_id"),
+            explode(expr("sequence(day, date_add(day, 6), interval 1 day)")).as("day"))
+          .crossJoin(broadcast(span))
+          .where(col("day") <= col("dmax"))
+          .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
+        dau.join(wau, Seq("day"))
+          .selectExpr("CAST(day AS TIMESTAMP_NTZ) AS day", "dau", "wau",
+            "round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 4) + 0.0 AS stickiness")
+          .orderBy("day")
+      },
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+          FROM events),
+        span AS (SELECT MAX(day) AS dmax FROM ud),
+        dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        sup AS (
+          SELECT user_id, CAST(UNNEST(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM ud),
+        wau AS (
+          SELECT day, COUNT(DISTINCT user_id) AS wau
+          FROM sup CROSS JOIN span WHERE day <= dmax GROUP BY 1)
+        SELECT CAST(dau.day AS TIMESTAMP) AS day,
+          CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+          CAST(ROUND(CAST(CAST(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS VARCHAR)
+            AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS stickiness
+        FROM dau JOIN wau ON dau.day = wau.day
+        ORDER BY day
       """.trim))
   )
 }

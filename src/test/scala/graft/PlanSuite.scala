@@ -779,6 +779,15 @@ class PlanSuite extends AnyFunSuite {
       "the probe fan-out must broadcast its two rows")
   }
 
+  test("dau/wau runs two-level distinct aggregates off one materialized user-day frame") {
+    val p = plan("ts_active_users_rolling")
+    assert(!p.contains("Scan parquet"),
+      "dau and wau must both come from the checkpointed (user, day) frame")
+    assert(p.contains("partial_"), "distinct counts must partial-aggregate")
+    assert(!p.contains("Window"),
+      "rolling distinct must use the explode-into-window-days trick, not a frame window")
+  }
+
   test("readability is one codegen'd scan into a partial-aggregating rollup") {
     val p = plan("text_readability")
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,

@@ -719,6 +719,20 @@ class UnitSuite extends AnyFunSuite {
     assert(got.toSeq == Seq(("A", 1L, 30L, true), ("B", 1L, 0L, false)))
   }
 
+  test("dau/wau: a 3-day-old active user still counts toward WAU, halving stickiness") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val base = 1577836800L * 1000 * 1000 * 1000
+    val dir = miniDir("events" -> Seq(
+      (0L, base, 1L, "click", 1.0, "{}"),
+      (1L, base + 3 * day, 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("ts_active_users_rolling")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // Day 0: only u1 → 1/1. Day 3: u2 is today's DAU but u1's 7-day
+    // support window still covers day 3 → WAU=2, stickiness 0.5.
+    assert(got.toSeq == Seq((1L, 1L, 1.0), (1L, 2L, 0.5)))
+  }
+
   test("readability: 'The cat sat.' scores Flesch 119.19 and counts as easy") {
     val dir = miniDir("documents" -> Seq(
       (1L, "The cat sat.", "en", "src0", 12L))
