@@ -2956,6 +2956,52 @@ object PipelineOps extends OpGroup {
             WHERE vec_id <> 0
           ) ORDER BY ip DESC, vec_id LIMIT 10
         ) ORDER BY inner_product DESC, vec_id
+      """.trim)),
+
+    // Late-interaction (ColBERT-style MaxSim) top-k: both query and
+    // candidate are treated as FOUR 16-dim sub-vectors (the multi-vector
+    // token-embedding layout), score = Σ over query subs of the MAX
+    // cosine against any candidate sub — the retrieval mode that beats
+    // single-vector dot on fine-grained matches. The whole 4×4 MaxSim
+    // grid is ROW-LOCAL (nested higher-order functions over the
+    // broadcast query — codegen'd, no explode, no shuffle); each
+    // per-sub max repr-rounds to integer micro-units BEFORE the Σ, so
+    // the 4-term reduction is exact integer math on both engines. One
+    // scan + TakeOrdered heap; at 100 TB the standard PLAID-style
+    // route (centroid-bucketed candidate generation) bolts on in front
+    // of this exact re-scorer.
+    Op("vec_maxsim_topk",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("maxsim_micro", expr("""
+            aggregate(transform(sequence(0, 3), i ->
+              CAST(round(array_max(transform(sequence(0, 3), j ->
+                vec_dot(slice(qemb, 1 + 16 * i, 16), slice(embedding, 1 + 16 * j, 16))
+                  / (sqrt(vec_norm_sq(slice(qemb, 1 + 16 * i, 16)))
+                     * sqrt(vec_norm_sq(slice(embedding, 1 + 16 * j, 16))))))
+                * 1000000.0d, 0) AS BIGINT)),
+              CAST(0 AS BIGINT), (a, x) -> a + x)"""))
+          .orderBy(desc("maxsim_micro"), asc("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("maxsim_micro"))
+      },
+      Some("""
+        SELECT vec_id, maxsim_micro FROM (
+          SELECT vec_id,
+            CAST(list_sum(list_transform(range(0, 4), i ->
+              CAST(ROUND(CAST(CAST(list_max(list_transform(range(0, 4), j ->
+                list_dot_product(list_slice(qemb, 1 + 16 * i, 16 + 16 * i),
+                                 list_slice(emb, 1 + 16 * j, 16 + 16 * j))
+                  / (sqrt(list_sum(list_transform(list_slice(qemb, 1 + 16 * i, 16 + 16 * i), x -> x * x)))
+                     * sqrt(list_sum(list_transform(list_slice(emb, 1 + 16 * j, 16 + 16 * j), x -> x * x))))))
+                * 1000000.0 AS VARCHAR) AS DECIMAL(38,15)), 0) AS BIGINT))) AS BIGINT) AS maxsim_micro
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id <> 0),
+            (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0)
+          ORDER BY maxsim_micro DESC, vec_id LIMIT 10
+        ) ORDER BY maxsim_micro DESC, vec_id
       """.trim))
   )
 }

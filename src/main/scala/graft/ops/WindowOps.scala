@@ -334,6 +334,57 @@ object WindowOps extends OpGroup {
         WINDOW w AS (PARTITION BY event_type ORDER BY ts
           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         ORDER BY event_id
+      """.trim)),
+
+    // Maximum drawdown of the daily-revenue series per priority class —
+    // the running-peak risk metric (finance's worst-case-decline, equally
+    // the capacity-planning "how far below high-water did throughput
+    // fall"). ALL-INTEGER: revenue in cents, running peak via a max
+    // window over the day-level aggregate, drawdown in basis points by
+    // integer division — no float anywhere, so cross-engine equality is
+    // structural. The argmax day rides an injective ord dd·2²⁰ + dayidx
+    // (bps ≤ 10⁴ and day index < 2²⁰ by domain, so the fields can't
+    // collide), giving a latest-day tie-break on both engines.
+    Op("win_drawdown",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"),
+            date_trunc("day", col("o_orderdate")).cast("timestamp_ntz").as("d"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("cents"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily
+          .withColumn("peak", max(col("cents")).over(w))
+          .withColumn("dd_bps", expr("(peak - cents) * 10000 DIV peak"))
+          .withColumn("di", expr("datediff(CAST(d AS DATE), DATE '1990-01-01')"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_days"),
+            max(col("peak")).as("peak_cents"),
+            max(col("dd_bps")).as("max_dd_bps"),
+            max_by(col("d"), col("dd_bps") * 1048576 + col("di")).as("worst_day"))
+          .select(col("o_orderpriority"), col("n_days"), col("peak_cents"),
+            col("max_dd_bps"), col("worst_day"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT o_orderpriority, date_trunc('day', o_orderdate) AS d,
+            CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1, 2),
+        p AS (
+          SELECT o_orderpriority, d, cents,
+            CAST(MAX(cents) OVER (PARTITION BY o_orderpriority ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+          FROM daily),
+        dd AS (
+          SELECT o_orderpriority, d, peak, (peak - cents) * 10000 // peak AS dd_bps,
+            date_diff('day', DATE '1990-01-01', CAST(d AS DATE)) AS di
+          FROM p)
+        SELECT o_orderpriority, COUNT(*) AS n_days,
+          CAST(MAX(peak) AS BIGINT) AS peak_cents,
+          CAST(MAX(dd_bps) AS BIGINT) AS max_dd_bps,
+          arg_max(d, dd_bps * 1048576 + di) AS worst_day
+        FROM dd GROUP BY 1 ORDER BY o_orderpriority
       """.trim))
   )
 }

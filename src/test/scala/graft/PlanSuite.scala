@@ -788,6 +788,20 @@ class PlanSuite extends AnyFunSuite {
       "rolling distinct must use the explode-into-window-days trick, not a frame window")
   }
 
+  test("drawdown shards by priority over one scan; maxsim stays row-local into a heap") {
+    val d = plan("win_drawdown")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(d).size == 1,
+      "the daily aggregate must read orders exactly once")
+    assert("""hashpartitioning\(o_orderpriority#\d+""".r.findFirstIn(d).isDefined,
+      "the running-peak window must shard by priority")
+
+    val m = plan("vec_maxsim_topk")
+    assert(m.contains("TakeOrderedAndProject"),
+      "top-k must be a per-partition heap, not a global sort")
+    assert(!m.contains("Generate"),
+      "the 4x4 MaxSim grid must be row-local HOFs, never an explode")
+  }
+
   test("readability is one codegen'd scan into a partial-aggregating rollup") {
     val p = plan("text_readability")
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,

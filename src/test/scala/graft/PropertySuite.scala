@@ -223,7 +223,8 @@ class PropertySuite extends AnyFunSuite {
       "agg_mann_whitney", "ts_survival_km", "ts_xcorr", "ts_anomaly_mad",
       "graph_label_prop_step", "text_readability", "vec_auc_roc",
       "vec_mips_topk", "agg_log_histogram", "etl_bitemporal_asof",
-      "quality_freshness_report", "ts_active_users_rolling")
+      "quality_freshness_report", "ts_active_users_rolling",
+      "win_drawdown", "vec_maxsim_topk")
     val conf = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(conf)
     try keys.foreach { k =>

@@ -733,6 +733,32 @@ class UnitSuite extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 1.0), (1L, 2L, 0.5)))
   }
 
+  test("drawdown: trough below the running peak scores 5000 bps at the right day") {
+    val dir = miniDir("orders" -> Seq(
+      (1L, "1996-01-01 00:00:00", 1.00, "1-URGENT"),
+      (2L, "1996-01-02 00:00:00", 0.50, "1-URGENT"), // 50% below peak 100
+      (3L, "1996-01-03 00:00:00", 2.00, "1-URGENT"), // new peak
+      (4L, "1996-01-04 00:00:00", 1.50, "1-URGENT")) // 25% below peak 200
+      .toDF("o_orderkey", "d", "o_totalprice", "o_orderpriority")
+      .withColumn("o_orderdate", col("d").cast("timestamp_ntz")).drop("d"))
+    val got = SparkEntry.queries("win_drawdown")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[java.time.LocalDateTime](4).toString))
+    assert(got.toSeq == Seq(("1-URGENT", 4L, 200L, 5000L, "1996-01-02T00:00")))
+  }
+
+  test("maxsim: sub-vector-aligned candidate scores 4 full matches, orthogonal scores 0") {
+    def v(offset: Int) = Array.tabulate(64)(k => if (k % 16 == offset) 1f else 0f)
+    val dir = miniDir("embeddings" -> Seq(
+      (0L, v(0), 0),  // query: e0 in each of the four subs
+      (1L, v(0), 0),  // identical layout → cos 1 per sub → 4,000,000 micro
+      (2L, v(1), 0))  // orthogonal in every sub → 0
+      .toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("vec_maxsim_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 4000000L), (2L, 0L)))
+  }
+
   test("readability: 'The cat sat.' scores Flesch 119.19 and counts as easy") {
     val dir = miniDir("documents" -> Seq(
       (1L, "The cat sat.", "en", "src0", 12L))
