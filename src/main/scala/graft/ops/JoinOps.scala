@@ -461,6 +461,74 @@ object JoinOps extends OpGroup {
         ORDER BY event_id
       """.trim)),
 
+    // Nearest-direction as-of: each purchase pairs with the click of
+    // MINIMUM absolute time distance, looking both backward and forward
+    // (sensor/stream alignment semantics — backward-only as-of misses a
+    // reading that landed just after). One (user) shuffle serves both
+    // direction windows; the pick is row-local exact integer µs with an
+    // earlier-wins tie (backward preferred at equal distance) — total-
+    // order deterministic, no float surface. Same plan shape as
+    // join_asof: the family is backward (window), backward (native
+    // operator), tolerance-bounded, and now nearest.
+    Op("join_asof_nearest",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select("event_id", "user_id", "event_type", "ts")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+        val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+        ev
+          .withColumn("prev_c",
+            last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(wPrev))
+          .withColumn("next_c",
+            first(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(wNext))
+          .filter(col("event_type") === "purchase")
+          .withColumn("d_prev", expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(prev_c AS TIMESTAMP))"))
+          .withColumn("d_next", expr(
+            "unix_micros(CAST(next_c AS TIMESTAMP)) - unix_micros(CAST(ts AS TIMESTAMP))"))
+          .selectExpr("event_id",
+            """CASE WHEN prev_c IS NOT NULL AND (next_c IS NULL OR d_prev <= d_next)
+                 THEN prev_c ELSE next_c END AS nearest_click""",
+            """CASE WHEN prev_c IS NOT NULL AND (next_c IS NULL OR d_prev <= d_next)
+                 THEN d_prev ELSE d_next END AS dist_us""",
+            """CASE WHEN prev_c IS NULL AND next_c IS NULL THEN CAST(NULL AS STRING)
+                 WHEN prev_c IS NOT NULL AND (next_c IS NULL OR d_prev <= d_next) THEN 'B'
+                 ELSE 'F' END AS dir""")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, nearest_click, dist_us, dir FROM (
+          SELECT event_id, event_type,
+            CASE WHEN prev_c IS NOT NULL AND (next_c IS NULL OR d_prev <= d_next)
+              THEN prev_c ELSE next_c END AS nearest_click,
+            CASE WHEN prev_c IS NOT NULL AND (next_c IS NULL OR d_prev <= d_next)
+              THEN d_prev ELSE d_next END AS dist_us,
+            CASE WHEN prev_c IS NULL AND next_c IS NULL THEN NULL
+              WHEN prev_c IS NOT NULL AND (next_c IS NULL OR d_prev <= d_next) THEN 'B'
+              ELSE 'F' END AS dir
+          FROM (
+            SELECT event_id, event_type,
+              epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(prev_c) AS d_prev,
+              epoch_us(next_c) - epoch_us(CAST(ts AS TIMESTAMP)) AS d_next,
+              prev_c, next_c
+            FROM (
+              SELECT event_id, event_type, ts,
+                last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_c,
+                first_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
+              FROM events WHERE event_type IN ('click', 'purchase')
+            )
+          )
+        ) WHERE event_type = 'purchase'
+        ORDER BY event_id
+      """.trim)),
+
     // Bloom-filter semi-join prefilter: build a bloom filter over the
     // qualifying orders' keys (one ObjectHashAggregate, ~100 KB), ship it
     // to every lineitem task as a broadcast scalar, and discard

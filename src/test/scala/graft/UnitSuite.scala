@@ -759,6 +759,25 @@ class UnitSuite extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 4000000L), (2L, 0L)))
   }
 
+  test("nearest as-of: forward click wins when closer, backward wins ties") {
+    val m = 60L * 1000 * 1000 * 1000 // ns
+    val base = 1577836800L * 1000 * 1000 * 1000
+    val dir = miniDir("events" -> Seq(
+      (0L, base, 1L, "click", 1.0, "{}"),           // 5 min before p1
+      (1L, base + 5 * m, 1L, "purchase", 1.0, "{}"),
+      (2L, base + 7 * m, 1L, "click", 1.0, "{}"),   // 2 min after p1 → nearer, F
+      (3L, base + 9 * m, 1L, "purchase", 1.0, "{}"),// 2 min each side → tie → B
+      (4L, base + 11 * m, 1L, "click", 1.0, "{}"),
+      (5L, base, 2L, "purchase", 1.0, "{}"))        // no clicks at all
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("join_asof_nearest")(spark, dir)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)), Option(r.get(3))))
+    assert(got.toSeq == Seq(
+      (1L, Some(120000000L), Some("F")),
+      (3L, Some(120000000L), Some("B")),
+      (5L, None, None)))
+  }
+
   test("readability: 'The cat sat.' scores Flesch 119.19 and counts as easy") {
     val dir = miniDir("documents" -> Seq(
       (1L, "The cat sat.", "en", "src0", 12L))
