@@ -778,6 +778,46 @@ object EtlOps extends OpGroup {
           CAST(SUM(CAST(pc AS HUGEINT)) AS BIGINT) AS total_cents,
           CAST(SUM(CASE WHEN ver = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repriced
         FROM pick GROUP BY 1 ORDER BY probe_id
+      """.trim)),
+
+    // Retention/TTL vacuum plan: which order-year partitions fall past a
+    // 24-month retention horizon measured from the DATA's own high-water
+    // mark (never wall clock — the plan must be reproducible), with
+    // rows and byte-proxy (Σ cents) per partition and the expire flag.
+    // This is the dry-run audit a scheduled vacuum job publishes before
+    // deleting anything. One partial-aggregating scan to a |years|-row
+    // frame; the horizon is a window over that frame; month arithmetic
+    // in exact integers (yr·12 + mo).
+    Op("etl_retention_ttl",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byYear = Tables.t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("bytes_proxy"),
+            max(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")).as("last_m"))
+        val wAll = Window.orderBy("yr")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        byYear
+          .withColumn("hwm_m", max(col("last_m")).over(wAll))
+          // A partition expires when its NEWEST month is older than 24
+          // months before the high-water month.
+          .selectExpr("yr", "n_rows", "bytes_proxy",
+            "CAST(hwm_m - last_m AS BIGINT) AS months_behind",
+            "hwm_m - last_m > 24 AS expire")
+          .orderBy("yr")
+      },
+      Some("""
+        WITH byYear AS (
+          SELECT year(o_orderdate) AS yr, COUNT(*) AS n_rows,
+            CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS bytes_proxy,
+            CAST(MAX(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS BIGINT) AS last_m
+          FROM orders GROUP BY 1),
+        h AS (SELECT byYear.*, MAX(last_m) OVER () AS hwm_m FROM byYear)
+        SELECT CAST(yr AS INT) AS yr, n_rows, bytes_proxy,
+          hwm_m - last_m AS months_behind,
+          hwm_m - last_m > 24 AS expire
+        FROM h ORDER BY yr
       """.trim))
   )
 }

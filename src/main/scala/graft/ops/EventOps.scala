@@ -1207,6 +1207,57 @@ object EventOps extends OpGroup {
             AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS stickiness
         FROM dau JOIN wau ON dau.day = wau.day
         ORDER BY day
+      """.trim)),
+
+    // Burstiness profile of each event stream: index of dispersion
+    // (variance/mean of daily counts — 1 = Poisson, >1 = bursty) and the
+    // Goh-Barabási burstiness coefficient B = (σ−µ)/(σ+µ) ∈ (−1, 1).
+    // Sufficient statistics (n, Σx, Σx²) are exact BIGINT over the
+    // |types|×|days| daily aggregate — one partial-aggregating rollup of
+    // the raw stream, then a |types|-row frame; σ enters through one
+    // sqrt and two quotients at the very end (identical double tree,
+    // repr-ROUND rule 9).
+    Op("ts_burstiness",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("timestamp_ntz").as("d"))
+          .agg(count(lit(1)).as("n"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("n")).as("sx"),
+            sum((col("n").cast(DecimalType(19, 0)) * col("n").cast(DecimalType(19, 0)))
+              .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("sxx"))
+          .withColumn("mu", expr("CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)"))
+          .withColumn("v", expr(
+            """(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE)"""))
+          .selectExpr("event_type", "n_days",
+            "round(mu, 4) + 0.0 AS mean_daily",
+            "round(v / mu, 4) + 0.0 AS dispersion",
+            "round((sqrt(v) - mu) / (sqrt(v) + mu), 4) + 0.0 AS burstiness")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        a AS (
+          SELECT event_type, COUNT(*) AS n_days,
+            CAST(SUM(n) AS BIGINT) AS sx,
+            CAST(SUM(CAST(n AS HUGEINT) * n) AS DECIMAL(38,0)) AS sxx
+          FROM daily GROUP BY 1),
+        b AS (
+          SELECT event_type, n_days,
+            CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu,
+            (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+              / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE) AS v
+          FROM a)
+        SELECT event_type, n_days,
+          CAST(ROUND(CAST(CAST(mu AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS mean_daily,
+          CAST(ROUND(CAST(CAST(v / mu AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS dispersion,
+          CAST(ROUND(CAST(CAST((sqrt(v) - mu) / (sqrt(v) + mu) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS burstiness
+        FROM b ORDER BY event_type
       """.trim))
   )
 }

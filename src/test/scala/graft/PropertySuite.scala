@@ -224,7 +224,8 @@ class PropertySuite extends AnyFunSuite {
       "graph_label_prop_step", "text_readability", "vec_auc_roc",
       "vec_mips_topk", "agg_log_histogram", "etl_bitemporal_asof",
       "quality_freshness_report", "ts_active_users_rolling",
-      "win_drawdown", "vec_maxsim_topk", "join_asof_nearest")
+      "win_drawdown", "vec_maxsim_topk", "join_asof_nearest",
+      "ts_burstiness", "etl_retention_ttl")
     val conf = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(conf)
     try keys.foreach { k =>

@@ -778,6 +778,35 @@ class UnitSuite extends AnyFunSuite {
       (5L, None, None)))
   }
 
+  test("burstiness: constant series scores B=-1 and dispersion 0") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val base = 1577836800L * 1000 * 1000 * 1000
+    // 2 events/day for 3 days: mu=2, var=0 → dispersion 0, B=(0-2)/(0+2)=-1.
+    val rows = (0 until 3).flatMap(d => Seq(
+      (d * 10L, base + d * day, 1L, "click", 1.0, "{}"),
+      (d * 10L + 1, base + d * day, 2L, "click", 1.0, "{}")))
+    val dir = miniDir("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("ts_burstiness")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(("click", 3L, 2.0, 0.0, -1.0)))
+  }
+
+  test("retention ttl: only partitions >24 months behind the data high-water expire") {
+    val dir = miniDir("orders" -> Seq(
+      (1L, "1995-03-01 00:00:00", 1.00), // 34 months behind → expire
+      (2L, "1996-06-01 00:00:00", 2.00), // 19 months behind → keep
+      (3L, "1998-01-01 00:00:00", 3.00)) // high-water month
+      .toDF("o_orderkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("timestamp_ntz")).drop("d"))
+    val got = SparkEntry.queries("etl_retention_ttl")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1995, 1L, 100L, 34L, true), (1996, 1L, 200L, 19L, false),
+      (1998, 1L, 300L, 0L, false)))
+  }
+
   test("readability: 'The cat sat.' scores Flesch 119.19 and counts as easy") {
     val dir = miniDir("documents" -> Seq(
       (1L, "The cat sat.", "en", "src0", 12L))
