@@ -121,6 +121,24 @@ object StreamOps extends OpGroup {
       },
       None),
 
+    // Sliding event-time window over the stream (1 h window, 30 min
+    // slide): each event lands in TWO overlapping state-store windows —
+    // the overlap-update shape tumbling can't express, and the reason
+    // sliding state is 2× tumbling state per key. Equivalence-pinned to
+    // the oracle-checked batch ts_sliding (identical window/slide).
+    Op("stream_sliding_watermark",
+      (s, dir) => {
+        val agg = eventStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+            col("event_type"), col("n"))
+        runToMemory(s, agg, "graft_stream_sliding", "complete")
+          .orderBy("window_start", "event_type")
+      },
+      None),
+
     // Stateful streaming dedup on event_id within the watermark.
     Op("stream_dedup_watermark",
       (s, dir) => {

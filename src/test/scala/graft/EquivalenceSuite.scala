@@ -22,6 +22,15 @@ class EquivalenceSuite extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("stream_sliding_watermark matches batch ts_sliding counts") {
+    val streaming = rows("stream_sliding_watermark")
+      .map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("ts_sliding")(spark, sf0001)
+      .select("window_start", "event_type", "n").collect()
+      .map(r => (r.get(0), r.getString(1), r.getLong(2))).toSet
+    assert(streaming == batch)
+  }
+
   test("stream_dedup_watermark counts match batch per-type counts (event_id unique)") {
     val streaming = rows("stream_dedup_watermark")
       .map(r => (r.getString(0), r.getLong(1))).toSet
