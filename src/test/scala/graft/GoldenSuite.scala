@@ -19,6 +19,27 @@ class GoldenSuite extends AnyFunSuite {
         s"extra=${golden.keySet -- SparkEntry.queries.keySet})")
   }
 
+  test("SURVEY.md §2.1 non-oracle enumeration matches oracleSql omissions exactly") {
+    // SURVEY is the normative contract: its "(the N non-oracle: `k1`, …)"
+    // note must list exactly the keys omitted from oracleSql — round 8
+    // shipped with the list one key short (stream_sliding_watermark) and
+    // nothing caught it. Parse the note straight out of the doc.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val noteStart = survey.indexOf("non-oracle:")
+    assert(noteStart >= 0, "SURVEY.md lost its non-oracle enumeration note")
+    val note = survey.substring(noteStart, survey.indexOf(')', noteStart))
+    val listed = "`([a-z0-9_]+)`".r.findAllMatchIn(note).map(_.group(1)).toSet
+    val omitted = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(listed == omitted,
+      s"SURVEY.md non-oracle list drifted from oracleSql omissions " +
+        s"(listed-but-oracled=${listed -- omitted}, " +
+        s"omitted-but-unlisted=${omitted -- listed})")
+    val declared = "\\(the (\\d+) non-oracle".r.findFirstMatchIn(survey).map(_.group(1).toInt)
+    assert(declared.contains(omitted.size),
+      s"SURVEY.md declares ${declared.orNull} non-oracle keys; actual ${omitted.size}")
+  }
+
   SparkEntry.queries.foreach { case (key, fn) =>
     test(s"golden: $key") {
       val (n, schema, h) = Golden.digest(fn(spark, sf0001), key)

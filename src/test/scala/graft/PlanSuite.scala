@@ -101,6 +101,13 @@ class PlanSuite extends AnyFunSuite {
   test("near-dup pair-join carries the size prune and custom intersect") {
     val p = plan("text_near_dup_jaccard")
     assert(p.contains("sorted_intersect_size"))
+    // Round-9: the candidate join must key on the exploded prefix TOKEN
+    // (a vocabulary-cardinality block key — AllPairs prefix filter), not
+    // the bare lang block (|lang| buckets → blocked-quadratic at scale).
+    assert("""hashpartitioning\(ptok#\d+""".r.findFirstIn(p).isDefined
+      || """\[ptok#\d+""".r.findFirstIn(p).isDefined,
+      "candidate pairs must be clustered on the prefix-token block key")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("flagship aggregation runs inside whole-stage codegen") {
