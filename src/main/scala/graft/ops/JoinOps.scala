@@ -715,21 +715,30 @@ object JoinOps extends OpGroup {
 
     // Record linkage (entity resolution): blocked fuzzy self-join — the
     // classic blocking-key + edit-distance pattern. Candidate pairs are
-    // generated ONLY within (nation, segment) blocks (the quadratic is
-    // per-block, |block|², never |table|²) with k1 < k2 de-duping the
-    // pair space; levenshtein scores each candidate. At 100 TB the block
-    // key is the shuffle key and each block's pair generation is local
-    // to one task — the standard scalable linkage topology. Output is the
+    // generated ONLY within (nation, segment, name-prefix) blocks (the
+    // quadratic is per-block, |block|², never |table|²) with k1 < k2
+    // de-duping the pair space; levenshtein scores each candidate. The
+    // round-9 prefix key — substring(name, 1, 14), i.e. everything but
+    // the final 4 digits of the entity id — bounds per-block volume AS
+    // THE TABLE GROWS: (nation, segment) alone is a fixed 125-way split,
+    // so blocks scale ∝ |table| and the per-block quadratic resurfaces;
+    // the prefix adds a cardinality-scaling axis (~10⁴ consecutive ids
+    // per bucket → ~80 names/block at ANY scale). Standard linkage
+    // trade-off, applied identically in the oracle: blocking bounds cost
+    // by sacrificing cross-block recall — here pairs whose ids straddle
+    // a 10⁴ boundary. At 100 TB the block key is the shuffle key and
+    // each block's pair generation is local to one task. Output is the
     // per-nation linkage audit: candidate volume, matches under the
     // threshold, and the tightest pair.
     Op("link_fuzzy_blocked",
       (s, dir) => {
         val c = Tables.t(s, dir, "customer")
-          .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
-        val a = c.toDF("k1", "n1", "nk", "seg")
-        val b = c.toDF("k2", "n2", "nk2", "seg2")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_mktsegment"), substring(col("c_name"), 1, 14).as("nblk"))
+        val a = c.toDF("k1", "n1", "nk", "seg", "nblk")
+        val b = c.toDF("k2", "n2", "nk2", "seg2", "nblk2")
         a.join(b, col("nk") === col("nk2") && col("seg") === col("seg2")
-            && col("k1") < col("k2"))
+            && col("nblk") === col("nblk2") && col("k1") < col("k2"))
           .withColumn("lev", levenshtein(col("n1"), col("n2")))
           .groupBy(col("nk").as("nation"))
           .agg(count(lit(1)).as("n_pairs"),
@@ -742,6 +751,7 @@ object JoinOps extends OpGroup {
           SELECT a.c_nationkey AS nation, levenshtein(a.c_name, b.c_name) AS lev
           FROM customer a JOIN customer b
             ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+           AND substring(a.c_name, 1, 14) = substring(b.c_name, 1, 14)
            AND a.c_custkey < b.c_custkey)
         SELECT nation, COUNT(*) AS n_pairs,
           CAST(SUM(CASE WHEN lev <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,

@@ -544,10 +544,17 @@ class PlanSuite extends AnyFunSuite {
 
     // link_fuzzy_blocked: the pair generator is a keyed equi join on the
     // block key — never a cartesian — and the audit partial-aggregates.
+    // Round-9: the equi keys must include the name-prefix bucket (nblk),
+    // the cardinality-scaling axis that bounds per-block volume as the
+    // table grows; (nation, segment) alone is a fixed 125-way split.
     val lf = plan("link_fuzzy_blocked")
     assert(!lf.contains("CartesianProduct") && !lf.contains("BroadcastNestedLoopJoin"),
       "candidate pairs must come from the block-key equi join only")
     assert(lf.contains("partial_"), "the linkage audit must partial-aggregate")
+    // (At sf0.001 the dim broadcasts, so pin the equi-join KEY list — the
+    // clustering key on a shuffle plan — rather than a hashpartitioning.)
+    assert("""Left keys \[\d+\]: \[[^\]]*nblk#\d+""".r.findFirstIn(lf).isDefined,
+      "the pair join must key on the name-prefix bucket, not only (nation, segment)")
 
     // sample_split_train_test: row-local bucketing — one scan, no join,
     // report partial-aggregates.

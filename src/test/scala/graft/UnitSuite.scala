@@ -316,14 +316,19 @@ class UnitSuite extends AnyFunSuite {
     assert(got.toSeq == Seq(("train", "en", 9L, 460L), ("val", "en", 1L, 90L)))
   }
 
-  test("fuzzy linkage: ALICE~ALICE2 lev 1 matches, BOB stays distant, singleton block yields no pairs") {
+  test("fuzzy linkage: lev-1 pair matches, distant pair counted, singleton block yields no pairs") {
+    // Names share the 14-char prefix block (round-9: the block key is
+    // (nation, segment, substring(name, 1, 14)) — all-but-last-4-digits
+    // of the Customer#<9 digits> layout), so all three nation-1 names
+    // land in ONE block; lev is decided by the suffixes: ("1","12")=1,
+    // ("1","9999")=4, ("12","9999")=4.
+    val p = "ALICE000000000" // 14 chars
     val dir = miniDir("customer" -> Seq(
-      (1L, "ALICE", 1, "SEG"), (2L, "ALICE2", 1, "SEG"), (3L, "BOB", 1, "SEG"),
+      (1L, p + "1", 1, "SEG"), (2L, p + "12", 1, "SEG"), (3L, p + "9999", 1, "SEG"),
       (4L, "CAROL", 2, "SEG"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
     val got = SparkEntry.queries("link_fuzzy_blocked")(spark, dir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
-    // pairs: (ALICE,ALICE2)=1, (ALICE,BOB)=5, (ALICE2,BOB)=6 (python-checked)
     assert(got.toSeq == Seq((1, 3L, 1L, 1)))
   }
 
