@@ -43,6 +43,24 @@ object Tables {
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 
+  /** Epoch-microseconds SQL for a TIMESTAMP_NTZ column WITHOUT the
+    * NTZ→LTZ round-trip: `unix_micros(CAST(c AS TIMESTAMP))` reinterprets
+    * the wall clock in the SESSION time zone, so it is only correct under
+    * the [[conf]] UTC pin — a caller bypassing conf() would silently
+    * shift every downstream gap/staleness/as-of distance (round-8
+    * advice). This form reads only wall-clock fields (epoch day, hour,
+    * minute, fractional second), which are time-zone-independent on NTZ;
+    * arithmetic is exact (SECOND extracts as DECIMAL(8,6), ×10⁶ is
+    * integral) and handles pre-epoch values (unix_date < 0 composes with
+    * the non-negative time-of-day, the floor decomposition).
+    */
+  def ntzMicrosSql(c: String): String =
+    s"(unix_date(CAST($c AS DATE)) * 86400000000 + BIGINT(hour($c)) * 3600000000" +
+      s" + BIGINT(minute($c)) * 60000000 + CAST(date_part('SECOND', $c) * 1000000 AS BIGINT))"
+
+  /** Column form of [[ntzMicrosSql]]. */
+  def ntzMicros(c: String): org.apache.spark.sql.Column = expr(ntzMicrosSql(c))
+
   /** All timestamps are normalized to TimestampNTZ so parquet output is
     * naive-µs — exactly what the DuckDB oracle produces. (Session tz is
     * UTC, so LTZ→NTZ casts are wall-clock identities.)

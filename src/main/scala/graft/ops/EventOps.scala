@@ -62,7 +62,9 @@ object EventOps extends OpGroup {
         import org.apache.spark.sql.expressions.Window
         val ev = Tables.events(s, dir)
           .select(col("user_id"), col("event_id"),
-            unix_micros(col("ts").cast("timestamp")).as("us"))
+            // TZ-independent NTZ micros (Tables.ntzMicros) — no session-tz
+            // dependence via a cast-to-LTZ round-trip (round-8 advice).
+            Tables.ntzMicros("ts").as("us"))
         val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
         val sessions = ev
           .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
@@ -601,8 +603,7 @@ object EventOps extends OpGroup {
             leftKeys = Seq("user_id"), rightKeys = Seq("c_user_id"),
             leftOrd = Seq("ts", "event_id"), rightOrd = Seq("c_ts", "c_event_id"))
           .withColumn("lag_us",
-            unix_micros(col("ts").cast("timestamp"))
-              - unix_micros(col("c_ts").cast("timestamp")))
+            Tables.ntzMicros("ts") - Tables.ntzMicros("c_ts"))
           .withColumn("bucket",
             when(col("c_ts").isNull, "4_never")
               .when(col("lag_us") < 300000000L, "0_lt5m")
@@ -882,7 +883,7 @@ object EventOps extends OpGroup {
         val w = Window.partitionBy("user_id").orderBy(col("s0"), col("event_id"))
         Tables.events(s, dir)
           .select(col("user_id"), col("event_id"),
-            unix_micros(col("ts").cast("timestamp")).as("s0"))
+            Tables.ntzMicros("ts").as("s0"))
           .withColumn("e0", col("s0") + lit(1800000000L))
           .withColumn("pmax",
             max("e0").over(w.rowsBetween(Window.unboundedPreceding, -1)))
@@ -1166,9 +1167,11 @@ object EventOps extends OpGroup {
     // EXPLODED into the ≤7 trailing window days it supports and the
     // count-distinct runs per day as an ordinary two-level hash
     // aggregate — linear ×7 in |user-days| (not |events|), fully
-    // partial-aggregatable, no window over users at all. Days past the
-    // data horizon are clipped so every reported day has a full frame's
-    // provenance. Stickiness is the one double quotient (repr-ROUND).
+    // partial-aggregatable, no window over users at all. Horizon clipping
+    // only prevents PHANTOM post-horizon days (support exploded past
+    // dmax); the first six days of the series still report over partial,
+    // shorter-than-7-day frames — identical on both engines. Stickiness
+    // is the one double quotient (repr-ROUND).
     Op("ts_active_users_rolling",
       (s, dir) => {
         val ud = Tables.events(s, dir)

@@ -485,10 +485,10 @@ object JoinOps extends OpGroup {
           .withColumn("next_c",
             first(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(wNext))
           .filter(col("event_type") === "purchase")
-          .withColumn("d_prev", expr(
-            "unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(prev_c AS TIMESTAMP))"))
-          .withColumn("d_next", expr(
-            "unix_micros(CAST(next_c AS TIMESTAMP)) - unix_micros(CAST(ts AS TIMESTAMP))"))
+          .withColumn("d_prev",
+            Tables.ntzMicros("ts") - Tables.ntzMicros("prev_c"))
+          .withColumn("d_next",
+            Tables.ntzMicros("next_c") - Tables.ntzMicros("ts"))
           .selectExpr("event_id",
             """CASE WHEN prev_c IS NOT NULL AND (next_c IS NULL OR d_prev <= d_next)
                  THEN prev_c ELSE next_c END AS nearest_click""",
@@ -630,8 +630,8 @@ object JoinOps extends OpGroup {
             leftKeys = Seq("user_id"), rightKeys = Seq("c_user_id"),
             leftOrd = Seq("ts", "event_id"), rightOrd = Seq("c_ts", "c_event_id"))
           .select(col("event_id"),
-            when(unix_micros(col("ts").cast("timestamp"))
-                - unix_micros(col("c_ts").cast("timestamp")) <= 3600000000L,
+            when(Tables.ntzMicros("ts")
+                - Tables.ntzMicros("c_ts") <= 3600000000L,
               col("c_ts")).as("clicked_at"))
           .orderBy("event_id")
       },

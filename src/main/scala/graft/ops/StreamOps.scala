@@ -63,17 +63,24 @@ object StreamOps extends OpGroup {
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    val tsIsLong =
-      Tables.t(s, sfDir, "events").schema("ts").dataType == LongType
-    val raw = s.readStream
-      .schema(rawSchema(if (tsIsLong) LongType
-        else org.apache.spark.sql.types.TimestampNTZType))
-      .parquet(dir.toString)
+    // The streaming ts type must match the FOOTER, so derive it from a
+    // raw batch read of the file — NOT from Tables.t, whose schema has
+    // already normalized any TIMESTAMP (LTZ) column to NTZ: going through
+    // it, a µs-LTZ footer would be declared NTZ to readStream, the exact
+    // silent-null footer mismatch this dispatch exists to prevent
+    // (round-8 advice). Under Tables.conf the raw read yields Long for
+    // timestamp[ns] (nanosAsLong), NTZ for µs isAdjustedToUTC=false, LTZ
+    // for µs isAdjustedToUTC=true — all three dispatched below.
+    val tsRaw = s.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val raw = s.readStream.schema(rawSchema(tsRaw)).parquet(dir.toString)
     // Watermarks require TIMESTAMP (LTZ): EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
     // on NTZ event time as of Spark 4.1. Session tz is UTC, so the NTZ→LTZ
     // cast is a wall-clock identity — downstream windows match the batch side.
-    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw.withColumn("ts", col("ts").cast("timestamp"))
+    tsRaw match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw // already LTZ
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Run a streaming DataFrame to completion into a memory sink, return

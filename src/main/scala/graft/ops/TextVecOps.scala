@@ -774,10 +774,10 @@ object TextVecOps extends OpGroup {
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         per.withColumn("gmax", max(col("last_ts")).over(wAll))
           .selectExpr("event_type", "last_ts", "n_total",
-            """(unix_micros(CAST(gmax AS TIMESTAMP))
-               - unix_micros(CAST(last_ts AS TIMESTAMP))) DIV 3600000000 AS hours_stale""",
-            """unix_micros(CAST(gmax AS TIMESTAMP))
-               - unix_micros(CAST(last_ts AS TIMESTAMP)) >= 86400000000 AS is_stale""")
+            s"""(${Tables.ntzMicrosSql("gmax")}
+               - ${Tables.ntzMicrosSql("last_ts")}) DIV 3600000000 AS hours_stale""",
+            s"""${Tables.ntzMicrosSql("gmax")}
+               - ${Tables.ntzMicrosSql("last_ts")} >= 86400000000 AS is_stale""")
           .orderBy("event_type")
       },
       Some("""

@@ -342,9 +342,14 @@ object WindowOps extends OpGroup {
     // fall"). ALL-INTEGER: revenue in cents, running peak via a max
     // window over the day-level aggregate, drawdown in basis points by
     // integer division — no float anywhere, so cross-engine equality is
-    // structural. The argmax day rides an injective ord dd·2²⁰ + dayidx
-    // (bps ≤ 10⁴ and day index < 2²⁰ by domain, so the fields can't
-    // collide), giving a latest-day tie-break on both engines.
+    // structural AT ANY SCALE: the (peak - cents) · 10⁴ intermediate is
+    // widened to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) because in
+    // bare BIGINT it overflows once daily per-priority revenue passes
+    // ~9.2e14 cents — Spark would wrap silently while DuckDB errors
+    // (round-8 advice). The quotient is bps ≤ 10⁴, back in BIGINT. The
+    // argmax day rides an injective ord dd·2²⁰ + dayidx (bps ≤ 10⁴ and
+    // day index < 2²⁰ by domain, so the fields can't collide), giving a
+    // latest-day tie-break on both engines.
     Op("win_drawdown",
       (s, dir) => {
         val daily = Tables.t(s, dir, "orders")
@@ -355,7 +360,8 @@ object WindowOps extends OpGroup {
           .rowsBetween(Window.unboundedPreceding, 0)
         daily
           .withColumn("peak", max(col("cents")).over(w))
-          .withColumn("dd_bps", expr("(peak - cents) * 10000 DIV peak"))
+          .withColumn("dd_bps",
+            expr("CAST(CAST(peak - cents AS DECIMAL(38,0)) * 10000 DIV peak AS BIGINT)"))
           .withColumn("di", expr("datediff(CAST(d AS DATE), DATE '1990-01-01')"))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n_days"),
@@ -377,7 +383,8 @@ object WindowOps extends OpGroup {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
           FROM daily),
         dd AS (
-          SELECT o_orderpriority, d, peak, (peak - cents) * 10000 // peak AS dd_bps,
+          SELECT o_orderpriority, d, peak,
+            CAST(CAST(peak - cents AS HUGEINT) * 10000 // peak AS BIGINT) AS dd_bps,
             date_diff('day', DATE '1990-01-01', CAST(d AS DATE)) AS di
           FROM p)
         SELECT o_orderpriority, COUNT(*) AS n_days,
