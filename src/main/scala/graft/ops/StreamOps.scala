@@ -57,8 +57,66 @@ object StreamOps extends OpGroup {
     * two-format contract as [[Tables.events]]). The file source requires
     * a directory, so the single parquet file is symlinked into a temp dir.
     */
+  /** Test seam (EquivalenceSuite): number of files the events stream is
+    * fed as. 1 (production default) = the single symlinked parquet file,
+    * one AvailableNow micro-batch. n>1 = events re-cut into n
+    * time-ordered files with ~half the rows within 55 min of each cut
+    * deliberately shifted one file later — genuine late/out-of-order
+    * arrivals that the 1 h watermark must hold state open for (and,
+    * being inside the delay, must NOT drop) — fed one file per
+    * micro-batch (maxFilesPerTrigger=1 under AvailableNow + staged
+    * mtimes). Final state must then equal the single-batch result, which
+    * the single-batch tests pin to the batch twins.
+    */
+  @volatile private[graft] var sourceBatches: Int = 1
+
+  /** Data-carrying micro-batch count of the last stream run — the
+    * multi-batch tests assert >= sourceBatches so a wiring regression
+    * can't silently collapse them back to one batch.
+    */
+  @volatile private[graft] var lastRunBatches: Int = 0
+
+  private val splitCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), String]
+
+  /** Build (once per session/sfDir/n) the n-file incremental layout. */
+  private def splitDir(s: SparkSession, sfDir: String, n: Int): String =
+    splitCache.getOrElseUpdate((s, sfDir, n), {
+      val root = Tables.tmpDir("graft_stream_split")
+      val lateWinUs = 55L * 60 * 1000000 // < the 1 h watermark delay
+      val ev = Tables.events(s, sfDir)
+        .withColumn("us", Tables.ntzMicros("ts"))
+      val mm = ev.agg(min(col("us")), max(col("us"))).collect()(0)
+      val (lo, step) = (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / n + 1)
+      val cut = ev
+        .withColumn("p0", expr(s"CAST((us - ${lo}L) DIV ${step}L AS INT)"))
+        .withColumn("p", expr(
+          s"""CASE WHEN p0 < ${n - 1}
+                AND us >= ${lo}L + (BIGINT(p0) + 1) * ${step}L - ${lateWinUs}L
+                AND xxhash64(event_id) % 2 = 0
+              THEN p0 + 1 ELSE p0 END"""))
+        .drop("us", "p0")
+      for (i <- 0 until n) {
+        val stage = Tables.tmpDir("graft_stream_split_stage")
+        cut.filter(col("p") === i).drop("p")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(f => f.getFileName.toString.startsWith("part-")
+            && f.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = java.nio.file.Paths.get(root, s"b$i.parquet")
+        java.nio.file.Files.copy(part, dst)
+        // Staged mtimes: FileStreamSource (latestFirst=false) takes files
+        // oldest-first, so b0 < b1 < b2 fixes the micro-batch order.
+        dst.toFile.setLastModified(1700000000000L + i * 10000L)
+      }
+      root
+    })
+
   private def eventStream(s: SparkSession, sfDir: String): DataFrame = {
     Tables.conf(s)
+    val nb = sourceBatches
+    if (nb > 1) return eventStreamSplit(s, sfDir, nb)
     val dir = java.nio.file.Paths.get(Tables.tmpDir("graft_stream_src"))
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"),
@@ -81,6 +139,20 @@ object StreamOps extends OpGroup {
       case org.apache.spark.sql.types.TimestampType => raw // already LTZ
       case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
+  }
+
+  /** Incremental variant of [[eventStream]]: reads the [[splitDir]]
+    * layout one file per micro-batch. The split files are written from
+    * the normalized events frame, so their footer is always µs NTZ —
+    * no three-way format dispatch needed here.
+    */
+  private def eventStreamSplit(s: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val dir = splitDir(s, sfDir, n)
+    s.readStream
+      .schema(rawSchema(org.apache.spark.sql.types.TimestampNTZType))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Run a streaming DataFrame to completion into a memory sink, return
@@ -108,6 +180,7 @@ object StreamOps extends OpGroup {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      lastRunBatches = q.recentProgress.count(_.numInputRows > 0)
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
@@ -229,6 +302,7 @@ object StreamOps extends OpGroup {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        lastRunBatches = q.recentProgress.count(_.numInputRows > 0)
         s.read.parquet(s"$sink/b")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"))
