@@ -1783,12 +1783,17 @@ object PipelineOps extends OpGroup {
             size(array_intersect(
               array_distinct(split(lower(col("text")), " ")), stop))
               .as("stop_hits"))
+        // Ratio rules as integer CROSS-MULTIPLICATIONS (x/y ⋈ t ⟺ k·x ⋈ k·t·y
+        // for y > 0): exact, engine-identical, and total — the quotient
+        // form divides by zero on an empty doc (n_chars = 0; ANSI mode
+        // errors in BOTH engines). n_chars = 0 now fails ok_symbol
+        // (0 < 0 is false), which is the right verdict for empty text.
         val r = m.select(col("lang"),
           (col("n_words") >= 50 && col("n_words") <= 100000).as("ok_wordcount"),
-          (col("n_nonspace") / col("n_words") >= 3.0
-            && col("n_nonspace") / col("n_words") <= 10.0).as("ok_wordlen"),
-          (col("n_symbols") / col("n_chars") < 0.1).as("ok_symbol"),
-          (col("n_distinct") / col("n_words") > 0.2).as("ok_distinct"),
+          (col("n_nonspace") >= col("n_words") * 3
+            && col("n_nonspace") <= col("n_words") * 10).as("ok_wordlen"),
+          (col("n_symbols") * 10 < col("n_chars")).as("ok_symbol"),
+          (col("n_distinct") * 5 > col("n_words")).as("ok_distinct"),
           (col("stop_hits") >= 2).as("ok_stopword"))
         r.groupBy("lang").agg(
             count(lit(1)).as("n_docs"),
@@ -1816,9 +1821,9 @@ object PipelineOps extends OpGroup {
         ), r AS (
           SELECT lang,
             (n_words BETWEEN 50 AND 100000) AS ok_wordcount,
-            (n_nonspace / n_words >= 3.0 AND n_nonspace / n_words <= 10.0) AS ok_wordlen,
-            (n_symbols / n_chars < 0.1) AS ok_symbol,
-            (n_distinct / n_words > 0.2) AS ok_distinct,
+            (n_nonspace >= n_words * 3 AND n_nonspace <= n_words * 10) AS ok_wordlen,
+            (n_symbols * 10 < n_chars) AS ok_symbol,
+            (n_distinct * 5 > n_words) AS ok_distinct,
             (stop_hits >= 2) AS ok_stopword
           FROM m)
         SELECT lang,

@@ -19,6 +19,34 @@ class PropertySuite extends AnyFunSuite {
   private def samples(n: Int): Seq[List[(Int, Int)]] =
     (0 until n).flatMap(i => rowsGen(Gen.Parameters.default.withSize(30), Seed(i.toLong)))
 
+  test("every text_*/corpus_* op survives an adversarial corpus (empty/1-word/unicode/newline docs)") {
+    // The `nw >= 2` class of bug (round-9 verdict item 8): empty docs,
+    // 1-word docs, whitespace-only text, unicode, embedded newlines/tabs
+    // were guarded ad hoc per op. This runs the WHOLE text/corpus family
+    // over a corpus made of nothing but those edge cases, asserting
+    // no-throw — the key list is derived from SparkEntry.queries, so a
+    // new text op is covered the day it lands.
+    val docs = Seq(
+      (1L, "", "en", "src0", 0L),                                    // empty
+      (2L, "word", "en", "src0", 4L),                                // 1 word
+      (3L, "a b", "en", "src0", 3L),                                 // < 3-shingle
+      (4L, "héllo wörld ünïcode 日本語 🚀 ok", "zz", "src1", 24L), // unicode + emoji
+      (5L, "line1\nline2\ttab  doubled  spaces", "en", "src1", 32L), // newline/tab/runs
+      (6L, "   ", "en", "src0", 3L),                                 // whitespace-only
+      (7L, "the the the the", "en", "src0", 15L),                    // all-stopword repeat
+      (8L, "word", "en", "src2", 4L))                                // exact dup of 2
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = miniDir("documents" -> docs)
+    val keys = SparkEntry.queries.keySet.toSeq.sorted
+      .filter(k => k.startsWith("text_") || k.startsWith("corpus_"))
+    assert(keys.size >= 30, s"text/corpus family shrank? found ${keys.size}")
+    val failures = keys.flatMap { k =>
+      try { SparkEntry.queries(k)(spark, dir).collect(); None }
+      catch { case e: Throwable => Some(s"$k: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("cardinality algebra: |A semi B| <= |A|, |A unionAll B| = |A|+|B|") {
     samples(4).grouped(2).collect { case Seq(a, b) =>
       val da = a.toDF("k", "v")
