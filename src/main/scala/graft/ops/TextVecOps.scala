@@ -132,9 +132,10 @@ object TextVecOps extends OpGroup {
     // dedup family (the 13-gram variant of this is the classic LLM
     // training-data dedup). ORDER-sensitive where token Jaccard is not:
     // two docs with identical vocabularies but shuffled word order score
-    // ~0 here. Same scale story as the token op: lang-blocked pair join
-    // + size-ratio prune + codegen'd sorted-long intersect; the LSH
-    // banding (over shingle hashes) is the 100 TB candidate generator.
+    // ~0 here. Same scale story as the token op: prefix-filtered
+    // candidate join (lossless at t = 0.8) + size-ratio prune +
+    // codegen'd sorted-long intersect; LSH banding over shingle hashes
+    // is the probabilistic alternative at lower thresholds.
     Op("text_ngram_jaccard",
       (s, dir) => {
         // Materialized ONCE (localCheckpoint) before the pair join: the
@@ -157,12 +158,31 @@ object TextVecOps extends OpGroup {
         // key's consumer (Bench/Verify) reports done — see graft.Caches.
         graft.Caches.track(s, dir, "ngram_shingles", Set("text_ngram_jaccard"),
           () => graft.Caches.releaseCheckpoint(d))
-        val a = d.select(col("doc_id").as("a"), col("lang"), col("gs").as("ga"))
-        val b = d.select(col("doc_id").as("b"), col("lang").as("lang_b"), col("gs").as("gb"))
-        // j >= 0.8 implies 4·max(|a|,|b|) <= 5·min — prune before the
-        // per-pair intersect (implied by the filter; oracle unchanged).
-        a.join(b, col("lang") === col("lang_b") && col("a") < col("b")
-            && expr("4 * size(ga) <= 5 * size(gb) AND 4 * size(gb) <= 5 * size(ga)"))
+        // Candidate pairs by the same lossless AllPairs prefix filter as
+        // text_near_dup_jaccard, over SHINGLE hashes at t = 0.8: under
+        // the global sorted-hash order, j(a,b) >= 0.8 forces a shared
+        // shingle inside each side's first |x| - ceil(0.8·|x|) + 1
+        // entries (exact integer ceil: (8n+9) div 10). Block key =
+        // prefix shingle — cardinality ∝ shingle vocabulary, so blocks
+        // stay bounded at any corpus size (the bare-lang join is a fixed
+        // |lang|-way split). j >= 0.8 also implies the size-ratio prune
+        // 4·max(|a|,|b|) <= 5·min, carried on the candidate join. Both
+        // prunes are implied by the final filter; oracle unchanged.
+        val e = d.select(col("doc_id"), col("lang"), size(col("gs")).as("sz"),
+          explode(expr("slice(gs, 1, size(gs) - CAST((8 * size(gs) + 9) div 10 AS INT) + 1)"))
+            .as("gtok"))
+        val ca = e.select(col("gtok"), col("lang"), col("doc_id").as("a"), col("sz").as("sa"))
+        val cb = e.select(col("gtok").as("gtok_b"), col("lang").as("lang_b"),
+          col("doc_id").as("b"), col("sz").as("sb"))
+        val candidates = ca.join(cb,
+            col("gtok") === col("gtok_b") && col("lang") === col("lang_b")
+              && col("a") < col("b")
+              && expr("4 * sa <= 5 * sb AND 4 * sb <= 5 * sa"))
+          .select("a", "b")
+          .dropDuplicates("a", "b")
+        candidates
+          .join(d.select(col("doc_id").as("a"), col("gs").as("ga")), "a")
+          .join(d.select(col("doc_id").as("b"), col("gs").as("gb")), "b")
           .withColumn("inter", expr("sorted_intersect_size(ga, gb)").cast("double"))
           .withColumn("uni",
             (expr("size(ga)") + expr("size(gb)")).cast("double") - col("inter"))
