@@ -111,9 +111,13 @@ object Bench {
     val load0 = procLine("/proc/loadavg").split("\\s+").take(3).mkString(",")
     val done = scala.collection.mutable.ArrayBuffer.empty[Double]
     val reruns = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    var rerunBudget = 240.0 // cap extra reps so a fully-contended pass stays bounded
+    val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Soft cap on extra-rep time (checked before each rerun starts, so one
+    // in-flight rerun can overshoot it) — bounds a fully-contended pass.
+    var rerunBudget = 240.0
     val results = SparkEntry.queries.map { case (name, fn) =>
-      var best = timeOnce(fn)
+      val first = timeOnce(fn)
+      var best = first
       // Rolling median needs a stable base; before 8 keys use a fixed 3 s
       // trigger (quiet per-key floor is ~0.42 s, so 3 s is already 7×).
       val threshold = if (done.size < 8) 3.0
@@ -131,7 +135,15 @@ object Bench {
         best = math.min(best, t)
         reps += 1
       }
-      if (reps > 1) reruns(name) = reps
+      if (reps > 1) {
+        reruns(name) = reps - 1
+        // Keep the first (cold) time visible: reruns of keys that memoize
+        // shared frames (tokCache etc.) are warm by construction, so
+        // min-of-reps alone could launder real cache-build cost — the
+        // artifact carries both, and BenchBudgetSuite gates the cold time
+        // at a looser bound.
+        cold(name) = first
+      }
       done += best
       // Outside the timer: drop any shared cached frame whose last
       // consumer just ran, so pinned blocks don't accumulate over the
@@ -161,8 +173,10 @@ object Bench {
       s""""env":{"steal_jiffies":$stealDelta,"loadavg_start":"$load0","loadavg_end":"$load1"}"""
     val rerunsJson = reruns.map { case (k, n) => s""""$k":$n""" }
       .mkString("\"reruns\":{", ",", "}")
+    val coldJson = cold.map { case (k, v) => s""""$k":${sec3(v)}""" }
+      .mkString("\"cold\":{", ",", "}")
     val json =
-      s"""{$envJson,$rerunsJson,"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${sec3(total)}}"""
+      s"""{$envJson,$rerunsJson,$coldJson,"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${sec3(total)}}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))

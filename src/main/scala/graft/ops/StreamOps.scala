@@ -100,10 +100,12 @@ object StreamOps extends OpGroup {
         val stage = Tables.tmpDir("graft_stream_split_stage")
         cut.filter(col("p") === i).drop("p")
           .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        val part = try listing
           .filter(f => f.getFileName.toString.startsWith("part-")
             && f.getFileName.toString.endsWith(".parquet"))
           .findFirst().get()
+        finally listing.close()
         val dst = java.nio.file.Paths.get(root, s"b$i.parquet")
         java.nio.file.Files.copy(part, dst)
         // Staged mtimes: FileStreamSource (latestFirst=false) takes files

@@ -48,6 +48,47 @@ object TextVecOps extends OpGroup {
       d
     })
 
+  /** Lossless AllPairs/PPJoin prefix-filtered exact-Jaccard pair join
+    * (Bayardo et al. WWW'07, Xiao et al. WWW'08), shared by the token
+    * (t = 9/10) and shingle (t = 4/5) near-dup ops. `d` must carry
+    * (doc_id, lang, `setCol`: sorted distinct hash longs). Under the
+    * global sorted-hash order, j(a,b) >= t forces a shared element
+    * inside each side's first |x| - ceil(t·|x|) + 1 entries, so the
+    * candidate join keys on an exploded prefix element — a block key
+    * whose cardinality scales with the vocabulary — plus the size-ratio
+    * prune t·max(|a|,|b|) <= min implied by the threshold. ceil is exact
+    * integer arithmetic ((tNum·n + tDen − 1) div tDen); both prunes are
+    * implied by the final j-filter, so callers' DuckDB oracles stay the
+    * plain blocked form. Exact verify rejoins the arrays BY ID (the
+    * candidate shuffle carries ids, never arrays) and runs the codegen'd
+    * two-pointer `sorted_intersect_size`. Returns (a, b, j).
+    */
+  private def prefixJaccardPairs(d: org.apache.spark.sql.DataFrame,
+      setCol: String, tNum: Int, tDen: Int): org.apache.spark.sql.DataFrame = {
+    val e = d.filter(expr(s"size($setCol) > 0"))
+      .select(col("doc_id"), col("lang"), size(col(setCol)).as("sz"),
+        explode(expr(s"slice($setCol, 1, size($setCol)" +
+          s" - CAST(($tNum * size($setCol) + ${tDen - 1}) div $tDen AS INT) + 1)"))
+          .as("ptok"))
+    val ca = e.select(col("ptok"), col("lang"), col("doc_id").as("a"), col("sz").as("sa"))
+    val cb = e.select(col("ptok").as("ptok_b"), col("lang").as("lang_b"),
+      col("doc_id").as("b"), col("sz").as("sb"))
+    val candidates = ca.join(cb,
+        col("ptok") === col("ptok_b") && col("lang") === col("lang_b")
+          && col("a") < col("b")
+          && expr(s"$tNum * sa <= $tDen * sb AND $tNum * sb <= $tDen * sa"))
+      .select("a", "b")
+      .dropDuplicates("a", "b")
+    candidates
+      .join(d.select(col("doc_id").as("a"), col(setCol).as("ta")), "a")
+      .join(d.select(col("doc_id").as("b"), col(setCol).as("tb")), "b")
+      .withColumn("inter", expr("sorted_intersect_size(ta, tb)").cast("double"))
+      .withColumn("uni",
+        (expr("size(ta)") + expr("size(tb)")).cast("double") - col("inter"))
+      .withColumn("j", col("inter") / col("uni"))
+      .filter(col("j") >= tNum.toDouble / tDen)
+  }
+
   val ops: Seq[Op] = Seq(
     Op("text_exact_dedup",
       (s, dir) => {
@@ -70,48 +111,14 @@ object TextVecOps extends OpGroup {
         // codegen'd two-pointer merge over longs — sort once per doc, no
         // per-pair allocation. The oracle keeps string tokens (identical
         // counts).
-        val d = tokenSets(s, dir)
-        // Candidate generation is PREFIX-FILTERED (AllPairs/PPJoin:
-        // Bayardo et al. WWW'07, Xiao et al. WWW'08), not lang-blocked —
-        // round-8 verdict flagged the bare-lang pair join as blocked-
-        // quadratic at scale. Under any global token order (toks is
-        // already sorted by hash), j(a,b) >= t forces a and b to share a
-        // token inside their first |x| - ceil(t·|x|) + 1 tokens; so the
-        // pair join keys on an exploded prefix TOKEN — a block key whose
-        // cardinality scales with the vocabulary — and is LOSSLESS at
-        // t = 0.9 (deterministic, unlike MinHash banding's ~0.99 recall,
-        // so the DuckDB oracle is unchanged). ceil(0.9·n) is computed in
-        // exact integer arithmetic ((9n+9) div 10) to dodge FP fence
-        // posts. (Threshold 0.9: this corpus is homogeneous — at 0.5
-        // nearly every within-lang pair qualifies and the output itself
-        // is quadratic.)
-        val e = d.filter(expr("size(toks) > 0"))
-          .select(col("doc_id"), col("lang"), size(col("toks")).as("sz"),
-            explode(expr("slice(toks, 1, size(toks) - CAST((9 * size(toks) + 9) div 10 AS INT) + 1)"))
-              .as("ptok"))
-        val ca = e.select(col("ptok"), col("lang"), col("doc_id").as("a"), col("sz").as("sa"))
-        val cb = e.select(col("ptok").as("ptok_b"), col("lang").as("lang_b"),
-          col("doc_id").as("b"), col("sz").as("sb"))
-        // Size-ratio prune rides the candidate join: j >= 0.9 implies
-        // 9·max(|a|,|b|) <= 10·min. Both prunes are implied by the final
-        // j-filter, so the oracle SQL is unchanged.
-        val candidates = ca.join(cb,
-            col("ptok") === col("ptok_b") && col("lang") === col("lang_b")
-              && col("a") < col("b")
-              && expr("9 * sa <= 10 * sb AND 9 * sb <= 10 * sa"))
-          .select("a", "b")
-          .dropDuplicates("a", "b")
-        // Exact verify on candidates only — same two-pointer intersect,
-        // token arrays rejoined by id so the candidate shuffle stays
-        // narrow (ids, never arrays).
-        candidates
-          .join(d.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
-          .join(d.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
-          .withColumn("inter", expr("sorted_intersect_size(ta, tb)").cast("double"))
-          .withColumn("uni",
-            (expr("size(ta)") + expr("size(tb)")).cast("double") - col("inter"))
-          .withColumn("j", col("inter") / col("uni"))
-          .filter(col("j") >= 0.9)
+        // Candidate generation is PREFIX-FILTERED (prefixJaccardPairs),
+        // not lang-blocked — round-8 verdict flagged the bare-lang pair
+        // join as blocked-quadratic at scale; the prefix filter is
+        // LOSSLESS at t = 0.9 (deterministic, unlike MinHash banding's
+        // ~0.99 recall, so the DuckDB oracle is unchanged). Threshold
+        // 0.9: this corpus is homogeneous — at 0.5 nearly every
+        // within-lang pair qualifies and the output itself is quadratic.
+        prefixJaccardPairs(tokenSets(s, dir), "toks", 9, 10)
           .select(col("a"), col("b"), round(col("j"), 3).as("jaccard"))
           .orderBy("a", "b")
       },
@@ -158,36 +165,11 @@ object TextVecOps extends OpGroup {
         // key's consumer (Bench/Verify) reports done — see graft.Caches.
         graft.Caches.track(s, dir, "ngram_shingles", Set("text_ngram_jaccard"),
           () => graft.Caches.releaseCheckpoint(d))
-        // Candidate pairs by the same lossless AllPairs prefix filter as
-        // text_near_dup_jaccard, over SHINGLE hashes at t = 0.8: under
-        // the global sorted-hash order, j(a,b) >= 0.8 forces a shared
-        // shingle inside each side's first |x| - ceil(0.8·|x|) + 1
-        // entries (exact integer ceil: (8n+9) div 10). Block key =
-        // prefix shingle — cardinality ∝ shingle vocabulary, so blocks
-        // stay bounded at any corpus size (the bare-lang join is a fixed
-        // |lang|-way split). j >= 0.8 also implies the size-ratio prune
-        // 4·max(|a|,|b|) <= 5·min, carried on the candidate join. Both
-        // prunes are implied by the final filter; oracle unchanged.
-        val e = d.select(col("doc_id"), col("lang"), size(col("gs")).as("sz"),
-          explode(expr("slice(gs, 1, size(gs) - CAST((8 * size(gs) + 9) div 10 AS INT) + 1)"))
-            .as("gtok"))
-        val ca = e.select(col("gtok"), col("lang"), col("doc_id").as("a"), col("sz").as("sa"))
-        val cb = e.select(col("gtok").as("gtok_b"), col("lang").as("lang_b"),
-          col("doc_id").as("b"), col("sz").as("sb"))
-        val candidates = ca.join(cb,
-            col("gtok") === col("gtok_b") && col("lang") === col("lang_b")
-              && col("a") < col("b")
-              && expr("4 * sa <= 5 * sb AND 4 * sb <= 5 * sa"))
-          .select("a", "b")
-          .dropDuplicates("a", "b")
-        candidates
-          .join(d.select(col("doc_id").as("a"), col("gs").as("ga")), "a")
-          .join(d.select(col("doc_id").as("b"), col("gs").as("gb")), "b")
-          .withColumn("inter", expr("sorted_intersect_size(ga, gb)").cast("double"))
-          .withColumn("uni",
-            (expr("size(ga)") + expr("size(gb)")).cast("double") - col("inter"))
-          .withColumn("j", col("inter") / col("uni"))
-          .filter(col("j") >= 0.8)
+        // Same lossless prefix filter as the token op, over SHINGLE
+        // hashes at t = 4/5 (prefixJaccardPairs) — block key cardinality
+        // ∝ shingle vocabulary, so blocks stay bounded at any corpus
+        // size (the bare-lang join is a fixed |lang|-way split).
+        prefixJaccardPairs(d.select(col("doc_id"), col("lang"), col("gs")), "gs", 4, 5)
           .select(col("a"), col("b"), round(col("j"), 3).as("jaccard3"))
           .orderBy("a", "b")
       },

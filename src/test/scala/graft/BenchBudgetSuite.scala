@@ -28,5 +28,22 @@ class BenchBudgetSuite extends AnyFunSuite {
     assert(over.isEmpty,
       s"keys over the ${BudgetSec}s sf0.1 budget: " +
         over.map { case (k, v) => f"$k=$v%.1fs" }.mkString(", "))
+    // Rerun-adjudicated keys report min-of-reps in "queries", but their
+    // FIRST (cold) time is preserved in "cold" — gate it at 3× budget so
+    // a genuinely slow key whose warm rerun rides a memoized cache can't
+    // launder itself under the 10 s line (observed contention inflates
+    // cheap keys 20-60×, so 30 s stays above any plausible noise draw on
+    // a healthy key while catching a round-3-style 98 s regression).
+    val ci = json.indexOf("\"cold\":{")
+    if (ci >= 0) {
+      val c = json.substring(ci + "\"cold\":{".length)
+      val coldOver = "\"([a-z0-9_]+)\":([0-9.eE+-]+)".r
+        .findAllMatchIn(c.takeWhile(_ != '}'))
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 > 3 * BudgetSec).toSeq
+      assert(coldOver.isEmpty,
+        s"keys whose COLD first run exceeds ${3 * BudgetSec}s: " +
+          coldOver.map { case (k, v) => f"$k=$v%.1fs" }.mkString(", "))
+    }
   }
 }

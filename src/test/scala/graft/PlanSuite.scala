@@ -108,11 +108,11 @@ class PlanSuite extends AnyFunSuite {
       || """\[ptok#\d+""".r.findFirstIn(p).isDefined,
       "candidate pairs must be clustered on the prefix-token block key")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    // Same property for the shingle op (prefix filter at t = 0.8).
+    // Same property for the shingle op (prefix filter at t = 4/5).
     val g = plan("text_ngram_jaccard")
     assert(g.contains("sorted_intersect_size"))
-    assert("""hashpartitioning\(gtok#\d+""".r.findFirstIn(g).isDefined
-      || """\[gtok#\d+""".r.findFirstIn(g).isDefined,
+    assert("""hashpartitioning\(ptok#\d+""".r.findFirstIn(g).isDefined
+      || """\[ptok#\d+""".r.findFirstIn(g).isDefined,
       "ngram candidate pairs must be clustered on the prefix-shingle block key")
     assert(!g.contains("CartesianProduct") && !g.contains("BroadcastNestedLoopJoin"))
   }
