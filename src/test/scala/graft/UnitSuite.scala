@@ -21,6 +21,42 @@ class UnitSuite extends AnyFunSuite {
     assert(ts == java.time.LocalDateTime.parse("2024-01-30T23:26:16.220708"))
   }
 
+  test("ntzMicros is session-timezone-independent and µs-exact (round-8 advice fix)") {
+    // The old unix_micros(CAST ts AS TIMESTAMP) silently shifted with the
+    // session tz; the wall-clock decomposition must not. Probe a
+    // fractional-second value and a pre-epoch value under three zones.
+    val probes = Seq(
+      ("TIMESTAMP_NTZ '2024-01-30 23:26:16.220708'", 1706657176220708L),
+      ("TIMESTAMP_NTZ '1969-12-31 23:00:00.5'", -3599500000L),
+      ("TIMESTAMP_NTZ '1970-01-01 00:00:00'", 0L))
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    try {
+      Seq("UTC", "America/New_York", "Asia/Tokyo").foreach { tz =>
+        spark.conf.set(tzKey, tz)
+        probes.foreach { case (lit, want) =>
+          val got = spark.range(1)
+            .select(expr(Tables.ntzMicrosSql(lit)).as("us")).head.getLong(0)
+          assert(got == want, s"tz=$tz probe=$lit: got $got want $want")
+        }
+      }
+    } finally spark.conf.set(tzKey, prev)
+  }
+
+  test("win_drawdown survives (peak - cents)·10⁴ past BIGINT (DECIMAL widening)") {
+    // peak = 1.6e15 cents; (peak - 100) * 10000 ≈ 1.6e19 > Long.MaxValue —
+    // the pre-fix BIGINT multiply threw under ANSI (or wrapped without).
+    // Expected dd_bps = floor((1.6e15 - 100) * 1e4 / 1.6e15) = 9999.
+    val dir = miniDir("orders" -> Seq(
+      (1L, "1-URGENT", "1996-01-01", 1.6e13),
+      (2L, "1-URGENT", "1996-01-02", 1.0))
+      .toDF("o_orderkey", "o_orderpriority", "d", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("d"))).drop("d"))
+    val got = SparkEntry.queries("win_drawdown")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("1-URGENT", 2L, 1600000000000000L, 9999L)))
+  }
+
   test("session gap boundary: 29m59s same session, 30m01s splits") {
     val min = 60L * 1000 * 1000 * 1000 // ns
     val base = 1704067200L * 1000 * 1000 * 1000
