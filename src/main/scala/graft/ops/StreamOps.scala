@@ -79,6 +79,9 @@ object StreamOps extends OpGroup {
   private val splitCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), String]
 
+  private val rawTsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.types.DataType]
+
   /** Build (once per session/sfDir/n) the n-file incremental layout. */
   private def splitDir(s: SparkSession, sfDir: String, n: Int): String =
     splitCache.getOrElseUpdate((s, sfDir, n), {
@@ -130,8 +133,12 @@ object StreamOps extends OpGroup {
     // silent-null footer mismatch this dispatch exists to prevent
     // (round-8 advice). Under Tables.conf the raw read yields Long for
     // timestamp[ns] (nanosAsLong), NTZ for µs isAdjustedToUTC=false, LTZ
-    // for µs isAdjustedToUTC=true — all three dispatched below.
-    val tsRaw = s.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    // for µs isAdjustedToUTC=true — all three dispatched below. Cached
+    // per (session, sfDir): the footer is static test data and each of
+    // the 9 stream keys (plus stream_stream_join's two sources) would
+    // otherwise re-list and re-parse it.
+    val tsRaw = rawTsCache.getOrElseUpdate((s, sfDir),
+      s.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType)
     val raw = s.readStream.schema(rawSchema(tsRaw)).parquet(dir.toString)
     // Watermarks require TIMESTAMP (LTZ): EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
     // on NTZ event time as of Spark 4.1. Session tz is UTC, so the NTZ→LTZ
