@@ -1151,6 +1151,158 @@ object AggOps extends OpGroup {
           cum_n * 2 >= tot AND (cum_n - n) * 2 < tot AS is_p50_bucket,
           cum_n * 100 >= tot * 99 AND (cum_n - n) * 100 < tot * 99 AS is_p99_bucket
         FROM c ORDER BY bucket
+      """.trim)),
+
+    // One-way ANOVA F-test across the five order priorities on order
+    // value — completes the hypothesis-test battery (Welch t, chi²,
+    // Mann-Whitney) with the k-group mean comparison. Per-group moments
+    // (n, Σx, Σx²) are EXACT from one partial-aggregating scan; the
+    // between-group term Σ s_g²/n_g needs a division per group, so each
+    // group's contribution is repr-rounded to 4 dp and summed in exact
+    // DECIMAL (the agg_chi_square stance — the cross-group reduction is
+    // order-insensitive); SSB/SSW/F/η² are one identical single-row
+    // double expression tree at the very end on both engines (rule 9).
+    // Costs one scan + a 5-row reduction at any table size.
+    Op("agg_anova_f",
+      (s, dir) => {
+        val p = dec2(col("o_totalprice"))
+        val g = Tables.t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(p).cast(DecimalType(28, 2)).as("sx"),
+            sum(p * p).cast(DecimalType(38, 4)).as("sxx"))
+          .withColumn("tg", expr(
+            "CAST(round(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS DECIMAL(38,4))"))
+        g.agg(count(lit(1)).cast("int").as("k"),
+            sum(col("n")).as("nn"),
+            sum(col("sx")).cast(DecimalType(38, 2)).as("s"),
+            sum(col("sxx")).cast(DecimalType(38, 4)).as("ss"),
+            sum(col("tg")).cast(DecimalType(38, 4)).as("sumt"))
+          .selectExpr("k", "CAST(nn AS BIGINT) AS n",
+            """round(CAST(sumt AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nn AS DOUBLE), 2) + 0.0 AS ssb""",
+            "round(CAST(ss AS DOUBLE) - CAST(sumt AS DOUBLE), 2) + 0.0 AS ssw",
+            """round(((CAST(sumt AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nn AS DOUBLE))
+                 / CAST(k - 1 AS DOUBLE))
+               / ((CAST(ss AS DOUBLE) - CAST(sumt AS DOUBLE)) / CAST(nn - k AS DOUBLE)), 4) + 0.0 AS f_stat""",
+            """round((CAST(sumt AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nn AS DOUBLE))
+               / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+               + 0.0 AS eta_sq""")
+      },
+      Some("""
+        WITH g AS (
+          SELECT o_orderpriority, COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sx,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(38,4)) AS sxx
+          FROM orders GROUP BY 1),
+        t AS (
+          SELECT n, sx, sxx,
+            CAST(ROUND(CAST(CAST(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+              AS VARCHAR) AS DECIMAL(38,15)), 4) AS DECIMAL(38,4)) AS tg
+          FROM g),
+        a AS (
+          SELECT CAST(COUNT(*) AS INT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+            CAST(SUM(sx) AS DECIMAL(38,2)) AS s, CAST(SUM(sxx) AS DECIMAL(38,4)) AS ss,
+            CAST(SUM(tg) AS DECIMAL(38,4)) AS sumt
+          FROM t)
+        SELECT k, nn AS n,
+          CAST(ROUND(CAST(CAST(CAST(CAST(sumt AS VARCHAR) AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) AS VARCHAR)
+            AS DECIMAL(38,15)), 2) AS DOUBLE) + 0.0 AS ssb,
+          CAST(ROUND(CAST(CAST(CAST(CAST(ss AS VARCHAR) AS DOUBLE) - CAST(CAST(sumt AS VARCHAR) AS DOUBLE) AS VARCHAR)
+            AS DECIMAL(38,15)), 2) AS DOUBLE) + 0.0 AS ssw,
+          CAST(ROUND(CAST(CAST(((CAST(CAST(sumt AS VARCHAR) AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+            / ((CAST(CAST(ss AS VARCHAR) AS DOUBLE) - CAST(CAST(sumt AS VARCHAR) AS DOUBLE)) / CAST(nn - k AS DOUBLE)) AS VARCHAR)
+            AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS f_stat,
+          CAST(ROUND(CAST(CAST((CAST(CAST(sumt AS VARCHAR) AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nn AS DOUBLE))
+            / (CAST(CAST(ss AS VARCHAR) AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nn AS DOUBLE))
+            AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) + 0.0 AS eta_sq
+        FROM a
+      """.trim)),
+
+    // Pairwise Pearson correlation matrix over three lineitem measures
+    // (quantity, price cents, discount points) from ONE partial-
+    // aggregating scan — the multivariate feature-stats profile next to
+    // quality_column_profile's univariate one. All 10 moments (n, Σx,
+    // Σx², Σxy per pair) are exact integers in DECIMAL(38,0)/HUGEINT;
+    // the covariance terms n·Σxy − Σx·Σy stay exact (≈10²⁰ ≪ 10³⁸); only
+    // the final corr quotients are float — and the variance products
+    // would overflow int128, so each variance converts to double FIRST
+    // (via VARCHAR on the oracle side, rule 10: raw > 2⁵³) and the
+    // product is sqrt·sqrt. One scan at any table size.
+    Op("agg_corr_matrix",
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("q"),
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("p"),
+          expr("CAST(round(l_discount * 100, 0) AS BIGINT)").as("d"))
+        val dec = DecimalType(38, 0)
+        li.agg(
+            count(lit(1)).as("n"),
+            sum(col("q").cast(dec)).as("sq"),
+            sum(col("p").cast(dec)).as("sp"),
+            sum(col("d").cast(dec)).as("sd"),
+            sum((col("q") * col("q")).cast(dec)).as("sqq"),
+            sum((col("p") * col("p")).cast(dec)).as("spp"),
+            sum((col("d") * col("d")).cast(dec)).as("sdd"),
+            sum((col("q") * col("p")).cast(dec)).as("sqp"),
+            sum((col("q") * col("d")).cast(dec)).as("sqd"),
+            sum((col("p") * col("d")).cast(dec)).as("spd"))
+          .selectExpr("n",
+            "CAST(CAST(n AS DECIMAL(38,0)) * sqq - sq * sq AS DOUBLE) AS vq",
+            "CAST(CAST(n AS DECIMAL(38,0)) * spp - sp * sp AS DOUBLE) AS vp",
+            "CAST(CAST(n AS DECIMAL(38,0)) * sdd - sd * sd AS DOUBLE) AS vd",
+            "CAST(CAST(n AS DECIMAL(38,0)) * sqp - sq * sp AS DOUBLE) AS cqp",
+            "CAST(CAST(n AS DECIMAL(38,0)) * sqd - sq * sd AS DOUBLE) AS cqd",
+            "CAST(CAST(n AS DECIMAL(38,0)) * spd - sp * sd AS DOUBLE) AS cpd")
+          .selectExpr("n", """stack(3,
+            'price~discount', round(cpd / (sqrt(vp) * sqrt(vd)), 6) + 0.0,
+            'quantity~discount', round(cqd / (sqrt(vq) * sqrt(vd)), 6) + 0.0,
+            'quantity~price', round(cqp / (sqrt(vq) * sqrt(vp)), 6) + 0.0)
+            AS (pair, corr)""")
+          .select(col("pair"), col("n"), col("corr"))
+          .orderBy("pair")
+      },
+      Some("""
+        WITH v AS (
+          SELECT CAST(l_quantity AS BIGINT) AS q,
+            CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS p,
+            CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS d
+          FROM lineitem),
+        a AS (
+          SELECT COUNT(*) AS n,
+            SUM(CAST(q AS HUGEINT)) AS sq, SUM(CAST(p AS HUGEINT)) AS sp,
+            SUM(CAST(d AS HUGEINT)) AS sd,
+            SUM(CAST(q AS HUGEINT) * q) AS sqq, SUM(CAST(p AS HUGEINT) * p) AS spp,
+            SUM(CAST(d AS HUGEINT) * d) AS sdd,
+            SUM(CAST(q AS HUGEINT) * p) AS sqp, SUM(CAST(q AS HUGEINT) * d) AS sqd,
+            SUM(CAST(p AS HUGEINT) * d) AS spd
+          FROM v),
+        c AS (
+          SELECT n,
+            CAST(CAST(CAST(n AS HUGEINT) * sqq - sq * sq AS VARCHAR) AS DOUBLE) AS vq,
+            CAST(CAST(CAST(n AS HUGEINT) * spp - sp * sp AS VARCHAR) AS DOUBLE) AS vp,
+            CAST(CAST(CAST(n AS HUGEINT) * sdd - sd * sd AS VARCHAR) AS DOUBLE) AS vd,
+            CAST(CAST(CAST(n AS HUGEINT) * sqp - sq * sp AS VARCHAR) AS DOUBLE) AS cqp,
+            CAST(CAST(CAST(n AS HUGEINT) * sqd - sq * sd AS VARCHAR) AS DOUBLE) AS cqd,
+            CAST(CAST(CAST(n AS HUGEINT) * spd - sp * sd AS VARCHAR) AS DOUBLE) AS cpd
+          FROM a)
+        SELECT pair, n, corr FROM (
+          SELECT 'price~discount' AS pair, n,
+            CAST(ROUND(CAST(CAST(cpd / (sqrt(vp) * sqrt(vd)) AS VARCHAR)
+              AS DECIMAL(38,15)), 6) AS DOUBLE) + 0.0 AS corr FROM c
+          UNION ALL
+          SELECT 'quantity~discount' AS pair, n,
+            CAST(ROUND(CAST(CAST(cqd / (sqrt(vq) * sqrt(vd)) AS VARCHAR)
+              AS DECIMAL(38,15)), 6) AS DOUBLE) + 0.0 AS corr FROM c
+          UNION ALL
+          SELECT 'quantity~price' AS pair, n,
+            CAST(ROUND(CAST(CAST(cqp / (sqrt(vq) * sqrt(vp)) AS VARCHAR)
+              AS DECIMAL(38,15)), 6) AS DOUBLE) + 0.0 AS corr FROM c)
+        ORDER BY pair
       """.trim))
   )
 }

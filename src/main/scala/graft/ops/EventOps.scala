@@ -13,6 +13,27 @@ import org.apache.spark.sql.types.DecimalType
 object EventOps extends OpGroup {
   import graft.Tables.dec2
 
+  /** (priority, month-index, revenue-cents) monthly rollup shared by the
+    * two trend-test ops (`ts_mann_kendall`, `ts_theil_sen`) — both sides
+    * of each op's pair self-join read it, so without materialization the
+    * orders scan would run four times per key. Same one-checkpoint /
+    * Caches-release shape as PipelineOps.bigramFrame.
+    */
+  private val mkMonthlyCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def mkMonthly(s: org.apache.spark.sql.SparkSession, dir: String) =
+    mkMonthlyCache.getOrElseUpdate((s, dir), {
+      val m = Tables.t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("grp"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("int").as("t"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("cents"))
+        .localCheckpoint(true)
+      graft.Caches.track(s, dir, "mk_monthly", Set("ts_mann_kendall", "ts_theil_sen"),
+        () => mkMonthlyCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
+      m
+    })
+
   val ops: Seq[Op] = Seq(
     Op("ts_tumbling",
       (s, dir) => {
@@ -1261,6 +1282,201 @@ object EventOps extends OpGroup {
           CAST(ROUND(CAST(CAST(v / mu AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS dispersion,
           CAST(ROUND(CAST(CAST((sqrt(v) - mu) / (sqrt(v) + mu) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS burstiness
         FROM b ORDER BY event_type
+      """.trim)),
+
+    // Mann-Kendall trend test per priority over the monthly revenue
+    // series (orders is the multi-year table). S = Σ_{i<j} sign(x_j−x_i)
+    // over month pairs — the pair stage is quadratic in MONTHS, a
+    // time-bounded domain (~84 here), NOT in row count, so it holds at
+    // any corpus scale; the expensive pass is the one monthly rollup.
+    // S, n, and the tie-correction Σ t_j(t_j−1)(2t_j+5) are all exact
+    // integers (revenue in cents); var(S) and the continuity-corrected z
+    // are one identical single-row double tree at the end (rule 9).
+    Op("ts_mann_kendall",
+      (s, dir) => {
+        val m = mkMonthly(s, dir)
+        val a = m.select(col("grp"), col("t").as("ta"), col("cents").as("xa"))
+        val b = m.select(col("grp"), col("t").as("tb"), col("cents").as("xb"))
+        val sf = a.join(b, Seq("grp")).where(col("ta") < col("tb"))
+          .groupBy("grp")
+          .agg(sum(expr("CAST(sign(xb - xa) AS BIGINT)")).as("s_stat"))
+        val tf = m.groupBy("grp", "cents").agg(count(lit(1)).as("tj"))
+          .groupBy("grp")
+          .agg(sum(col("tj")).as("n"),
+            sum(expr("tj * (tj - 1) * (2 * tj + 5)")).as("tcorr"))
+        tf.join(sf, Seq("grp"))
+          .selectExpr("grp AS priority", "CAST(n AS BIGINT) AS n_months",
+            "s_stat",
+            "round(CAST(n * (n - 1) * (2 * n + 5) - tcorr AS DOUBLE) / 18.0d, 4) + 0.0 AS var_s",
+            """round(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0d)
+                 / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tcorr AS DOUBLE) / 18.0d)
+               WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0d)
+                 / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tcorr AS DOUBLE) / 18.0d)
+               ELSE 0.0d END, 4) + 0.0 AS z_stat""")
+          .orderBy("priority")
+      },
+      Some("""
+        WITH m AS (
+          SELECT o_orderpriority AS grp,
+            CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS t,
+            CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1, 2),
+        sf AS (
+          SELECT a.grp, CAST(SUM(CAST(SIGN(b.cents - a.cents) AS BIGINT)) AS BIGINT) AS s_stat
+          FROM m a JOIN m b ON a.grp = b.grp AND a.t < b.t GROUP BY 1),
+        tg AS (SELECT grp, cents, COUNT(*) AS tj FROM m GROUP BY 1, 2),
+        tf AS (
+          SELECT grp, CAST(SUM(tj) AS BIGINT) AS n,
+            CAST(SUM(tj * (tj - 1) * (2 * tj + 5)) AS BIGINT) AS tcorr
+          FROM tg GROUP BY 1)
+        SELECT tf.grp AS priority, n AS n_months, s_stat,
+          CAST(ROUND(CAST(CAST(CAST(n * (n - 1) * (2 * n + 5) - tcorr AS DOUBLE) / 18.0
+            AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS var_s,
+          CAST(ROUND(CAST(CAST(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+              / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tcorr AS DOUBLE) / 18.0)
+            WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+              / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tcorr AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS z_stat
+        FROM tf JOIN sf ON tf.grp = sf.grp
+        ORDER BY priority
+      """.trim)),
+
+    // Theil-Sen robust trend slope per priority on the same monthly
+    // frame (shared checkpoint with ts_mann_kendall): the LOWER median of
+    // all pairwise slopes (x_j−x_i)/(t_j−t_i). The median is a specific
+    // ELEMENT of the slope multiset picked by row_number — never an
+    // interpolation between floats — so both engines select the identical
+    // double regardless of their quantile interpolation formulas; each
+    // slope itself is one division of identical integer operands. Same
+    // months² pair bound as Mann-Kendall; the per-group window sorts
+    // pair rows, a time²-bounded frame at any corpus scale.
+    Op("ts_theil_sen",
+      (s, dir) => {
+        val m = mkMonthly(s, dir)
+        val a = m.select(col("grp"), col("t").as("ta"), col("cents").as("xa"))
+        val b = m.select(col("grp"), col("t").as("tb"), col("cents").as("xb"))
+        val pr = a.join(b, Seq("grp")).where(col("ta") < col("tb"))
+          .select(col("grp"),
+            ((col("xb") - col("xa")).cast("double")
+              / (col("tb") - col("ta")).cast("double")).as("slope"))
+        pr.withColumn("rn",
+            row_number().over(Window.partitionBy("grp").orderBy("slope")))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("grp")))
+          .where(col("rn") * 2 === col("cnt") || col("rn") * 2 === col("cnt") + 1)
+          .selectExpr("grp AS priority", "CAST(cnt AS BIGINT) AS n_pairs",
+            "round(slope, 4) + 0.0 AS median_slope_cents")
+          .orderBy("priority")
+      },
+      Some("""
+        WITH m AS (
+          SELECT o_orderpriority AS grp,
+            CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS t,
+            CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1, 2),
+        p AS (
+          SELECT a.grp,
+            CAST(b.cents - a.cents AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+          FROM m a JOIN m b ON a.grp = b.grp AND a.t < b.t),
+        r AS (
+          SELECT grp, slope,
+            ROW_NUMBER() OVER (PARTITION BY grp ORDER BY slope) AS rn,
+            COUNT(*) OVER (PARTITION BY grp) AS cnt
+          FROM p)
+        SELECT grp AS priority, CAST(cnt AS BIGINT) AS n_pairs,
+          CAST(ROUND(CAST(CAST(slope AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0
+            AS median_slope_cents
+        FROM r WHERE rn * 2 = cnt OR rn * 2 = cnt + 1
+        ORDER BY priority
+      """.trim)),
+
+    // STL-lite strength profile per event_type (the tsfeatures trend/
+    // seasonal strengths): trend = centered 7-day MA over daily counts,
+    // detrended = 7·n − Σ₇ (×7 keeps it INTEGER — no /7 float), computed
+    // only on full 7-day frames; seasonal strength = η² of day-of-week on
+    // the detrended series (the anova decomposition), trend strength =
+    // 1 − Var(detrended)/Var(7·n). Everything is exact integer moments on
+    // the |types|×|days| daily frame (time-bounded at any corpus scale);
+    // one events scan total, two tiny rollups after the window; the only
+    // floats are the final single-row-per-type ratios (rule 9).
+    Op("ts_seasonal_strength",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("timestamp_ntz").as("d"))
+          .agg(count(lit(1)).as("n"))
+        val w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+        val det = daily
+          .withColumn("s7", sum("n").over(w7))
+          .withColumn("c7", count(lit(1)).over(w7))
+          .where(col("c7") === 7)
+          .select(col("event_type"), weekday(col("d")).as("dow"),
+            (col("n") * 7).as("orig7"), (col("n") * 7 - col("s7")).as("det7"))
+        val byDow = det.groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("det7")).as("sx"), sum(col("det7") * col("det7")).as("sxx"),
+            sum(col("orig7")).as("so"), sum(col("orig7") * col("orig7")).as("soo"))
+          .withColumn("tg", expr(
+            "CAST(round(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE), 4) AS DECIMAL(38,4))"))
+        byDow.groupBy("event_type")
+          .agg(sum(col("cnt")).as("nn"),
+            sum(col("sx")).as("sxt"), sum(col("sxx")).as("sxxt"),
+            sum(col("so")).as("sot"), sum(col("soo")).as("soot"),
+            sum(col("tg")).cast(DecimalType(38, 4)).as("sumt"))
+          .selectExpr("event_type", "CAST(nn AS BIGINT) AS n_days",
+            """round(greatest(0.0d,
+               1.0d - (CAST(sxxt AS DOUBLE) - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE) / CAST(nn AS DOUBLE))
+                 / (CAST(soot AS DOUBLE) - CAST(sot AS DOUBLE) * CAST(sot AS DOUBLE) / CAST(nn AS DOUBLE))), 4)
+               + 0.0 AS trend_strength""",
+            """round(greatest(0.0d,
+               (CAST(sumt AS DOUBLE) - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE) / CAST(nn AS DOUBLE))
+                 / (CAST(sxxt AS DOUBLE) - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE) / CAST(nn AS DOUBLE))), 4)
+               + 0.0 AS seasonal_strength""")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+            COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        win AS (
+          SELECT event_type, d, n,
+            SUM(n) OVER (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+            COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+          FROM daily),
+        det AS (
+          SELECT event_type, CAST(isodow(d) - 1 AS INT) AS dow,
+            CAST(n * 7 AS BIGINT) AS orig7, CAST(n * 7 - s7 AS BIGINT) AS det7
+          FROM win WHERE c7 = 7),
+        bydow AS (
+          SELECT event_type, dow, COUNT(*) AS cnt,
+            CAST(SUM(det7) AS BIGINT) AS sx,
+            CAST(SUM(CAST(det7 AS HUGEINT) * det7) AS BIGINT) AS sxx,
+            CAST(SUM(orig7) AS BIGINT) AS so,
+            CAST(SUM(CAST(orig7 AS HUGEINT) * orig7) AS BIGINT) AS soo
+          FROM det GROUP BY 1, 2),
+        tgd AS (
+          SELECT event_type, dow, cnt, sx, sxx, so, soo,
+            CAST(ROUND(CAST(CAST(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE)
+              AS VARCHAR) AS DECIMAL(38,15)), 4) AS DECIMAL(38,4)) AS tg
+          FROM bydow),
+        t AS (
+          SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS nn,
+            CAST(SUM(sx) AS BIGINT) AS sxt, CAST(SUM(sxx) AS BIGINT) AS sxxt,
+            CAST(SUM(so) AS BIGINT) AS sot, CAST(SUM(soo) AS BIGINT) AS soot,
+            CAST(SUM(tg) AS DECIMAL(38,4)) AS sumt
+          FROM tgd GROUP BY 1)
+        SELECT event_type, nn AS n_days,
+          CAST(ROUND(CAST(CAST(GREATEST(0.0,
+            1.0 - (CAST(sxxt AS DOUBLE) - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE) / CAST(nn AS DOUBLE))
+              / (CAST(soot AS DOUBLE) - CAST(sot AS DOUBLE) * CAST(sot AS DOUBLE) / CAST(nn AS DOUBLE)))
+            AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS trend_strength,
+          CAST(ROUND(CAST(CAST(GREATEST(0.0,
+            (CAST(sumt AS DOUBLE) - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE) / CAST(nn AS DOUBLE))
+              / (CAST(sxxt AS DOUBLE) - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE) / CAST(nn AS DOUBLE)))
+            AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS seasonal_strength
+        FROM t ORDER BY event_type
       """.trim))
   )
 }

@@ -362,7 +362,7 @@ object PipelineOps extends OpGroup {
         .localCheckpoint(true)
       graft.Caches.track(s, dir, "mutual_knn_edges",
         Set("graph_triangle_count", "graph_connected_components",
-          "graph_label_prop_step"),
+          "graph_label_prop_step", "graph_adamic_adar"),
         () => mutualEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       mutual
     })
@@ -3018,6 +3018,398 @@ object PipelineOps extends OpGroup {
             (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0)
           ORDER BY maxsim_micro DESC, vec_id LIMIT 10
         ) ORDER BY maxsim_micro DESC, vec_id
+      """.trim)),
+
+    // Adjacent-word PMI collocations — the corpus-level companion of the
+    // per-doc text_bigram_likelihood score: top word pairs by pointwise
+    // mutual information ln(c_ab·N / (c_a·c_b)) with min support. All
+    // counts are exact integers from ONE vocabulary-bounded aggregate
+    // (map-side combined; the bigram-TYPE frame, not the corpus, feeds
+    // everything downstream — checkpointed because the N scalar is a
+    // second consumer). Candidate ORDER uses the raw count ratio — a
+    // single mul/mul/div of identical integer operands, IEEE-identical
+    // on both engines — so ln() (whose last-ulp behavior is libm-
+    // specific) never decides membership or order, only the displayed
+    // 4-dp value (the agg_entropy stance).
+    Op("text_cooccurrence_pmi",
+      (s, dir) => {
+        val bgc = Tables.t(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 2)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(explode(expr(
+            """transform(sequence(1, size(w) - 1),
+               i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))""")).as("p"))
+          .select(col("p.w1"), col("p.w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "pmi_bigrams", Set("text_cooccurrence_pmi"),
+          () => graft.Caches.releaseCheckpoint(bgc))
+        val tot = bgc.agg(sum("cab").as("nn"))
+        bgc
+          .withColumn("c1", sum("cab").over(Window.partitionBy("w1")))
+          .withColumn("c2", sum("cab").over(Window.partitionBy("w2")))
+          .where(col("cab") >= 5)
+          .crossJoin(broadcast(tot))
+          .withColumn("ratio", expr(
+            "CAST(cab AS DOUBLE) * CAST(nn AS DOUBLE) / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))"))
+          .orderBy(desc("ratio"), asc("w1"), asc("w2"))
+          .limit(20)
+          .selectExpr("w1", "w2", "cab AS n_pair",
+            "CAST(c1 AS BIGINT) AS n_left", "CAST(c2 AS BIGINT) AS n_right",
+            "round(ln(ratio), 4) + 0.0 AS pmi")
+          .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        bg AS (
+          SELECT list_extract(w, i) AS w1, list_extract(w, i + 1) AS w2
+          FROM (SELECT w, unnest(range(1, len(w))) AS i FROM d)),
+        bgc AS (SELECT w1, w2, COUNT(*) AS cab FROM bg GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(cab) AS BIGINT) AS nn FROM bgc),
+        wc AS (
+          SELECT w1, w2, cab,
+            SUM(cab) OVER (PARTITION BY w1) AS c1,
+            SUM(cab) OVER (PARTITION BY w2) AS c2
+          FROM bgc),
+        top AS (
+          SELECT w1, w2, cab, c1, c2,
+            CAST(cab AS DOUBLE) * CAST(nn AS DOUBLE)
+              / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)) AS ratio
+          FROM wc, tot WHERE cab >= 5
+          ORDER BY ratio DESC, w1, w2 LIMIT 20)
+        SELECT w1, w2, cab AS n_pair,
+          CAST(c1 AS BIGINT) AS n_left, CAST(c2 AS BIGINT) AS n_right,
+          CAST(ROUND(CAST(CAST(ln(ratio) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE)
+            + 0.0 AS pmi
+        FROM top ORDER BY pmi DESC, w1, w2
+      """.trim)),
+
+    // Reciprocal-rank fusion of two retrievers (cosine and raw inner
+    // product) for the standard hybrid-retrieval merge: each ranker
+    // contributes 1/(60+rank) for its top-20, fused score in exact
+    // integer micro-units via 10⁹ DIV (60+rank) — no float surface at
+    // all past the per-ranker orderings (which reuse the vec_cosine_topk
+    // / vec_mips_topk formulas verbatim). Both top-20s come from
+    // TakeOrdered per-partition heaps over one scan each; the rank
+    // windows run on 20-row frames. At 100 TB each leg is any ANN index
+    // path — RRF only consumes ranks, never scores, which is why it is
+    // THE merge for incomparable scorers (BM25 + dense, here IP + cos).
+    Op("vec_rrf_fusion",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        val scored = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("ip", expr("vec_dot(embedding, qemb)"))
+          .withColumn("sim", col("ip")
+            / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
+        val topC = scored.orderBy(desc("sim"), asc("vec_id")).limit(20)
+          .select("vec_id", "sim")
+          .withColumn("rank_cos",
+            row_number().over(Window.orderBy(desc("sim"), asc("vec_id"))))
+          .select("vec_id", "rank_cos")
+        val topM = scored.orderBy(desc("ip"), asc("vec_id")).limit(20)
+          .select("vec_id", "ip")
+          .withColumn("rank_ip",
+            row_number().over(Window.orderBy(desc("ip"), asc("vec_id"))))
+          .select("vec_id", "rank_ip")
+        topC.join(topM, Seq("vec_id"), "full_outer")
+          .withColumn("rrf_micro",
+            coalesce(expr("1000000000 DIV (60 + rank_cos)"), lit(0L))
+              + coalesce(expr("1000000000 DIV (60 + rank_ip)"), lit(0L)))
+          .orderBy(desc("rrf_micro"), asc("vec_id"))
+          .limit(10)
+          .selectExpr("vec_id", "CAST(rrf_micro AS BIGINT) AS rrf_micro",
+            "CAST(rank_cos AS INT) AS rank_cos", "CAST(rank_ip AS INT) AS rank_ip")
+          .orderBy(desc("rrf_micro"), asc("vec_id"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+            list_dot_product(CAST(embedding AS DOUBLE[]), qemb) AS ip,
+            list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
+              / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+                 * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS sim
+          FROM embeddings, q WHERE vec_id <> 0),
+        tc AS (
+          SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank_cos
+          FROM (SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 20)),
+        tm AS (
+          SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY ip DESC, vec_id) AS INT) AS rank_ip
+          FROM (SELECT vec_id, ip FROM scored ORDER BY ip DESC, vec_id LIMIT 20)),
+        f AS (
+          SELECT COALESCE(tc.vec_id, tm.vec_id) AS vec_id,
+            CAST(COALESCE(1000000000 // (60 + rank_cos), 0)
+              + COALESCE(1000000000 // (60 + rank_ip), 0) AS BIGINT) AS rrf_micro,
+            rank_cos, rank_ip
+          FROM tc FULL OUTER JOIN tm ON tc.vec_id = tm.vec_id)
+        SELECT vec_id, rrf_micro, rank_cos, rank_ip FROM (
+          SELECT * FROM f ORDER BY rrf_micro DESC, vec_id LIMIT 10)
+        ORDER BY rrf_micro DESC, vec_id
+      """.trim)),
+
+    // NDCG@10 of the IVF(probe=3) index path against the exact top-10 as
+    // GRADED ground truth (grade 10..1 by exact rank) — the
+    // position-sensitive retrieval metric vec_recall_eval's set-overlap
+    // misses: an index that finds all 10 but inverts their order scores
+    // recall 1.0 and NDCG < 1. Both rankings replicate vec_ivf_topk /
+    // vec_cosine_topk exactly. The per-position discount weights
+    // ⌊10⁶/log₂(pos+1)⌉ are LITERAL constants in both queries (no libm
+    // at eval time), so DCG is an exact integer sum and only the final
+    // one-division NDCG is float. One corpus scan per ranking +
+    // TakeOrdered heaps; at 100 TB this is the index-acceptance gate run
+    // per query sample.
+    Op("vec_ndcg_eval",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        val scored = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("sim", expr("vec_dot(embedding, qemb)")
+            / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
+        val exact = scored.orderBy(desc("sim"), asc("vec_id")).limit(10)
+          .select("vec_id", "sim")
+          .withColumn("grade",
+            lit(11) - row_number().over(Window.orderBy(desc("sim"), asc("vec_id"))))
+          .select("vec_id", "grade")
+        val centroids = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg((sum(col("v").cast("double")) / count(lit(1))).as("m"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cemb"))
+        val topCells = centroids.crossJoin(broadcast(q))
+          .withColumn("cdot", expr(
+            "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+          .withColumn("csim", col("cdot")
+            / (sqrt(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"))
+              * sqrt(expr("vec_norm_sq(qemb)"))))
+          .orderBy(desc("csim"), asc("label"))
+          .limit(3)
+          .select("label")
+        val ivf = scored.join(broadcast(topCells), "label")
+          .orderBy(desc("sim"), asc("vec_id")).limit(10)
+          .select("vec_id", "sim")
+          .withColumn("pos",
+            row_number().over(Window.orderBy(desc("sim"), asc("vec_id"))))
+          .select("vec_id", "pos")
+        val wCase = """CASE pos WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+          WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207 WHEN 7 THEN 333333
+          WHEN 8 THEN 315465 WHEN 9 THEN 301030 ELSE 289065 END"""
+        ivf.join(exact, Seq("vec_id"), "left")
+          .withColumn("rel", coalesce(col("grade"), lit(0)))
+          .agg(sum(expr(s"CAST(rel AS BIGINT) * ($wCase)")).as("dcg"))
+          .selectExpr("CAST(10 AS INT) AS k", "CAST(dcg AS BIGINT) AS dcg_micro",
+            "CAST(29966114 AS BIGINT) AS idcg_micro",
+            "round(CAST(dcg AS DOUBLE) / 29966114.0d, 6) + 0.0 AS ndcg")
+      },
+      Some("""
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id, label,
+            list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
+              / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+                 * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS sim
+          FROM embeddings, q WHERE vec_id <> 0),
+        exact AS (
+          SELECT vec_id, 11 - CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INT) AS grade
+          FROM (SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10)),
+        cent AS (
+          SELECT label, list(m ORDER BY pos) AS cemb FROM (
+            SELECT label, pos, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m FROM (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                unnest(CAST(embedding AS DOUBLE[])) AS v
+              FROM embeddings
+            ) GROUP BY label, pos
+          ) GROUP BY label),
+        cells AS (
+          SELECT label FROM (
+            SELECT label, list_dot_product(cemb, qemb)
+              / (sqrt(list_sum(list_transform(cemb, x -> x * x)))
+                 * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS csim
+            FROM cent, q
+          ) ORDER BY csim DESC, label LIMIT 3),
+        ivf AS (
+          SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INT) AS pos
+          FROM (SELECT s.vec_id, s.sim FROM scored s JOIN cells USING (label)
+                ORDER BY sim DESC, vec_id LIMIT 10)),
+        d AS (
+          SELECT CAST(SUM(CAST(COALESCE(e.grade, 0) AS BIGINT)
+            * (CASE pos WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+               WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207 WHEN 7 THEN 333333
+               WHEN 8 THEN 315465 WHEN 9 THEN 301030 ELSE 289065 END)) AS BIGINT) AS dcg
+          FROM ivf i LEFT JOIN exact e ON i.vec_id = e.vec_id)
+        SELECT CAST(10 AS INT) AS k, dcg AS dcg_micro,
+          CAST(29966114 AS BIGINT) AS idcg_micro,
+          CAST(ROUND(CAST(CAST(CAST(dcg AS DOUBLE) / 29966114.0 AS VARCHAR)
+            AS DECIMAL(38,15)), 6) AS DOUBLE) + 0.0 AS ndcg
+        FROM d
+      """.trim)),
+
+    // Adamic-Adar link prediction over the mutual-3NN graph (shared
+    // checkpointed edge set with the other three graph ops): for each
+    // non-adjacent pair with a common neighbor, score Σ_z 1/ln(deg z).
+    // Mutual-kNN degree is ≤ k by construction, so 1/ln(deg) takes TWO
+    // possible values — hardcoded as integer micro-weights (⌊10⁶/ln 2⌋,
+    // ⌊10⁶/ln 3⌉; no libm at query time) — and the two-hop join is
+    // degree-bounded: |paths| ≤ k²·|V| at any scale, never quadratic.
+    // The exact-integer score makes the top-20 ordering float-free.
+    Op("graph_adamic_adar",
+      (s, dir) => {
+        val mutual = mutualKnnEdges(s, dir).select("a", "b")
+        val sym = mutual.union(mutual.select(col("b").as("a"), col("a").as("b")))
+        val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("dz"))
+        val e1 = sym.select(col("b").as("x"), col("a").as("z"))
+        val e2 = sym.select(col("a").as("z"), col("b").as("y"))
+        e1.join(e2, "z").where(col("x") < col("y"))
+          .join(mutual.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"), "left_anti")
+          .join(deg, "z")
+          .groupBy("x", "y")
+          .agg(count(lit(1)).as("cn"),
+            sum(expr("CASE dz WHEN 2 THEN 1442695 WHEN 3 THEN 910239 ELSE 0 END")).as("aa"))
+          .orderBy(desc("aa"), asc("x"), asc("y"))
+          .limit(20)
+          .selectExpr("x AS a", "y AS b", "CAST(cn AS BIGINT) AS common_neighbors",
+            "CAST(aa AS BIGINT) AS aa_micro")
+          .orderBy(desc("aa_micro"), asc("a"), asc("b"))
+      },
+      Some("""
+        WITH knn AS (
+          SELECT a, b FROM (
+            SELECT x.vec_id AS a, y.vec_id AS b,
+              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)))
+                     * sqrt(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)))) DESC,
+                y.vec_id) AS rk
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          ) WHERE rk <= 3),
+        mutual AS (
+          SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
+            ON k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b),
+        sym AS (SELECT a, b FROM mutual UNION ALL SELECT b AS a, a AS b FROM mutual),
+        deg AS (SELECT a AS z, COUNT(*) AS dz FROM sym GROUP BY 1),
+        cand AS (
+          SELECT e1.b AS x, e2.b AS y, e1.a AS z
+          FROM sym e1 JOIN sym e2 ON e1.a = e2.a AND e1.b < e2.b),
+        filt AS (
+          SELECT c.x, c.y, c.z FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM mutual m WHERE m.a = c.x AND m.b = c.y)),
+        agg AS (
+          SELECT x, y, COUNT(*) AS cn,
+            CAST(SUM(CASE dz WHEN 2 THEN 1442695 WHEN 3 THEN 910239 ELSE 0 END) AS BIGINT) AS aa
+          FROM filt JOIN deg USING (z) GROUP BY 1, 2)
+        SELECT a, b, common_neighbors, aa_micro FROM (
+          SELECT x AS a, y AS b, CAST(cn AS BIGINT) AS common_neighbors, aa AS aa_micro
+          FROM agg ORDER BY aa DESC, x, y LIMIT 20)
+        ORDER BY aa_micro DESC, a, b
+      """.trim)),
+
+    // Multi-query MRR of the IVF(probe=3) path: vec_ids 0..4 are the
+    // query batch, each query's EXACT nearest neighbor is its relevant
+    // item, reciprocal rank of where the IVF top-10 finds it (0 if
+    // missed) in exact integer micro-units (10⁶ DIV pos). The per-query
+    // top-k is TWO-LEVEL — rank within (query, vec_id%8 salt) keeping
+    // ≤10, then re-rank the ≤80 survivors per query — so no partition
+    // ever sorts more than a salt's share of one query's candidates:
+    // the shape that holds when |queries| is small and the corpus is
+    // 100 TB (a bare PARTITION BY query window would funnel the whole
+    // corpus through |queries| partitions). Two-level top-k is lossless:
+    // any global top-10 row is in its salt group's top-10. The oracle
+    // ranks directly per query — same rows by construction.
+    Op("vec_mrr_eval",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val scored = e.filter(col("vec_id") >= 5)
+          .crossJoin(broadcast(q))
+          .withColumn("sim", expr("vec_dot(embedding, qemb)")
+            / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
+          .withColumn("salt", pmod(col("vec_id"), lit(8)))
+        def topPerQuery(df: org.apache.spark.sql.DataFrame, k: Int) = df
+          .withColumn("r1", row_number().over(
+            Window.partitionBy("qid", "salt").orderBy(desc("sim"), asc("vec_id"))))
+          .where(col("r1") <= k)
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
+          .where(col("pos") <= k)
+        val rel = topPerQuery(scored, 1)
+          .select(col("qid"), col("vec_id").as("rel_vec_id"))
+        val centroids = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg((sum(col("v").cast("double")) / count(lit(1))).as("m"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cemb"))
+        val cells = centroids.crossJoin(broadcast(q))
+          .withColumn("csim", expr(
+            "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+            / (sqrt(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"))
+              * sqrt(expr("vec_norm_sq(qemb)"))))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy("qid").orderBy(desc("csim"), asc("label"))))
+          .where(col("crk") <= 3)
+          .select("qid", "label")
+        val ivf = topPerQuery(scored.join(broadcast(cells), Seq("qid", "label")), 10)
+          .select(col("qid").as("iqid"), col("vec_id").as("ivid"), col("pos"))
+        rel.join(ivf,
+            col("qid") === col("iqid") && col("rel_vec_id") === col("ivid"), "left")
+          .select(col("qid"), col("rel_vec_id"),
+            col("pos").cast("int").as("ivf_pos"),
+            coalesce(expr("1000000 DIV pos"), lit(0L)).as("rr_micro"))
+          .orderBy("qid")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qemb
+          FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT e.vec_id, e.label, q.qid,
+            list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qemb)
+              / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+                 * sqrt(list_sum(list_transform(q.qemb, x -> x * x)))) AS sim
+          FROM embeddings e, q WHERE e.vec_id >= 5),
+        rel AS (
+          SELECT qid, vec_id AS rel_vec_id FROM (
+            SELECT qid, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+            FROM scored) WHERE rk = 1),
+        cent AS (
+          SELECT label, list(m ORDER BY pos) AS cemb FROM (
+            SELECT label, pos, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m FROM (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                unnest(CAST(embedding AS DOUBLE[])) AS v
+              FROM embeddings
+            ) GROUP BY label, pos
+          ) GROUP BY label),
+        cells AS (
+          SELECT qid, label FROM (
+            SELECT q.qid, c.label,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                list_dot_product(c.cemb, q.qemb)
+                  / (sqrt(list_sum(list_transform(c.cemb, x -> x * x)))
+                     * sqrt(list_sum(list_transform(q.qemb, x -> x * x)))) DESC,
+                c.label) AS crk
+            FROM cent c, q
+          ) WHERE crk <= 3),
+        ivf AS (
+          SELECT qid, vec_id, pos FROM (
+            SELECT s.qid, s.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.vec_id) AS pos
+            FROM scored s JOIN cells USING (qid, label)) WHERE pos <= 10)
+        SELECT r.qid, r.rel_vec_id, CAST(i.pos AS INT) AS ivf_pos,
+          CAST(COALESCE(1000000 // i.pos, 0) AS BIGINT) AS rr_micro
+        FROM rel r LEFT JOIN ivf i ON r.qid = i.qid AND r.rel_vec_id = i.vec_id
+        ORDER BY r.qid
       """.trim))
   )
 }

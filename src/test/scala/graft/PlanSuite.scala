@@ -830,4 +830,68 @@ class PlanSuite extends AnyFunSuite {
     assert(p.contains("partial_"), "per-language counters must partial-aggregate")
     assert(!p.contains("Window"), "no window pass — the rollup is pure aggregation")
   }
+
+  test("anova is one scan; trend tests read the shared checkpointed monthly frame") {
+    val a = plan("agg_anova_f")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(a).size == 1,
+      "the group moments must come from exactly one orders scan")
+    assert(a.contains("partial_"), "moments must partial-aggregate")
+
+    // Both trend ops consume the SAME materialized (grp, t, cents) frame:
+    // no parquet rescan per branch, and the months-pair join stays
+    // equi-keyed on grp (bounded by the TIME domain, never by rows).
+    Seq("ts_mann_kendall", "ts_theil_sen").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("Scan parquet"),
+        s"$k must read the checkpointed monthly rollup, not re-scan orders")
+      assert(!p.contains("CartesianProduct"),
+        s"$k pair join must stay grp-keyed")
+    }
+  }
+
+  test("pmi reads the checkpointed bigram-TYPE frame; margins never rescan the corpus") {
+    val p = plan("text_cooccurrence_pmi")
+    assert(!p.contains("Scan parquet"),
+      "the corpus is scanned once at bigram-frame build; the query must not rescan it")
+    assert(!p.contains("CartesianProduct"),
+      "the N scalar must broadcast, not cartesian")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 by ratio must be a per-partition heap, not a global sort")
+  }
+
+  test("rrf and ndcg fuse TakeOrdered heap legs; adamic-adar stays on the edge frame") {
+    val r = plan("vec_rrf_fusion")
+    assert("TakeOrderedAndProject".r.findAllIn(r).size >= 2,
+      "both retriever legs must be per-partition heaps")
+    assert(!r.contains("CartesianProduct"))
+
+    val n = plan("vec_ndcg_eval")
+    assert("TakeOrderedAndProject".r.findAllIn(n).size >= 2,
+      "exact and ivf rankings must be per-partition heaps")
+    assert(!n.contains("CartesianProduct"))
+
+    val g = plan("graph_adamic_adar")
+    assert(!g.contains("Scan parquet"),
+      "embeddings are scanned once at mutual-edge build; the two-hop query must not")
+    assert(!g.contains("CartesianProduct") && !g.contains("BroadcastNestedLoopJoin"),
+      "the two-hop and anti joins must stay equi-keyed (degree-bounded)")
+  }
+
+  test("corr matrix and seasonal strength are single-scan; mrr top-k is salt-sharded") {
+    val c = plan("agg_corr_matrix")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(c).size == 1,
+      "all 10 moments must come from exactly one lineitem scan")
+    assert(c.contains("partial_"), "moments must partial-aggregate")
+    assert(!c.contains("Window"), "no window pass — the matrix is pure aggregation")
+
+    val t = plan("ts_seasonal_strength")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(t).size == 1,
+      "events must be read exactly once; windows/rollups run on the daily frame")
+    assert(t.contains("partial_"), "daily counts must partial-aggregate")
+
+    val m = plan("vec_mrr_eval")
+    assert(!m.contains("CartesianProduct"))
+    assert("""hashpartitioning\(qid#\d+L?, salt#\d+""".r.findFirstIn(m).isDefined,
+      "the first top-k level must shard by (query, salt), not funnel by query alone")
+  }
 }

@@ -857,4 +857,137 @@ class UnitSuite extends AnyFunSuite {
     // 3 words, 1 sentence, 3 vowel groups: 206.835 − 1.015·3 − 84.6·1.
     assert(got.toSeq == Seq(("en", 1L, 119.19, 10000L)))
   }
+
+  test("anova: groups {10,20} vs {10,10} give SSB=25, SSW=50, F=1, eta2=1/3") {
+    val dir = miniDir("orders" -> Seq(
+      (1L, "1-URGENT", 10.0), (2L, "1-URGENT", 20.0),
+      (3L, "5-LOW", 10.0), (4L, "5-LOW", 10.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    val got = SparkEntry.queries("agg_anova_f")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // grand mean 12.5: SSB = 2·2.5² + 2·2.5² = 25, SSW = 5²+5² = 50,
+    // F = (25/1)/(50/2) = 1, η² = 25/75.
+    assert(got.toSeq == Seq((2, 4L, 25.0, 50.0, 1.0, 0.333333)))
+  }
+
+  test("mann-kendall + theil-sen: a strictly increasing 4-month series") {
+    val dir = miniDir("orders" -> Seq(
+      (1L, "1-URGENT", "1996-01-15", 10.0), (2L, "1-URGENT", "1996-02-15", 20.0),
+      (3L, "1-URGENT", "1996-03-15", 30.0), (4L, "1-URGENT", "1996-04-15", 40.0))
+      .toDF("o_orderkey", "o_orderpriority", "d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("timestamp_ntz")).drop("d"))
+    val mk = SparkEntry.queries("ts_mann_kendall")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // 4 monotone months: S = 6, no ties → var = 4·3·13/18 = 8.6667,
+    // z = (6−1)/√var = 1.6984.
+    assert(mk.toSeq == Seq(("1-URGENT", 4L, 6L, 8.6667, 1.6984)))
+    val tsn = SparkEntry.queries("ts_theil_sen")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // linear series: all 6 pairwise slopes are exactly 1000 cents/month.
+    assert(tsn.toSeq == Seq(("1-URGENT", 6L, 1000.0)))
+  }
+
+  test("rrf fusion: divergent rankers both count; tied fused scores resolve by id") {
+    val dir = miniDir("embeddings" -> Seq(
+      (0L, Array(1f, 0f), 0),  // query
+      (1L, Array(2f, 0f), 0),  // cos rank 1, ip rank 2
+      (2L, Array(5f, 5f), 0),  // cos rank 2, ip rank 1
+      (3L, Array(0f, 9f), 0))  // rank 3 in both
+      .toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("vec_rrf_fusion")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // ids 1 and 2 tie at ⌊1e9/61⌋+⌊1e9/62⌋ → id breaks the tie; id 3 gets
+    // 2·⌊1e9/63⌋.
+    assert(got.toSeq == Seq(
+      (1L, 32522474L, 1, 2), (2L, 32522474L, 2, 1), (3L, 31746030L, 3, 3)))
+  }
+
+  test("ndcg: an order-preserving index scores the exact integer DCG of grades 10,9,8") {
+    val dir = miniDir("embeddings" -> Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(2f, 0f), 0), (2L, Array(5f, 5f), 0), (3L, Array(0f, 9f), 0))
+      .toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("vec_ndcg_eval")(spark, dir).head()
+    // one label → IVF retrieves all 3 in exact order: DCG = 10·10⁶ +
+    // 9·630930 + 8·500000 = 19678370 over the constant IDCG.
+    assert((got.getInt(0), got.getLong(1), got.getLong(2), got.getDouble(3))
+      == ((10, 19678370L, 29966114L, 0.656687)))
+  }
+
+  test("adamic-adar: two triangles bridged at 3−4 predict exactly the four 2-hop links") {
+    // Unit vectors at 0°,10°,20° (triangle A) and 90°,100°,110°
+    // (triangle B): mutual-3NN gives the two triangles + the 3−4 bridge,
+    // so the non-adjacent 2-hop pairs are (1,4),(2,4) via z=3 and
+    // (3,5),(3,6) via z=4 — all through a degree-3 hub.
+    val dir = miniDir("embeddings" -> Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0.9848078f, 0.1736482f), 0),
+      (3L, Array(0.9396926f, 0.3420201f), 0),
+      (4L, Array(0f, 1f), 0),
+      (5L, Array(-0.1736482f, 0.9848078f), 0),
+      (6L, Array(-0.3420201f, 0.9396926f), 0))
+      .toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("graph_adamic_adar")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 1L, 910239L), (2L, 4L, 1L, 910239L),
+      (3L, 5L, 1L, 910239L), (3L, 6L, 1L, 910239L)))
+  }
+
+  test("pmi: two support-5 collocations share ln 2.8; sub-support pairs are cut") {
+    val docs = (1 to 5).map(i => (i.toLong, "a b", "en", "s", 3L)) :+
+      ((6L, "c d c d c d c d c d", "en", "s", 19L))
+    val dir = miniDir("documents" ->
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = SparkEntry.queries("text_cooccurrence_pmi")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // N=14 bigrams; (a,b) and (c,d) both cab=5 with 5·5 margins →
+    // ratio 14/5, pmi = ln 2.8 = 1.0296; (d,c) at support 4 is cut.
+    assert(got.toSeq == Seq(
+      ("a", "b", 5L, 5L, 5L, 1.0296), ("c", "d", 5L, 5L, 5L, 1.0296)))
+  }
+
+  test("corr matrix: perfectly correlated price, anti-correlated discount") {
+    val dir = miniDir("lineitem" -> Seq(
+      (1.0, 1.0, 0.02), (2.0, 2.0, 0.01), (3.0, 3.0, 0.00))
+      .toDF("l_quantity", "l_extendedprice", "l_discount"))
+    val got = SparkEntry.queries("agg_corr_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("price~discount", 3L, -1.0), ("quantity~discount", 3L, -1.0),
+      ("quantity~price", 3L, 1.0)))
+  }
+
+  test("seasonal strength: a pure weekly pattern scores seasonal=1, trend=0") {
+    // 21 days of counts p(i%7) = i%7 + 1: inside every full 7-day frame
+    // the MA is the constant Σp/7, so the detrended series is purely
+    // day-of-week (η²=1) and shares the original's variance (trend=0).
+    val base = 1700000000000000000L
+    val rows = for {
+      day <- 0 until 21
+      k <- 0 until (day % 7 + 1)
+    } yield ((day.toLong * 100 + k, base + day.toLong * 86400L * 1000000000L,
+      1L, "click", 1.0, "{}"))
+    val dir = miniDir("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("ts_seasonal_strength")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("click", 15L, 0.0, 1.0)))
+  }
+
+  test("mrr: each query's nearest neighbor retrieved at position 1") {
+    // queries 0..4 at five directions; corpus 5..9 are the same
+    // directions at 2×: rel(i) = 5+i, found at IVF pos 1 → rr = 10⁶.
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    val rows = (0 until 5).map(i => (i.toLong, v(20.0 * i), 0)) ++
+      (0 until 5).map(i => (5L + i, v(20.0 * i).map(_ * 2f), 0))
+    val dir = miniDir("embeddings" -> rows.toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("vec_mrr_eval")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == (0 until 5).map(i => (i.toLong, 5L + i, 1, 1000000L)))
+  }
 }
