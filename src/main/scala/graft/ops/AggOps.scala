@@ -913,8 +913,8 @@ object AggOps extends OpGroup {
           SELECT n1, n2,
             CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
             CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
-            (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) AS v1,
-            (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE) AS v2
+            (CAST(CAST(sxx1 AS VARCHAR) AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) AS v1,
+            (CAST(CAST(sxx2 AS VARCHAR) AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE) AS v2
           FROM a),
         c AS (
           SELECT n1, n2, m1, m2, v1, v2,
