@@ -19,6 +19,21 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Caches {
 
+  /** getOrElseUpdate with the builder run under the map's monitor.
+    * TrieMap.getOrElseUpdate may evaluate the thunk TWICE under a
+    * concurrent first use (putIfAbsent discards the loser), and the
+    * shared-frame builders have side effects — an eager localCheckpoint
+    * plus a [[track]] registration whose replacement fires the previous
+    * entry's release, unpersisting the winner's still-in-use blocks
+    * (localCheckpoints are unrecoverable once unpersisted). The harness
+    * runs keys sequentially, but a library user driving two queries
+    * concurrently on one session must not hit that race. Builder chains
+    * only ever nest in one direction (op cache → Tables cache), so the
+    * per-map monitors cannot deadlock.
+    */
+  def memo[K, V](cache: scala.collection.concurrent.TrieMap[K, V], key: K, build: => V): V =
+    cache.synchronized { cache.getOrElseUpdate(key, build) }
+
   private final class Entry(val consumers: Set[String], val release: () => Unit) {
     var done: Set[String] = Set.empty
   }

@@ -83,7 +83,7 @@ object Tables {
     tableCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) tableCache.remove(k)
     }
-    tableCache.getOrElseUpdate((spark, sfDir, name), {
+    graft.Caches.memo(tableCache, (spark, sfDir, name), {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       df.schema.fields.foldLeft(df) { (d, f) =>
         if (f.dataType == TimestampType)
@@ -160,7 +160,7 @@ object Tables {
     setupCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) setupCache.remove(k)
     }
-    setupCache.getOrElseUpdate((s, dir, name), {
+    graft.Caches.memo(setupCache, (s, dir, name), {
       val out = tmpDir(s"graft_$name")
       write(out)
       Caches.track(s, dir, name, consumers, () => {

@@ -23,7 +23,7 @@ object EventOps extends OpGroup {
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
   private def mkMonthly(s: org.apache.spark.sql.SparkSession, dir: String) =
-    mkMonthlyCache.getOrElseUpdate((s, dir), {
+    graft.Caches.memo(mkMonthlyCache, (s, dir), {
       val m = Tables.t(s, dir, "orders")
         .groupBy(col("o_orderpriority").as("grp"),
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("int").as("t"))
@@ -1411,10 +1411,16 @@ object EventOps extends OpGroup {
           .where(col("c7") === 7)
           .select(col("event_type"), weekday(col("d")).as("dow"),
             (col("n") * 7).as("orig7"), (col("n") * 7 - col("s7")).as("det7"))
+        // Squares go through DECIMAL(38,0) BEFORE the multiply: a raw
+        // LONG det7² wraps silently past ~3e9 daily events (the oracle's
+        // HUGEINT product errors loudly instead) — the agg_corr_matrix
+        // discipline.
         val byDow = det.groupBy("event_type", "dow")
           .agg(count(lit(1)).as("cnt"),
-            sum(col("det7")).as("sx"), sum(col("det7") * col("det7")).as("sxx"),
-            sum(col("orig7")).as("so"), sum(col("orig7") * col("orig7")).as("soo"))
+            sum(col("det7")).as("sx"),
+            sum(col("det7").cast(DecimalType(38, 0)) * col("det7")).as("sxx"),
+            sum(col("orig7")).as("so"),
+            sum(col("orig7").cast(DecimalType(38, 0)) * col("orig7")).as("soo"))
           .withColumn("tg", expr(
             "CAST(round(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE), 4) AS DECIMAL(38,4))"))
         byDow.groupBy("event_type")

@@ -47,7 +47,7 @@ object PipelineOps extends OpGroup {
     "text_simhash", "text_simhash_neardup", "text_dedup_clusters", "text_dedup_keep_best")
 
   private def simhashSigs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    sigCache.getOrElseUpdate((s, dir), {
+    graft.Caches.memo(sigCache, (s, dir), {
       val sigs = Tables.t(s, dir, "documents")
         .select("doc_id", "text")
         .repartition(s.sparkContext.defaultParallelism)
@@ -74,7 +74,7 @@ object PipelineOps extends OpGroup {
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
   private def bigramFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
-    bigramCache.getOrElseUpdate((s, dir), {
+    graft.Caches.memo(bigramCache, (s, dir), {
       val bg = Tables.t(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 2)
@@ -97,7 +97,7 @@ object PipelineOps extends OpGroup {
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
   private def spanFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
-    spanCache.getOrElseUpdate((s, dir), {
+    graft.Caches.memo(spanCache, (s, dir), {
       val sp = Tables.t(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= 8)
@@ -189,7 +189,7 @@ object PipelineOps extends OpGroup {
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
   private def simhashEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
-    edgeCache.getOrElseUpdate((s, dir), {
+    graft.Caches.memo(edgeCache, (s, dir), {
       val edges = simhashEdgesWithCap(s, dir, SimBucketCap).localCheckpoint(true)
       graft.Caches.track(s, dir, "simhash_edges", SimConsumers - "text_simhash",
         () => edgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
@@ -311,7 +311,7 @@ object PipelineOps extends OpGroup {
   }
 
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String) =
-    labelCache.getOrElseUpdate((s, dir), {
+    graft.Caches.memo(labelCache, (s, dir), {
       val labels = connectedComponents(simhashEdges(s, dir))
       // Converged subgraph labels + every untouched doc as its own
       // singleton cluster. Broadcast only under the same size guard the
@@ -344,9 +344,26 @@ object PipelineOps extends OpGroup {
     * `graph_connected_components` — the kNN build is the expensive stage
     * (in-label pair join), so its cost is paid once per pass.
     */
+
+  /** (label, cemb) per-label mean centroids — the IVF routing table
+    * shared verbatim by vec_ivf_topk, vec_recall_eval, vec_ndcg_eval and
+    * vec_mrr_eval (each op's oracle restates the same CTE). Factored so a
+    * change to the centroid computation cannot drift between the four
+    * Spark sites; the cost is one cheap bounded aggregate per caller, so
+    * no checkpoint is taken.
+    */
+  private def labelCentroids(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg((sum(col("v").cast("double")) / count(lit(1))).as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cemb"))
+
   private def mutualKnnEdges(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    mutualEdgeCache.getOrElseUpdate((s, dir), {
+    graft.Caches.memo(mutualEdgeCache, (s, dir), {
       val e = Tables.t(s, dir, "embeddings")
       val l = e.select(col("label").as("la"), col("vec_id").as("a"), col("embedding").as("ea"))
       val r = e.select(col("label").as("lb"), col("vec_id").as("b"), col("embedding").as("eb"))
@@ -723,12 +740,7 @@ object PipelineOps extends OpGroup {
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
         // Stage 1: per-label centroids (mean per position), rank by cosine
         // to the query, keep 3 cells.
-        val centroids = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("label", "pos")
-          .agg((sum(col("v").cast("double")) / count(lit(1))).as("m"))
-          .groupBy("label")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cemb"))
+        val centroids = labelCentroids(s, dir)
         val topCells = centroids.crossJoin(broadcast(q))
           .withColumn("cdot", expr(
             "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
@@ -2447,12 +2459,7 @@ object PipelineOps extends OpGroup {
           .withColumn("sim", expr("vec_dot(embedding, qemb)")
             / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
         val exact = scored.orderBy(desc("sim"), asc("vec_id")).limit(10).select("vec_id")
-        val centroids = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("label", "pos")
-          .agg((sum(col("v").cast("double")) / count(lit(1))).as("m"))
-          .groupBy("label")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cemb"))
+        val centroids = labelCentroids(s, dir)
         val topCells = centroids.crossJoin(broadcast(q))
           .withColumn("cdot", expr(
             "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
@@ -3177,12 +3184,7 @@ object PipelineOps extends OpGroup {
           .withColumn("grade",
             lit(11) - row_number().over(Window.orderBy(desc("sim"), asc("vec_id"))))
           .select("vec_id", "grade")
-        val centroids = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("label", "pos")
-          .agg((sum(col("v").cast("double")) / count(lit(1))).as("m"))
-          .groupBy("label")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cemb"))
+        val centroids = labelCentroids(s, dir)
         val topCells = centroids.crossJoin(broadcast(q))
           .withColumn("cdot", expr(
             "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
@@ -3201,12 +3203,19 @@ object PipelineOps extends OpGroup {
         val wCase = """CASE pos WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
           WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207 WHEN 7 THEN 333333
           WHEN 8 THEN 315465 WHEN 9 THEN 301030 ELSE 289065 END"""
+        // IDCG is the ideal DCG of the ACTUAL truth set (grade g sits at
+        // ideal position 11−g), not a constant: with fewer than 10
+        // catalog items a perfect index must still score ndcg = 1.0.
+        val idcg = exact
+          .withColumn("pos", lit(11) - col("grade"))
+          .agg(sum(expr(s"CAST(grade AS BIGINT) * ($wCase)")).as("idcg"))
         ivf.join(exact, Seq("vec_id"), "left")
           .withColumn("rel", coalesce(col("grade"), lit(0)))
           .agg(sum(expr(s"CAST(rel AS BIGINT) * ($wCase)")).as("dcg"))
+          .crossJoin(idcg)
           .selectExpr("CAST(10 AS INT) AS k", "CAST(dcg AS BIGINT) AS dcg_micro",
-            "CAST(29966114 AS BIGINT) AS idcg_micro",
-            "round(CAST(dcg AS DOUBLE) / 29966114.0d, 6) + 0.0 AS ndcg")
+            "CAST(idcg AS BIGINT) AS idcg_micro",
+            "round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) + 0.0 AS ndcg")
       },
       Some("""
         WITH q AS (
@@ -3244,12 +3253,18 @@ object PipelineOps extends OpGroup {
             * (CASE pos WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
                WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207 WHEN 7 THEN 333333
                WHEN 8 THEN 315465 WHEN 9 THEN 301030 ELSE 289065 END)) AS BIGINT) AS dcg
-          FROM ivf i LEFT JOIN exact e ON i.vec_id = e.vec_id)
+          FROM ivf i LEFT JOIN exact e ON i.vec_id = e.vec_id),
+        ideal AS (
+          SELECT CAST(SUM(CAST(grade AS BIGINT)
+            * (CASE 11 - grade WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+               WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207 WHEN 7 THEN 333333
+               WHEN 8 THEN 315465 WHEN 9 THEN 301030 ELSE 289065 END)) AS BIGINT) AS idcg
+          FROM exact)
         SELECT CAST(10 AS INT) AS k, dcg AS dcg_micro,
-          CAST(29966114 AS BIGINT) AS idcg_micro,
-          CAST(ROUND(CAST(CAST(CAST(dcg AS DOUBLE) / 29966114.0 AS VARCHAR)
+          idcg AS idcg_micro,
+          CAST(ROUND(CAST(CAST(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) AS VARCHAR)
             AS DECIMAL(38,15)), 6) AS DOUBLE) + 0.0 AS ndcg
-        FROM d
+        FROM d, ideal
       """.trim)),
 
     // Adamic-Adar link prediction over the mutual-3NN graph (shared
@@ -3344,12 +3359,7 @@ object PipelineOps extends OpGroup {
           .where(col("pos") <= k)
         val rel = topPerQuery(scored, 1)
           .select(col("qid"), col("vec_id").as("rel_vec_id"))
-        val centroids = e
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("label", "pos")
-          .agg((sum(col("v").cast("double")) / count(lit(1))).as("m"))
-          .groupBy("label")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cemb"))
+        val centroids = labelCentroids(s, dir)
         val cells = centroids.crossJoin(broadcast(q))
           .withColumn("csim", expr(
             "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)")

@@ -84,7 +84,7 @@ object StreamOps extends OpGroup {
 
   /** Build (once per session/sfDir/n) the n-file incremental layout. */
   private def splitDir(s: SparkSession, sfDir: String, n: Int): String =
-    splitCache.getOrElseUpdate((s, sfDir, n), {
+    graft.Caches.memo(splitCache, (s, sfDir, n), {
       val root = Tables.tmpDir("graft_stream_split")
       val lateWinUs = 55L * 60 * 1000000 // < the 1 h watermark delay
       val ev = Tables.events(s, sfDir)
@@ -137,7 +137,7 @@ object StreamOps extends OpGroup {
     // per (session, sfDir): the footer is static test data and each of
     // the 9 stream keys (plus stream_stream_join's two sources) would
     // otherwise re-list and re-parse it.
-    val tsRaw = rawTsCache.getOrElseUpdate((s, sfDir),
+    val tsRaw = graft.Caches.memo(rawTsCache, (s, sfDir),
       s.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType)
     val raw = s.readStream.schema(rawSchema(tsRaw)).parquet(dir.toString)
     // Watermarks require TIMESTAMP (LTZ): EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE

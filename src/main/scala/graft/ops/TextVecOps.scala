@@ -35,7 +35,7 @@ object TextVecOps extends OpGroup {
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
   private def tokenSets(s: org.apache.spark.sql.SparkSession, dir: String) =
-    tokCache.getOrElseUpdate((s, dir), {
+    graft.Caches.memo(tokCache, (s, dir), {
       val d = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
         .repartition(s.sparkContext.defaultParallelism)

@@ -911,9 +911,10 @@ class UnitSuite extends AnyFunSuite {
       .toDF("vec_id", "embedding", "label"))
     val got = SparkEntry.queries("vec_ndcg_eval")(spark, dir).head()
     // one label → IVF retrieves all 3 in exact order: DCG = 10·10⁶ +
-    // 9·630930 + 8·500000 = 19678370 over the constant IDCG.
+    // 9·630930 + 8·500000 = 19678370 = the 3-item truth set's own ideal
+    // DCG, so a perfect index scores ndcg 1.0 even on a tiny catalog.
     assert((got.getInt(0), got.getLong(1), got.getLong(2), got.getDouble(3))
-      == ((10, 19678370L, 29966114L, 0.656687)))
+      == ((10, 19678370L, 19678370L, 1.0)))
   }
 
   test("adamic-adar: two triangles bridged at 3−4 predict exactly the four 2-hop links") {
