@@ -18,6 +18,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** √‖x‖² guarded for the zero vector: under ANSI mode (the Spark 4
+    * default — no session here disables it) a 0.0 cosine denominator
+    * raises DIVIDE_BY_ZERO instead of producing NaN, so one zero
+    * embedding (an empty document's vector — routine in a real corpus)
+    * would kill every similarity query. greatest(·, 1e-300) is EXACTLY
+    * identity for any nonzero float vector (min float² ≈ 2e-90) and
+    * turns the zero vector's cosine into 0.0 — finite, deterministic,
+    * ranks last. Output-side norms (vec_norm, multimodal_join meta) stay
+    * unguarded: there the true 0.0 is the correct answer.
+    */
+  def safeNorm(e: String): org.apache.spark.sql.Column =
+    sqrt(greatest(expr(s"vec_norm_sq($e)"), lit(1e-300)))
+
   /** Idempotent session confs required for determinism vs the DuckDB oracle. */
   def conf(spark: SparkSession): Unit = {
     // events.ts is parquet timestamp[ns]; Spark has no ns type — read as Long.

@@ -370,7 +370,7 @@ object PipelineOps extends OpGroup {
       val w = Window.partitionBy("a").orderBy(desc("sim"), asc("b"))
       val knn = l.join(r, col("la") === col("lb") && col("a") =!= col("b"))
         .withColumn("sim", expr("vec_dot(ea, eb)")
-          / (sqrt(expr("vec_norm_sq(ea)")) * sqrt(expr("vec_norm_sq(eb)"))))
+          / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("la").as("l"), col("a"), col("b"))
@@ -714,7 +714,7 @@ object PipelineOps extends OpGroup {
         l.join(r, col("label") === col("label_r") && col("a") < col("b"))
           .withColumn("dot", expr("vec_dot(ea, eb)"))
           .withColumn("cos",
-            col("dot") / (sqrt(expr("vec_norm_sq(ea)")) * sqrt(expr("vec_norm_sq(eb)"))))
+            col("dot") / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
           .filter(col("cos") >= 0.3)
           .select(col("a"), col("b"), round(col("cos"), 3).as("cos_sim"))
           .orderBy("a", "b")
@@ -745,8 +745,8 @@ object PipelineOps extends OpGroup {
           .withColumn("cdot", expr(
             "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
           .withColumn("csim", col("cdot")
-            / (sqrt(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"))
-              * sqrt(expr("vec_norm_sq(qemb)"))))
+            / (sqrt(greatest(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"), lit(1e-300)))
+              * Tables.safeNorm("qemb")))
           .orderBy(desc("csim"), asc("label"))
           .limit(3)
           .select("label")
@@ -756,7 +756,7 @@ object PipelineOps extends OpGroup {
           .crossJoin(broadcast(q))
           .withColumn("dot", expr("vec_dot(embedding, qemb)"))
           .withColumn("sim", col("dot")
-            / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
           .orderBy(desc("sim"), asc("vec_id"))
           .limit(10)
           .select(col("vec_id"), col("label"), (round(col("sim"), 3) + 0.0).as("cos_sim"))
@@ -829,7 +829,7 @@ object PipelineOps extends OpGroup {
         e.join(cand, "vec_id")
           .crossJoin(broadcast(q0))
           .withColumn("sim", expr("vec_dot(embedding, qemb)")
-            / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
           .orderBy(desc("sim"), asc("vec_id"))
           .limit(10)
           .select(col("vec_id"), (round(col("sim"), 3) + 0.0).as("cos_sim"))
@@ -1179,7 +1179,8 @@ object PipelineOps extends OpGroup {
           .withColumn("cnum", expr(
             "aggregate(zip_with(qv, svec, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
           .withColumn("nq", expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
-          .withColumn("cdist", col("cnum") / sqrt(col("nq").cast("double")))
+          .withColumn("cdist",
+            col("cnum") / sqrt(greatest(col("nq").cast("double"), lit(1e-300))))
           .withColumn("rk", row_number().over(
             Window.partitionBy("label").orderBy(asc("cdist"), asc("vec_id"))))
           .select("vec_id", "label", "rk", "embedding")
@@ -1190,7 +1191,7 @@ object PipelineOps extends OpGroup {
               col("rk").as("rkb"), col("embedding").as("eb")),
             col("la") === col("lb") && col("rka") < col("rkb"))
           .withColumn("sim", expr("vec_dot(ea, eb)")
-            / (sqrt(expr("vec_norm_sq(ea)")) * sqrt(expr("vec_norm_sq(eb)"))))
+            / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
           .filter(col("sim") >= 0.30)
           .select(col("bid")).distinct()
         ranked.join(dropped, ranked("vec_id") === dropped("bid"), "left")
@@ -1929,7 +1930,7 @@ object PipelineOps extends OpGroup {
         val w = Window.partitionBy("a").orderBy(desc("sim"), asc("b"))
         a.join(b, col("la") === col("lb") && col("a") =!= col("b"))
           .withColumn("sim", expr("vec_dot(ea, eb)")
-            / (sqrt(expr("vec_norm_sq(ea)")) * sqrt(expr("vec_norm_sq(eb)"))))
+            / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select(col("a"), col("rk"), col("b"),
@@ -2457,15 +2458,15 @@ object PipelineOps extends OpGroup {
         val scored = e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .withColumn("sim", expr("vec_dot(embedding, qemb)")
-            / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
         val exact = scored.orderBy(desc("sim"), asc("vec_id")).limit(10).select("vec_id")
         val centroids = labelCentroids(s, dir)
         val topCells = centroids.crossJoin(broadcast(q))
           .withColumn("cdot", expr(
             "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
           .withColumn("csim", col("cdot")
-            / (sqrt(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"))
-              * sqrt(expr("vec_norm_sq(qemb)"))))
+            / (sqrt(greatest(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"), lit(1e-300)))
+              * Tables.safeNorm("qemb")))
           .orderBy(desc("csim"), asc("label"))
           .limit(3)
           .select("label")
@@ -2526,10 +2527,10 @@ object PipelineOps extends OpGroup {
         val scored = e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .withColumn("sim_full", expr("vec_dot(embedding, qemb)")
-            / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
           .withColumn("tr", slice(col("embedding"), 1, 16))
           .withColumn("sim_tr", expr("vec_dot(tr, qtr)")
-            / (sqrt(expr("vec_norm_sq(tr)")) * sqrt(expr("vec_norm_sq(qtr)"))))
+            / (Tables.safeNorm("tr") * Tables.safeNorm("qtr")))
         val full = scored.orderBy(desc("sim_full"), asc("vec_id")).limit(10).select("vec_id")
         val trunc = scored.orderBy(desc("sim_tr"), asc("vec_id")).limit(10).select("vec_id")
         full.join(trunc, "vec_id")
@@ -2913,11 +2914,18 @@ object PipelineOps extends OpGroup {
               .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("r2"))
           .selectExpr("CAST(n1 AS BIGINT) AS n_pos", "CAST(n - n1 AS BIGINT) AS n_neg",
             "CAST(r2 - CAST(n1 AS DECIMAL(38,0)) * CAST(n1 + 1 AS DECIMAL(38,0)) AS DOUBLE) AS ud")
+          // AUC is undefined when either class is empty (an eval shard
+          // with no positives is routine): NULL, not a DIVIDE_BY_ZERO
+          // under default-ANSI Spark 4. The oracle stays unguarded —
+          // verification data always has both classes, where the guard
+          // is identity.
           .selectExpr("n_pos", "n_neg",
-            """round(ud / (2.0d * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 4)
-               + 0.0 AS auc""",
-            """round(ud / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0d, 4)
-               + 0.0 AS gini_coef""")
+            """CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS DOUBLE)
+               ELSE round(ud / (2.0d * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 4)
+               + 0.0 END AS auc""",
+            """CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS DOUBLE)
+               ELSE round(ud / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0d, 4)
+               + 0.0 END AS gini_coef""")
       },
       Some("""
         WITH f AS (
@@ -3003,8 +3011,8 @@ object PipelineOps extends OpGroup {
             aggregate(transform(sequence(0, 3), i ->
               CAST(round(array_max(transform(sequence(0, 3), j ->
                 vec_dot(slice(qemb, 1 + 16 * i, 16), slice(embedding, 1 + 16 * j, 16))
-                  / (sqrt(vec_norm_sq(slice(qemb, 1 + 16 * i, 16)))
-                     * sqrt(vec_norm_sq(slice(embedding, 1 + 16 * j, 16))))))
+                  / (sqrt(greatest(vec_norm_sq(slice(qemb, 1 + 16 * i, 16)), 1e-300d))
+                     * sqrt(greatest(vec_norm_sq(slice(embedding, 1 + 16 * j, 16)), 1e-300d)))))
                 * 1000000.0d, 0) AS BIGINT)),
               CAST(0 AS BIGINT), (a, x) -> a + x)"""))
           .orderBy(desc("maxsim_micro"), asc("vec_id"))
@@ -3018,8 +3026,8 @@ object PipelineOps extends OpGroup {
               CAST(ROUND(CAST(CAST(list_max(list_transform(range(0, 4), j ->
                 list_dot_product(list_slice(qemb, 1 + 16 * i, 16 + 16 * i),
                                  list_slice(emb, 1 + 16 * j, 16 + 16 * j))
-                  / (sqrt(list_sum(list_transform(list_slice(qemb, 1 + 16 * i, 16 + 16 * i), x -> x * x)))
-                     * sqrt(list_sum(list_transform(list_slice(emb, 1 + 16 * j, 16 + 16 * j), x -> x * x))))))
+                  / (sqrt(greatest(list_sum(list_transform(list_slice(qemb, 1 + 16 * i, 16 + 16 * i), x -> x * x)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(list_slice(emb, 1 + 16 * j, 16 + 16 * j), x -> x * x)), 1e-300)))))
                 * 1000000.0 AS VARCHAR) AS DECIMAL(38,15)), 0) AS BIGINT))) AS BIGINT) AS maxsim_micro
           FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id <> 0),
             (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0)
@@ -3112,7 +3120,7 @@ object PipelineOps extends OpGroup {
           .crossJoin(broadcast(q))
           .withColumn("ip", expr("vec_dot(embedding, qemb)"))
           .withColumn("sim", col("ip")
-            / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
         val topC = scored.orderBy(desc("sim"), asc("vec_id")).limit(20)
           .select("vec_id", "sim")
           .withColumn("rank_cos",
@@ -3178,7 +3186,7 @@ object PipelineOps extends OpGroup {
         val scored = e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .withColumn("sim", expr("vec_dot(embedding, qemb)")
-            / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
         val exact = scored.orderBy(desc("sim"), asc("vec_id")).limit(10)
           .select("vec_id", "sim")
           .withColumn("grade",
@@ -3189,8 +3197,8 @@ object PipelineOps extends OpGroup {
           .withColumn("cdot", expr(
             "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
           .withColumn("csim", col("cdot")
-            / (sqrt(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"))
-              * sqrt(expr("vec_norm_sq(qemb)"))))
+            / (sqrt(greatest(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"), lit(1e-300)))
+              * Tables.safeNorm("qemb")))
           .orderBy(desc("csim"), asc("label"))
           .limit(3)
           .select("label")
@@ -3348,7 +3356,7 @@ object PipelineOps extends OpGroup {
         val scored = e.filter(col("vec_id") >= 5)
           .crossJoin(broadcast(q))
           .withColumn("sim", expr("vec_dot(embedding, qemb)")
-            / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
           .withColumn("salt", pmod(col("vec_id"), lit(8)))
         def topPerQuery(df: org.apache.spark.sql.DataFrame, k: Int) = df
           .withColumn("r1", row_number().over(
@@ -3363,8 +3371,8 @@ object PipelineOps extends OpGroup {
         val cells = centroids.crossJoin(broadcast(q))
           .withColumn("csim", expr(
             "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)")
-            / (sqrt(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"))
-              * sqrt(expr("vec_norm_sq(qemb)"))))
+            / (sqrt(greatest(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"), lit(1e-300)))
+              * Tables.safeNorm("qemb")))
           .withColumn("crk", row_number().over(
             Window.partitionBy("qid").orderBy(desc("csim"), asc("label"))))
           .where(col("crk") <= 3)

@@ -374,7 +374,7 @@ object TextVecOps extends OpGroup {
           .crossJoin(broadcast(q))
           .withColumn("dot", expr("vec_dot(embedding, qemb)"))
           .withColumn("sim",
-            col("dot") / (sqrt(expr("vec_norm_sq(embedding)")) * sqrt(expr("vec_norm_sq(qemb)"))))
+            col("dot") / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
           .orderBy(desc("sim"), asc("vec_id"))
           .limit(10)
           .select(col("vec_id"), (round(col("sim"), 3) + 0.0).as("cos_sim"))

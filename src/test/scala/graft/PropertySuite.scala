@@ -47,6 +47,47 @@ class PropertySuite extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("every vec_*/graph_*/multimodal_* op survives an adversarial embedding table " +
+    "(zero vectors incl. the query, exact duplicates, sub-k corpus)") {
+    // The vector twin of the adversarial-corpus gate: a zero QUERY vector
+    // makes every cosine NaN (0/0), a zero corpus vector NaNs one side,
+    // exact duplicates force sim ties at the top-k boundary, and a corpus
+    // smaller than k/cluster counts exercises the empty-cell paths. The
+    // bar is no-throw; NaN-valued outputs are legal. Key list derives
+    // from SparkEntry.queries so new vector ops are covered on landing.
+    def v(pos: Int): Array[Float] = {
+      val a = Array.fill(64)(0f); if (pos >= 0) a(pos) = 1f; a
+    }
+    val emb = Seq(
+      (0L, v(-1), 0),  // ZERO query vector → all sims NaN
+      (1L, v(0), 0),
+      (2L, v(0), 0),   // exact duplicate of 1 → top-k tie
+      (3L, v(1), 0),
+      (4L, v(2), 1),
+      (5L, v(-1), 1),  // zero corpus vector
+      (6L, v(3), 1))
+      .toDF("vec_id", "embedding", "label")
+    val docs = Seq(
+      (1L, "", "en", "src0", 0L),
+      (2L, "word", "en", "src0", 4L),
+      (3L, "a b c", "en", "src1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // graph_pagerank_step builds its edges from lineitem⋈orders, not the
+    // embedding graph — give it a two-edge world.
+    val li = Seq((1L, 10L), (2L, 11L)).toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((1L, 20L), (2L, 21L)).toDF("o_orderkey", "o_custkey")
+    val dir = miniDir(
+      "embeddings" -> emb, "documents" -> docs, "lineitem" -> li, "orders" -> ord)
+    val keys = SparkEntry.queries.keySet.toSeq.sorted.filter(k =>
+      k.startsWith("vec_") || k.startsWith("graph_") || k.startsWith("multimodal_"))
+    assert(keys.size >= 25, s"vector family shrank? found ${keys.size}")
+    val failures = keys.flatMap { k =>
+      try { SparkEntry.queries(k)(spark, dir).collect(); None }
+      catch { case e: Throwable => Some(s"$k: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("cardinality algebra: |A semi B| <= |A|, |A unionAll B| = |A|+|B|") {
     samples(4).grouped(2).collect { case Seq(a, b) =>
       val da = a.toDF("k", "v")
