@@ -1303,6 +1303,116 @@ object AggOps extends OpGroup {
             CAST(ROUND(CAST(CAST(cqp / (sqrt(vq) * sqrt(vp)) AS VARCHAR)
               AS DECIMAL(38,15)), 6) AS DOUBLE) + 0.0 AS corr FROM c)
         ORDER BY pair
+      """.trim)),
+
+    // Kruskal-Wallis H: the k-group nonparametric ANOVA — does the
+    // order-value DISTRIBUTION differ across all five priorities?
+    // (agg_mann_whitney's k=2 machinery generalized exactly:
+    // agg_anova_f is to agg_welch_ttest what this is to mann_whitney.)
+    // Values collapse to distinct integer cents, global prefix counts
+    // come from the same TWO-LEVEL banded prefix sum, per-group rank
+    // sums run in half-units (2·rank integer) in DECIMAL(38,0), each
+    // group's R²/n contribution is repr-rounded 4 dp and summed in
+    // exact DECIMAL (the anova stance), and the tie-corrected H is one
+    // single-row double tree (rules 9 + 10: sumt's unscaled value passes
+    // 2⁵³, so the oracle converts it via VARCHAR).
+    Op("agg_kruskal_wallis",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // (cents, grp, cg) — feeds the value-level rollup AND the
+        // per-group rank sums; one checkpoint, one orders scan.
+        val bg = Tables.t(s, dir, "orders")
+          .select(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
+            col("o_orderpriority").as("grp"))
+          .groupBy("cents", "grp").agg(count(lit(1)).as("cg"))
+          .withColumn("band", expr("cents DIV 1000000"))
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "kw_byval", Set("agg_kruskal_wallis"),
+          () => graft.Caches.releaseCheckpoint(bg))
+        val vals = bg.groupBy("cents", "band").agg(sum("cg").as("c"))
+        val wIn = Window.partitionBy("band").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val inb = vals.withColumn("in_cb", sum(col("c")).over(wIn) - col("c"))
+        val wB = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+        val bandCb = vals.groupBy("band").agg(sum(col("c")).as("bc"))
+          .withColumn("band_cb", sum(col("bc")).over(wB) - col("bc"))
+          .select("band", "band_cb")
+        val ranked = inb.join(broadcast(bandCb), "band")
+          .withColumn("cb", col("band_cb") + col("in_cb"))
+          .select("cents", "c", "cb")
+        val pg = bg.join(ranked, "cents")
+          .groupBy("grp")
+          .agg(sum(col("cg")).as("ng"),
+            sum((col("cg").cast(DecimalType(19, 0))
+              * (col("cb") * 2 + col("c") + 1).cast(DecimalType(19, 0)))
+              .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("r2"))
+          .withColumn("tg", expr(
+            "CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / (4.0d * CAST(ng AS DOUBLE)), 4) AS DECIMAL(38,4))"))
+        val ties = ranked.agg(
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).cast(DecimalType(38, 0)).as("tsum"))
+        pg.agg(count(lit(1)).cast("int").as("k"),
+            sum(col("ng")).as("nn"),
+            sum(col("tg")).cast(DecimalType(38, 4)).as("sumt"))
+          .crossJoin(broadcast(ties))
+          .selectExpr("k", "CAST(nn AS BIGINT) AS n",
+            """round(12.0d * CAST(sumt AS DOUBLE)
+                 / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))
+               - 3.0d * CAST(nn + 1 AS DOUBLE), 4) + 0.0 AS h_stat""",
+            """round(1.0d - CAST(tsum AS DOUBLE)
+               / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                  - CAST(nn AS DOUBLE)), 6) + 0.0 AS tie_correction""",
+            """round((12.0d * CAST(sumt AS DOUBLE)
+                 / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))
+               - 3.0d * CAST(nn + 1 AS DOUBLE))
+               / (1.0d - CAST(tsum AS DOUBLE)
+                 / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                    - CAST(nn AS DOUBLE))), 4) + 0.0 AS h_corrected""")
+      },
+      Some("""
+        WITH f AS (
+          SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+            o_orderpriority AS grp
+          FROM orders),
+        bg AS (SELECT cents, grp, COUNT(*) AS cg FROM f GROUP BY 1, 2),
+        vals AS (SELECT cents, CAST(SUM(cg) AS BIGINT) AS c FROM bg GROUP BY 1),
+        rk AS (
+          SELECT cents, c,
+            CAST(SUM(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS cb
+          FROM vals),
+        pg AS (
+          SELECT grp, CAST(SUM(cg) AS BIGINT) AS ng,
+            CAST(SUM(CAST(cg AS HUGEINT) * (2 * cb + c + 1)) AS DECIMAL(38,0)) AS r2
+          FROM bg JOIN rk USING (cents) GROUP BY 1),
+        tg AS (
+          SELECT grp, ng,
+            CAST(ROUND(CAST(CAST(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+              / (4.0 * CAST(ng AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,15)), 4)
+              AS DECIMAL(38,4)) AS tg
+          FROM pg),
+        tt AS (
+          SELECT CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS DECIMAL(38,0)) AS tsum
+          FROM vals),
+        a AS (
+          SELECT CAST(COUNT(*) AS INT) AS k, CAST(SUM(ng) AS BIGINT) AS nn,
+            CAST(SUM(tg) AS DECIMAL(38,4)) AS sumt
+          FROM tg)
+        SELECT k, nn AS n,
+          CAST(ROUND(CAST(CAST(12.0 * CAST(CAST(sumt AS VARCHAR) AS DOUBLE)
+              / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))
+            - 3.0 * CAST(nn + 1 AS DOUBLE) AS VARCHAR) AS DECIMAL(38,15)), 4)
+            AS DOUBLE) + 0.0 AS h_stat,
+          CAST(ROUND(CAST(CAST(1.0 - CAST(tsum AS DOUBLE)
+            / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+               - CAST(nn AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,15)), 6)
+            AS DOUBLE) + 0.0 AS tie_correction,
+          CAST(ROUND(CAST(CAST((12.0 * CAST(CAST(sumt AS VARCHAR) AS DOUBLE)
+              / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))
+            - 3.0 * CAST(nn + 1 AS DOUBLE))
+            / (1.0 - CAST(tsum AS DOUBLE)
+              / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                 - CAST(nn AS DOUBLE))) AS VARCHAR) AS DECIMAL(38,15)), 4)
+            AS DOUBLE) + 0.0 AS h_corrected
+        FROM a, tt
       """.trim))
   )
 }

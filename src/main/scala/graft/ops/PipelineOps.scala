@@ -3428,6 +3428,80 @@ object PipelineOps extends OpGroup {
           CAST(COALESCE(1000000 // i.pos, 0) AS BIGINT) AS rr_micro
         FROM rel r LEFT JOIN ivf i ON r.qid = i.qid AND r.rel_vec_id = i.vec_id
         ORDER BY r.qid
+      """.trim)),
+
+    // Feature-hashing tf-idf document vectors (the hashing-trick
+    // featurizer bridging the text and vector families): each token's
+    // tf·ln(N/df) weight lands in md5-hash bucket mod 64; per-doc audit
+    // row = (nnz, dominant bucket, its weight, ℓ2 norm). Weights
+    // collapse to exact integer MICRO-units at the only float boundary
+    // (repr-ROUND of tf·idf·10⁶ — the agg_entropy ln() stance), so
+    // bucket sums are order-insensitive integers. Two hash aggregates
+    // over the token explosion + one |docs|×≤64-row argmax window;
+    // everything partial-aggregates. The oracle converts the Σw² decimal
+    // via VARCHAR (rule 10 — its unscaled value can pass 2⁵³).
+    Op("text_hashing_tfidf",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val nd = docs.agg(count(lit(1)).as("nd"))
+        // The (doc, token, tf) frame feeds BOTH the weight join and the
+        // document-frequency rollup — materialize it so the token
+        // explosion runs once (it is the inverted-index artifact a real
+        // featurization pipeline persists anyway).
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .where(length(col("tok")) > 0)
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "tfidf_tf", Set("text_hashing_tfidf"),
+          () => graft.Caches.releaseCheckpoint(tf))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val vecb = tf.join(dfreq, "tok").crossJoin(broadcast(nd))
+          .withColumn("wm", expr(
+            "CAST(round(CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000, 0) AS BIGINT)"))
+          .withColumn("bucket", pmod(expr(md5Long("tok")), lit(64)).cast("int"))
+          .groupBy("doc_id", "bucket").agg(sum("wm").as("wb"))
+          .where(col("wb") =!= 0)
+        vecb
+          .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(desc("wb"), asc("bucket"))))
+          .withColumn("nnz", count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id")))
+          .withColumn("ssq", sum(col("wb").cast(DecimalType(38, 0)) * col("wb"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+          .where(col("rk") === 1)
+          .selectExpr("doc_id", "CAST(nnz AS INT) AS nnz",
+            "bucket AS top_bucket", "wb AS top_w_micro",
+            "round(sqrt(CAST(ssq AS DOUBLE)), 3) + 0.0 AS l2_micro")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH nd AS (SELECT COUNT(*) AS nd FROM documents),
+        tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE len(tok) > 0 GROUP BY 1, 2),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        vecb AS (
+          SELECT doc_id,
+            CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS INT) AS bucket,
+            CAST(SUM(CAST(ROUND(CAST(CAST(CAST(tf AS DOUBLE)
+              * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000 AS VARCHAR)
+              AS DECIMAL(38,15)), 0) AS BIGINT)) AS BIGINT) AS wb
+          FROM tf JOIN dfreq USING (tok), nd
+          GROUP BY 1, 2),
+        nz AS (SELECT doc_id, bucket, wb FROM vecb WHERE wb <> 0),
+        r AS (
+          SELECT doc_id, bucket, wb,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wb DESC, bucket) AS rk,
+            COUNT(*) OVER (PARTITION BY doc_id) AS nnz,
+            SUM(CAST(wb AS HUGEINT) * wb) OVER (PARTITION BY doc_id) AS ssq
+          FROM nz)
+        SELECT doc_id, CAST(nnz AS INT) AS nnz, bucket AS top_bucket,
+          wb AS top_w_micro,
+          CAST(ROUND(CAST(CAST(sqrt(CAST(CAST(CAST(ssq AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE))
+            AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS l2_micro
+        FROM r WHERE rk = 1 ORDER BY doc_id
       """.trim))
   )
 }

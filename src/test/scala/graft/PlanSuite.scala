@@ -894,4 +894,19 @@ class PlanSuite extends AnyFunSuite {
     assert("""hashpartitioning\(qid#\d+L?, salt#\d+""".r.findFirstIn(m).isDefined,
       "the first top-k level must shard by (query, salt), not funnel by query alone")
   }
+
+  test("kruskal-wallis reads the checkpointed value frame; hashing-tfidf shards by doc") {
+    val k = plan("agg_kruskal_wallis")
+    assert(!k.contains("Scan parquet"),
+      "all rank math must run on the checkpointed (cents, grp) frame — one orders scan at build")
+    assert(!k.contains("CartesianProduct"),
+      "the single-row ties frame must broadcast")
+
+    val h = plan("text_hashing_tfidf")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(h).size == 1,
+      "the token explosion is checkpointed; only the N scalar re-touches documents")
+    assert(h.contains("partial_"), "tf/df counts must partial-aggregate")
+    assert("""hashpartitioning\(doc_id#\d+L?[,)]""".r.findFirstIn(h).isDefined,
+      "the argmax/norm windows must shard by doc_id")
+  }
 }

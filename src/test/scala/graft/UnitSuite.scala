@@ -979,6 +979,31 @@ class UnitSuite extends AnyFunSuite {
     assert(got.toSeq == Seq(("click", 15L, 0.0, 1.0)))
   }
 
+  test("kruskal-wallis: distinct ranks 1,2 vs 3,4 give H=2.4, no tie correction") {
+    val dir = miniDir("orders" -> Seq(
+      (1L, "1-URGENT", 0.01), (2L, "1-URGENT", 0.02),
+      (3L, "5-LOW", 0.03), (4L, "5-LOW", 0.04))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice"))
+    val got = SparkEntry.queries("agg_kruskal_wallis")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // R₁=3, R₂=7 → ΣR²/n = 29 → H = 12·29/20 − 15 = 2.4; no ties → C=1.
+    assert(got.toSeq == Seq((2, 4L, 2.4, 1.0, 2.4)))
+  }
+
+  test("hashing tfidf: zero-idf tokens vanish; singleton tokens carry tf·ln2 micro-weights") {
+    val dir = miniDir("documents" -> Seq(
+      (1L, "a a b", "en", "s", 5L), (2L, "b c", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = SparkEntry.queries("text_hashing_tfidf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4)))
+    // df(b)=2=N → idf 0 → bucket dropped; w(a)=2·ln2·10⁶=1386294,
+    // w(c)=ln2·10⁶=693147; md5 buckets: a→42, c→51.
+    assert(got.toSeq == Seq(
+      (1L, 1, 42, 1386294L, 1386294.0), (2L, 1, 51, 693147L, 693147.0)))
+  }
+
   test("mrr: each query's nearest neighbor retrieved at position 1") {
     // queries 0..4 at five directions; corpus 5..9 are the same
     // directions at 2×: rel(i) = 5+i, found at IVF pos 1 → rr = 10⁶.
