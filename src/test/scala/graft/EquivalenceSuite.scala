@@ -304,4 +304,39 @@ class EquivalenceSuite extends AnyFunSuite {
     val hiRecall = (hi & sim).size.toDouble / hi.size
     assert(hiRecall >= 0.9, s"j>=0.97 recall=$hiRecall (|hi|=${hi.size})")
   }
+
+  test("vec_rrf_fusion legs replicate the standalone cosine/MIPS top-10 sets") {
+    // The fusion op re-states the vec_cosine_topk / vec_mips_topk scoring
+    // formulas inline; this pins that each leg's rank-≤10 members come
+    // from that standalone op's top-10 SET (positions can differ — the
+    // standalone outputs re-order by the ROUNDED score), so a change to
+    // one scorer cannot silently diverge from its fusion leg.
+    val rrf = SparkEntry.queries("vec_rrf_fusion")(spark, sf0001).collect()
+    val cos = SparkEntry.queries("vec_cosine_topk")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val mips = SparkEntry.queries("vec_mips_topk")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(rrf.nonEmpty)
+    rrf.foreach { r =>
+      val id = r.getLong(0)
+      if (!r.isNullAt(2) && r.getInt(2) <= 10)
+        assert(cos.contains(id), s"cos-leg rank ${r.getInt(2)} id $id not in standalone top-10")
+      if (!r.isNullAt(3) && r.getInt(3) <= 10)
+        assert(mips.contains(id), s"ip-leg rank ${r.getInt(3)} id $id not in standalone top-10")
+    }
+  }
+
+  test("vec_ndcg_eval and vec_recall_eval agree: perfect recall implies perfect ndcg") {
+    // Both replicate the same IVF(probe=3) path against the same exact
+    // top-10; if recall@10 is 1.0 AND the orderings agree, NDCG must be
+    // exactly 1.0 — and NDCG below 1 with recall 1.0 is the
+    // order-inversion case the op exists to catch, so only assert the
+    // implication, not equality.
+    val rec = SparkEntry.queries("vec_recall_eval")(spark, sf0001).head()
+    val ndcg = SparkEntry.queries("vec_ndcg_eval")(spark, sf0001).head()
+    assert(ndcg.getDouble(3) <= 1.0 + 1e-9)
+    if (rec.getDouble(2) < 1.0)
+      assert(ndcg.getDouble(3) < 1.0,
+        "missing exact-top-10 items cannot yield a perfect NDCG")
+  }
 }
