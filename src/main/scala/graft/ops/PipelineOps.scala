@@ -112,6 +112,35 @@ object PipelineOps extends OpGroup {
       sp
     })
 
+  /** (doc_id, lang, tok, tf) per-document term frequencies — the
+    * inverted-index artifact shared by the featurization family
+    * (`text_hashing_tfidf`) and the unigram-LM family
+    * (`text_lm_perplexity`, `text_zipf_fit`). Each consumer needs the
+    * token explosion + (doc, tok) aggregate; building it once and
+    * checkpointing the compact 4-column frame is the same persist-the-
+    * index move a real pipeline makes. Released once all three consumer
+    * keys have run. The repartition spreads the explode across all cores
+    * (documents.parquet is a single file → one input partition
+    * otherwise).
+    */
+  private val tokenTfCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def tokenTf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.Caches.memo(tokenTfCache, (s, dir), {
+      val tf = Tables.t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      graft.Caches.track(s, dir, "token_tf",
+        Set("text_hashing_tfidf", "text_lm_perplexity", "text_zipf_fit"),
+        () => tokenTfCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
+      tf
+    })
+
   /** Band buckets larger than this refine on a secondary half-band key
     * instead of joining all-pairs. 500 caps the per-bucket join at
     * ~125 k comparisons; above it the pair count grows quadratically
@@ -3445,16 +3474,10 @@ object PipelineOps extends OpGroup {
         val docs = Tables.t(s, dir, "documents")
         val nd = docs.agg(count(lit(1)).as("nd"))
         // The (doc, token, tf) frame feeds BOTH the weight join and the
-        // document-frequency rollup — materialize it so the token
-        // explosion runs once (it is the inverted-index artifact a real
-        // featurization pipeline persists anyway).
-        val tf = docs
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .where(length(col("tok")) > 0)
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-          .localCheckpoint(true)
-        graft.Caches.track(s, dir, "tfidf_tf", Set("text_hashing_tfidf"),
-          () => graft.Caches.releaseCheckpoint(tf))
+        // document-frequency rollup — the shared [[tokenTf]] checkpoint
+        // makes the token explosion run once across this key and the
+        // unigram-LM family.
+        val tf = tokenTf(s, dir)
         val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val vecb = tf.join(dfreq, "tok").crossJoin(broadcast(nd))
           .withColumn("wm", expr(
@@ -3502,6 +3525,152 @@ object PipelineOps extends OpGroup {
           CAST(ROUND(CAST(CAST(sqrt(CAST(CAST(CAST(ssq AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE))
             AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS l2_micro
         FROM r WHERE rk = 1 ORDER BY doc_id
+      """.trim)),
+
+    // CCNet-style unigram-LM quality profile: per-doc bits-per-token
+    // under the corpus's own unigram model — h = log2(N) − (Σ tf·log2 c_w)/n
+    // — rolled up per language (mean + min/max of the 6-dp per-doc
+    // values). Low-perplexity docs are templated/repetitive, high-
+    // perplexity docs are noise — THE classic corpus-filter signal
+    // (CCNet trains a 5-gram KenLM; the unigram model is its in-engine,
+    // oracle-checkable form). Determinism: each (doc, token) term is
+    // rounded to integer MICRO-bits before summation (the
+    // text_hashing_tfidf stance — addition-order-independent by
+    // construction), the per-doc h repr-rounds at 6 dp, and the per-lang
+    // mean runs in exact DECIMAL. Scale: the token explosion partial-
+    // aggregates into the shared [[tokenTf]] index; the vocabulary
+    // aggregate and the tf⋈vocab join are keyed on `tok` — shuffle
+    // volume is corpus-linear once, vocabulary-bounded after.
+    Op("text_lm_perplexity",
+      (s, dir) => {
+        val tf = tokenTf(s, dir)
+        val vocab = tf.groupBy("tok").agg(sum("tf").as("cw"))
+        val tot = vocab.agg(sum("cw").as("nn"))
+        tf.join(vocab, "tok")
+          .withColumn("tm", expr(
+            "CAST(round(CAST(tf AS DOUBLE) * log2(CAST(cw AS DOUBLE)) * 1000000, 0) AS BIGINT)"))
+          .groupBy("doc_id", "lang")
+          .agg(sum("tf").as("n_tok"),
+            sum(col("tm").cast(DecimalType(38, 0))).as("stl"))
+          .crossJoin(broadcast(tot))
+          .withColumn("h", expr(
+            """round(log2(CAST(nn AS DOUBLE))
+               - (CAST(stl AS DOUBLE) / 1000000.0D) / CAST(n_tok AS DOUBLE), 6)"""))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("h").cast(DecimalType(18, 6))).cast("double")
+              / count(lit(1)), 3).as("mean_bits"),
+            min("h").as("min_bits"),
+            max("h").as("max_bits"))
+          .selectExpr("lang", "n_docs", "mean_bits + 0.0 AS mean_bits",
+            "min_bits + 0.0 AS min_bits", "max_bits + 0.0 AS max_bits")
+          .orderBy("lang")
+      },
+      Some("""
+        WITH tf AS (
+          SELECT doc_id, lang, tok, COUNT(*) AS tf FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE len(tok) > 0 GROUP BY 1, 2, 3),
+        vocab AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cw FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS nn FROM vocab),
+        doc AS (
+          SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_tok,
+            CAST(SUM(CAST(ROUND(CAST(CAST(CAST(tf AS DOUBLE) * log2(CAST(cw AS DOUBLE))
+              * 1000000 AS VARCHAR) AS DECIMAL(38,15)), 0) AS BIGINT)) AS HUGEINT) AS stl
+          FROM tf JOIN vocab USING (tok) GROUP BY 1, 2),
+        h AS (
+          SELECT lang,
+            ROUND(CAST(CAST(log2(CAST(nn AS DOUBLE))
+              - (CAST(CAST(stl AS VARCHAR) AS DOUBLE) / 1000000.0) / CAST(n_tok AS DOUBLE)
+              AS VARCHAR) AS DECIMAL(38,15)), 6) AS h
+          FROM doc, tot)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(ROUND(CAST(CAST(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+            AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS mean_bits,
+          CAST(CAST(MIN(h) AS VARCHAR) AS DOUBLE) + 0.0 AS min_bits,
+          CAST(CAST(MAX(h) AS VARCHAR) AS DOUBLE) + 0.0 AS max_bits
+        FROM h GROUP BY 1 ORDER BY 1
+      """.trim)),
+
+    // Zipf rank-frequency fit per language: least-squares slope (and r²)
+    // of ln(count) against ln(rank) over the top-100 terms — natural
+    // language sits near slope −1 (Zipf's law); machine-generated or
+    // templated text bends away from it, making the slope a corpus-level
+    // quality/authenticity screen next to the per-doc signals. All five
+    // regression sums run over integer MICRO-ln values in exact
+    // DECIMAL(38,0) (addition-order-independent; the slope/r² are single
+    // divisions of exact integers, repr-rounded at 4 dp — ln() never
+    // decides membership, the rank cut does). Scale: term counts are a
+    // vocabulary-bounded aggregate over the shared [[tokenTf]] index;
+    // the rank window runs per-lang on the vocabulary frame, and the
+    // regression reduces 100 rows per lang — nothing touches the corpus
+    // after the first partial-aggregating scan.
+    Op("text_zipf_fit",
+      (s, dir) => {
+        val d0 = DecimalType(38, 0)
+        tokenTf(s, dir)
+          .groupBy("lang", "tok").agg(sum("tf").as("c"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy(desc("c"), asc("tok"))))
+          .where(col("rk") <= 100)
+          .withColumn("xm", expr(
+            "CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000, 0) AS BIGINT)"))
+          .withColumn("ym", expr(
+            "CAST(round(ln(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)"))
+          .groupBy("lang")
+          .agg(count(lit(1)).cast(d0).as("n"),
+            sum(col("xm").cast(d0)).as("sx"),
+            sum(col("ym").cast(d0)).as("sy"),
+            sum(col("xm").cast(d0) * col("ym").cast(d0)).as("sxy"),
+            sum(col("xm").cast(d0) * col("xm").cast(d0)).as("sxx"),
+            sum(col("ym").cast(d0) * col("ym").cast(d0)).as("syy"))
+          .where(col("n") >= 2)
+          .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+          .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+          .selectExpr("lang", "CAST(n AS BIGINT) AS n_terms",
+            "round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) + 0.0 AS slope",
+            """CASE WHEN deny = 0 THEN CAST(1.0 AS DOUBLE)
+               ELSE round(CAST(num * num AS DOUBLE) / CAST(den * deny AS DOUBLE), 4) END
+               + 0.0 AS r2""")
+          .orderBy("lang")
+      },
+      Some("""
+        WITH tc AS (
+          SELECT lang, tok, COUNT(*) AS c FROM (
+            SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE len(tok) > 0 GROUP BY 1, 2),
+        rk AS (
+          SELECT lang, c,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rk
+          FROM tc),
+        m AS (
+          SELECT lang,
+            CAST(CAST(ROUND(CAST(CAST(ln(CAST(rk AS DOUBLE)) * 1000000 AS VARCHAR)
+              AS DECIMAL(38,15)), 0) AS BIGINT) AS HUGEINT) AS xm,
+            CAST(CAST(ROUND(CAST(CAST(ln(CAST(c AS DOUBLE)) * 1000000 AS VARCHAR)
+              AS DECIMAL(38,15)), 0) AS BIGINT) AS HUGEINT) AS ym
+          FROM rk WHERE rk <= 100),
+        sums AS (
+          SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+            SUM(xm) AS sx, SUM(ym) AS sy,
+            SUM(xm * ym) AS sxy, SUM(xm * xm) AS sxx, SUM(ym * ym) AS syy
+          FROM m GROUP BY 1 HAVING COUNT(*) >= 2),
+        fit AS (
+          SELECT lang, n,
+            n * sxy - sx * sy AS num,
+            n * sxx - sx * sx AS den,
+            n * syy - sy * sy AS deny
+          FROM sums)
+        SELECT lang, CAST(n AS BIGINT) AS n_terms,
+          CAST(ROUND(CAST(CAST(CAST(CAST(num AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS VARCHAR)
+            AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS slope,
+          CASE WHEN deny = 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(ROUND(CAST(CAST(CAST(CAST(num * num AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(den * deny AS VARCHAR) AS DOUBLE) AS VARCHAR)
+              AS DECIMAL(38,15)), 4) AS DOUBLE) END + 0.0 AS r2
+        FROM fit ORDER BY lang
       """.trim))
   )
 }

@@ -877,6 +877,23 @@ class PlanSuite extends AnyFunSuite {
       "the two-hop and anti joins must stay equi-keyed (degree-bounded)")
   }
 
+  test("lm perplexity and zipf fit read the shared token-tf checkpoint, never rescan") {
+    // Both consume the [[PipelineOps.tokenTf]] inverted-index frame: the
+    // corpus is scanned exactly once at its build, and every downstream
+    // stage (vocabulary agg, tf⋈vocab join, rank window) runs on the
+    // compact checkpointed artifact.
+    val p = plan("text_lm_perplexity")
+    assert(!p.contains("Scan parquet"),
+      "the corpus is scanned once at token-tf build; the query must not rescan it")
+    assert(!p.contains("CartesianProduct"),
+      "the N scalar must broadcast, not cartesian")
+
+    val z = plan("text_zipf_fit")
+    assert(!z.contains("Scan parquet"),
+      "zipf term counts must come from the shared token-tf checkpoint")
+    assert(!z.contains("CartesianProduct"))
+  }
+
   test("corr matrix and seasonal strength are single-scan; mrr top-k is salt-sharded") {
     val c = plan("agg_corr_matrix")
     assert("""\(\d+\) Scan parquet""".r.findAllIn(c).size == 1,

@@ -1016,4 +1016,31 @@ class UnitSuite extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
     assert(got.toSeq == (0 until 5).map(i => (i.toLong, 5L + i, 1, 1000000L)))
   }
+
+  test("lm perplexity: hand-computed bits-per-token under the corpus unigram model") {
+    // Corpus: a×3, b×2, N=5. doc1 "a a b": stl = round(2·log2(3)·10⁶)
+    // + 10⁶ = 4169925 → h = log2 5 − 4.169925/3 = 0.931953. doc2 "a b":
+    // stl = 1584963 + 10⁶ → h = log2 5 − 2.584963/2 = 1.029447. Mean in
+    // DECIMAL = 0.9807 → 0.981.
+    val dir = miniDir("documents" -> Seq(
+      (1L, "a a b", "en", "s", 5L), (2L, "a b", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = SparkEntry.queries("text_lm_perplexity")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(("en", 2L, 0.981, 0.931953, 1.029447)))
+  }
+
+  test("zipf fit: an exact 6/3/2 power corpus lands slope -1, r² 1") {
+    // Counts 6, 3, 2 at ranks 1, 2, 3: micro-ln points (0, 1791759),
+    // (693147, 1098612), (1098612, 693147) are EXACTLY collinear at
+    // slope −1 (1791759−1098612 = 693147; 1098612−693147 = 405465 both
+    // directions), so num = −den and num² = den·deny exactly.
+    val dir = miniDir("documents" -> Seq(
+      (1L, "a a a a a a b b b c c", "en", "s", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = SparkEntry.queries("text_zipf_fit")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("en", 3L, -1.0, 1.0)))
+  }
 }
