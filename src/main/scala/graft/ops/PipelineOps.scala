@@ -3671,6 +3671,50 @@ object PipelineOps extends OpGroup {
               / CAST(CAST(den * deny AS VARCHAR) AS DOUBLE) AS VARCHAR)
               AS DECIMAL(38,15)), 4) AS DOUBLE) END + 0.0 AS r2
         FROM fit ORDER BY lang
+      """.trim)),
+
+    // Gram matrix GᵀG of the embedding corpus (upper triangle): the
+    // d×d second-moment input every PCA / whitening / OPQ-rotation
+    // training step starts from. Vectors quantize to exact integer
+    // milli-units (the vec_kmeans recipe), so every entry is an EXACT
+    // integer Σ qᵢ·qⱼ — no float anywhere in the op. Scale: one corpus
+    // scan, each row exploding to its d(d+1)/2 upper-triangle products,
+    // collapsed by ONE partial-aggregating hash aggregate — map-side
+    // combine bounds the shuffle at d²·|partitions| regardless of corpus
+    // size, which is why this (and not a driver-side accumulation) is
+    // the 100 TB formulation. d is a model constant (64 here), so the
+    // output is a constant-size artifact the PCA eigensolver consumes.
+    // The size guard excludes empty/null vectors (Spark's sequence(1, 0)
+    // is a DESCENDING [1, 0], not empty — the text_char_entropy gotcha).
+    Op("vec_gram_matrix",
+      (s, dir) => {
+        Tables.t(s, dir, "embeddings")
+          .select(expr(
+            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))")
+            .as("qv"))
+          .where(size(col("qv")) >= 1)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(qv)), i ->
+                 transform(sequence(i, size(qv)), j ->
+                   named_struct('i', i, 'j', j,
+                     'p', element_at(qv, i) * element_at(qv, j)))))""")).as("e"))
+          .groupBy(col("e.i").cast("int").as("i"), col("e.j").cast("int").as("j"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("e.p").cast(DecimalType(38, 0))).cast("long").as("g_q"))
+          .orderBy("i", "j")
+      },
+      Some("""
+        WITH q AS (
+          SELECT list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS qv
+          FROM embeddings),
+        a AS (SELECT qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+        b AS (SELECT qv, i, unnest(range(i, len(qv) + 1)) AS j FROM a),
+        p AS (
+          SELECT i, j, list_extract(qv, i) * list_extract(qv, j) AS p FROM b)
+        SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, COUNT(*) AS n_vecs,
+          CAST(SUM(CAST(p AS HUGEINT)) AS BIGINT) AS g_q
+        FROM p GROUP BY 1, 2 ORDER BY 1, 2
       """.trim))
   )
 }

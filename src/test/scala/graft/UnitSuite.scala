@@ -1043,4 +1043,16 @@ class UnitSuite extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     assert(got.toSeq == Seq(("en", 3L, -1.0, 1.0)))
   }
+
+  test("gram matrix: exact integer upper-triangle second moments") {
+    // Vectors (1,2), (3,4) → milli-units (1000,2000), (3000,4000):
+    // G11 = 10⁶+9·10⁶, G12 = 2·10⁶+12·10⁶, G22 = 4·10⁶+16·10⁶.
+    val dir = miniDir("embeddings" -> Seq(
+      (1L, Array(1f, 2f), 0), (2L, Array(3f, 4f), 0))
+      .toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("vec_gram_matrix")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, 1, 2L, 10000000L), (1, 2, 2L, 14000000L), (2, 2, 2L, 20000000L)))
+  }
 }
