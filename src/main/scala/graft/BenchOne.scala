@@ -37,6 +37,13 @@ object BenchOne {
       // Outside the timer, mirroring Bench: release any shared cache
       // whose consumer set this rep completed.
       Caches.keyDone(spark, sfDir, key)
+      // Then drop EVERY tracked cache regardless of consumer-set state:
+      // a multi-consumer checkpoint (token_tf, mutual_knn_edges) would
+      // otherwise stay pinned after rep 1 and make rep2+ measure
+      // warm-cache times — this tool measures keys in ISOLATION, so each
+      // rep pays its own cache build (Bench's full pass is where the
+      // build amortizes across consumers).
+      Caches.releaseAll(spark, sfDir)
     }
     spark.stop()
   }

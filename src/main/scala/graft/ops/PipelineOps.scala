@@ -2729,8 +2729,8 @@ object PipelineOps extends OpGroup {
               c -> c * log2(c))) / CAST(n_bg AS DOUBLE) AS VARCHAR) AS DECIMAL(38,15)), 6) AS h
           FROM doc)
         SELECT lang, COUNT(*) AS n_docs,
-          CAST(ROUND(CAST(CAST(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-            AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) AS mean_entropy
+          CAST(ROUND(CAST(CAST(CAST(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+            / COUNT(*) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) AS mean_entropy
         FROM h GROUP BY 1 ORDER BY 1
       """.trim)),
 
@@ -3545,7 +3545,10 @@ object PipelineOps extends OpGroup {
       (s, dir) => {
         val tf = tokenTf(s, dir)
         val vocab = tf.groupBy("tok").agg(sum("tf").as("cw"))
-        val tot = vocab.agg(sum("cw").as("nn"))
+        // N directly off the tf frame: summing vocab.cw would plan the
+        // per-token vocabulary shuffle a second time just for a scalar
+        // (ReusedExchange does not kick in across the branches).
+        val tot = tf.agg(sum("tf").as("nn"))
         tf.join(vocab, "tok")
           .withColumn("tm", expr(
             "CAST(round(CAST(tf AS DOUBLE) * log2(CAST(cw AS DOUBLE)) * 1000000, 0) AS BIGINT)"))
@@ -3572,7 +3575,7 @@ object PipelineOps extends OpGroup {
             SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)
           WHERE len(tok) > 0 GROUP BY 1, 2, 3),
         vocab AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cw FROM tf GROUP BY 1),
-        tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS nn FROM vocab),
+        tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS nn FROM tf),
         doc AS (
           SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_tok,
             CAST(SUM(CAST(ROUND(CAST(CAST(CAST(tf AS DOUBLE) * log2(CAST(cw AS DOUBLE))
@@ -3585,8 +3588,8 @@ object PipelineOps extends OpGroup {
               AS VARCHAR) AS DECIMAL(38,15)), 6) AS h
           FROM doc, tot)
         SELECT lang, COUNT(*) AS n_docs,
-          CAST(ROUND(CAST(CAST(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-            AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS mean_bits,
+          CAST(ROUND(CAST(CAST(CAST(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+            / COUNT(*) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS mean_bits,
           CAST(CAST(MIN(h) AS VARCHAR) AS DOUBLE) + 0.0 AS min_bits,
           CAST(CAST(MAX(h) AS VARCHAR) AS DOUBLE) + 0.0 AS max_bits
         FROM h GROUP BY 1 ORDER BY 1
