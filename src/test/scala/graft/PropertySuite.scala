@@ -294,7 +294,12 @@ class PropertySuite extends AnyFunSuite {
       "vec_mips_topk", "agg_log_histogram", "etl_bitemporal_asof",
       "quality_freshness_report", "ts_active_users_rolling",
       "win_drawdown", "vec_maxsim_topk", "join_asof_nearest",
-      "ts_burstiness", "etl_retention_ttl")
+      "ts_burstiness", "etl_retention_ttl",
+      // Round-10 additions over the shared token-tf checkpoint + the
+      // integer gram matrix — each carries a per-group summation whose
+      // order-insensitivity (micro-unit rounding before the sum) is the
+      // exact property this gate checks.
+      "text_lm_perplexity", "text_zipf_fit", "vec_gram_matrix")
     val conf = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(conf)
     try keys.foreach { k =>
