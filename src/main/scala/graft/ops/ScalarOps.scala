@@ -405,6 +405,34 @@ object ScalarOps extends OpGroup {
             THEN 'x' || CAST(p_size AS VARCHAR)
             ELSE CAST(p_size AS VARCHAR) END AS INT) AS v
           FROM part)
+      """.trim)),
+
+    // XML parsing family: typed XPath extraction (xpath_long /
+    // xpath_string) and schema-directed from_xml over a per-row XML
+    // payload built from orders columns. The extraction must round-trip
+    // the original values exactly, so the oracle is the source columns
+    // themselves — the same identity-oracle stance as the source
+    // round-trips. Row-local and codegen-adjacent (one scan, no
+    // shuffle besides the presentation sort); pairs with fn_json /
+    // fn_variant to complete the semi-structured parsing surface.
+    Op("fn_xml",
+      (s, dir) => {
+        Tables.t(s, dir, "orders")
+          .where(col("o_orderkey") <= 2000)
+          .withColumn("xml", expr(
+            """concat('<o><k>', CAST(o_orderkey AS STRING),
+               '</k><p>', o_orderpriority,
+               '</p><c>', CAST(o_custkey AS STRING), '</c></o>')"""))
+          .select(
+            expr("xpath_long(xml, '/o/k/text()')").as("k"),
+            expr("xpath_string(xml, '/o/p/text()')").as("priority"),
+            expr("from_xml(xml, 'k BIGINT, p STRING, c BIGINT').c").as("custkey"))
+          .orderBy("k")
+      },
+      Some("""
+        SELECT o_orderkey AS k, o_orderpriority AS priority,
+          o_custkey AS custkey
+        FROM orders WHERE o_orderkey <= 2000 ORDER BY k
       """.trim))
   )
 }

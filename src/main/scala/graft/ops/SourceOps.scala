@@ -374,6 +374,35 @@ object SourceOps extends OpGroup {
           CAST(SUM(strlen(text)) AS BIGINT) AS sum_chars,
           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         FROM documents GROUP BY lang ORDER BY lang
+      """.trim)),
+
+    // XML round-trip (the xml source is native in spark-sql 4): write
+    // `part` as element-per-row XML, read back with an explicit schema,
+    // compare against the original table — the round-trip must be
+    // lossless (entity escaping included; the writer escapes <>& in
+    // element text and the reader restores them). DuckDB can't read XML,
+    // so the oracle is the source table itself (the ORC/CSV pattern).
+    // 2-dp doubles survive the text round-trip exactly (shortest-repr
+    // write, exact re-parse); the decimal cast on output pins the
+    // compare.
+    Op("src_xml_roundtrip",
+      (s, dir) => {
+        val out = tmpDir("graft_xml")
+        Tables.t(s, dir, "part")
+          .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+          .write.mode("overwrite").format("xml")
+          .option("rootTag", "parts").option("rowTag", "part").save(out)
+        s.read.format("xml").option("rowTag", "part")
+          .schema("p_partkey LONG, p_name STRING, p_brand STRING, p_size INT, p_retailprice DOUBLE")
+          .load(out)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+            col("p_retailprice").cast(DecimalType(12, 2)).cast("double").as("retailprice"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey, p_name, p_brand, p_size,
+          CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS retailprice
+        FROM part ORDER BY p_partkey
       """.trim))
   )
 
