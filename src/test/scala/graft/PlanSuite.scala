@@ -894,6 +894,18 @@ class PlanSuite extends AnyFunSuite {
     assert(!z.contains("CartesianProduct"))
   }
 
+  test("gram matrix is one scan collapsed by a partial-aggregating hash aggregate") {
+    // The d²-bounded shuffle property: the per-row triangle explode must
+    // partial-aggregate (map-side combine) so only d²·|partitions| rows
+    // ever cross the wire, regardless of corpus size.
+    val g = plan("vec_gram_matrix")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(g).size == 1,
+      "exactly one embeddings scan")
+    assert(g.contains("partial_"),
+      "the triangle-product aggregate must partial-aggregate")
+    assert(!g.contains("CartesianProduct"))
+  }
+
   test("corr matrix and seasonal strength are single-scan; mrr top-k is salt-sharded") {
     val c = plan("agg_corr_matrix")
     assert("""\(\d+\) Scan parquet""".r.findAllIn(c).size == 1,
