@@ -180,6 +180,13 @@ object Bench {
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    // Also write the SAME full per-key JSON to a repo-root, committable
+    // path: the driver's BENCH_r0N.json keeps only a bounded stdout tail
+    // (the per-key map truncates), and target/ is mutable — round-9
+    // verdict item 4 asked for a durable per-round copy so cross-round
+    // per-key diffs survive.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), json.getBytes("UTF-8"))
     println(json)
     spark.stop()
   }

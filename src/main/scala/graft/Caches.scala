@@ -19,7 +19,7 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Caches {
 
-  /** getOrElseUpdate with the builder run under the map's monitor.
+  /** getOrElseUpdate with the builder run under a PER-KEY monitor.
     * TrieMap.getOrElseUpdate may evaluate the thunk TWICE under a
     * concurrent first use (putIfAbsent discards the loser), and the
     * shared-frame builders have side effects — an eager localCheckpoint
@@ -27,12 +27,36 @@ object Caches {
     * entry's release, unpersisting the winner's still-in-use blocks
     * (localCheckpoints are unrecoverable once unpersisted). The harness
     * runs keys sequentially, but a library user driving two queries
-    * concurrently on one session must not hit that race. Builder chains
-    * only ever nest in one direction (op cache → Tables cache), so the
-    * per-map monitors cannot deadlock.
+    * concurrently on one session must not hit that race. The monitor is
+    * per (cache, key) — not the whole map (round-9 advice): a builder is
+    * a full Spark job plus an eager localCheckpoint, so serializing two
+    * DIFFERENT keys' builds behind one map-wide lock would convoy exactly
+    * the concurrent-library-user scenario this guard protects. Builder
+    * chains only ever nest in one direction (op cache → Tables cache) and
+    * always on their own key, so the per-key monitors cannot deadlock.
     */
   def memo[K, V](cache: scala.collection.concurrent.TrieMap[K, V], key: K, build: => V): V =
-    cache.synchronized { cache.getOrElseUpdate(key, build) }
+    cache.get(key) match {
+      case Some(v) => v
+      case None =>
+        // putIfAbsent (not getOrElseUpdate) so both racers observe the
+        // SAME lock cell — the loser's fresh Object is discarded before
+        // anyone can synchronize on it.
+        val fresh = new Object
+        val lock = memoLocks.putIfAbsent((cache, key), fresh).getOrElse(fresh)
+        lock.synchronized {
+          cache.get(key) match {
+            case Some(v) => v
+            case None => val v = build; cache.put(key, v); v
+          }
+        }
+    }
+
+  /** One monitor per (cache identity, key) — see [[memo]]. Entries for
+    * stopped sessions are purged alongside [[track]]'s registry sweep.
+    */
+  private val memoLocks = scala.collection.concurrent.TrieMap
+    .empty[(AnyRef, Any), AnyRef]
 
   private final class Entry(val consumers: Set[String], val release: () => Unit) {
     var done: Set[String] = Set.empty
@@ -80,6 +104,11 @@ object Caches {
     }
     completed.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) completed.remove(k)
+    }
+    memoLocks.keys.foreach {
+      case lk @ (_, (ls: SparkSession, _)) if ls.sparkContext.isStopped =>
+        memoLocks.remove(lk)
+      case _ => ()
     }
     val e = new Entry(consumers, release)
     // Seed with consumers that already ran this pass (failure path: the

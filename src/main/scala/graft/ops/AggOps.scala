@@ -1198,7 +1198,7 @@ object AggOps extends OpGroup {
           FROM orders GROUP BY 1),
         t AS (
           SELECT n, sx, sxx,
-            CAST(ROUND(CAST(CAST(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+            CAST(ROUND(CAST(CAST(CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
               AS VARCHAR) AS DECIMAL(38,15)), 4) AS DECIMAL(38,4)) AS tg
           FROM g),
         a AS (
@@ -1208,17 +1208,17 @@ object AggOps extends OpGroup {
           FROM t)
         SELECT k, nn AS n,
           CAST(ROUND(CAST(CAST(CAST(CAST(sumt AS VARCHAR) AS DOUBLE)
-            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) AS VARCHAR)
+            - CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(nn AS DOUBLE) AS VARCHAR)
             AS DECIMAL(38,15)), 2) AS DOUBLE) + 0.0 AS ssb,
           CAST(ROUND(CAST(CAST(CAST(CAST(ss AS VARCHAR) AS DOUBLE) - CAST(CAST(sumt AS VARCHAR) AS DOUBLE) AS VARCHAR)
             AS DECIMAL(38,15)), 2) AS DOUBLE) + 0.0 AS ssw,
           CAST(ROUND(CAST(CAST(((CAST(CAST(sumt AS VARCHAR) AS DOUBLE)
-              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+              - CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
             / ((CAST(CAST(ss AS VARCHAR) AS DOUBLE) - CAST(CAST(sumt AS VARCHAR) AS DOUBLE)) / CAST(nn - k AS DOUBLE)) AS VARCHAR)
             AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS f_stat,
           CAST(ROUND(CAST(CAST((CAST(CAST(sumt AS VARCHAR) AS DOUBLE)
-              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nn AS DOUBLE))
-            / (CAST(CAST(ss AS VARCHAR) AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nn AS DOUBLE))
+              - CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(nn AS DOUBLE))
+            / (CAST(CAST(ss AS VARCHAR) AS DOUBLE) - CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(nn AS DOUBLE))
             AS VARCHAR) AS DECIMAL(38,15)), 6) AS DOUBLE) + 0.0 AS eta_sq
         FROM a
       """.trim)),
@@ -1385,7 +1385,7 @@ object AggOps extends OpGroup {
           FROM bg JOIN rk USING (cents) GROUP BY 1),
         tg AS (
           SELECT grp, ng,
-            CAST(ROUND(CAST(CAST(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+            CAST(ROUND(CAST(CAST(CAST(CAST(r2 AS VARCHAR) AS DOUBLE) * CAST(CAST(r2 AS VARCHAR) AS DOUBLE)
               / (4.0 * CAST(ng AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,15)), 4)
               AS DECIMAL(38,4)) AS tg
           FROM pg),
@@ -1401,14 +1401,14 @@ object AggOps extends OpGroup {
               / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))
             - 3.0 * CAST(nn + 1 AS DOUBLE) AS VARCHAR) AS DECIMAL(38,15)), 4)
             AS DOUBLE) + 0.0 AS h_stat,
-          CAST(ROUND(CAST(CAST(1.0 - CAST(tsum AS DOUBLE)
+          CAST(ROUND(CAST(CAST(1.0 - CAST(CAST(tsum AS VARCHAR) AS DOUBLE)
             / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
                - CAST(nn AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,15)), 6)
             AS DOUBLE) + 0.0 AS tie_correction,
           CAST(ROUND(CAST(CAST((12.0 * CAST(CAST(sumt AS VARCHAR) AS DOUBLE)
               / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))
             - 3.0 * CAST(nn + 1 AS DOUBLE))
-            / (1.0 - CAST(tsum AS DOUBLE)
+            / (1.0 - CAST(CAST(tsum AS VARCHAR) AS DOUBLE)
               / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
                  - CAST(nn AS DOUBLE))) AS VARCHAR) AS DECIMAL(38,15)), 4)
             AS DOUBLE) + 0.0 AS h_corrected

@@ -261,33 +261,102 @@ object PipelineOps extends OpGroup {
     */
   private[graft] def connectedComponents(
       edgesIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val edges = edgesIn.select("a", "b")
       // Only edge-incident nodes can ever receive a label below their own
       // doc_id, so the propagation iterates over THAT subgraph (a few % of
       // any real corpus — near-dup cohorts are rare); the untouched docs
       // join in as singletons once, after convergence. At 100 TB this is
       // the difference between re-aggregating the whole corpus per round
       // and per-round work proportional to the dup cohorts.
+      //
+      // Round-10 structure (each piece measured, see PERF_NOTES.md):
+      // local union-find contraction per partition, then a global
+      // cluster-contraction loop over ONE symmetric edge frame, with
+      // partition counts sized to the subgraph (a tail graph of a few
+      // thousand edges coalesces to one partition — 32-task scheduling per
+      // tiny stage was the dominant per-round cost at sf0.1 — while a big
+      // subgraph keeps its upstream partitioning; coalesce only reduces).
+      val edges0 = edgesIn.select("a", "b")
+      // STAGE 1 — per-partition union-find contraction (the MR-CC "local
+      // contraction" step): each partition independently collapses the
+      // edges it holds into star forests rooted at the partition-local
+      // component min. Memory is O(distinct node ids per partition) — a
+      // LongMap bounded by 2× the partition's row count, which the
+      // partition sizing below caps at ~2M rows — and the output
+      // (node → local root, node ≠ root) has the SAME connectivity as the
+      // input (every edge lands in exactly one partition and is contracted
+      // into that partition's forest). The global loop then only has to
+      // merge across-partition chains: its round count drops from
+      // O(log chain-length) to O(log #partition-spanning merges) — at
+      // sf0.1 (one partition) the seed labeling is already the fixpoint
+      // and the loop runs exactly one confirmation round.
+      val dbgT0 = System.nanoTime()
+      def dbgMark(what: String): Unit =
+        if (sys.env.contains("SPARK_GRAFT_DEBUG")) System.err.println(
+          f"[cc] $what: ${(System.nanoTime() - dbgT0) / 1e9}%.2f s cumulative")
+      val edgeN = edges0.count()
+      dbgMark("edge count")
+      val parts = math.max(1L, math.min(
+        edges0.rdd.getNumPartitions.toLong, edgeN / 2000000L + 1L)).toInt
+      val aType = edges0.schema("a").dataType
+      val tupleEnc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+      val contracted = edges0.coalesce(parts)
+        .select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)](tupleEnc)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != r) {
+              val n = parent.getOrElse(c, c); parent(c) = r; c = n
+            }
+            r
+          }
+          it.foreach { case (a, b) =>
+            // Union by min id — the root of every tree is the smallest
+            // member seen, so the emitted stars carry the local min label
+            // the global loop's min-aggregation expects.
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          }
+          parent.keysIterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
+        }(tupleEnc)
+        .toDF("a", "b")
+        .select(col("a").cast(aType).as("a"), col("b").cast(aType).as("b"))
+      // STAGE 2 — the global contraction loop reads ONE symmetric
+      // (src, dst) frame over the contracted stars — both directions of
+      // every pair, materialized once — so each sub-step is a single
+      // edges⋈labels join instead of the two (on a, then on b) the r9
+      // version paid.
+      val symRaw = contracted.select(col("a").as("src"), col("b").as("dst"))
+        .union(contracted.select(col("b").as("src"), col("a").as("dst")))
+      val sym = symRaw.localCheckpoint(true)
+      dbgMark("uf contraction + sym checkpoint")
+      val symN = sym.count()
       // Seed with the closed-neighborhood min directly (label_0(v) =
-      // min(v ∪ N(v))) — one aggregate folded into the initial
-      // checkpoint, saving a full driver-blocking round versus seeding
-      // with the identity labeling.
-      var labels = edges.select(col("a").as("node"), col("b").as("label"))
-        .union(edges.select(col("b").as("node"), col("a").as("label")))
-        .union(edges.select(col("a").as("node"), col("a").as("label")))
-        .union(edges.select(col("b").as("node"), col("b").as("label")))
+      // min(v ∪ N(v))) — one aggregate folded into the initial checkpoint,
+      // saving a full driver-blocking round versus seeding with the
+      // identity labeling. Both directions are in `sym`, so every node
+      // appears as a dst and the union covers v itself. (Folding a full
+      // contraction sub-step in here too was measured SLOWER in round 10 —
+      // it deepens the un-checkpointed seed job without saving a round on
+      // the real convergence profiles.)
+      var labels = sym.select(col("dst").as("node"), col("src").as("label"))
+        .union(sym.select(col("dst").as("node"), col("dst").as("label")))
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
-      val seed = labels.agg(coalesce(sum("label"), lit(0L)), count(lit(1))).head
-      var prevSum = -1L
-      var curSum = seed.getLong(0)
       // When the touched subgraph fits a broadcast (it does on any corpus
       // where near-dups are cohorts, not the whole set), the per-round
       // joins stream the big edge frame map-side instead of shuffling it
-      // twice per round. Past the threshold the joins fall back to
-      // shuffles — and the edge frame's checkpoint-preserved hash
-      // partitioning is reused across rounds.
-      val bcastLabels = seed.getLong(1) <= BroadcastLabelCap
+      // per round. Past the threshold the joins fall back to shuffles —
+      // and the edge frame's checkpoint-preserved partitioning is reused
+      // across rounds. Guarded on the symmetric edge count (an upper bound
+      // on the label-frame row count — every labeled node is edge-incident)
+      // so the decision is available before the first label materialization.
+      val bcastLabels = symN <= BroadcastLabelCap
       def lab(df: org.apache.spark.sql.DataFrame) =
         if (bcastLabels) broadcast(df) else df
       var iter = 0
@@ -298,12 +367,9 @@ object PipelineOps extends OpGroup {
       // carry it; the cluster-min frame is |distinct labels| rows ≤
       // |nodes| and rides the same broadcast guard as the labels.
       def contract(cur: org.apache.spark.sql.DataFrame) = {
-        val msgs = edges.join(lab(cur), edges("a") === cur("node"))
-          .select(col("b").as("node"), lit(null).cast("long").as("own"),
+        val msgs = sym.join(lab(cur), sym("src") === cur("node"))
+          .select(col("dst").as("node"), lit(null).cast("long").as("own"),
             col("label").as("m"))
-          .union(edges.join(lab(cur), edges("b") === cur("node"))
-            .select(col("a").as("node"), lit(null).cast("long").as("own"),
-              col("label").as("m")))
         val prop = cur.select(col("node"), col("label").as("own"), col("label").as("m"))
           .union(msgs)
           .groupBy("node").agg(min("m").as("plabel"), max("own").as("label"))
@@ -311,6 +377,9 @@ object PipelineOps extends OpGroup {
         prop.join(lab(cmin), Seq("label"))
           .select(col("node"), col("cmin").as("label"))
       }
+      dbgMark("seed checkpoint")
+      var prevSum = -1L
+      var curSum = sumLabels(labels)
       // 40 double-contraction rounds cover components whose cluster-chain
       // length exceeds 2^80 — unreachable; if the sum still moves at the
       // cap something is structurally broken, and wrong labels must never
@@ -318,10 +387,10 @@ object PipelineOps extends OpGroup {
       while (curSum != prevSum && iter < 40) {
         val t0 = if (debug) System.nanoTime() else 0L
         // TWO contraction sub-steps per driver-blocking checkpoint round:
-        // the cluster-chain shrinks 4× per round. Two is the measured
-        // sweet spot — a third sub-step deepens the per-round plan enough
-        // (extra broadcast builds + serialized stages) to cost more than
-        // the round it saves.
+        // the cluster-chain shrinks 4× per round (re-measured after the
+        // round-10 symmetric-edge/coalesce rework: 1 sub-step costs an
+        // extra round's checkpoint+actions, 3 deepens the per-round plan
+        // for no round saved on real convergence profiles).
         val next = contract(contract(labels)).localCheckpoint(true)
         if (debug) System.err.println(
           f"[cc] round $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -334,6 +403,7 @@ object PipelineOps extends OpGroup {
         curSum = sumLabels(labels)
         iter += 1
       }
+      graft.Caches.releaseCheckpoint(sym)
       if (curSum != prevSum) throw new IllegalStateException(
         s"connectedComponents did not converge in $iter rounds — refusing to return partial labels")
       labels
@@ -368,11 +438,32 @@ object PipelineOps extends OpGroup {
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
   /** Mutual-3NN edge set over the embeddings (a↔b kept iff each is in the
-    * other's in-label cosine top-3, stored once as a < b), checkpointed
-    * and shared by `graph_triangle_count` and
+    * other's in-label cosine top-[[MutualKnnK]], stored once as a < b),
+    * checkpointed and shared by `graph_triangle_count` and
     * `graph_connected_components` — the kNN build is the expensive stage
     * (in-label pair join), so its cost is paid once per pass.
     */
+
+  /** k of the mutual-kNN graph. Degree is bounded by k, so every derived
+    * degree-indexed table (the Adamic-Adar micro-weight CASE) is generated
+    * FROM this constant — raising k regenerates the weights instead of
+    * silently zeroing the new degrees (round-9 advice).
+    */
+  private[graft] val MutualKnnK = 3
+
+  /** Adamic-Adar 1/ln(deg) weights in fixed-point micro units for every
+    * degree reachable in the mutual-[[MutualKnnK]]NN graph (a common
+    * neighbor has deg ≥ 2 by construction; deg ≤ k by the kNN cap), with
+    * an ELSE that RAISES — identically on both engines — so a future k
+    * change that forgets this table fails loudly instead of contributing
+    * zero weight.
+    */
+  private def aaMicroCase(errFn: String): String = {
+    val whens = (2 to MutualKnnK)
+      .map(d => s"WHEN $d THEN ${math.round(1e6 / math.log(d))}")
+      .mkString(" ")
+    s"CASE dz $whens ELSE CAST($errFn('adamic-adar weight table missing degree — regenerate from MutualKnnK') AS BIGINT) END"
+  }
 
   /** (label, cemb) per-label mean centroids — the IVF routing table
     * shared verbatim by vec_ivf_topk, vec_recall_eval, vec_ndcg_eval and
@@ -401,7 +492,7 @@ object PipelineOps extends OpGroup {
         .withColumn("sim", expr("vec_dot(ea, eb)")
           / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
+        .filter(col("rk") <= MutualKnnK)
         .select(col("la").as("l"), col("a"), col("b"))
       val mutual = knn.filter(col("a") < col("b"))
         .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "leftsemi")
@@ -752,8 +843,8 @@ object PipelineOps extends OpGroup {
         SELECT a, b, CAST(ROUND(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) AS cos_sim FROM (
           SELECT x.vec_id AS a, y.vec_id AS b,
             list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-              / (sqrt(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)))
-                 * sqrt(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)))) AS cos
+              / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) AS cos
           FROM embeddings x JOIN embeddings y
             ON x.label = y.label AND x.vec_id < y.vec_id
         ) WHERE cos >= 0.3
@@ -806,8 +897,8 @@ object PipelineOps extends OpGroup {
           SELECT label FROM (
             SELECT label,
               list_dot_product(cemb, qemb)
-                / (sqrt(list_sum(list_transform(cemb, x -> x * x)))
-                   * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS csim
+                / (sqrt(greatest(list_sum(list_transform(cemb, x -> x * x)), 1e-300))
+                   * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS csim
             FROM cent, q
           ) ORDER BY csim DESC, label LIMIT 3
         )
@@ -816,8 +907,8 @@ object PipelineOps extends OpGroup {
             CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS cos_sim, sim FROM (
             SELECT vec_id, label,
               list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
-                / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
-                   * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS sim
+                / (sqrt(greatest(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+                   * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS sim
             FROM embeddings JOIN cells USING (label), q
             WHERE vec_id <> 0
           ) ORDER BY sim DESC, vec_id LIMIT 10
@@ -891,8 +982,8 @@ object PipelineOps extends OpGroup {
             CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS cos_sim, sim FROM (
             SELECT e.vec_id,
               list_dot_product(CAST(e.embedding AS DOUBLE[]), qemb)
-                / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
-                   * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS sim
+                / (sqrt(greatest(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+                   * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS sim
             FROM embeddings e JOIN cand USING (vec_id),
               (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0)
           ) ORDER BY sim DESC, vec_id LIMIT 10
@@ -1256,8 +1347,8 @@ object PipelineOps extends OpGroup {
           SELECT DISTINCT b.vec_id AS bid
           FROM ranked a JOIN ranked b ON a.label = b.label AND a.rk < b.rk
           WHERE list_dot_product(a.emb, b.emb)
-            / (sqrt(list_sum(list_transform(a.emb, v -> v * v)))
-               * sqrt(list_sum(list_transform(b.emb, v -> v * v)))) >= 0.30
+            / (sqrt(greatest(list_sum(list_transform(a.emb, v -> v * v)), 1e-300))
+               * sqrt(greatest(list_sum(list_transform(b.emb, v -> v * v)), 1e-300))) >= 0.30
         )
         SELECT r.vec_id, r.label, r.rk, (d.bid IS NULL) AS kept
         FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.bid
@@ -1973,8 +2064,8 @@ object PipelineOps extends OpGroup {
           FROM (
             SELECT x.vec_id AS a, y.vec_id AS b,
               list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                / (sqrt(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)))
-                   * sqrt(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)))) AS cos
+                / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                   * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) AS cos
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
           )
@@ -2440,18 +2531,18 @@ object PipelineOps extends OpGroup {
             coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
           .orderBy("label")
       },
-      Some("""
+      Some(s"""
         WITH knn AS (
           SELECT l, a, b FROM (
             SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
               ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
                 list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)))
-                     * sqrt(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)))) DESC,
+                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
                 y.vec_id) AS rk
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= 3),
+          ) WHERE rk <= $MutualKnnK),
         mutual AS (
           SELECT k1.l, k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -2512,8 +2603,8 @@ object PipelineOps extends OpGroup {
         scored AS (
           SELECT vec_id, label,
             list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
-              / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
-                 * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS sim
+              / (sqrt(greatest(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS sim
           FROM embeddings, q WHERE vec_id <> 0),
         exact AS (SELECT vec_id FROM scored ORDER BY sim DESC, vec_id LIMIT 10),
         cent AS (
@@ -2527,8 +2618,8 @@ object PipelineOps extends OpGroup {
         cells AS (
           SELECT label FROM (
             SELECT label, list_dot_product(cemb, qemb)
-              / (sqrt(list_sum(list_transform(cemb, x -> x * x)))
-                 * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS csim
+              / (sqrt(greatest(list_sum(list_transform(cemb, x -> x * x)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS csim
             FROM cent, q
           ) ORDER BY csim DESC, label LIMIT 3),
         ivf AS (
@@ -2575,11 +2666,11 @@ object PipelineOps extends OpGroup {
         scored AS (
           SELECT vec_id,
             list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
-              / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
-                 * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS sim_full,
+              / (sqrt(greatest(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS sim_full,
             list_dot_product(CAST(embedding[1:16] AS DOUBLE[]), qtr)
-              / (sqrt(list_sum(list_transform(CAST(embedding[1:16] AS DOUBLE[]), x -> x * x)))
-                 * sqrt(list_sum(list_transform(qtr, x -> x * x)))) AS sim_tr
+              / (sqrt(greatest(list_sum(list_transform(CAST(embedding[1:16] AS DOUBLE[]), x -> x * x)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(qtr, x -> x * x)), 1e-300))) AS sim_tr
           FROM embeddings, q WHERE vec_id <> 0),
         f AS (SELECT vec_id FROM scored ORDER BY sim_full DESC, vec_id LIMIT 10),
         t AS (SELECT vec_id FROM scored ORDER BY sim_tr DESC, vec_id LIMIT 10)
@@ -2756,18 +2847,18 @@ object PipelineOps extends OpGroup {
             count(lit(1)).over(Window.partitionBy("comp")).cast("int"))
           .orderBy("vec_id")
       },
-      Some("""
+      Some(s"""
         WITH RECURSIVE knn AS (
           SELECT a, b FROM (
             SELECT x.vec_id AS a, y.vec_id AS b,
               ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
                 list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)))
-                     * sqrt(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)))) DESC,
+                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
                 y.vec_id) AS rk
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= 3),
+          ) WHERE rk <= $MutualKnnK),
         mutual AS (
           SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -2815,18 +2906,18 @@ object PipelineOps extends OpGroup {
             col("n_changed"), col("n_classes"))
           .orderBy("label")
       },
-      Some("""
+      Some(s"""
         WITH knn AS (
           SELECT l, a, b FROM (
             SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
               ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
                 list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)))
-                     * sqrt(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)))) DESC,
+                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
                 y.vec_id) AS rk
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= 3),
+          ) WHERE rk <= $MutualKnnK),
         mutual AS (
           SELECT k1.l, k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -3177,8 +3268,8 @@ object PipelineOps extends OpGroup {
           SELECT vec_id,
             list_dot_product(CAST(embedding AS DOUBLE[]), qemb) AS ip,
             list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
-              / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
-                 * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS sim
+              / (sqrt(greatest(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS sim
           FROM embeddings, q WHERE vec_id <> 0),
         tc AS (
           SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank_cos
@@ -3260,8 +3351,8 @@ object PipelineOps extends OpGroup {
         scored AS (
           SELECT vec_id, label,
             list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
-              / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
-                 * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS sim
+              / (sqrt(greatest(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS sim
           FROM embeddings, q WHERE vec_id <> 0),
         exact AS (
           SELECT vec_id, 11 - CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INT) AS grade
@@ -3277,8 +3368,8 @@ object PipelineOps extends OpGroup {
         cells AS (
           SELECT label FROM (
             SELECT label, list_dot_product(cemb, qemb)
-              / (sqrt(list_sum(list_transform(cemb, x -> x * x)))
-                 * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS csim
+              / (sqrt(greatest(list_sum(list_transform(cemb, x -> x * x)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS csim
             FROM cent, q
           ) ORDER BY csim DESC, label LIMIT 3),
         ivf AS (
@@ -3324,25 +3415,25 @@ object PipelineOps extends OpGroup {
           .join(deg, "z")
           .groupBy("x", "y")
           .agg(count(lit(1)).as("cn"),
-            sum(expr("CASE dz WHEN 2 THEN 1442695 WHEN 3 THEN 910239 ELSE 0 END")).as("aa"))
+            sum(expr(aaMicroCase("raise_error"))).as("aa"))
           .orderBy(desc("aa"), asc("x"), asc("y"))
           .limit(20)
           .selectExpr("x AS a", "y AS b", "CAST(cn AS BIGINT) AS common_neighbors",
             "CAST(aa AS BIGINT) AS aa_micro")
           .orderBy(desc("aa_micro"), asc("a"), asc("b"))
       },
-      Some("""
+      Some(s"""
         WITH knn AS (
           SELECT a, b FROM (
             SELECT x.vec_id AS a, y.vec_id AS b,
               ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
                 list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)))
-                     * sqrt(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)))) DESC,
+                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
                 y.vec_id) AS rk
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= 3),
+          ) WHERE rk <= $MutualKnnK),
         mutual AS (
           SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -3357,7 +3448,7 @@ object PipelineOps extends OpGroup {
           WHERE NOT EXISTS (SELECT 1 FROM mutual m WHERE m.a = c.x AND m.b = c.y)),
         agg AS (
           SELECT x, y, COUNT(*) AS cn,
-            CAST(SUM(CASE dz WHEN 2 THEN 1442695 WHEN 3 THEN 910239 ELSE 0 END) AS BIGINT) AS aa
+            CAST(SUM(${aaMicroCase("error")}) AS BIGINT) AS aa
           FROM filt JOIN deg USING (z) GROUP BY 1, 2)
         SELECT a, b, common_neighbors, aa_micro FROM (
           SELECT x AS a, y AS b, CAST(cn AS BIGINT) AS common_neighbors, aa AS aa_micro
@@ -3422,8 +3513,8 @@ object PipelineOps extends OpGroup {
         scored AS (
           SELECT e.vec_id, e.label, q.qid,
             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qemb)
-              / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)))
-                 * sqrt(list_sum(list_transform(q.qemb, x -> x * x)))) AS sim
+              / (sqrt(greatest(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(q.qemb, x -> x * x)), 1e-300))) AS sim
           FROM embeddings e, q WHERE e.vec_id >= 5),
         rel AS (
           SELECT qid, vec_id AS rel_vec_id FROM (
@@ -3443,8 +3534,8 @@ object PipelineOps extends OpGroup {
             SELECT q.qid, c.label,
               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
                 list_dot_product(c.cemb, q.qemb)
-                  / (sqrt(list_sum(list_transform(c.cemb, x -> x * x)))
-                     * sqrt(list_sum(list_transform(q.qemb, x -> x * x)))) DESC,
+                  / (sqrt(greatest(list_sum(list_transform(c.cemb, x -> x * x)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(q.qemb, x -> x * x)), 1e-300))) DESC,
                 c.label) AS crk
             FROM cent c, q
           ) WHERE crk <= 3),

@@ -386,8 +386,8 @@ object TextVecOps extends OpGroup {
             CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS cos_sim, sim FROM (
             SELECT vec_id,
               list_dot_product(CAST(embedding AS DOUBLE[]), qemb)
-                / (sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
-                   * sqrt(list_sum(list_transform(qemb, x -> x * x)))) AS sim
+                / (sqrt(greatest(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+                   * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS sim
             FROM embeddings,
               (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0)
             WHERE vec_id <> 0
@@ -573,50 +573,42 @@ object TextVecOps extends OpGroup {
     // null count, exact distinct count, and min/max rendered through
     // TYPE-PINNED string casts (BIGINT → digits, price → DECIMAL(18,2)
     // text, date → fixed yyyy-MM-dd HH:mm:ss — never a raw double/
-    // timestamp repr, which differ across engines). ONE aggregate node
-    // computes all 16 measures in a single logical pass (the 5 exact
-    // distincts share one Expand), then a stack() unpivots the 1-row
-    // result to the 5-row report — the etl_validate_constraints shape
-    // generalized from rules to statistics. At 100 TB: profiling costs
-    // one scan + a 5-way expand; nothing per-row leaves the map side
-    // except distinct keys.
+    // timestamp repr, which differ across engines). ONE single-column
+    // aggregate PER PROFILED COLUMN, unioned — a single multi-distinct
+    // aggregate was measured 2.5× slower (round 10): its 5 exact
+    // distincts share one 6-way Expand, so every input row is hashed six
+    // times; the split branches each plan a no-Expand two-phase
+    // distinct over a COLUMN-PRUNED scan (parquet reads exactly one
+    // column per branch — same total I/O as one full-width scan) and the
+    // five branches' stages schedule concurrently. At 100 TB: per
+    // branch, nothing per-row leaves the map side except distinct keys.
     Op("quality_column_profile",
       (s, dir) => {
         val o = Tables.t(s, dir, "orders")
-        o.agg(
-            count(lit(1)).as("n"),
-            sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
-            countDistinct(col("o_orderkey")).as("nd_key"),
-            min(col("o_orderkey")).cast("string").as("min_key"),
-            max(col("o_orderkey")).cast("string").as("max_key"),
-            sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
-            countDistinct(col("o_custkey")).as("nd_cust"),
-            min(col("o_custkey")).cast("string").as("min_cust"),
-            max(col("o_custkey")).cast("string").as("max_cust"),
-            sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_status"),
-            countDistinct(col("o_orderstatus")).as("nd_status"),
-            min(col("o_orderstatus")).as("min_status"),
-            max(col("o_orderstatus")).as("max_status"),
-            sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_price"),
-            // Distinct on the RAW double: the column is 2-dp by contract,
-            // so distinct doubles ≡ distinct DECIMAL(18,2) values, and the
-            // expand rows hash an 8-byte double instead of a decimal.
-            countDistinct(col("o_totalprice")).as("nd_price"),
-            min(Tables.dec2(col("o_totalprice"))).cast("string").as("min_price"),
-            max(Tables.dec2(col("o_totalprice"))).cast("string").as("max_price"),
-            sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_date"),
-            countDistinct(col("o_orderdate")).as("nd_date"),
-            date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("min_date"),
-            date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("max_date"))
-          .select(col("n"), expr("""stack(5,
-              'o_orderkey',    null_key,    nd_key,    min_key,    max_key,
-              'o_custkey',     null_cust,   nd_cust,   min_cust,   max_cust,
-              'o_orderstatus', null_status, nd_status, min_status, max_status,
-              'o_totalprice',  null_price,  nd_price,  min_price,  max_price,
-              'o_orderdate',   null_date,   nd_date,   min_date,   max_date)
-            AS (column_name, n_null, n_distinct, vmin, vmax)"""))
-          .select(col("column_name"), col("n"), col("n_null"),
-            col("n_distinct"), col("vmin"), col("vmax"))
+        def prof(name: String, nd: org.apache.spark.sql.Column,
+                 vmin: org.apache.spark.sql.Column, vmax: org.apache.spark.sql.Column) =
+          o.agg(
+              count(lit(1)).as("n"),
+              sum(when(col(name).isNull, 1L).otherwise(0L)).as("n_null"),
+              countDistinct(nd).as("n_distinct"),
+              vmin.as("vmin"), vmax.as("vmax"))
+            .select(lit(name).as("column_name"), col("n"), col("n_null"),
+              col("n_distinct"), col("vmin"), col("vmax"))
+        prof("o_orderkey", col("o_orderkey"),
+            min(col("o_orderkey")).cast("string"), max(col("o_orderkey")).cast("string"))
+          .unionAll(prof("o_custkey", col("o_custkey"),
+            min(col("o_custkey")).cast("string"), max(col("o_custkey")).cast("string")))
+          .unionAll(prof("o_orderstatus", col("o_orderstatus"),
+            min(col("o_orderstatus")), max(col("o_orderstatus"))))
+          // Distinct on the RAW double: the column is 2-dp by contract,
+          // so distinct doubles ≡ distinct DECIMAL(18,2) values, and the
+          // distinct rows hash an 8-byte double instead of a decimal.
+          .unionAll(prof("o_totalprice", col("o_totalprice"),
+            min(Tables.dec2(col("o_totalprice"))).cast("string"),
+            max(Tables.dec2(col("o_totalprice"))).cast("string")))
+          .unionAll(prof("o_orderdate", col("o_orderdate"),
+            date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss"),
+            date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")))
           .orderBy("column_name")
       },
       Some("""

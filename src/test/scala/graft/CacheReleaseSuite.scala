@@ -50,6 +50,70 @@ class CacheReleaseSuite extends AnyFunSuite {
       s"ngram_shingles still pinned after text_ngram_jaccard: $live")
   }
 
+  test("token_tf releases at its THIRD consumer, not before (3-consumer accounting)") {
+    Caches.releaseAll(spark, dir)
+    // token_tf gained text_lm_perplexity/text_zipf_fit as consumers in
+    // round 9 — pin the 3-consumer accounting: the checkpoint must stay
+    // live through consumers 1 and 2 (releasing early would force each
+    // later consumer to rebuild it, silently doubling the explode cost)
+    // and release exactly when the third reports.
+    val consumers = Seq("text_hashing_tfidf", "text_lm_perplexity", "text_zipf_fit")
+    consumers.zipWithIndex.foreach { case (k, i) =>
+      assert(SparkEntry.queries(k)(spark, dir).count() > 0, s"$k returned 0 rows")
+      Caches.keyDone(spark, dir, k)
+      val live = Caches.activeEntries(spark, dir)("token_tf")
+      if (i < consumers.size - 1)
+        assert(live, s"token_tf released early, after consumer ${i + 1}/3 ($k)")
+      else
+        assert(!live, "token_tf still pinned after its last consumer")
+    }
+  }
+
+  test("memo builds distinct keys concurrently but each key at most once") {
+    // Round-9 advice: the old map-wide monitor serialized two concurrent
+    // queries building DIFFERENT keys. Pin both halves of the fix: two
+    // distinct keys' builders must be able to overlap (no convoy), and a
+    // racing pair on the SAME key must still run its builder exactly once.
+    val cache = scala.collection.concurrent.TrieMap.empty[String, Int]
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      // Builder A blocks until builder B (a different key) completes —
+      // impossible under a map-wide lock.
+      val fa = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = Caches.memo(cache, "a", {
+          aEntered.countDown()
+          assert(bDone.await(10, java.util.concurrent.TimeUnit.SECONDS),
+            "key-b build never ran while key-a build held its lock — convoy")
+          builds.incrementAndGet(); 1
+        })
+      })
+      assert(aEntered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      val fb = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = Caches.memo(cache, "b", { builds.incrementAndGet(); 2 })
+      })
+      assert(fb.get(10, java.util.concurrent.TimeUnit.SECONDS) == 2)
+      bDone.countDown()
+      assert(fa.get(10, java.util.concurrent.TimeUnit.SECONDS) == 1)
+      // Same-key race: N threads, one build.
+      val before = builds.get()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val fs = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            gate.await(10, java.util.concurrent.TimeUnit.SECONDS)
+            Caches.memo(cache, "c", { builds.incrementAndGet(); 3 })
+          }
+        })
+      }
+      gate.countDown()
+      assert(fs.forall(_.get(10, java.util.concurrent.TimeUnit.SECONDS) == 3))
+      assert(builds.get() == before + 1, "same-key race ran the builder more than once")
+    } finally pool.shutdownNow()
+  }
+
   test("released caches rebuild transparently on the next consumer") {
     Caches.releaseAll(spark, dir)
     // Drive the family to a full release, then re-run one consumer: the

@@ -515,14 +515,20 @@ class PlanSuite extends AnyFunSuite {
   }
 
   test("round-8 batch 4: profile is one scan, tolerance asof stays native") {
-    // quality_column_profile: all 21 measures (incl. 5 exact distincts
-    // via one Expand) come out of a single table pass.
+    // quality_column_profile: one single-column aggregate branch per
+    // profiled column (round 10 — the shared-Expand multi-distinct was
+    // 2.5× slower), each over a column-pruned scan with NO Expand, all
+    // partial-aggregated.
     val cp = plan("quality_column_profile")
-    assert("""\(\d+\) Scan parquet""".r.findAllIn(cp).size == 1,
-      "the profile must read orders exactly once")
-    assert(cp.contains("Expand"),
-      "the multi-distinct rewrite must share one expand, not re-scan")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(cp).size == 5,
+      "the profile must read one pruned scan per profiled column")
+    assert(!cp.contains("Expand"),
+      "no branch may pay the multi-distinct expand rewrite")
     assert(cp.contains("partial_"), "profile measures must partial-aggregate")
+    // Each branch's scan must prune to (at most) its own column — a
+    // full-width ReadSchema anywhere means pruning regressed.
+    assert(!cp.contains("o_orderpriority"),
+      "no branch may read columns outside the profiled five")
 
     // join_asof_tolerance: still the native operator; the tolerance is a
     // projection, not a different join.
