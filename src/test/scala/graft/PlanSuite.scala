@@ -900,15 +900,24 @@ class PlanSuite extends AnyFunSuite {
     assert(!z.contains("CartesianProduct"))
   }
 
-  test("gram matrix is one scan collapsed by a partial-aggregating hash aggregate") {
-    // The d²-bounded shuffle property: the per-row triangle explode must
-    // partial-aggregate (map-side combine) so only d²·|partitions| rows
-    // ever cross the wire, regardless of corpus size.
+  test("gram matrix is one scan collapsed by the custom partial-aggregating gram aggregate") {
+    // The d²-bounded shuffle property: each partition accumulates ONE
+    // flat buffer (GramMatrixAgg) and ships it as its partial — only
+    // d²·|partitions| longs ever cross the wire, regardless of corpus
+    // size — and no per-row triangle explode exists anywhere upstream of
+    // the aggregate (round 10: the explode's d(d+1)/2 interpreted struct
+    // allocations per row were the key's whole cost).
     val g = plan("vec_gram_matrix")
     assert("""\(\d+\) Scan parquet""".r.findAllIn(g).size == 1,
       "exactly one embeddings scan")
-    assert(g.contains("partial_"),
-      "the triangle-product aggregate must partial-aggregate")
+    assert(g.contains("partial_gram_matrix_agg"),
+      "the gram aggregate must partial-aggregate (map-side buffer)")
+    assert(g.contains("ObjectHashAggregate"),
+      "the typed buffer aggregate must run as ObjectHashAggregate")
+    // Exactly one Generate (the post-aggregate cell explode over one
+    // d²-sized array row) — a pre-aggregate explode would be per-row.
+    assert("""\(\d+\) Generate""".r.findAllIn(g).size == 1,
+      "only the post-aggregate cell explode may Generate")
     assert(!g.contains("CartesianProduct"))
   }
 

@@ -1055,4 +1055,19 @@ class UnitSuite extends AnyFunSuite {
     assert(got.toSeq == Seq(
       (1, 1, 2L, 10000000L), (1, 2, 2L, 14000000L), (2, 2, 2L, 20000000L)))
   }
+
+  test("gram matrix: ragged vector lengths count per-cell contributors") {
+    // GramMatrixAgg's n must equal the number of vectors long enough to
+    // reach column j (the explode formulation's per-(i,j) COUNT(*)):
+    // (1,2) and (3,4,5) → cell (1,1) has 2 contributors, any cell with
+    // j=3 has 1. G13 = 3000·5000 (only the long vector), G11 = 10⁶+9·10⁶.
+    val dir = miniDir("embeddings" -> Seq(
+      (1L, Array(1f, 2f), 0), (2L, Array(3f, 4f, 5f), 0))
+      .toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("vec_gram_matrix")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, 1, 2L, 10000000L), (1, 2, 2L, 14000000L), (1, 3, 1L, 15000000L),
+      (2, 2, 2L, 20000000L), (2, 3, 1L, 20000000L), (3, 3, 1L, 25000000L)))
+  }
 }
