@@ -151,8 +151,17 @@ object PipelineOps extends OpGroup {
     */
   private val SimBucketCap = 500
 
-  /** Hamming≤3 near-dup pairs (a < b) over [[simhashSigs]] via 4×15-bit
-    * banding — candidates bucket-bounded, never all-pairs.
+  /** Hamming≤3 signature pairs (sa < sb) over the DISTINCT signatures of
+    * [[simhashSigs]] via 4×15-bit banding — candidates bucket-bounded,
+    * never all-pairs, and EXACT-DUPLICATE COHORTS COLLAPSE TO ONE ROW
+    * before any pair join (round 10): identical signatures share every
+    * band AND every secondary half-band key, so no key refinement can
+    * split a mega-cohort of verbatim boilerplate — banding over distinct
+    * signatures is the only formulation whose candidate volume is bounded
+    * by CONTENT diversity rather than duplication factor. Doc-level
+    * consumers expand through the signature→members mapping afterwards
+    * (output-bound, see [[simhashEdgesWithCap]]); the cluster path never
+    * expands at all ([[simhashCollapsedEdges]]).
     *
     * Recall proof: a pair within hamming distance 3 has ≥1 of the 4 bands
     * exactly equal (pigeonhole), so the band-bucket join finds every such
@@ -162,34 +171,35 @@ object PipelineOps extends OpGroup {
     * the matched band spread over 3 bands, so some other band carries ≤1
     * error, and one half of that band is then error-free; the pair shares
     * that (band, half, bits) key. Spurious candidates (same 15-bit band,
-    * very different elsewhere — the boilerplate-corpus hot-bucket case)
-    * almost never share a secondary key, so the intra-bucket join drops
-    * from O(n²) to the sub-bucket sizes. UnitSuite asserts cap-forced
-    * output equality vs the uncapped join.
+    * very different elsewhere) almost never share a secondary key, so the
+    * intra-bucket join drops from O(n²) to the sub-bucket sizes.
+    * EquivalenceSuite asserts cap-forced output equality vs the uncapped
+    * join at the doc level.
     */
-  private[graft] def simhashEdgesWithCap(
+  private[graft] def simhashSigPairsWithCap(
       s: org.apache.spark.sql.SparkSession, dir: String, cap: Int) = {
     val banded = simhashSigs(s, dir)
+      .select("simhash").distinct()
       .withColumn("band", explode(expr("sequence(0, 3)")))
       .withColumn("bval", expr("shiftright(simhash, band * 15) & 32767"))
     val sizes = banded.groupBy("band", "bval").agg(count(lit(1)).as("bn"))
     val tagged = banded.join(sizes, Seq("band", "bval"))
 
     // Bucket-bounded pair join on `keys`; hamming filter BEFORE the
-    // distinct so the dedup shuffle carries only surviving (a, b) rows,
+    // distinct so the dedup shuffle carries only surviving (sa, sb) rows,
     // never the O(candidates) spurious ones.
     def pairs(df: org.apache.spark.sql.DataFrame, keys: Seq[String]) = {
-      val l = df.select(keys.map(col) ++ Seq(col("doc_id").as("a"), col("simhash").as("sa")): _*)
-      val r = df.select(keys.map(col) ++ Seq(col("doc_id").as("b"), col("simhash").as("sb")): _*)
+      val l = df.select(keys.map(col) ++ Seq(col("simhash").as("sa")): _*)
+      val r = df.select(keys.map(col) ++ Seq(col("simhash").as("sb")): _*)
       l.join(r, keys)
-        .filter(col("a") < col("b"))
+        .filter(col("sa") < col("sb"))
         .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
         .filter(col("hamming") <= 3)
-        .select("a", "b", "hamming")
+        .select("sa", "sb", "hamming")
     }
 
     val small = tagged.filter(col("bn") <= cap)
-      .select("band", "bval", "doc_id", "simhash")
+      .select("band", "bval", "simhash")
     val big = tagged.filter(col("bn") > cap)
       .withColumn("sk", explode(expr("""
         flatten(transform(filter(sequence(0, 3), ob -> ob != band), ob -> array(
@@ -199,31 +209,100 @@ object PipelineOps extends OpGroup {
                        'skv', shiftright(simhash, ob * 15 + 8) & 127))))""")))
       .select(col("band"), col("bval"),
         col("sk.skid").as("skid"), col("sk.skv").as("skv"),
-        col("doc_id"), col("simhash"))
+        col("simhash"))
 
     // A pair can match in several buckets (and, in big buckets, several
-    // secondary keys) — dedup on the bare ids; hamming is determined by
-    // the pair, so any survivor row is the right one.
+    // secondary keys) — dedup on the signature pair; hamming is determined
+    // by the pair, so any survivor row is the right one.
     pairs(small, Seq("band", "bval"))
       .union(pairs(big, Seq("band", "bval", "skid", "skv")))
-      .dropDuplicates("a", "b")
+      .dropDuplicates("sa", "sb")
   }
 
-  /** [[simhashEdgesWithCap]] at the production cap, materialized once per
-    * (session, sfDir): `text_simhash_neardup` emits it and
-    * `text_dedup_clusters` iterates over it — the checkpoint both shares
-    * the work and truncates lineage for the cluster loop.
+  /** Doc-level hamming≤3 near-dup pairs (a < b, hamming): the signature
+    * pairs of [[simhashSigPairsWithCap]] expanded through the
+    * signature→members mapping, plus the hamming-0 pairs WITHIN each
+    * exact-duplicate cohort. Output-identical to banding over raw doc
+    * rows (EquivalenceSuite pins cap=1 ≡ uncapped here): a cross-cohort
+    * doc pair arises from exactly one signature pair, and an intra-cohort
+    * pair always shares all four bands. The intra-cohort self-join is the
+    * pair LIST's inherent output (a g-dup cohort owes g(g-1)/2 rows) —
+    * only this op pays it; the cluster path consumes
+    * [[simhashCollapsedEdges]] instead and stays linear in dup count.
+    */
+  private[graft] def simhashEdgesWithCap(
+      s: org.apache.spark.sql.SparkSession, dir: String, cap: Int) = {
+    val sigs = simhashSigs(s, dir)
+    val sigPairs = simhashSigPairsWithCap(s, dir, cap)
+    val ma = sigs.select(col("simhash").as("sa"), col("doc_id").as("da"))
+    val mb = sigs.select(col("simhash").as("sb"), col("doc_id").as("db"))
+    val cross = sigPairs.join(ma, "sa").join(mb, "sb")
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("hamming"))
+    val intra = ma.join(mb, col("sa") === col("sb") && col("da") < col("db"))
+      .select(col("da").as("a"), col("db").as("b"),
+        lit(0).cast("int").as("hamming"))
+    cross.union(intra)
+  }
+
+  /** [[simhashSigPairsWithCap]] at the production cap, materialized once
+    * per (session, sfDir): `text_simhash_neardup` expands it to the doc
+    * pair list and the cluster ops iterate its collapsed graph — the
+    * checkpoint both shares the banding work and truncates lineage for
+    * the cluster loop.
     */
   private val edgeCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
-  private def simhashEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private def simhashSigPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.Caches.memo(edgeCache, (s, dir), {
-      val edges = simhashEdgesWithCap(s, dir, SimBucketCap).localCheckpoint(true)
+      val sp = simhashSigPairsWithCap(s, dir, SimBucketCap).localCheckpoint(true)
       graft.Caches.track(s, dir, "simhash_edges", SimConsumers - "text_simhash",
         () => edgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
-      edges
+      sp
     })
+
+  /** Doc-level pair expansion over the cached signature pairs — the
+    * text_simhash_neardup surface.
+    */
+  private def simhashEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val sigs = simhashSigs(s, dir)
+    val sigPairs = simhashSigPairs(s, dir)
+    val ma = sigs.select(col("simhash").as("sa"), col("doc_id").as("da"))
+    val mb = sigs.select(col("simhash").as("sb"), col("doc_id").as("db"))
+    sigPairs.join(ma, "sa").join(mb, "sb")
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("hamming"))
+      .union(ma.join(mb, col("sa") === col("sb") && col("da") < col("db"))
+        .select(col("da").as("a"), col("db").as("b"),
+          lit(0).cast("int").as("hamming")))
+  }
+
+  /** The cluster-path graph over the cached signature pairs, WITHOUT the
+    * quadratic intra-cohort expansion: one edge per hamming≤3 signature
+    * pair (between cohort representatives = min doc_id per signature)
+    * plus one member→representative star edge per duplicate doc. Same
+    * connected components as the doc-level pair graph — every member is
+    * hamming-0-connected to its representative, and any cross-cohort
+    * adjacency of a member is an adjacency of its whole cohort — with
+    * edge count linear in (signature pairs + duplicate docs) instead of
+    * quadratic in cohort sizes.
+    */
+  private def simhashCollapsedEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val sigs = simhashSigs(s, dir)
+    val sigPairs = simhashSigPairs(s, dir)
+    val groups = sigs.groupBy("simhash")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("gn"))
+    sigPairs
+      .join(groups.select(col("simhash").as("sa"), col("rep").as("a")), "sa")
+      .join(groups.select(col("simhash").as("sb"), col("rep").as("b")), "sb")
+      .select("a", "b")
+      .union(sigs
+        .join(groups.filter(col("gn") >= 2).select("simhash", "rep"), "simhash")
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("doc_id").as("a"), col("rep").as("b")))
+  }
 
   /** Converged connected-component labels (node, label) over the hamming≤3
     * pair graph — Pregel-style min-label propagation, cached per
@@ -411,7 +490,14 @@ object PipelineOps extends OpGroup {
 
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.Caches.memo(labelCache, (s, dir), {
-      val labels = connectedComponents(simhashEdges(s, dir))
+      // The COLLAPSED graph (rep↔rep pairs + member→rep stars), not the
+      // expanded pair list: identical components, edge count linear in
+      // duplicate docs instead of quadratic in cohort sizes. Checkpointed
+      // so the CC loop's repeated reads don't replay the expansion joins;
+      // released as soon as the labels materialize.
+      val collapsed = simhashCollapsedEdges(s, dir).localCheckpoint(true)
+      val labels = connectedComponents(collapsed)
+      graft.Caches.releaseCheckpoint(collapsed)
       // Converged subgraph labels + every untouched doc as its own
       // singleton cluster. Broadcast only under the same size guard the
       // propagation loop uses — past it (edge-incident set too big for the
