@@ -339,7 +339,14 @@ object PipelineOps extends OpGroup {
     * corpus graphs).
     */
   private[graft] def connectedComponents(
-      edgesIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      edgesIn: org.apache.spark.sql.DataFrame,
+      // Rows-per-partition target for the union-find stage. Tests inject
+      // a tiny value to FORCE multi-partition local UF + real global
+      // merge rounds — at production sizes the default keeps each UF map
+      // comfortably in executor memory, and at test sizes everything
+      // would otherwise coalesce to one partition and leave the global
+      // loop unexercised.
+      ufRowsPerPartition: Long = 2000000L): org.apache.spark.sql.DataFrame = {
       // Only edge-incident nodes can ever receive a label below their own
       // doc_id, so the propagation iterates over THAT subgraph (a few % of
       // any real corpus — near-dup cohorts are rare); the untouched docs
@@ -375,7 +382,7 @@ object PipelineOps extends OpGroup {
       val edgeN = edges0.count()
       dbgMark("edge count")
       val parts = math.max(1L, math.min(
-        edges0.rdd.getNumPartitions.toLong, edgeN / 2000000L + 1L)).toInt
+        edges0.rdd.getNumPartitions.toLong, edgeN / ufRowsPerPartition + 1L)).toInt
       val aType = edges0.schema("a").dataType
       val tupleEnc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)

@@ -258,6 +258,17 @@ class PropertySuite extends AnyFunSuite {
             es.toDF("a", "b"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(got == expected, s"CC mismatch on ${es.size} edges")
+        // Same graph FORCED multi-partition: a tiny rows-per-partition
+        // target makes the local union-find see only fragments of each
+        // component, so the GLOBAL contraction loop must do the real
+        // cross-partition merging (at test sizes the default coalesces to
+        // one partition and the local UF alone would solve everything —
+        // this leg keeps the loop itself pinned).
+        val gotMulti = ops.PipelineOps.connectedComponents(
+            es.toDF("a", "b").repartition(5), ufRowsPerPartition = 2L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotMulti == expected,
+          s"multi-partition CC mismatch on ${es.size} edges")
       }
     }
   }
