@@ -42,6 +42,7 @@ object Tables {
     graft.functions.MinHashSignature.register(spark)
     graft.functions.MinHashSketchAgg.register(spark)
     graft.functions.GramMatrixAgg.register(spark)
+    graft.functions.CharBigramRunCounts.register(spark)
     graft.functions.VecMath.register(spark)
     graft.functions.SimHash.register(spark)
     graft.functions.Bloom.register(spark)

@@ -2862,32 +2862,27 @@ object PipelineOps extends OpGroup {
     // the cross-doc mean is order-insensitive by construction.
     Op("text_char_entropy",
       (s, dir) => {
-        // Entirely ROW-LOCAL per-doc entropy: sort the doc's bigram array
-        // and fold run-lengths in one pass (Σ c·log2 c accumulates per
-        // sorted run — the identical add sequence the oracle's bg-ordered
-        // list_sum performs), so the only shuffle in the whole op is the
-        // |langs|-row report agg. The earlier explode→groupBy formulation
-        // shuffled one row PER CHARACTER of the corpus — 2.4 s at sf0.1
-        // vs ~0.5 s for this form, and linearly worse at 100 TB.
-        // length >= 2 guard: Spark's sequence(1, 0) is a descending
-        // [1, 0], not empty — a 1-char doc must be excluded exactly like
+        // Entirely ROW-LOCAL per-doc entropy: the codegen'd
+        // [[graft.functions.CharBigramRunCounts]] primitive turns each
+        // doc into its sorted-bigram run counts in one fused long-array
+        // pass (round 10 — the earlier form materialized + sorted one
+        // STRING per character through two interpreted HOFs; and the
+        // round-3 explode→groupBy form shuffled one row per character).
+        // Σ c·log2 c stays a Spark SQL fold over the TINY per-run array,
+        // in the same ascending-bigram order with the same log2 — so
+        // bit-equality with the previous form (and the oracle's
+        // bg-ordered list_sum) is structural, not numerical luck. The
+        // only shuffle in the whole op is the |langs|-row report agg.
+        // length >= 2 guard: a 1-char doc must be excluded exactly like
         // the oracle's empty range(1, 1) excludes it.
         Tables.t(s, dir, "documents")
           .where(length(col("text")) >= 2)
           .select(col("lang"),
-            expr("array_sort(transform(sequence(1, length(text) - 1), i -> substring(text, i, 2)))")
-              .as("bgs"))
-          .withColumn("n_bg", size(col("bgs")).cast("long"))
+            expr("char_bigram_run_counts(text)").as("rc"),
+            (length(col("text")) - 1).cast("long").as("n_bg"))
           .withColumn("clogc_sum", expr("""
-            aggregate(bgs,
-              named_struct('prev', CAST(NULL AS STRING), 'c', CAST(0 AS BIGINT), 's', CAST(0 AS DOUBLE)),
-              (acc, x) -> IF(x = acc.prev,
-                named_struct('prev', x, 'c', acc.c + CAST(1 AS BIGINT), 's', acc.s),
-                named_struct('prev', x, 'c', CAST(1 AS BIGINT),
-                  's', acc.s + IF(acc.c > 0,
-                    CAST(acc.c AS DOUBLE) * log2(CAST(acc.c AS DOUBLE)), CAST(0 AS DOUBLE)))),
-              acc -> acc.s + IF(acc.c > 0,
-                CAST(acc.c AS DOUBLE) * log2(CAST(acc.c AS DOUBLE)), CAST(0 AS DOUBLE)))"""))
+            aggregate(rc, CAST(0 AS DOUBLE),
+              (a, c) -> a + CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))"""))
           .withColumn("h",
             expr("round(log2(CAST(n_bg AS DOUBLE)) - clogc_sum / CAST(n_bg AS DOUBLE), 6)"))
           .groupBy("lang")

@@ -284,4 +284,51 @@ class ExpressionSuite extends AnyFunSuite {
     val agree = a.zip(b).count { case (x, y) => x == y }
     assert(agree >= 40, s"j=0.99 sets should agree on most minhashes, got $agree/50")
   }
+  test("char_bigram_run_counts: eval corners and run ordering") {
+    import graft.functions.CharBigramRunCounts
+    import org.apache.spark.unsafe.types.UTF8String
+    def rc(s: String): Seq[Long] =
+      CharBigramRunCounts.compute(UTF8String.fromString(s)).toLongArray().toSeq
+    // "abab" bigrams: ab, ba, ab -> sorted runs ab(2), ba(1)
+    assert(rc("abab") == Seq(2L, 1L))
+    assert(rc("a") == Seq.empty)
+    assert(rc("") == Seq.empty)
+    assert(rc("aa") == Seq(1L))
+    assert(rc("aaa") == Seq(2L))
+    // multi-byte + astral codepoints: bigrams are CODEPOINT pairs
+    // ("a\uD83D\uDE00b" = a,😀,b -> bigrams a😀, 😀b -> two runs of 1)
+    assert(rc("a\uD83D\uDE00b") == Seq(1L, 1L))
+  }
+
+  test("char_bigram_run_counts: SQL path bit-equals the interpreted HOF it replaced") {
+    Tables.conf(spark)
+    // Random-ish strings incl. repeats, unicode, and the 1-char edge.
+    val docs = Seq("abab", "mississippi", "aa", "ab", "ü𝓍üü𝓍", "xyxyxyxyzz",
+      "the quick brown fox the quick").toDF("text")
+      .filter(length(col("text")) >= 2)
+    val viaExpr = docs.select(expr("""
+        aggregate(char_bigram_run_counts(text), CAST(0 AS DOUBLE),
+          (a, c) -> a + CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))""").as("s"),
+      (length(col("text")) - 1).cast("long").as("n"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val viaHof = docs.select(expr("""
+        aggregate(
+          array_sort(transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))),
+          named_struct('prev', CAST(NULL AS STRING), 'c', CAST(0 AS BIGINT), 's', CAST(0 AS DOUBLE)),
+          (acc, x) -> IF(x = acc.prev,
+            named_struct('prev', x, 'c', acc.c + CAST(1 AS BIGINT), 's', acc.s),
+            named_struct('prev', x, 'c', CAST(1 AS BIGINT),
+              's', acc.s + IF(acc.c > 0,
+                CAST(acc.c AS DOUBLE) * log2(CAST(acc.c AS DOUBLE)), CAST(0 AS DOUBLE)))),
+          acc -> acc.s + IF(acc.c > 0,
+            CAST(acc.c AS DOUBLE) * log2(CAST(acc.c AS DOUBLE)), CAST(0 AS DOUBLE)))""").as("s"),
+      size(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).cast("long").as("n"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(viaExpr.map(_._2) == viaHof.map(_._2), "n_bg drift")
+    viaExpr.zip(viaHof).foreach { case ((a, _), (b, _)) =>
+      assert(java.lang.Double.doubleToRawLongBits(a) == java.lang.Double.doubleToRawLongBits(b),
+        s"clogc bits drift: $a vs $b")
+    }
+  }
+
 }
