@@ -184,9 +184,13 @@ object Bench {
     // path: the driver's BENCH_r0N.json keeps only a bounded stdout tail
     // (the per-key map truncates), and target/ is mutable — round-9
     // verdict item 4 asked for a durable per-round copy so cross-round
-    // per-key diffs survive.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), json.getBytes("UTF-8"))
+    // per-key diffs survive. Guarded so a scratch run (a /tmp fixture, a
+    // different cwd) can never clobber the committed sf0.1 artifact:
+    // write only for the driver-contract testdata AND from the repo root.
+    if (sfDir.startsWith("/root/testdata/")
+        && java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), json.getBytes("UTF-8"))
     println(json)
     spark.stop()
   }

@@ -105,8 +105,15 @@ object Caches {
     completed.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) completed.remove(k)
     }
+    // Memo keys are tuples of ANY arity with the session in some slot
+    // (2-tuples in the op caches, 3-tuples in Tables.t) — sweep by
+    // scanning the product, not by a fixed-shape pattern, or the
+    // 3-tuple locks would pin stopped sessions forever.
     memoLocks.keys.foreach {
-      case lk @ (_, (ls: SparkSession, _)) if ls.sparkContext.isStopped =>
+      case lk @ (_, k: Product) if k.productIterator.exists {
+            case ls: SparkSession => ls.sparkContext.isStopped
+            case _                => false
+          } =>
         memoLocks.remove(lk)
       case _ => ()
     }

@@ -23,13 +23,15 @@ import org.apache.spark.sql.types._
   * merge is element-wise add. This is the standard scalable XᵀX shape:
   * per-partition dense accumulation, tree-merge of d² partials.
   *
-  * Accumulation is in Long: |g| per cell is bounded by rows·(max|q|)²,
-  * and the op's public contract already casts the final sum to BIGINT —
-  * the DECIMAL(38) headroom the explode version carried protected only
-  * values that would overflow that final cast anyway. Null vector rows
-  * are skipped; null ELEMENTS (impossible for the quantize producer,
-  * which is CAST(ROUND(..))) would contribute 0 to g while still
-  * counting toward n, matching SUM-skips-null + COUNT(1) semantics.
+  * Accumulation is in Long via Math.addExact/multiplyExact: a cell that
+  * would pass 2⁶³ THROWS instead of silently wrapping — matching the
+  * loud-failure behavior of the DECIMAL(38)-sum + ANSI BIGINT cast the
+  * explode version had (Σ qi·qj beyond 2⁶³ is unrepresentable in the
+  * op's public BIGINT output either way; what must never happen is a
+  * silently corrupted matrix). Null vector rows are skipped; null
+  * ELEMENTS (impossible for the quantize producer, which is
+  * CAST(ROUND(..))) would contribute 0 to g while still counting toward
+  * n, matching SUM-skips-null + COUNT(1) semantics.
   *
   * Buffer layout: [dim, cnt(1..dim), tri(g packed (j-1)j/2 + i-1)],
   * grown on demand when a longer row arrives.
@@ -68,7 +70,11 @@ case class GramMatrixAgg(
       val base = j * (j + 1) / 2
       val qj = q(j)
       var i = 0
-      while (i <= j) { buf.tri(base + i) += q(i) * qj; i += 1 }
+      while (i <= j) {
+        buf.tri(base + i) =
+          Math.addExact(buf.tri(base + i), Math.multiplyExact(q(i), qj))
+        i += 1
+      }
       j += 1
     }
     buf
@@ -80,7 +86,7 @@ case class GramMatrixAgg(
     while (k < other.dim) { buf.cnt(k) += other.cnt(k); k += 1 }
     k = 0
     val t = other.dim * (other.dim + 1) / 2
-    while (k < t) { buf.tri(k) += other.tri(k); k += 1 }
+    while (k < t) { buf.tri(k) = Math.addExact(buf.tri(k), other.tri(k)); k += 1 }
     buf
   }
 

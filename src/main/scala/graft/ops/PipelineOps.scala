@@ -231,9 +231,16 @@ object PipelineOps extends OpGroup {
     * [[simhashCollapsedEdges]] instead and stays linear in dup count.
     */
   private[graft] def simhashEdgesWithCap(
-      s: org.apache.spark.sql.SparkSession, dir: String, cap: Int) = {
-    val sigs = simhashSigs(s, dir)
-    val sigPairs = simhashSigPairsWithCap(s, dir, cap)
+      s: org.apache.spark.sql.SparkSession, dir: String, cap: Int) =
+    expandSigPairs(simhashSigs(s, dir), simhashSigPairsWithCap(s, dir, cap))
+
+  /** The one expansion both doc-level entry points share — a fix here
+    * (pair order, hamming type, dedup) cannot drift between the cached
+    * production path and the cap-equality test path.
+    */
+  private def expandSigPairs(
+      sigs: org.apache.spark.sql.DataFrame,
+      sigPairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ma = sigs.select(col("simhash").as("sa"), col("doc_id").as("da"))
     val mb = sigs.select(col("simhash").as("sb"), col("doc_id").as("db"))
     val cross = sigPairs.join(ma, "sa").join(mb, "sb")
@@ -265,18 +272,8 @@ object PipelineOps extends OpGroup {
   /** Doc-level pair expansion over the cached signature pairs — the
     * text_simhash_neardup surface.
     */
-  private def simhashEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val sigs = simhashSigs(s, dir)
-    val sigPairs = simhashSigPairs(s, dir)
-    val ma = sigs.select(col("simhash").as("sa"), col("doc_id").as("da"))
-    val mb = sigs.select(col("simhash").as("sb"), col("doc_id").as("db"))
-    sigPairs.join(ma, "sa").join(mb, "sb")
-      .select(least(col("da"), col("db")).as("a"),
-        greatest(col("da"), col("db")).as("b"), col("hamming"))
-      .union(ma.join(mb, col("sa") === col("sb") && col("da") < col("db"))
-        .select(col("da").as("a"), col("db").as("b"),
-          lit(0).cast("int").as("hamming")))
-  }
+  private def simhashEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    expandSigPairs(simhashSigs(s, dir), simhashSigPairs(s, dir))
 
   /** The cluster-path graph over the cached signature pairs, WITHOUT the
     * quadratic intra-cohort expansion: one edge per hamming≤3 signature
@@ -361,7 +358,13 @@ object PipelineOps extends OpGroup {
       // thousand edges coalesces to one partition — 32-task scheduling per
       // tiny stage was the dominant per-round cost at sf0.1 — while a big
       // subgraph keeps its upstream partitioning; coalesce only reduces).
-      val edges0 = edgesIn.select("a", "b")
+      // Self-loops carry no connectivity but their nodes ARE
+      // edge-incident and the contract labels every such node: run the
+      // pipeline on proper edges and re-attach self-loop-only nodes as
+      // their own singletons at the end (free when no self-loops exist —
+      // the filter is empty and the anti-join degenerates).
+      val edgesRaw = edgesIn.select("a", "b")
+      val edges0 = edgesRaw.filter(col("a") =!= col("b"))
       // STAGE 1 — per-partition union-find contraction (the MR-CC "local
       // contraction" step): each partition independently collapses the
       // edges it holds into star forests rooted at the partition-local
@@ -492,7 +495,22 @@ object PipelineOps extends OpGroup {
       graft.Caches.releaseCheckpoint(sym)
       if (curSum != prevSum) throw new IllegalStateException(
         s"connectedComponents did not converge in $iter rounds — refusing to return partial labels")
-      labels
+      // Callers may release their input edge frame as soon as this
+      // returns (clusterLabels does), so the self-loop singletons must
+      // materialize NOW, not ride the returned plan lazily. The isEmpty
+      // probe keeps the common no-self-loop path at one tiny job with the
+      // returned frame unchanged (still the loop's own checkpoint).
+      val selfLoops = edgesRaw.filter(col("a") === col("b"))
+        .select(col("a").as("node")).distinct()
+      if (selfLoops.isEmpty) labels
+      else {
+        val all = labels.union(
+            selfLoops.join(labels, Seq("node"), "left_anti")
+              .select(col("node"), col("node").as("label")))
+          .localCheckpoint(true)
+        graft.Caches.releaseCheckpoint(labels)
+        all
+      }
   }
 
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String) =

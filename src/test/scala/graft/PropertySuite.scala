@@ -273,6 +273,17 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("connected components label self-loop-only nodes as their own singletons") {
+    // The documented contract is a label for EVERY edge-incident node; a
+    // self-loop carries no connectivity but its node is edge-incident.
+    // Node 7 appears only as (7,7); node 2 has a self-loop AND a real
+    // edge — it must take its component's min, not a duplicate singleton.
+    val got = ops.PipelineOps.connectedComponents(
+        Seq((7L, 7L), (2L, 2L), (2L, 9L), (4L, 5L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted
+    assert(got.toSeq == Seq(2L -> 2L, 4L -> 4L, 5L -> 4L, 7L -> 7L, 9L -> 2L))
+  }
+
   test("round-8/9 keys are partitioning-invariant (digest equal at 3 vs 11 shuffle partitions)") {
     // The 100 TB correctness property: a result that changes with the
     // shuffle-partition count has an order-dependent accumulation hiding
