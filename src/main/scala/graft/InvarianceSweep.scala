@@ -31,6 +31,9 @@ object InvarianceSweep {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // Optional trailing args restrict the sweep to those keys (dev loop
+    // after touching a family); no trailing args → the full registry.
+    val only = args.drop(1).toSet
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -41,7 +44,8 @@ object InvarianceSweep {
     val conf = "spark.sql.shuffle.partitions"
     var bad = 0
     SparkEntry.queries.foreach { case (key, fn) =>
-      try {
+      if (only.nonEmpty && !only.contains(key)) ()
+      else try {
         val digests = Seq("3", "11").map { p =>
           spark.conf.set(conf, p)
           val d = digest(fn(spark, sfDir))
