@@ -331,4 +331,19 @@ class ExpressionSuite extends AnyFunSuite {
     }
   }
 
+  test("gram_matrix_agg: over-2^63 cells throw instead of silently wrapping") {
+    Tables.conf(spark)
+    // 4e9 * 4e9 = 1.6e19 > Long.MaxValue: the per-row product must fail
+    // loudly (the DECIMAL+ANSI behavior the typed buffer replaced), never
+    // return a wrapped-negative gram cell.
+    val df = Seq(Tuple1(Seq(4000000000L))).toDF("qv")
+    val e = intercept[Exception] {
+      df.selectExpr("gram_matrix_agg(qv)").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in cause chain, got: $e")
+  }
+
 }
