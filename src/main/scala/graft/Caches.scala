@@ -43,7 +43,7 @@ object Caches {
         // SAME lock cell — the loser's fresh Object is discarded before
         // anyone can synchronize on it.
         val fresh = new Object
-        val lock = memoLocks.putIfAbsent((cache, key), fresh).getOrElse(fresh)
+        val lock = memoLocks.putIfAbsent(new LockKey(cache, key), fresh).getOrElse(fresh)
         lock.synchronized {
           cache.get(key) match {
             case Some(v) => v
@@ -52,11 +52,31 @@ object Caches {
         }
     }
 
+  /** Lock-map key hashing the CACHE by reference identity. A plain
+    * `(cache, key)` tuple hashes the TrieMap by CONTENTS (Scala
+    * collections define content-based equals/hashCode, mutable ones
+    * included), so a lock stored while the cache held one entry set is
+    * unfindable after ANY mutation — two threads memoizing the same key
+    * could then acquire different locks and run the side-effecting
+    * builder twice (the round-11 advice finding), and the stopped-session
+    * sweep's remove would miss the bucket and leak entries pinning dead
+    * sessions. Identity hashing makes the key stable for the cache
+    * object's lifetime; the logical key keeps its normal value equality
+    * (it's an immutable tuple at every call site).
+    */
+  private final class LockKey(val cache: AnyRef, val key: Any) {
+    override def hashCode: Int = System.identityHashCode(cache) ^ key.##
+    override def equals(o: Any): Boolean = o match {
+      case k: LockKey => (k.cache eq cache) && k.key == key
+      case _          => false
+    }
+  }
+
   /** One monitor per (cache identity, key) — see [[memo]]. Entries for
     * stopped sessions are purged alongside [[track]]'s registry sweep.
     */
   private val memoLocks = scala.collection.concurrent.TrieMap
-    .empty[(AnyRef, Any), AnyRef]
+    .empty[LockKey, AnyRef]
 
   private final class Entry(val consumers: Set[String], val release: () => Unit) {
     var done: Set[String] = Set.empty
@@ -108,14 +128,20 @@ object Caches {
     // Memo keys are tuples of ANY arity with the session in some slot
     // (2-tuples in the op caches, 3-tuples in Tables.t) — sweep by
     // scanning the product, not by a fixed-shape pattern, or the
-    // 3-tuple locks would pin stopped sessions forever.
-    memoLocks.keys.foreach {
-      case lk @ (_, k: Product) if k.productIterator.exists {
-            case ls: SparkSession => ls.sparkContext.isStopped
-            case _                => false
-          } =>
-        memoLocks.remove(lk)
-      case _ => ()
+    // 3-tuple locks would pin stopped sessions forever. The remove uses
+    // the iterated LockKey instance itself, whose hash is
+    // identity-stable, so the bucket is always found (the content-hash
+    // tuple key this replaced rehashed with current cache contents and
+    // leaked).
+    memoLocks.keys.foreach { lk =>
+      lk.key match {
+        case k: Product if k.productIterator.exists {
+              case ls: SparkSession => ls.sparkContext.isStopped
+              case _                => false
+            } =>
+          memoLocks.remove(lk)
+        case _ => ()
+      }
     }
     val e = new Entry(consumers, release)
     // Seed with consumers that already ran this pass (failure path: the

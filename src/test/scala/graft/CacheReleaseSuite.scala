@@ -114,6 +114,46 @@ class CacheReleaseSuite extends AnyFunSuite {
     } finally pool.shutdownNow()
   }
 
+  test("memo lock survives cache mutation mid-build (identity-keyed lock map)") {
+    // Round-11 advice: the lock map was keyed by the (cache, key) TUPLE,
+    // and Scala mutable maps hash by CONTENTS — so after ANY cache
+    // mutation a second memo call on the same key rehashed to a
+    // different bucket, missed the first caller's lock, and ran the
+    // side-effecting builder twice. Deterministic repro: A enters the
+    // builder and parks; the cache is mutated (a different key — exactly
+    // what a nested Tables build does); B then memoizes the SAME key.
+    // B must block on A's lock and observe A's value — one build total.
+    val cache = scala.collection.concurrent.TrieMap.empty[String, Int]
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = Caches.memo(cache, "k", {
+          aEntered.countDown()
+          assert(release.await(10, java.util.concurrent.TimeUnit.SECONDS))
+          builds.incrementAndGet(); 41
+        })
+      })
+      assert(aEntered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // Mutate the cache while A holds its lock: under content hashing
+      // this invalidated every stored lock key's bucket.
+      cache.put("other", 7)
+      val fb = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = Caches.memo(cache, "k", { builds.incrementAndGet(); 42 })
+      })
+      // Give B time to reach the lock (it must PARK there, not build).
+      Thread.sleep(200)
+      assert(builds.get() == 0, "second caller built while the first held the key's lock")
+      release.countDown()
+      assert(fa.get(10, java.util.concurrent.TimeUnit.SECONDS) == 41)
+      assert(fb.get(10, java.util.concurrent.TimeUnit.SECONDS) == 41,
+        "second caller re-built instead of observing the first build's value")
+      assert(builds.get() == 1, "builder ran more than once for one key")
+    } finally pool.shutdownNow()
+  }
+
   test("released caches rebuild transparently on the next consumer") {
     Caches.releaseAll(spark, dir)
     // Drive the family to a full release, then re-run one consumer: the
