@@ -3215,6 +3215,67 @@ object PipelineOps extends OpGroup {
         ) ORDER BY inner_product DESC, vec_id
       """.trim)),
 
+    // The MIPS→cosine reduction CODED (r11's documented stance made
+    // executable): augment every item with one extra coordinate
+    // √(M² − ‖x‖²) where M is the corpus max norm — every augmented
+    // vector then has norm exactly M, so inner-product order over raw
+    // vectors IS cosine order over augmented vectors, and any cosine
+    // top-k index serves MIPS queries. The op exercises the reduction
+    // end-to-end: candidates = "cosine top-30" over the AUGMENTED
+    // vectors against the zero-augmented query (exactly the call shape a
+    // cosine ANN index answers), then the exact inner-product re-rank on
+    // raw vectors cuts to 10. The oracle is the UNCHANGED brute-force
+    // MIPS SQL — lossless by the reduction theorem (the 30-candidate
+    // margin absorbs any float tie-collapse at the cut boundary);
+    // EquivalenceSuite additionally pins row-equality with vec_mips_topk.
+    // Why not an IVF cell probe in front: measured on this fixture the
+    // true MIPS top-10 spans 7 of 10 label cells (the synthetic
+    // embeddings are not query-clustered), so any pruned probe is lossy
+    // here and would need probe ≈ 9/10 — the full scan. At 100 TB the
+    // candidate generator is pluggable (IVF/LSH over the augmented
+    // vectors, probe count = recall knob); M² is one scalar aggregate
+    // broadcast as a 1-row frame, and both cuts are TakeOrdered
+    // per-partition heaps — no global sort anywhere.
+    Op("vec_mips_via_cosine",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val items = e.filter(col("vec_id") =!= 0)
+        val m2 = items.agg(max(expr("vec_norm_sq(embedding)")).as("m2"))
+        val q = e.filter(col("vec_id") === 0).select(
+          expr("concat(transform(embedding, x -> CAST(x AS DOUBLE)), array(CAST(0 AS DOUBLE)))")
+            .as("qaug"),
+          col("embedding").as("qemb"))
+        val cand = items.crossJoin(broadcast(m2)).crossJoin(broadcast(q))
+          .withColumn("aug", expr(
+            """concat(transform(embedding, x -> CAST(x AS DOUBLE)),
+               array(sqrt(greatest(m2 - vec_norm_sq(embedding), CAST(0 AS DOUBLE)))))"""))
+          .withColumn("cos_aug", expr(
+            "aggregate(zip_with(aug, qaug, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+            / (sqrt(greatest(expr("aggregate(aug, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"), lit(1e-300)))
+              * sqrt(greatest(expr("aggregate(qaug, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"), lit(1e-300)))))
+          .orderBy(desc("cos_aug"), asc("vec_id"))
+          .limit(30)
+        cand
+          .withColumn("ip", expr("vec_dot(embedding, qemb)"))
+          .orderBy(desc("ip"), asc("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), (round(col("ip"), 3) + 0.0).as("inner_product"))
+          .orderBy(desc("inner_product"), asc("vec_id"))
+      },
+      Some("""
+        SELECT vec_id, inner_product FROM (
+          SELECT vec_id,
+            CAST(ROUND(CAST(CAST(ip AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS inner_product, ip
+          FROM (
+            SELECT vec_id,
+              list_dot_product(CAST(embedding AS DOUBLE[]), qemb) AS ip
+            FROM embeddings,
+              (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0)
+            WHERE vec_id <> 0
+          ) ORDER BY ip DESC, vec_id LIMIT 10
+        ) ORDER BY inner_product DESC, vec_id
+      """.trim)),
+
     // Late-interaction (ColBERT-style MaxSim) top-k: both query and
     // candidate are treated as FOUR 16-dim sub-vectors (the multi-vector
     // token-embedding layout), score = Σ over query subs of the MAX

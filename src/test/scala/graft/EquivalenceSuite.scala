@@ -326,6 +326,20 @@ class EquivalenceSuite extends AnyFunSuite {
     }
   }
 
+  test("vec_mips_via_cosine returns the exact vec_mips_topk top-10 (reduction is lossless)") {
+    // The √(M²−‖x‖²) augmentation makes inner-product order equal cosine
+    // order over augmented vectors; the augmented-cosine route must
+    // therefore reproduce the brute-force MIPS top-10 EXACTLY — rows,
+    // order, and rounded scores. Any drift means the reduction (or its
+    // 30-candidate cut margin) broke.
+    val via = SparkEntry.queries("vec_mips_via_cosine")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = SparkEntry.queries("vec_mips_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(via.nonEmpty)
+    assert(via == brute, s"augmented-cosine route diverged:\n via=$via\n brute=$brute")
+  }
+
   test("vec_ndcg_eval and vec_recall_eval agree: perfect recall implies perfect ndcg") {
     // Both replicate the same IVF(probe=3) path against the same exact
     // top-10; if recall@10 is 1.0 AND the orderings agree, NDCG must be
