@@ -1612,6 +1612,105 @@ object PipelineOps extends OpGroup {
         ORDER BY lang, rk
       """.trim)),
 
+    // Tokenizer APPLICATION — the other half of BPE training next to
+    // text_bpe_pair_count's merge FINDER: apply each language's ranked
+    // top-5 merge table to re-tokenize the corpus and report the
+    // char-level→BPE token-count compression per language. Documents are
+    // re-tokenized ROW-LOCALLY in a wrapped-token string representation:
+    // every token is enclosed in its own \x01 pair ("\x01tok\x01", tokens
+    // abut), so the merge pattern "\x01x\x01\x01y\x01" can ONLY match two
+    // complete adjacent tokens — never the tail/head characters of
+    // previously-merged multi-char neighbors (the trap a bare "x<sep>y"
+    // pattern falls into: merge "ba" would weld ["ab","ab"] into one
+    // token), and greedy left-to-right scanning still takes both of
+    // "abab"'s occurrences because each match consumes only its own
+    // wrappers. The merge list folds over the string in rank order via
+    // aggregate() — replace() is a non-overlapping left-to-right scan on
+    // both engines, and a replacement ("\x01xy\x01") can never create a
+    // new match site because merged tokens contain no delimiter. Word
+    // boundaries need no special casing: the space becomes its own
+    // "\x01 \x01" token and no merge pair contains a space (pairs come
+    // from within-word bigrams). Token count falls out of the invariant
+    // that every token carries exactly two delimiters: tokens = delims/2,
+    // minus one per space. At 100 TB: the merge table is |langs|×5
+    // (broadcast); application is one codegen'd scan; the rollup is a
+    // |langs|-row partial aggregate. UnitSuite pins the hand-computed
+    // greedy/anchoring cases.
+    Op("text_bpe_apply",
+      (s, dir) => {
+        val p = "\u0001"
+        val d = Tables.t(s, dir, "documents")
+        val pairs = d.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .select(col("lang"), explode(
+            expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        val merges = pairs.groupBy("lang", "pair").agg(count(lit(1)).as("cnt"))
+          .withColumn("rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("lang").orderBy(col("cnt").desc, col("pair"))))
+          .filter(col("rk") <= 5)
+          .groupBy("lang")
+          .agg(expr("transform(array_sort(collect_list(struct(rk, pair))), s -> s.pair)")
+            .as("merges"))
+        d.join(broadcast(merges), Seq("lang"), "left")
+          .withColumn("merged", expr(
+            s"""aggregate(coalesce(merges, array()),
+                concat('$p', array_join(split(text, ''), '$p$p'), '$p'),
+                (acc, m) -> replace(acc,
+                  concat('$p', substring(m, 1, 1), '$p$p', substring(m, 2, 1), '$p'),
+                  concat('$p', m, '$p')))"""))
+          .withColumn("char_toks", length(translate(col("text"), " ", "")).cast("long"))
+          .withColumn("bpe_toks", expr(
+            s"""CAST((length(merged) - length(translate(merged, '$p', ''))) DIV 2
+                - (length(text) - length(translate(text, ' ', ''))) AS BIGINT)"""))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs"),
+            sum("char_toks").as("char_tokens"),
+            sum("bpe_toks").as("bpe_tokens"))
+          .withColumn("compression",
+            round(col("bpe_tokens").cast("double") / col("char_tokens").cast("double"), 4) + 0.0)
+          .orderBy("lang")
+      },
+      Some {
+        val p = "\u0001"
+        s"""
+        WITH words AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+        ), pairs AS (
+          SELECT lang, unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+          FROM words WHERE len(w) >= 2
+        ), counts AS (
+          SELECT lang, pair, COUNT(*) AS cnt FROM pairs GROUP BY lang, pair
+        ), ranked AS (
+          SELECT lang, pair, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, pair) AS rk
+          FROM counts
+        ), merges AS (
+          SELECT lang, list(pair ORDER BY rk) AS ms FROM ranked WHERE rk <= 5 GROUP BY lang
+        ), docs AS (
+          SELECT lang,
+            CAST(len(replace(text, ' ', '')) AS BIGINT) AS char_toks,
+            CAST((len(merged) - len(replace(merged, '$p', ''))) // 2
+              - (len(text) - len(replace(text, ' ', ''))) AS BIGINT) AS bpe_toks
+          FROM (
+            SELECT d.lang, d.text,
+              list_reduce(
+                list_prepend('$p' || array_to_string(string_split(d.text, ''), '$p$p') || '$p',
+                  coalesce(m.ms, [])),
+                (acc, mg) -> replace(acc,
+                  '$p' || substr(mg, 1, 1) || '$p$p' || substr(mg, 2, 1) || '$p',
+                  '$p' || mg || '$p')) AS merged
+            FROM documents d LEFT JOIN merges m USING (lang)
+          )
+        )
+        SELECT lang, COUNT(*) AS docs,
+          CAST(SUM(char_toks) AS BIGINT) AS char_tokens,
+          CAST(SUM(bpe_toks) AS BIGINT) AS bpe_tokens,
+          CAST(ROUND(CAST(CAST(CAST(SUM(bpe_toks) AS DOUBLE) / CAST(SUM(char_toks) AS DOUBLE)
+            AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS compression
+        FROM docs GROUP BY lang ORDER BY lang
+        """.trim
+      }),
+
     // URL canonicalization — the dedup step for web-crawled corpora, where
     // the same page hides behind case-varied hosts, default ports,
     // tracking params, and fragments. The corpus has no URLs (measured),

@@ -720,6 +720,26 @@ class UnitSuite extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, 5.0), (1L, 2.0), (3L, 0.0)))
   }
 
+  test("bpe apply: greedy non-overlapping merges, no cross-token welding") {
+    // lang xx, doc "abab aaab": pair counts ab=3, aa=2, ba=1 → merges in
+    // rank order [ab, aa, ba]. Greedy application: "abab"→[ab,ab] (both
+    // occurrences merge — adjacent matches must not steal each other's
+    // wrapper), "aaab"→[a,a,ab]→[aa,ab]. Then merge "ba" must NOT weld
+    // the adjacent [ab][ab] tokens (tail-b + head-a) — the anchoring
+    // property the wrapped representation exists for. 4 tokens / 8 chars.
+    // lang yy, doc "aaa": merges [aa]; greedy left-to-right → [aa,a] =
+    // 2 tokens / 3 chars, NOT 1 (overlapping "aa" must not double-fire).
+    val dir = miniDir("documents" -> Seq(
+      (1L, "abab aaab", "xx"),
+      (2L, "aaa", "yy"))
+      .toDF("doc_id", "text", "lang"))
+    val got = SparkEntry.queries("text_bpe_apply")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("xx", 1L, 8L, 4L, 0.5),
+      ("yy", 1L, 3L, 2L, 0.6667)))
+  }
+
   test("log histogram: buckets at exact powers, integer p50/p99 crossings") {
     val dir = miniDir("lineitem" -> Seq(
       (1L, 0.01), (2L, 0.03), (3L, 10.24))
