@@ -6,6 +6,38 @@ import org.apache.spark.sql.SparkSession
   * nothing after it) and mirror it to target/bench.json.
   */
 object Bench {
+  /** Per-key bench budget (PERF_NOTES.md) — BenchBudgetSuite gates it. */
+  private[graft] val BudgetSec = 10.0
+
+  /** BENCH_LOCAL.json is the committed artifact for the DRIVER-CONTRACT
+    * scale only. Round-11 advice: the old startsWith("/root/testdata/")
+    * guard let a run at ANY scale factor silently overwrite the committed
+    * sf0.1 numbers — pin to exactly the contract dir (normalized, so a
+    * trailing slash or a ./ segment doesn't dodge the pin), and require
+    * repo-root cwd so a scratch run elsewhere can't clobber it either.
+    */
+  private[graft] def benchLocalEligible(sfDir: String, cwdHasBuild: Boolean): Boolean =
+    cwdHasBuild &&
+      java.nio.file.Paths.get(sfDir).normalize().toString == "/root/testdata/sf0.1"
+
+  /** Adjudicate a per-key rerun outcome (round-10 verdict blind spot: host
+    * contention spanning BOTH reps self-confirms — a 30%-consistent pair of
+    * inflated times used to read as genuine query cost). A breach is only
+    * "confirmed_hot" when the reruns agreed AND the host telemetry for the
+    * key's own window was quiet: zero steal jiffies (no co-tenant VM on
+    * this host's cycles) and 1-min loadavg at or under the executor thread
+    * count (a healthy full pass peaks ~8 on 32 threads — measured r11).
+    * Anything consistent-but-noisy is "contention_suspect": report it,
+    * don't trust it without an isolated rerun (BenchOne, or the in-run
+    * quiet-confirm pass below). Inconsistent reruns are "recovered" — the
+    * min already is the true cost.
+    */
+  private[graft] def classifyBreach(
+      confirmed: Boolean, stealDelta: Long, load1m: Double, cpus: Int): String =
+    if (!confirmed) "recovered"
+    else if (stealDelta == 0 && load1m <= cpus.toDouble) "confirmed_hot"
+    else "contention_suspect"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -109,13 +141,19 @@ object Bench {
     }
     val steal0 = stealJiffies
     val load0 = procLine("/proc/loadavg").split("\\s+").take(3).mkString(",")
+    def load1m: Double =
+      try procLine("/proc/loadavg").split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val done = scala.collection.mutable.ArrayBuffer.empty[Double]
     val reruns = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val breach = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Soft cap on extra-rep time (checked before each rerun starts, so one
     // in-flight rerun can overshoot it) — bounds a fully-contended pass.
     var rerunBudget = 240.0
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val kSteal0 = stealJiffies
       val first = timeOnce(fn)
       var best = first
       // Rolling median needs a stable base; before 8 keys use a fixed 3 s
@@ -143,6 +181,11 @@ object Bench {
         // artifact carries both, and BenchBudgetSuite gates the cold time
         // at a looser bound.
         cold(name) = first
+        // Adjudicate the rerun against the key's OWN telemetry window so a
+        // "confirmed" breach under visible contention can't pass as hot.
+        breach(name) = classifyBreach(confirmed,
+          if (kSteal0 >= 0 && stealJiffies >= 0) stealJiffies - kSteal0 else -1L,
+          load1m, cpus.toInt)
       }
       done += best
       // Outside the timer: drop any shared cached frame whose last
@@ -150,7 +193,41 @@ object Bench {
       // 237-key pass (round-4 contention suspect). After the reps — a
       // rerun must see the same cached layouts the first rep saw.
       Caches.keyDone(spark, sfDir, name)
-      name -> best
+      results(name) = best
+    }
+    // Isolated quiet-confirm pass (round-11 verdict item 5): a key over
+    // the per-key budget whose breach class is NOT confirmed_hot was only
+    // ever measured under suspect host conditions — in-pass reruns can
+    // self-confirm when contention spans both reps. Before the artifact
+    // records such a breach as genuine, wait (bounded) for the host to go
+    // quiet — zero steal over a 2 s window and 1-min loadavg under the
+    // thread count — then rerun once in isolation (all shared caches
+    // dropped, fixture rebuilt untimed, exactly BenchOne's shape). An
+    // under-budget isolated time downgrades the key to its quiet cost
+    // ("recovered"); a still-over time under a QUIET host is the real
+    // thing ("confirmed_hot").
+    for ((name, best) <- results.toSeq if best > BudgetSec
+         && breach.getOrElse(name, "") != "confirmed_hot") {
+      var waited = 0
+      var isQuiet = false
+      def quiet(): Boolean = {
+        val s0 = stealJiffies
+        Thread.sleep(2000)
+        stealJiffies == s0 && load1m >= 0 && load1m <= cpus.toDouble
+      }
+      while ({ isQuiet = quiet(); !isQuiet } && waited < 30) waited += 1 // ≤ ~62 s wait
+      Caches.releaseAll(spark, sfDir)
+      Setups.warm(spark, sfDir, Set(name))
+      val iso = timeOnce(SparkEntry.queries(name))
+      Caches.keyDone(spark, sfDir, name)
+      // Host never went quiet → the isolated rep proves nothing either
+      // way; leave the suspect label standing rather than minting a
+      // confident class from noisy evidence.
+      breach(name) =
+        if (iso <= BudgetSec) "recovered"
+        else if (isQuiet) "confirmed_hot"
+        else "contention_suspect"
+      results(name) = math.min(best, iso)
     }
     val stealDelta = if (steal0 >= 0 && stealJiffies >= 0) stealJiffies - steal0 else -1L
     val load1 = procLine("/proc/loadavg").split("\\s+").take(3).mkString(",")
@@ -175,8 +252,10 @@ object Bench {
       .mkString("\"reruns\":{", ",", "}")
     val coldJson = cold.map { case (k, v) => s""""$k":${sec3(v)}""" }
       .mkString("\"cold\":{", ",", "}")
+    val breachJson = breach.map { case (k, c) => s""""$k":"$c"""" }
+      .mkString("\"breach\":{", ",", "}")
     val json =
-      s"""{$envJson,$rerunsJson,$coldJson,"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${sec3(total)}}"""
+      s"""{$envJson,$rerunsJson,$coldJson,$breachJson,"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${sec3(total)}}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
@@ -184,11 +263,11 @@ object Bench {
     // path: the driver's BENCH_r0N.json keeps only a bounded stdout tail
     // (the per-key map truncates), and target/ is mutable — round-9
     // verdict item 4 asked for a durable per-round copy so cross-round
-    // per-key diffs survive. Guarded so a scratch run (a /tmp fixture, a
-    // different cwd) can never clobber the committed sf0.1 artifact:
-    // write only for the driver-contract testdata AND from the repo root.
-    if (sfDir.startsWith("/root/testdata/")
-        && java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
+    // per-key diffs survive. Guarded so a scratch run (a /tmp fixture,
+    // ANOTHER SCALE FACTOR, a different cwd) can never clobber the
+    // committed sf0.1 artifact — see [[benchLocalEligible]].
+    if (benchLocalEligible(sfDir,
+        java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt"))))
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), json.getBytes("UTF-8"))
     println(json)

@@ -34,6 +34,18 @@ object Caches {
     * the concurrent-library-user scenario this guard protects. Builder
     * chains only ever nest in one direction (op cache → Tables cache) and
     * always on their own key, so the per-key monitors cannot deadlock.
+    *
+    * The lock entry is SELF-CLEANING: once the value is cached, the fast
+    * path never consults [[memoLocks]] again, so the winner drops its
+    * entry on the way out — a late waiter still holds the monitor
+    * REFERENCE (map removal doesn't unpark it) and re-checks the cache
+    * under it, and a post-removal arrival re-checks under a fresh lock.
+    * This bounds memoLocks for ANY key shape (round-11 advice: keys
+    * without a SparkSession inside — a plain String, say — never matched
+    * the stopped-session sweep and accumulated forever). Only a THROWING
+    * builder leaves its entry behind (deliberate: waiters serialize the
+    * retry behind the same monitor rather than stampeding the builder);
+    * session-bearing keys are then reaped by the sweep in [[track]].
     */
   def memo[K, V](cache: scala.collection.concurrent.TrieMap[K, V], key: K, build: => V): V =
     cache.get(key) match {
@@ -43,13 +55,18 @@ object Caches {
         // SAME lock cell — the loser's fresh Object is discarded before
         // anyone can synchronize on it.
         val fresh = new Object
-        val lock = memoLocks.putIfAbsent(new LockKey(cache, key), fresh).getOrElse(fresh)
-        lock.synchronized {
+        val lk = new LockKey(cache, key)
+        val lock = memoLocks.putIfAbsent(lk, fresh).getOrElse(fresh)
+        val v = lock.synchronized {
           cache.get(key) match {
             case Some(v) => v
             case None => val v = build; cache.put(key, v); v
           }
         }
+        // Success only — conditional on the same monitor instance, so a
+        // racer's fresh cell for a later lifecycle is never clobbered.
+        memoLocks.remove(lk, lock)
+        v
     }
 
   /** Lock-map key hashing the CACHE by reference identity. A plain
@@ -77,6 +94,11 @@ object Caches {
     */
   private val memoLocks = scala.collection.concurrent.TrieMap
     .empty[LockKey, AnyRef]
+
+  /** Test hook: live lock-entry count (CacheReleaseSuite pins the
+    * self-cleaning bound for session-less key shapes).
+    */
+  private[graft] def memoLockCount: Int = memoLocks.size
 
   private final class Entry(val consumers: Set[String], val release: () => Unit) {
     var done: Set[String] = Set.empty

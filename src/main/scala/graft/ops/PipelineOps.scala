@@ -344,6 +344,18 @@ object PipelineOps extends OpGroup {
       // would otherwise coalesce to one partition and leave the global
       // loop unexercised.
       ufRowsPerPartition: Long = 2000000L): org.apache.spark.sql.DataFrame = {
+      // The pipeline routes ids through cast("long") for the union-find
+      // stage; a fractional/string id column would truncate silently and
+      // corrupt labels (round-11 advice) — fail loudly at the seam
+      // instead. Long/Int/Short/Byte are the lossless inputs.
+      Seq("a", "b").foreach { c =>
+        val dt = edgesIn.schema(c).dataType
+        require(dt == org.apache.spark.sql.types.LongType
+            || dt == org.apache.spark.sql.types.IntegerType
+            || dt == org.apache.spark.sql.types.ShortType
+            || dt == org.apache.spark.sql.types.ByteType,
+          s"connectedComponents needs integral ids; column '$c' is $dt")
+      }
       // Only edge-incident nodes can ever receive a label below their own
       // doc_id, so the propagation iterates over THAT subgraph (a few % of
       // any real corpus — near-dup cohorts are rare); the untouched docs

@@ -10,7 +10,39 @@ import org.scalatest.funsuite.AnyFunSuite
   * fresh checkout with no bench artifact.
   */
 class BenchBudgetSuite extends AnyFunSuite {
-  private val BudgetSec = 10.0
+  private val BudgetSec = Bench.BudgetSec
+
+  test("BENCH_LOCAL eligibility is pinned to the exact sf0.1 contract dir") {
+    // Round-11 advice: the old startsWith("/root/testdata/") guard let a
+    // run at ANY scale factor overwrite the committed sf0.1 artifact.
+    assert(Bench.benchLocalEligible("/root/testdata/sf0.1", cwdHasBuild = true))
+    // Path-normal variants of the contract dir still qualify…
+    assert(Bench.benchLocalEligible("/root/testdata/sf0.1/", cwdHasBuild = true))
+    assert(Bench.benchLocalEligible("/root/testdata/./sf0.1", cwdHasBuild = true))
+    // …but other scale factors, scratch dirs, and non-repo cwds never do.
+    assert(!Bench.benchLocalEligible("/root/testdata/sf0.01", cwdHasBuild = true))
+    assert(!Bench.benchLocalEligible("/root/testdata/sf0.001", cwdHasBuild = true))
+    assert(!Bench.benchLocalEligible("/tmp/graft_mini123", cwdHasBuild = true))
+    assert(!Bench.benchLocalEligible("/root/testdata/sf0.1", cwdHasBuild = false))
+  }
+
+  test("breach adjudication: consistent reruns under a noisy host are not confirmed hot") {
+    // Round-10 blind spot: contention spanning both reps self-confirms.
+    // Consistent + quiet host (no steal, load under thread count) → hot.
+    assert(Bench.classifyBreach(confirmed = true, stealDelta = 0, load1m = 8.0, cpus = 32)
+      == "confirmed_hot")
+    // Consistent but co-tenant steal observed in the key's own window →
+    // suspect, never hot.
+    assert(Bench.classifyBreach(confirmed = true, stealDelta = 40, load1m = 8.0, cpus = 32)
+      == "contention_suspect")
+    // Consistent but the host is overloaded beyond our own threads →
+    // suspect.
+    assert(Bench.classifyBreach(confirmed = true, stealDelta = 0, load1m = 48.0, cpus = 32)
+      == "contention_suspect")
+    // Inconsistent reruns: min-of-reps already recovered the true cost.
+    assert(Bench.classifyBreach(confirmed = false, stealDelta = 40, load1m = 48.0, cpus = 32)
+      == "recovered")
+  }
 
   test(s"no bench key exceeds ${BudgetSec}s in target/bench.json (when present)") {
     val p = java.nio.file.Paths.get("target/bench.json")

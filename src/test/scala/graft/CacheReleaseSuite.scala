@@ -114,6 +114,21 @@ class CacheReleaseSuite extends AnyFunSuite {
     } finally pool.shutdownNow()
   }
 
+  test("memo lock entries self-clean on success for any key shape") {
+    // Round-11 advice: the stopped-session sweep only matched Product
+    // keys carrying a SparkSession, so plain-String keys (tests, any
+    // future session-less cache) accumulated in the lock map forever.
+    // memo now drops the entry once the value is cached — the lock map
+    // must not grow with successful memoizations of session-less keys.
+    val cache = scala.collection.concurrent.TrieMap.empty[String, Int]
+    val before = Caches.memoLockCount
+    (1 to 50).foreach(i => Caches.memo(cache, s"slk_$i", i))
+    assert(Caches.memoLockCount <= before,
+      s"lock map grew from $before to ${Caches.memoLockCount} after 50 successful memoizations")
+    // Cached values stay served (fast path) with no lock traffic.
+    assert(Caches.memo(cache, "slk_7", fail("must not rebuild")) == 7)
+  }
+
   test("memo lock survives cache mutation mid-build (identity-keyed lock map)") {
     // Round-11 advice: the lock map was keyed by the (cache, key) TUPLE,
     // and Scala mutable maps hash by CONTENTS — so after ANY cache
@@ -140,10 +155,19 @@ class CacheReleaseSuite extends AnyFunSuite {
       // Mutate the cache while A holds its lock: under content hashing
       // this invalidated every stored lock key's bucket.
       cache.put("other", 7)
+      val bAtMemo = new java.util.concurrent.CountDownLatch(1)
       val fb = pool.submit(new java.util.concurrent.Callable[Int] {
-        def call(): Int = Caches.memo(cache, "k", { builds.incrementAndGet(); 42 })
+        def call(): Int = {
+          bAtMemo.countDown()
+          Caches.memo(cache, "k", { builds.incrementAndGet(); 42 })
+        }
       })
-      // Give B time to reach the lock (it must PARK there, not build).
+      // B must PARK at the lock, not build. A bare sleep could pass
+      // vacuously if B was never scheduled (round-11 advice) — await the
+      // latch so B provably reached memo, THEN give it a beat to hit the
+      // monitor before asserting no build happened.
+      assert(bAtMemo.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "second caller never scheduled — race path unexercised")
       Thread.sleep(200)
       assert(builds.get() == 0, "second caller built while the first held the key's lock")
       release.countDown()

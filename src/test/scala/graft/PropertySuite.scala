@@ -284,6 +284,22 @@ class PropertySuite extends AnyFunSuite {
     assert(got.toSeq == Seq(2L -> 2L, 4L -> 4L, 5L -> 4L, 7L -> 7L, 9L -> 2L))
   }
 
+  test("connected components reject non-integral id columns loudly") {
+    // The union-find stage routes ids through cast("long"); a double or
+    // string id would truncate silently and corrupt labels (round-11
+    // advice). The seam must throw, not mislabel.
+    val doubles = intercept[IllegalArgumentException] {
+      ops.PipelineOps.connectedComponents(
+        Seq((1.5, 2.0), (2.0, 3.5)).toDF("a", "b"))
+    }
+    assert(doubles.getMessage.contains("integral"))
+    val strings = intercept[IllegalArgumentException] {
+      ops.PipelineOps.connectedComponents(
+        Seq(("x", "y")).toDF("a", "b"))
+    }
+    assert(strings.getMessage.contains("integral"))
+  }
+
   test("round-8/9 keys are partitioning-invariant (digest equal at 3 vs 11 shuffle partitions)") {
     // The 100 TB correctness property: a result that changes with the
     // shuffle-partition count has an order-dependent accumulation hiding
