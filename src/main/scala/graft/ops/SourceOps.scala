@@ -27,6 +27,29 @@ object SourceOps extends OpGroup {
         .write.mode("overwrite").partitionBy("zbucket").parquet(o)
     }
 
+  /** The AT-SCALE z-order write path (SURVEY §7.6's stance, coded round
+    * 12). [[zorderDemo]]'s NTILE over a global ORDER BY is deterministic
+    * — which the DuckDB oracle needs — but plans a SINGLE-PARTITION
+    * window: correct at verification SFs, a scale-killer at 100 TB. The
+    * production layout replaces it with repartitionByRange(z): the
+    * RangePartitioner SAMPLES boundary values (one lightweight pass) and
+    * places rows with an ordinary range exchange — no window, no global
+    * sort — then sorts within partitions so every output file is
+    * internally z-clustered. Bucket membership becomes sample-dependent
+    * (not oracle-reproducible), so this path is pinned by PlanSuite
+    * instead: plan shape (range exchange present, zero Window, zero
+    * global Sort) plus the property the layout exists for — per-bucket
+    * z ranges are pairwise disjoint, so a z-range predicate prunes
+    * whole buckets.
+    */
+  private[graft] def zorderScaleFrame(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.t(s, dir, "orders")
+      .withColumn("z", expr(zorderSpark))
+      .repartitionByRange(8, col("z"), col("o_orderkey"))
+      .sortWithinPartitions("z", "o_orderkey")
+      .withColumn("zbucket", spark_partition_id())
+
   /** Spark 4 ships the avro source inside spark-sql, but this image's jar
     * set lacks the `avro` short-name service registration — the
     * fully-qualified format class resolves the same code path.

@@ -401,6 +401,35 @@ class PlanSuite extends AnyFunSuite {
       "no global sort for a limit-10")
   }
 
+  test("z-order at-scale write path: range exchange, no window, no global sort, disjoint buckets") {
+    // src_zorder_write's oracle-checked layout uses NTILE (deterministic,
+    // single-partition window — fine at verification SFs, fatal at
+    // 100 TB). The scale path (SourceOps.zorderScaleFrame) must place
+    // rows with a SAMPLED range exchange and per-partition sorts only.
+    val df = ops.SourceOps.zorderScaleFrame(spark, sf0001)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("rangepartitioning("),
+      "rows must be placed by the sampled range partitioner")
+    assert(!p.contains("Window"), "no NTILE/window in the scale write path")
+    // Formatted Sort arguments end "…], <global>, 0" — a true flag would
+    // be a global total sort.
+    assert(!"\\], true, 0".r.findFirstIn(p).isDefined,
+      "the scale path must sort within partitions only")
+    // The property the layout exists for: per-bucket z ranges pairwise
+    // disjoint, so a z-range predicate prunes whole buckets on read.
+    val boxes = df.groupBy("zbucket")
+      .agg(org.apache.spark.sql.functions.min("z").as("lo"),
+        org.apache.spark.sql.functions.max("z").as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(boxes.length > 1, "range placement must actually spread buckets")
+    boxes.sliding(2).foreach {
+      case Array((b1, _, hi1), (b2, lo2, _)) =>
+        assert(hi1 <= lo2, s"bucket $b1 (hi=$hi1) overlaps bucket $b2 (lo=$lo2)")
+      case _ => ()
+    }
+  }
+
   test("text_dup_spans: span counts two-phase, flag join keyed, no cartesian") {
     val p = plan("text_dup_spans")
     assert(p.contains("partial_"),
