@@ -337,7 +337,11 @@ class PropertySuite extends AnyFunSuite {
       // integer gram matrix — each carries a per-group summation whose
       // order-insensitivity (micro-unit rounding before the sum) is the
       // exact property this gate checks.
-      "text_lm_perplexity", "text_zipf_fit", "vec_gram_matrix")
+      "text_lm_perplexity", "text_zipf_fit", "vec_gram_matrix",
+      // Round-12 additions: the augmented-cosine MIPS route (float cosine
+      // cut + float ip re-rank) and the BPE fold (order-sensitive if the
+      // merge list ever stopped being rank-sorted).
+      "vec_mips_via_cosine", "text_bpe_apply")
     val conf = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(conf)
     try keys.foreach { k =>
