@@ -3296,10 +3296,11 @@ object PipelineOps extends OpGroup {
     // better-aligned low-norm one, so this is NOT vec_cosine_topk with
     // different constants). Brute exact top-k by raw dot product as the
     // oracle-checkable surface; at 100 TB the same query runs through the
-    // standard MIPS→cosine reduction (augment each item with
-    // √(M²−‖x‖²) so inner-product order becomes cosine order, then any
-    // cosine ANN index — IVF/LSH here — applies). TakeOrdered keeps the
-    // scan one pass with a per-partition heap — no global sort.
+    // standard MIPS→cosine reduction — CODED as vec_mips_via_cosine
+    // below (augment each item with √(M²−‖x‖²) so inner-product order
+    // becomes cosine order, then any cosine ANN index applies;
+    // EquivalenceSuite pins the two routes row-equal). TakeOrdered keeps
+    // the scan one pass with a per-partition heap — no global sort.
     Op("vec_mips_topk",
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
