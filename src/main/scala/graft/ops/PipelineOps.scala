@@ -1316,6 +1316,80 @@ object PipelineOps extends OpGroup {
         ) ORDER BY source, lang
       """.trim)),
 
+    // Temperature-mixed corpus SAMPLING — the knob corpus_mix_report's
+    // table is read to turn: per-lang sampling weight cnt^α flattens the
+    // language distribution (the mT5/XLM-R recipe), here α = 0.5 — chosen
+    // deliberately because IEEE-754 sqrt is CORRECTLY ROUNDED and thus
+    // bit-identical on both engines, unlike pow(x, α) whose libm last-ulp
+    // could flip a keep threshold. Target budget = N/2 docs; per-lang
+    // keep probability min(1, budget·p_l/cnt_l) becomes an exact integer
+    // keep-per-million threshold (floor of identical doubles), and doc
+    // membership is the engine-shared md5 coin from sample_hash — so the
+    // kept SET is bit-reproducible cross-engine, not just the counts.
+    // Σ√cnt is summed in lang order on BOTH engines (Spark: fold over the
+    // lang-sorted collect_list; DuckDB: list_sum over list(… ORDER BY
+    // lang)) — float addition isn't associative, so the summation order
+    // is part of the spec. At 100 TB: two scans (count, then filter+agg),
+    // the probability table is |langs| rows broadcast, nothing else
+    // shuffles beyond the |langs|-row rollups.
+    Op("corpus_temperature_sample",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(
+          expr("""aggregate(
+              transform(array_sort(collect_list(struct(lang, cnt))),
+                s -> sqrt(CAST(s.cnt AS DOUBLE))),
+              CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("sw"),
+          sum("cnt").as("n"))
+        val probs = counts.crossJoin(broadcast(tot))
+          .withColumn("keep_per_million", expr(
+            """CAST(floor(least(CAST(1.0 AS DOUBLE),
+               CAST(n DIV 2 AS DOUBLE) * (sqrt(CAST(cnt AS DOUBLE)) / sw)
+                 / CAST(cnt AS DOUBLE)) * 1000000.0D) AS BIGINT)"""))
+          .select(col("lang"), col("cnt"), col("keep_per_million"))
+        val kept = d.join(broadcast(probs), Seq("lang"))
+          .filter(expr(
+            """CAST(conv(substring(md5(concat('ts_', doc_id)), 1, 15), 16, 10) AS BIGINT)
+               % 1000000 < keep_per_million"""))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("kept_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("kept_tokens"))
+        probs.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("cnt").as("n_docs"), col("keep_per_million"),
+            coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+            coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+          .withColumn("effective_milli", expr(
+            "CAST(kept_docs * 1000 DIV SUM(kept_docs) OVER () AS BIGINT)"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+        tot AS (
+          SELECT list_sum(list_transform(list(CAST(cnt AS DOUBLE) ORDER BY lang), x -> sqrt(x))) AS sw,
+            CAST(SUM(cnt) AS BIGINT) AS n
+          FROM counts),
+        probs AS (
+          SELECT lang, cnt,
+            CAST(floor(least(CAST(1.0 AS DOUBLE),
+              CAST(n // 2 AS DOUBLE) * (sqrt(CAST(cnt AS DOUBLE)) / sw)
+                / CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS keep_per_million
+          FROM counts, tot),
+        kept AS (
+          SELECT d.lang, COUNT(*) AS kept_docs,
+            CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS kept_tokens
+          FROM documents d JOIN probs p USING (lang)
+          WHERE CAST(('0x' || substr(md5('ts_' || d.doc_id), 1, 15)) AS BIGINT)
+            % 1000000 < p.keep_per_million
+          GROUP BY d.lang)
+        SELECT p.lang, CAST(p.cnt AS BIGINT) AS n_docs, p.keep_per_million,
+          COALESCE(k.kept_docs, 0) AS kept_docs,
+          COALESCE(k.kept_tokens, 0) AS kept_tokens,
+          CAST(COALESCE(k.kept_docs, 0) * 1000 // (SELECT SUM(kept_docs) FROM kept) AS BIGINT) AS effective_milli
+        FROM probs p LEFT JOIN kept k USING (lang)
+        ORDER BY p.lang
+      """.trim)),
+
     // One Lloyd (k-means) assignment step over the quantized embeddings:
     // centroids = per-label mean of the 1e-3-quantized integer
     // components (exact integer sums — no float-sum-order risk in the

@@ -740,6 +740,24 @@ class UnitSuite extends AnyFunSuite {
       ("yy", 1L, 3L, 2L, 0.6667)))
   }
 
+  test("temperature sample: sqrt weights flatten the mix, md5 coin decides membership") {
+    // 8 "aa" docs vs 2 "bb" docs, budget N/2 = 5. Weights √8:√2 give
+    // p = 2/3 : 1/3, so keep-per-million = floor(5·p/cnt·1e6) =
+    // 416666 (aa) / 833333 (bb) — the minority lang keeps a HIGHER rate
+    // (the flattening the op exists for). Membership is the md5 coin:
+    // hand-evaluated, ids 3,4,5 pass at 416666 and id 9 passes at
+    // 833333 → kept 3 vs 1, effective milli 750/250 (integer DIV).
+    val dir = miniDir("documents" -> (
+      (0L to 7L).map(i => (i, "w w", "aa")) ++ Seq((8L, "w w", "bb"), (9L, "w w", "bb")))
+      .toDF("doc_id", "text", "lang"))
+    val got = SparkEntry.queries("corpus_temperature_sample")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("aa", 8L, 416666L, 3L, 6L, 750L),
+      ("bb", 2L, 833333L, 1L, 2L, 250L)))
+  }
+
   test("log histogram: buckets at exact powers, integer p50/p99 crossings") {
     val dir = miniDir("lineitem" -> Seq(
       (1L, 0.01), (2L, 0.03), (3L, 10.24))
