@@ -1038,6 +1038,88 @@ object PipelineOps extends OpGroup {
         ) ORDER BY cos_sim DESC, vec_id
       """.trim)),
 
+    // BATCHED IVF top-k — the production retrieval shape the single-query
+    // ops deliberately simplify away: a BATCH of query vectors (vec_id
+    // 0–4) each routes through its own top-2 centroid cells, and the
+    // exact re-rank runs as ONE window partitioned by query id — so
+    // ranking parallelism scales with |queries|, never a single-partition
+    // sort, and per-query candidate volume stays cell-bounded. The query
+    // frame and the (query, probed-cell) routing table are both broadcast
+    // (|queries| and 2·|queries| rows); the only corpus-sized motion is
+    // the label-keyed candidate join + the qid-partitioned window. At
+    // 100 TB with millions of queries the SAME plan holds: the routing
+    // table shards by qid instead of broadcasting, and everything else is
+    // unchanged — that re-shard is the one knob.
+    Op("vec_ivf_batch_topk",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val centroids = labelCentroids(s, dir)
+        val qw = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("csim"), asc("label"))
+        val cells = centroids.crossJoin(broadcast(queries))
+          .withColumn("cdot", expr(
+            "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+          .withColumn("csim", col("cdot")
+            / (sqrt(greatest(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"), lit(1e-300)))
+              * Tables.safeNorm("qemb")))
+          .withColumn("crk", row_number().over(qw))
+          .filter(col("crk") <= 2)
+          .select(col("qid"), col("label"))
+        val rw = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+        e.filter(col("vec_id") >= 5)
+          .join(broadcast(cells), Seq("label"))
+          .join(broadcast(queries), Seq("qid"))
+          .withColumn("sim", expr("vec_dot(embedding, qemb)")
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
+          .withColumn("rk", row_number().over(rw))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk"), col("vec_id"),
+            (round(col("sim"), 3) + 0.0).as("cos_sim"))
+          .orderBy("qid", "rk")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qemb
+          FROM embeddings WHERE vec_id < 5
+        ),
+        cent AS (
+          SELECT label, list(m ORDER BY pos) AS cemb FROM (
+            SELECT label, pos, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m FROM (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                unnest(CAST(embedding AS DOUBLE[])) AS v
+              FROM embeddings
+            ) GROUP BY label, pos
+          ) GROUP BY label
+        ),
+        cells AS (
+          SELECT qid, label FROM (
+            SELECT qid, label,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                list_dot_product(cemb, qemb)
+                  / (sqrt(greatest(list_sum(list_transform(cemb, x -> x * x)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) DESC,
+                label) AS crk
+            FROM cent, q
+          ) WHERE crk <= 2
+        )
+        SELECT qid, rk, vec_id, cos_sim FROM (
+          SELECT c.qid, e.vec_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY sim DESC, e.vec_id) AS INT) AS rk,
+            CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS cos_sim
+          FROM embeddings e
+          JOIN cells c USING (label)
+          JOIN q USING (qid),
+          LATERAL (SELECT list_dot_product(CAST(e.embedding AS DOUBLE[]), qemb)
+            / (sqrt(greatest(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+               * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS sim) s
+          WHERE e.vec_id >= 5
+        ) WHERE rk <= 3
+        ORDER BY qid, rk
+      """.trim)),
+
     // LSH-bucketed ANN (the second scale path next to vec_ivf_topk):
     // L=4 tables × P=6 random hyperplanes whose ±1 components derive from
     // md5 parity (cross-engine deterministic, no stored model). Projections

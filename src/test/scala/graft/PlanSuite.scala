@@ -401,6 +401,20 @@ class PlanSuite extends AnyFunSuite {
       "no global sort for a limit-10")
   }
 
+  test("batched ANN: per-query ranking shards by qid, routing tables broadcast") {
+    // The production retrieval shape: ranking parallelism must scale with
+    // |queries| (window behind hashpartitioning(qid)), never serialize
+    // onto one partition, and the query/routing frames must broadcast so
+    // the only corpus-sized motion is the label-keyed candidate join.
+    val p = plan("vec_ivf_batch_topk")
+    assert("hashpartitioning\\(qid#\\d+".r.findFirstIn(p).isDefined,
+      "the re-rank window must partition by query id")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "per-query ranking must never serialize onto one partition")
+    assert(p.contains("BroadcastExchange"),
+      "the query/routing frames must broadcast")
+  }
+
   test("z-order at-scale write path: range exchange, no window, no global sort, disjoint buckets") {
     // src_zorder_write's oracle-checked layout uses NTILE (deterministic,
     // single-partition window — fine at verification SFs, fatal at
