@@ -697,6 +697,76 @@ object EventOps extends OpGroup {
       """.trim)),
 
     // Day-of-week seasonality profile: mean/stddev of DAILY counts per
+    // Holt LINEAR (double exponential) smoothing per event_type over the
+    // daily-count series — the level+trend forecasting primitive next to
+    // ts_ewma's truncated single-smoother and ts_forecast_eval_naive's
+    // baseline. The recursion (l' = α·v + (1−α)(l+b); b' = β(l'−l) +
+    // (1−β)b) folds over the day-ordered series with IDENTICAL operations
+    // in IDENTICAL order on both engines: Spark aggregate() seeded with
+    // element 1 folding the tail; the oracle replays the recursion as a
+    // RECURSIVE CTE rather than list_reduce — measured DuckDB 1.0 quirk:
+    // a struct-literal lambda evaluates LATER fields against the
+    // already-mutated accumulator (a.l inside the 'b' field sees the NEW
+    // l), silently corrupting any two-variable fold; the recursive CTE's
+    // previous-row reference has clean semantics. α = β = 0.5 are dyadic,
+    // so every multiply is exact and the fold is bit-reproducible.
+    // Scale shape: the daily rollup
+    // shrinks raw events to |types|×|days| BEFORE any series
+    // materializes; the fold is row-local over a |days|-length array;
+    // everything downstream is metadata-sized. (A windowed formulation
+    // cannot express the recursion — each output depends on the previous
+    // OUTPUT, not previous inputs — so the collected-series fold is the
+    // honest distributed form; at 100 TB the array is |days| long, never
+    // |events|.)
+    Op("ts_holt_linear",
+      (s, dir) => {
+        val half = "CAST(0.5 AS DOUBLE)"
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+          .agg(count(lit(1)).cast("double").as("v"))
+        daily.groupBy("event_type")
+          .agg(
+            expr("""transform(array_sort(collect_list(struct(d, v))),
+                 s -> named_struct('l', s.v, 'b', CAST(0 AS DOUBLE), 'v', s.v))""").as("m"),
+            count(lit(1)).as("n_days"))
+          .withColumn("h", expr(
+            s"""aggregate(slice(m, 2, greatest(size(m) - 1, 0)), element_at(m, 1),
+                (a, x) -> named_struct(
+                  'l', $half * x.v + $half * (a.l + a.b),
+                  'b', $half * (($half * x.v + $half * (a.l + a.b)) - a.l) + $half * a.b,
+                  'v', x.v))"""))
+          .select(col("event_type"), col("n_days"),
+            (round(col("h.l"), 4) + 0.0).as("level"),
+            (round(col("h.b"), 4) + 0.0).as("trend"),
+            (round(expr("h.l + h.b"), 4) + 0.0).as("forecast_next"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH RECURSIVE daily AS (
+          SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+            CAST(COUNT(*) AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT event_type, v,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM daily),
+        rec AS (
+          SELECT event_type, i, n, l, b FROM (
+            SELECT event_type, i, n, v AS l, CAST(0 AS DOUBLE) AS b FROM idx WHERE i = 1)
+          UNION ALL
+          SELECT x.event_type, x.i, x.n,
+            CAST(0.5 AS DOUBLE) * x.v + CAST(0.5 AS DOUBLE) * (r.l + r.b) AS l,
+            CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * x.v + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+              + CAST(0.5 AS DOUBLE) * r.b AS b
+          FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+          CAST(ROUND(CAST(CAST(l AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS level,
+          CAST(ROUND(CAST(CAST(b AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS trend,
+          CAST(ROUND(CAST(CAST(l + b AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS forecast_next
+        FROM rec WHERE i = n ORDER BY event_type
+      """.trim)),
+
     // (event_type, weekday) — the per-cell traffic shape a forecaster or
     // anomaly detector conditions on. Two-level aggregation: the daily
     // rollup shrinks raw events to |types|×|days| before the profile agg,

@@ -740,6 +740,24 @@ class UnitSuite extends AnyFunSuite {
       ("yy", 1L, 3L, 2L, 0.6667)))
   }
 
+  test("holt linear: hand-computed level/trend recursion over daily counts") {
+    // Daily counts 1, 2, 4 with α = β = 0.5 (all dyadic — exact):
+    //   init l=1 b=0; day2: l=0.5·2+0.5·1=1.5, b=0.5·0.5=0.25;
+    //   day3: l=0.5·4+0.5·1.75=2.875, b=0.5·1.375+0.125=0.8125.
+    // forecast_next = l + b = 3.6875.
+    val d0 = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z in ns
+    val day = 86400L * 1000000000L
+    val rows = (Seq(d0) ++ Seq(d0 + day, d0 + day + 1) ++
+      (0L until 4L).map(i => d0 + 2 * day + i))
+      .zipWithIndex.map { case (ts, i) => (i.toLong, ts, 1L, "x", 1.0, "{}") }
+    val dir = miniDir("events" -> rows
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("ts_holt_linear")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(("x", 3L, 2.875, 0.8125, 3.6875)))
+  }
+
   test("temperature sample: sqrt weights flatten the mix, md5 coin decides membership") {
     // 8 "aa" docs vs 2 "bb" docs, budget N/2 = 5. Weights √8:√2 give
     // p = 2/3 : 1/3, so keep-per-million = floor(5·p/cnt·1e6) =
