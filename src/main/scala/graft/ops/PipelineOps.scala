@@ -896,6 +896,65 @@ object PipelineOps extends OpGroup {
         ORDER BY doc_id
       """.trim)),
 
+    // Classifier EVAL harness for text_lang_id — the confusion matrix a
+    // labeled corpus buys you: per (true lang, predicted lang) cell count
+    // plus the cell's integer milli-share of its true-lang row (row sums
+    // to ~1000; the diagonal cell's share IS per-lang recall). Restates
+    // the same top-20-token-profile vote as text_lang_id (house pattern —
+    // fusion ops restate their legs' formulas; the oracle CTE is the
+    // independent re-derivation). Same scale shape as the classifier: the
+    // profile table is |langs|×20 broadcast, predictions are one
+    // doc-partitioned window, and the matrix is a |langs|²-row aggregate
+    // — integer DIV everywhere, no rounding surface.
+    Op("text_langid_confusion",
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val docToks = docs.select(col("doc_id"), col("lang"),
+          explode(expr("array_distinct(split(text, ' '))")).as("tok"))
+        val wProf = Window.partitionBy("plang").orderBy(desc("cnt"), asc("tok"))
+        val profiles = docs
+          .select(col("lang").as("plang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("plang", "tok").agg(count(lit(1)).as("cnt"))
+          .withColumn("r", row_number().over(wProf))
+          .filter(col("r") <= 20)
+          .select("plang", "tok")
+        val wBest = Window.partitionBy("doc_id").orderBy(desc("overlap"), asc("plang"))
+        docToks.join(broadcast(profiles), "tok")
+          .groupBy("doc_id", "lang", "plang")
+          .agg(count(lit(1)).as("overlap"))
+          .withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .groupBy(col("lang"), col("plang").as("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share_milli", expr(
+            "CAST(n * 1000 DIV SUM(n) OVER (PARTITION BY lang) AS BIGINT)"))
+          .orderBy("lang", "pred_lang")
+      },
+      Some("""
+        WITH profiles AS (
+          SELECT plang, tok FROM (
+            SELECT plang, tok, ROW_NUMBER() OVER (PARTITION BY plang ORDER BY cnt DESC, tok) AS r
+            FROM (SELECT plang, tok, COUNT(*) AS cnt FROM
+                   (SELECT lang AS plang, unnest(string_split(text, ' ')) AS tok FROM documents)
+                  GROUP BY 1, 2)
+          ) WHERE r <= 20
+        ), doctoks AS (
+          SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents
+        ), preds AS (
+          SELECT doc_id, lang, plang AS pred_lang FROM (
+            SELECT doc_id, lang, plang, COUNT(*) AS overlap,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, plang) AS rn
+            FROM doctoks JOIN profiles USING (tok)
+            GROUP BY doc_id, lang, plang
+          ) WHERE rn = 1
+        )
+        SELECT lang, pred_lang, n,
+          CAST(n * 1000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_milli
+        FROM (SELECT lang, pred_lang, COUNT(*) AS n FROM preds GROUP BY lang, pred_lang)
+        ORDER BY lang, pred_lang
+      """.trim)),
+
     // Quality scoring: length + type-token-ratio heuristics.
     Op("text_quality_score",
       (s, dir) => {

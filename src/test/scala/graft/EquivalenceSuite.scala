@@ -326,6 +326,21 @@ class EquivalenceSuite extends AnyFunSuite {
     }
   }
 
+  test("text_langid_confusion aggregates exactly text_lang_id's per-doc predictions") {
+    // The confusion op restates the classifier's vote formula (house
+    // pattern); this pins the two against drift: cell counts must equal
+    // the grouped per-doc predictions, and the diagonal must equal the
+    // classifier's correct count.
+    val preds = SparkEntry.queries("text_lang_id")(spark, sf0001).collect()
+    val conf = SparkEntry.queries("text_langid_confusion")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf.values.sum == preds.length,
+      "confusion cells must cover every predicted doc exactly once")
+    val diag = conf.collect { case ((t, p), n) if t == p => n }.sum
+    assert(diag == preds.count(_.getBoolean(2)),
+      "diagonal must equal the classifier's correct count")
+  }
+
   test("vec_mips_via_cosine returns the exact vec_mips_topk top-10 (reduction is lossless)") {
     // The √(M²−‖x‖²) augmentation makes inner-product order equal cosine
     // order over augmented vectors; the augmented-cosine route must
