@@ -339,9 +339,13 @@ class PropertySuite extends AnyFunSuite {
       // exact property this gate checks.
       "text_lm_perplexity", "text_zipf_fit", "vec_gram_matrix",
       // Round-12 additions: the augmented-cosine MIPS route (float cosine
-      // cut + float ip re-rank) and the BPE fold (order-sensitive if the
-      // merge list ever stopped being rank-sorted).
-      "vec_mips_via_cosine", "text_bpe_apply")
+      // cut + float ip re-rank), the BPE fold (order-sensitive if the
+      // merge list ever stopped being rank-sorted), the √-weight
+      // temperature mix (Σ√cnt must fold in lang order), the per-qid
+      // batched ranking, the Holt recursion (fold over the day-sorted
+      // series), and the vote-window confusion rollup.
+      "vec_mips_via_cosine", "text_bpe_apply", "corpus_temperature_sample",
+      "vec_ivf_batch_topk", "ts_holt_linear", "text_langid_confusion")
     val conf = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(conf)
     try keys.foreach { k =>
