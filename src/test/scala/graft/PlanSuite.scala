@@ -401,6 +401,45 @@ class PlanSuite extends AnyFunSuite {
       "no global sort for a limit-10")
   }
 
+  test("round-12 keys: heap cuts, broadcast tables, no global sorts or serialized windows") {
+    // vec_mips_via_cosine: both cuts (augmented-cosine top-30, exact-ip
+    // top-10) must be per-partition heaps; the 1-row M2/query frames
+    // broadcast; nothing range-partitions (that would be a global sort).
+    val mv = plan("vec_mips_via_cosine")
+    assert(mv.contains("TakeOrderedAndProject"), "cuts must be top-k heaps")
+    assert(!mv.contains("rangepartitioning("), "no global sort in the MIPS route")
+    assert(mv.contains("BroadcastExchange") || mv.contains("BroadcastNestedLoopJoin"),
+      "the scalar/query frames must broadcast")
+
+    // text_bpe_apply: the |langs|×5 merge table broadcasts; the per-lang
+    // merge-ranking window must shard by lang, never serialize.
+    val bpe = plan("text_bpe_apply")
+    assert(bpe.contains("BroadcastExchange"), "the merge table must broadcast")
+    assert(!bpe.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "merge ranking must not serialize onto one partition")
+
+    // corpus_temperature_sample: probability table broadcast; no
+    // cartesian on anything data-sized (the crossJoins are 1-row frames).
+    val ts = plan("corpus_temperature_sample")
+    assert(ts.contains("BroadcastExchange") || ts.contains("BroadcastNestedLoopJoin"),
+      "the probability/total frames must broadcast")
+    assert(!ts.contains("CartesianProduct"), "no cartesian on data-sized frames")
+
+    // ts_holt_linear: the daily rollup must partial-aggregate (map-side
+    // combine bounds the shuffle at |types|×|days|) and the recursion is
+    // a row-local fold — no Window anywhere.
+    val hl = plan("ts_holt_linear")
+    assert(hl.contains("partial_"), "daily rollup must partial-aggregate")
+    assert(!hl.contains("Window"), "the Holt recursion must not plan a window")
+
+    // text_langid_confusion: profile and vote windows shard by their
+    // partition keys; the |langs|² rollup must never serialize.
+    val lc = plan("text_langid_confusion")
+    assert(!lc.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "confusion windows must stay key-partitioned")
+    assert(lc.contains("BroadcastExchange"), "the profile table must broadcast")
+  }
+
   test("batched ANN: per-query ranking shards by qid, routing tables broadcast") {
     // The production retrieval shape: ranking parallelism must scale with
     // |queries| (window behind hashpartitioning(qid)), never serialize
