@@ -284,6 +284,137 @@ class PropertySuite extends AnyFunSuite {
     assert(got.toSeq == Seq(2L -> 2L, 4L -> 4L, 5L -> 4L, 7L -> 7L, 9L -> 2L))
   }
 
+  test("MIPS via cosine equals brute-force MIPS on random corpora (reduction is lossless)") {
+    // The sf0.001 EquivalenceSuite pin checks ONE corpus; the reduction's
+    // losslessness claim is universal — verify it on random embedding
+    // sets (varying dims/norms, including near-zero and dominant-norm
+    // vectors, the cases where augmented-cosine vs raw-ip order would
+    // first diverge if the algebra were wrong).
+    val vecGen = Gen.listOfN(8, Gen.choose(-50, 50))
+    (0 until 4).foreach { c =>
+      val rows = (0L until 25L).map { i =>
+        val vs = vecGen(Gen.Parameters.default, Seed(c * 1000L + i)).get
+        (i, vs.map(v => v / 10f).toArray, (i % 4).toInt)
+      }
+      val dir = miniDir("embeddings" -> rows.toDF("vec_id", "embedding", "label"))
+      val via = SparkEntry.queries("vec_mips_via_cosine")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val brute = SparkEntry.queries("vec_mips_topk")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(via == brute, s"case $c: augmented route diverged\n via=$via\n brute=$brute")
+    }
+  }
+
+  test("bpe apply matches a reference greedy-merge tokenizer on random corpora") {
+    // Independent Scala re-implementation of the spec: top-5 in-word char
+    // pairs per lang by (count desc, pair asc), applied as greedy
+    // left-to-right non-overlapping SINGLE-TOKEN-PAIR merges in rank
+    // order. Any divergence (cross-token welding, overlap double-fires,
+    // rank-order drift) between the engine's string-fold representation
+    // and this token-vector reference is a semantics bug.
+    def refTokens(docs: Seq[(String, String)]): Map[String, (Long, Long)] =
+      docs.groupBy(_._2).map { case (lang, ds) =>
+        val words = ds.flatMap(_._1.split(" ", -1)).filter(_.nonEmpty)
+        val merges = words.filter(_.length >= 2)
+          .flatMap(w => w.sliding(2))
+          .groupBy(identity).view.mapValues(_.size).toSeq
+          .sortBy { case (p, n) => (-n, p) }.take(5).map(_._1)
+        val counts = ds.map { case (text, _) =>
+          val chars = text.count(_ != ' ').toLong
+          val toks = text.split(" ", -1).filter(_.nonEmpty).map { w =>
+            var t = w.map(_.toString).toVector
+            merges.foreach { m =>
+              val (x, y) = (m.substring(0, 1), m.substring(1, 2))
+              val out = Vector.newBuilder[String]
+              var i = 0
+              while (i < t.length) {
+                if (i + 1 < t.length && t(i) == x && t(i + 1) == y) { out += m; i += 2 }
+                else { out += t(i); i += 1 }
+              }
+              t = out.result()
+            }
+            t.length.toLong
+          }.sum
+          (chars, toks)
+        }
+        lang -> ((counts.map(_._1).sum, counts.map(_._2).sum))
+      }
+    val wordGen = Gen.listOfN(6, Gen.oneOf("a", "b", "c")).map(_.mkString)
+    val docGen = Gen.listOfN(4, wordGen).map(_.mkString(" "))
+    (0 until 4).foreach { c =>
+      val docs = (0L until 20L).map { i =>
+        (i, docGen(Gen.Parameters.default, Seed(c * 500L + i)).get,
+          if (i % 2 == 0) "xx" else "yy")
+      }
+      val dir = miniDir("documents" -> docs.toDF("doc_id", "text", "lang"))
+      val got = SparkEntry.queries("text_bpe_apply")(spark, dir)
+        .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      val want = refTokens(docs.map(d => (d._2, d._3)))
+      assert(got == want, s"case $c: engine=$got reference=$want")
+    }
+  }
+
+  test("temperature sample matches a reference sampler on random corpora") {
+    // Full Scala re-derivation: √-weights summed in lang order, budget
+    // N/2, floor keep-per-million thresholds, md5 coin per doc. JVM sqrt
+    // is the same correctly-rounded IEEE op the engines use, so the
+    // reference reproduces the thresholds bit-exactly — any drift in the
+    // op's summation order or coin would surface here on random shapes.
+    def coin(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ts_$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val langsGen = Gen.choose(1, 4)
+    (0 until 3).foreach { c =>
+      val nLangs = langsGen(Gen.Parameters.default, Seed(c.toLong)).get
+      val docs = (0L until 40L).map(i =>
+        (i, "w w w", s"l${(i % (nLangs + 1)).min(nLangs - 1)}"))
+      val dir = miniDir("documents" -> docs.toDF("doc_id", "text", "lang"))
+      val counts = docs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val sw = counts.keys.toSeq.sorted.map(l => math.sqrt(counts(l).toDouble)).sum
+      val budget = (docs.size / 2).toDouble
+      val thresholds = counts.map { case (l, n) =>
+        l -> math.floor(math.min(1.0, budget * (math.sqrt(n.toDouble) / sw) / n) * 1e6).toLong
+      }
+      val keptRef = docs.filter(d => coin(d._1) < thresholds(d._3))
+        .groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val got = SparkEntry.queries("corpus_temperature_sample")(spark, dir)
+        .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      thresholds.foreach { case (l, t) =>
+        assert(got(l) == ((t, keptRef.getOrElse(l, 0L))),
+          s"case $c lang $l: engine=${got(l)} reference=(${t}, ${keptRef.getOrElse(l, 0L)})")
+      }
+    }
+  }
+
+  test("holt linear matches a reference fold on random daily series") {
+    val d0 = 1704067200L * 1000000000L
+    val day = 86400L * 1000000000L
+    val cntGen = Gen.choose(1, 9)
+    (0 until 3).foreach { c =>
+      val perDay = (0 until 12).map(i =>
+        cntGen(Gen.Parameters.default, Seed(c * 100L + i)).get)
+      val rows = perDay.zipWithIndex.flatMap { case (n, di) =>
+        (0 until n).map(j => ((di * 100 + j).toLong, d0 + di * day + j, 1L, "x", 1.0, "{}"))
+      }
+      val dir = miniDir("events" -> rows
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val got = SparkEntry.queries("ts_holt_linear")(spark, dir).head()
+      var (l, b) = (perDay.head.toDouble, 0.0)
+      perDay.tail.foreach { v =>
+        val nl = 0.5 * v + 0.5 * (l + b)
+        b = 0.5 * (nl - l) + 0.5 * b
+        l = nl
+      }
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got.getLong(1) == perDay.length.toLong)
+      assert(got.getDouble(2) == r4(l) && got.getDouble(3) == r4(b),
+        s"case $c: got (${got.getDouble(2)}, ${got.getDouble(3)}) want (${r4(l)}, ${r4(b)})")
+    }
+  }
+
   test("connected components reject non-integral id columns loudly") {
     // The union-find stage routes ids through cast("long"); a double or
     // string id would truncate silently and corrupt labels (round-11
