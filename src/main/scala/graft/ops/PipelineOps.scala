@@ -44,7 +44,8 @@ object PipelineOps extends OpGroup {
     * weight and [[graft.Caches]] releases their pinned blocks.
     */
   private val SimConsumers = Set(
-    "text_simhash", "text_simhash_neardup", "text_dedup_clusters", "text_dedup_keep_best")
+    "text_simhash", "text_simhash_neardup", "text_dedup_clusters", "text_dedup_keep_best",
+    "text_dedup_incremental")
 
   private def simhashSigs(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.Caches.memo(sigCache, (s, dir), {
@@ -793,6 +794,66 @@ object PipelineOps extends OpGroup {
           (ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) = 1) AS keep
         FROM clusters JOIN q USING (doc_id)
         ORDER BY doc_id
+      """.trim)),
+
+    // INCREMENTAL dedup — the nightly-ingest shape every corpus-internal
+    // dedup op above deliberately simplifies away: an incoming BATCH
+    // (doc_id % 10 = 0 — the deterministic 10% "today's crawl") is
+    // checked against the EXISTING corpus for hamming≤3 simhash near-dups
+    // without the corpus ever shuffling. The batch's 4×15-bit band keys
+    // BROADCAST (the batch is small by construction — that asymmetry IS
+    // the op), so candidate generation is a map-side hash join over one
+    // streaming pass of the existing side's bands; the verify and the
+    // per-batch-doc best-match argmin (min(struct(hamming, doc_id)) —
+    // partial-aggregatable) are candidate-bounded. Per batch doc: is it
+    // a near-dup of the existing corpus, of which doc, at what distance.
+    // At 100 TB the existing side's band index is a persisted table and
+    // the daily cost is one index scan per batch — work ∝ corpus scan +
+    // batch-bounded state, never corpus × corpus. Shares the checkpointed
+    // simhash signature frame with the text_simhash family (Caches).
+    Op("text_dedup_incremental",
+      (s, dir) => {
+        val sigs = simhashSigs(s, dir)
+        def bands(df: org.apache.spark.sql.DataFrame, pre: String) =
+          df.select(col("doc_id").as(s"${pre}_id"), col("simhash").as(s"${pre}_sh"))
+            .select(col(s"${pre}_id"), col(s"${pre}_sh"),
+              explode(expr("sequence(0, 3)")).as("band"))
+            .withColumn("bval", expr(s"shiftright(${pre}_sh, band * 15) & 32767"))
+        val batch = sigs.filter(col("doc_id") % 10 === 0)
+        val exist = sigs.filter(col("doc_id") % 10 =!= 0)
+        val best = bands(exist, "e")
+          .join(broadcast(bands(batch, "b")), Seq("band", "bval"))
+          .select("b_id", "e_id", "b_sh", "e_sh").distinct()
+          .withColumn("hamming", expr("CAST(bit_count(b_sh ^ e_sh) AS INT)"))
+          .filter(col("hamming") <= 3)
+          .groupBy("b_id")
+          .agg(min(struct(col("hamming"), col("e_id"))).as("m"))
+          .select(col("b_id").as("doc_id"),
+            col("m.e_id").as("dup_of"), col("m.hamming").as("hamming"))
+        batch.select("doc_id").join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+            col("dup_of"), col("hamming"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $simsSql
+        , cand AS (
+          SELECT DISTINCT b.doc_id AS bid, e.doc_id AS eid,
+            b.simhash AS bsh, e.simhash AS esh
+          FROM bv b JOIN bv e ON b.band = e.band AND b.bval = e.bval
+          WHERE b.doc_id % 10 = 0 AND e.doc_id % 10 <> 0
+        ), best AS (
+          SELECT bid AS doc_id, eid AS dup_of, hamming FROM (
+            SELECT bid, eid, CAST(bit_count(xor(bsh, esh)) AS INT) AS hamming,
+              ROW_NUMBER() OVER (PARTITION BY bid
+                ORDER BY bit_count(xor(bsh, esh)), eid) AS rn
+            FROM cand WHERE bit_count(xor(bsh, esh)) <= 3
+          ) WHERE rn = 1
+        )
+        SELECT s.doc_id, (b.dup_of IS NOT NULL) AS is_dup, b.dup_of, b.hamming
+        FROM (SELECT doc_id FROM sims WHERE doc_id % 10 = 0) s
+        LEFT JOIN best b USING (doc_id)
+        ORDER BY s.doc_id
       """.trim)),
 
     // Symmetric per-vector int8 quantization — the storage/transport

@@ -20,7 +20,7 @@ class CacheReleaseSuite extends AnyFunSuite {
 
   private val simFamily = Seq(
     "text_simhash", "text_simhash_neardup",
-    "text_dedup_clusters", "text_dedup_keep_best")
+    "text_dedup_clusters", "text_dedup_keep_best", "text_dedup_incremental")
 
   test("simhash-family caches release after their last consumer key") {
     Caches.releaseAll(spark, dir)

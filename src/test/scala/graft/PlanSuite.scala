@@ -440,6 +440,17 @@ class PlanSuite extends AnyFunSuite {
     assert(lc.contains("BroadcastExchange"), "the profile table must broadcast")
   }
 
+  test("incremental dedup: batch bands broadcast, argmin partial-aggregates, no cartesian") {
+    // The incremental asymmetry IS the op: the batch side must broadcast
+    // so the existing corpus streams map-side and never shuffles for
+    // candidate generation; the best-match pick must be a partial-
+    // aggregating min(struct), not a window.
+    val p = plan("text_dedup_incremental")
+    assert(p.contains("BroadcastExchange"), "the batch band keys must broadcast")
+    assert(!p.contains("CartesianProduct"), "candidates must stay band-keyed")
+    assert(p.contains("partial_min"), "best-match argmin must partial-aggregate")
+  }
+
   test("batched ANN: per-query ranking shards by qid, routing tables broadcast") {
     // The production retrieval shape: ranking parallelism must scale with
     // |queries| (window behind hashpartitioning(qid)), never serialize
