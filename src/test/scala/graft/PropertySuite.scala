@@ -476,7 +476,8 @@ class PropertySuite extends AnyFunSuite {
       // batched ranking, the Holt recursion (fold over the day-sorted
       // series), and the vote-window confusion rollup.
       "vec_mips_via_cosine", "text_bpe_apply", "corpus_temperature_sample",
-      "vec_ivf_batch_topk", "ts_holt_linear", "text_langid_confusion")
+      "vec_ivf_batch_topk", "ts_holt_linear", "text_langid_confusion",
+      "text_dedup_incremental")
     val conf = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(conf)
     try keys.foreach { k =>
