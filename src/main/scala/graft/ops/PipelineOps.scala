@@ -623,7 +623,7 @@ object PipelineOps extends OpGroup {
         .localCheckpoint(true)
       graft.Caches.track(s, dir, "mutual_knn_edges",
         Set("graph_triangle_count", "graph_connected_components",
-          "graph_label_prop_step", "graph_adamic_adar"),
+          "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search"),
         () => mutualEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       mutual
     })
@@ -4010,6 +4010,116 @@ object PipelineOps extends OpGroup {
           FROM agg ORDER BY aa DESC, x, y LIMIT 20)
         ORDER BY aa_micro DESC, a, b
       """.trim)),
+
+    // Graph-based greedy ANN search — the FOURTH modern ANN paradigm next
+    // to vec_ivf_topk (cells), vec_pq_topk (compressed scan) and
+    // vec_lsh_topk (buckets): best-first walk over the shared mutual-3NN
+    // graph (HNSW's base-layer search, beam = 1). From the minimum-id
+    // entry node, each of 6 unrolled steps scores ONLY the current
+    // node's ≤k neighbors against the query (a point-lookup join — never
+    // a corpus scan; the walk is idempotent at a local optimum, so a
+    // fixed unroll equals early-stop and the whole search is ONE
+    // declarative plan with no driver loop). Reports the walk endpoint
+    // vs the exact top-1 (the eval half — brute force like
+    // vec_recall_eval's truth leg) + how many distinct nodes the walk
+    // touched. At 100 TB: per-step cost is k lookups against a bucketed
+    // node table, total ≈ k·steps vectors scored per query — the
+    // navigable-graph promise; the label-blocked graph build amortizes
+    // across the whole graph_* family (shared Caches checkpoint).
+    Op("vec_graph_greedy_search",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        val m = mutualKnnEdges(s, dir).filter(col("a") =!= 0 && col("b") =!= 0)
+        val sym = m.select(col("a").as("src"), col("b").as("dst"))
+          .union(m.select(col("b").as("src"), col("a").as("dst")))
+        def score(ids: org.apache.spark.sql.DataFrame) =
+          e.join(broadcast(ids.distinct()), Seq("vec_id"))
+            .crossJoin(broadcast(q))
+            .withColumn("sim", expr("vec_dot(embedding, qemb)")
+              / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
+            .select("vec_id", "sim")
+        val entry = sym.agg(min(col("src")).as("vec_id"))
+        var cur = entry
+        var visited = entry
+        for (_ <- 1 to 6) {
+          val cand = sym
+            .join(broadcast(cur.select(col("vec_id").as("src"))), Seq("src"))
+            .select(col("dst").as("vec_id"))
+            .union(cur)
+          cur = score(cand)
+            .orderBy(desc("sim"), asc("vec_id")).limit(1).select("vec_id")
+          visited = visited.union(cur)
+        }
+        val found = score(cur).select(col("vec_id").as("found_id"),
+          (round(col("sim"), 3) + 0.0).as("found_sim"))
+        val exact = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("sim", expr("vec_dot(embedding, qemb)")
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
+          .orderBy(desc("sim"), asc("vec_id")).limit(1)
+          .select(col("vec_id").as("exact_id"),
+            (round(col("sim"), 3) + 0.0).as("exact_sim"))
+        val pathLen = visited.distinct().agg(count(lit(1)).as("path_nodes"))
+        found.crossJoin(exact).crossJoin(pathLen)
+          .select(col("path_nodes"), col("found_id"), col("found_sim"),
+            col("exact_id"), col("exact_sim"),
+            (col("found_id") === col("exact_id")).as("hit"))
+      },
+      Some(s"""
+        WITH RECURSIVE knn AS (
+          SELECT l, a, b FROM (
+            SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
+              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
+                y.vec_id) AS rk
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          ) WHERE rk <= $MutualKnnK),
+        mutual AS (
+          SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
+            ON k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b AND k1.a <> 0 AND k1.b <> 0),
+        sym AS (
+          SELECT a AS src, b AS dst FROM mutual
+          UNION ALL SELECT b, a FROM mutual),
+        scored AS (
+          SELECT e.vec_id,
+            list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qemb)
+              / (sqrt(greatest(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(q.qemb, v -> v * v)), 1e-300))) AS sim
+          FROM embeddings e,
+            (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0) q
+          WHERE e.vec_id <> 0),
+        rec AS (
+          SELECT 0 AS step, (SELECT MIN(src) FROM sym) AS cur
+          UNION ALL
+          SELECT r.step + 1, n.nid FROM rec r,
+            LATERAL (
+              SELECT nid FROM (
+                SELECT s.vec_id AS nid, s.sim FROM sym g
+                  JOIN scored s ON s.vec_id = g.dst
+                WHERE g.src = r.cur
+                UNION ALL SELECT r.cur, (SELECT sim FROM scored WHERE vec_id = r.cur)
+              ) ORDER BY sim DESC, nid LIMIT 1
+            ) n
+          WHERE r.step < 6),
+        fin AS (SELECT cur FROM rec WHERE step = 6),
+        ex AS (
+          SELECT vec_id AS exact_id,
+            CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS exact_sim
+          FROM scored ORDER BY sim DESC, vec_id LIMIT 1)
+        SELECT
+          (SELECT CAST(COUNT(DISTINCT cur) AS BIGINT) FROM rec) AS path_nodes,
+          f.cur AS found_id,
+          CAST(ROUND(CAST(CAST((SELECT sim FROM scored WHERE vec_id = f.cur) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS found_sim,
+          ex.exact_id, ex.exact_sim,
+          (f.cur = ex.exact_id) AS hit
+        FROM fin f, ex
+      """.trim)),
+
 
     // Multi-query MRR of the IVF(probe=3) path: vec_ids 0..4 are the
     // query batch, each query's EXACT nearest neighbor is its relevant

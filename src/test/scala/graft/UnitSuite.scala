@@ -758,6 +758,27 @@ class UnitSuite extends AnyFunSuite {
     assert(got.toSeq == Seq(("x", 3L, 2.875, 0.8125, 3.6875)))
   }
 
+  test("graph greedy search: walks the mutual-kNN graph to the best node") {
+    // 4 items at angles 80/60/40/20 degrees from the query [1,0], one
+    // label. The query node participates in the kNN graph BUILD (it is a
+    // corpus row) and occupies kNN slots: id 4's top-3 is {0, 3, 2}, so
+    // the 1–4 edge is NOT mutual and the graph is the path-ish
+    // 1–2, 2–3, 2–4, 3–4. The walk must take two genuine hops:
+    // entry 1 → 2 (only neighbor beats cos 80°) → 4 (cos 20° ≈ 0.940),
+    // then stays — path touches exactly {1, 2, 4}.
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val dir = miniDir("embeddings" -> Seq(
+      (0L, at(0), 0), (1L, at(80), 0), (2L, at(60), 0),
+      (3L, at(40), 0), (4L, at(20), 0))
+      .toDF("vec_id", "embedding", "label"))
+    val got = SparkEntry.queries("vec_graph_greedy_search")(spark, dir).head()
+    assert((got.getLong(0), got.getLong(1), got.getDouble(2),
+      got.getLong(3), got.getBoolean(5)) == ((3L, 4L, 0.94, 4L, true)))
+  }
+
   test("temperature sample: sqrt weights flatten the mix, md5 coin decides membership") {
     // 8 "aa" docs vs 2 "bb" docs, budget N/2 = 5. Weights √8:√2 give
     // p = 2/3 : 1/3, so keep-per-million = floor(5·p/cnt·1e6) =
