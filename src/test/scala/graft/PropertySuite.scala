@@ -477,7 +477,7 @@ class PropertySuite extends AnyFunSuite {
       // series), and the vote-window confusion rollup.
       "vec_mips_via_cosine", "text_bpe_apply", "corpus_temperature_sample",
       "vec_ivf_batch_topk", "ts_holt_linear", "text_langid_confusion",
-      "text_dedup_incremental")
+      "text_dedup_incremental", "vec_graph_greedy_search")
     val conf = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(conf)
     try keys.foreach { k =>
