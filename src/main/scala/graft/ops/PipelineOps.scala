@@ -4015,11 +4015,17 @@ object PipelineOps extends OpGroup {
     // to vec_ivf_topk (cells), vec_pq_topk (compressed scan) and
     // vec_lsh_topk (buckets): best-first walk over the shared mutual-3NN
     // graph (HNSW's base-layer search, beam = 1). From the minimum-id
-    // entry node, each of 6 unrolled steps scores ONLY the current
-    // node's ≤k neighbors against the query (a point-lookup join — never
-    // a corpus scan; the walk is idempotent at a local optimum, so a
-    // fixed unroll equals early-stop and the whole search is ONE
-    // declarative plan with no driver loop). Reports the walk endpoint
+    // entry node, each of ≤6 steps scores ONLY the current node's ≤k
+    // neighbors against the query (a point-lookup join — never a corpus
+    // scan). The walk state is ONE node id, so each step returns a
+    // single scalar to the driver — the documented iterative-op shape
+    // (the CC/label-prop convergence scalar), NOT a data collect. (A
+    // fully-unrolled declarative chain was measured 19 s at sf0.1:
+    // every step's 1-row frame is referenced twice downstream, and
+    // without materialization Spark re-executes each prefix 2^steps
+    // times.) Early-stop at a local optimum is exact: the step map is
+    // idempotent there, so the fixed-6-step oracle lands on the same
+    // node and the same distinct-node path. Reports the walk endpoint
     // vs the exact top-1 (the eval half — brute force like
     // vec_recall_eval's truth leg) + how many distinct nodes the walk
     // touched. At 100 TB: per-step cost is k lookups against a bucketed
@@ -4033,38 +4039,38 @@ object PipelineOps extends OpGroup {
         val m = mutualKnnEdges(s, dir).filter(col("a") =!= 0 && col("b") =!= 0)
         val sym = m.select(col("a").as("src"), col("b").as("dst"))
           .union(m.select(col("b").as("src"), col("a").as("dst")))
-        def score(ids: org.apache.spark.sql.DataFrame) =
-          e.join(broadcast(ids.distinct()), Seq("vec_id"))
+        def best(ids: org.apache.spark.sql.DataFrame): (Long, Double) = {
+          val r = e.join(broadcast(ids.distinct()), Seq("vec_id"))
             .crossJoin(broadcast(q))
             .withColumn("sim", expr("vec_dot(embedding, qemb)")
               / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
-            .select("vec_id", "sim")
-        val entry = sym.agg(min(col("src")).as("vec_id"))
-        var cur = entry
-        var visited = entry
-        for (_ <- 1 to 6) {
-          val cand = sym
-            .join(broadcast(cur.select(col("vec_id").as("src"))), Seq("src"))
-            .select(col("dst").as("vec_id"))
-            .union(cur)
-          cur = score(cand)
-            .orderBy(desc("sim"), asc("vec_id")).limit(1).select("vec_id")
-          visited = visited.union(cur)
+            .orderBy(desc("sim"), asc("vec_id")).limit(1)
+            .select("vec_id", "sim").head()
+          (r.getLong(0), r.getDouble(1))
         }
-        val found = score(cur).select(col("vec_id").as("found_id"),
-          (round(col("sim"), 3) + 0.0).as("found_sim"))
-        val exact = e.filter(col("vec_id") =!= 0)
+        var (cur, curSim) = best(sym.agg(min(col("src")).as("vec_id")))
+        val visited = scala.collection.mutable.LinkedHashSet(cur)
+        var converged = false
+        for (_ <- 1 to 6 if !converged) {
+          val cand = sym.filter(col("src") === cur).select(col("dst").as("vec_id"))
+            .union(s.range(1).select(lit(cur).as("vec_id")))
+          val (next, nextSim) = best(cand)
+          converged = next == cur
+          cur = next; curSim = nextSim
+          visited += next
+        }
+        e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .withColumn("sim", expr("vec_dot(embedding, qemb)")
             / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
           .orderBy(desc("sim"), asc("vec_id")).limit(1)
-          .select(col("vec_id").as("exact_id"),
-            (round(col("sim"), 3) + 0.0).as("exact_sim"))
-        val pathLen = visited.distinct().agg(count(lit(1)).as("path_nodes"))
-        found.crossJoin(exact).crossJoin(pathLen)
-          .select(col("path_nodes"), col("found_id"), col("found_sim"),
-            col("exact_id"), col("exact_sim"),
-            (col("found_id") === col("exact_id")).as("hit"))
+          .select(
+            lit(visited.size.toLong).as("path_nodes"),
+            lit(cur).as("found_id"),
+            (round(lit(curSim), 3) + 0.0).as("found_sim"),
+            col("vec_id").as("exact_id"),
+            (round(col("sim"), 3) + 0.0).as("exact_sim"),
+            (lit(cur) === col("vec_id")).as("hit"))
       },
       Some(s"""
         WITH RECURSIVE knn AS (
