@@ -36,38 +36,60 @@ object Caches {
     * always on their own key, so the per-key monitors cannot deadlock.
     *
     * The lock entry is SELF-CLEANING: once the value is cached, the fast
-    * path never consults [[memoLocks]] again, so the winner drops its
-    * entry on the way out — a late waiter still holds the monitor
-    * REFERENCE (map removal doesn't unpark it) and re-checks the cache
-    * under it, and a post-removal arrival re-checks under a fresh lock.
+    * path never consults [[memoLocks]] again, so the winner RETIRES its
+    * cell on the way out. Retirement is a tombstone, not a bare removal
+    * (round-12 advice): the winner sets `dead` under the cell's own
+    * monitor before unmapping it, and every acquirer re-checks `dead`
+    * after entering the monitor — a late waiter that was parked across
+    * the removal (plus a cache eviction, plus a new arrival minting a
+    * fresh cell) therefore never runs the side-effecting builder under
+    * the retired monitor; it loops and joins the fresh cell like any new
+    * arrival, so at most one LIVE cell per key can ever guard a build.
     * This bounds memoLocks for ANY key shape (round-11 advice: keys
     * without a SparkSession inside — a plain String, say — never matched
     * the stopped-session sweep and accumulated forever). Only a THROWING
-    * builder leaves its entry behind (deliberate: waiters serialize the
-    * retry behind the same monitor rather than stampeding the builder);
-    * session-bearing keys are then reaped by the sweep in [[track]].
+    * builder leaves its cell behind, live (deliberate: waiters serialize
+    * the retry behind the same monitor rather than stampeding the
+    * builder); session-bearing keys are then reaped by the sweep in
+    * [[track]].
     */
-  def memo[K, V](cache: scala.collection.concurrent.TrieMap[K, V], key: K, build: => V): V =
+  def memo[K, V](cache: scala.collection.concurrent.TrieMap[K, V], key: K, build: => V): V = {
     cache.get(key) match {
-      case Some(v) => v
-      case None =>
-        // putIfAbsent (not getOrElseUpdate) so both racers observe the
-        // SAME lock cell — the loser's fresh Object is discarded before
-        // anyone can synchronize on it.
-        val fresh = new Object
-        val lk = new LockKey(cache, key)
-        val lock = memoLocks.putIfAbsent(lk, fresh).getOrElse(fresh)
-        val v = lock.synchronized {
-          cache.get(key) match {
-            case Some(v) => v
-            case None => val v = build; cache.put(key, v); v
-          }
-        }
-        // Success only — conditional on the same monitor instance, so a
-        // racer's fresh cell for a later lifecycle is never clobbered.
-        memoLocks.remove(lk, lock)
-        v
+      case Some(v) => return v
+      case None    => ()
     }
+    val lk = new LockKey(cache, key)
+    while (true) {
+      // putIfAbsent (not getOrElseUpdate) so all racers observe the SAME
+      // lock cell — a loser's fresh cell is discarded before anyone can
+      // synchronize on it.
+      val fresh = new LockCell
+      val cell = memoLocks.putIfAbsent(lk, fresh).getOrElse(fresh)
+      cell.synchronized {
+        if (!cell.dead) {
+          val v = cache.get(key) match {
+            case Some(v) => v
+            case None    => val v = build; cache.put(key, v); v
+          }
+          // Success only (a throw skips this, leaving the cell live and
+          // mapped for serialized retries). Tombstone BEFORE unmapping,
+          // both under the monitor — see the scaladoc contract above.
+          cell.dead = true
+          memoLocks.remove(lk, cell)
+          return v
+        }
+        // Retired cell: its winner already unmapped it (and the cached
+        // value may since have been evicted) — loop onto a live cell.
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Monitor cell for [[memo]] — `dead` flips true (under the cell's own
+    * monitor) when its winner retires it, telling late-parked waiters to
+    * re-acquire instead of trusting a possibly-evicted cache entry.
+    */
+  private final class LockCell { var dead: Boolean = false }
 
   /** Lock-map key hashing the CACHE by reference identity. A plain
     * `(cache, key)` tuple hashes the TrieMap by CONTENTS (Scala
@@ -93,7 +115,7 @@ object Caches {
     * stopped sessions are purged alongside [[track]]'s registry sweep.
     */
   private val memoLocks = scala.collection.concurrent.TrieMap
-    .empty[LockKey, AnyRef]
+    .empty[LockKey, LockCell]
 
   /** Test hook: live lock-entry count (CacheReleaseSuite pins the
     * self-cleaning bound for session-less key shapes).
@@ -155,6 +177,11 @@ object Caches {
     // identity-stable, so the bucket is always found (the content-hash
     // tuple key this replaced rehashed with current cache contents and
     // leaked).
+    // Removal here skips the tombstone handshake [[memo]]'s success path
+    // uses: these cells belong to STOPPED sessions, where any retried
+    // builder throws on first Spark touch — a duplicate execution has no
+    // side effect left to duplicate, and tombstoning would park this
+    // thread behind a possibly-running (doomed) builder.
     memoLocks.keys.foreach { lk =>
       lk.key match {
         case k: Product if k.productIterator.exists {

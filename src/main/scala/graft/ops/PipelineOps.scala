@@ -1941,22 +1941,33 @@ object PipelineOps extends OpGroup {
           .agg(expr("transform(array_sort(collect_list(struct(rk, pair))), s -> s.pair)")
             .as("merges"))
         d.join(broadcast(merges), Seq("lang"), "left")
+          // Fail-loudly seam (round-12 advice): a text containing the
+          // U+0001 wrapper char would silently corrupt token counts on
+          // BOTH engines — raise instead, identically here and in the
+          // oracle (the aaMicroCase raise_error/error() pattern).
+          .withColumn("gtext", expr(
+            s"""IF(contains(text, '$p'),
+                CAST(raise_error('text_bpe_apply: input text contains the U+0001 token delimiter') AS STRING),
+                text)"""))
           .withColumn("merged", expr(
             s"""aggregate(coalesce(merges, array()),
-                concat('$p', array_join(split(text, ''), '$p$p'), '$p'),
+                concat('$p', array_join(split(gtext, ''), '$p$p'), '$p'),
                 (acc, m) -> replace(acc,
                   concat('$p', substring(m, 1, 1), '$p$p', substring(m, 2, 1), '$p'),
                   concat('$p', m, '$p')))"""))
-          .withColumn("char_toks", length(translate(col("text"), " ", "")).cast("long"))
+          .withColumn("char_toks", length(translate(col("gtext"), " ", "")).cast("long"))
           .withColumn("bpe_toks", expr(
             s"""CAST((length(merged) - length(translate(merged, '$p', ''))) DIV 2
-                - (length(text) - length(translate(text, ' ', ''))) AS BIGINT)"""))
+                - (length(gtext) - length(translate(gtext, ' ', ''))) AS BIGINT)"""))
           .groupBy("lang")
           .agg(count(lit(1)).as("docs"),
             sum("char_toks").as("char_tokens"),
             sum("bpe_toks").as("bpe_tokens"))
+          // nullif: an all-empty-text language reports NULL compression on
+          // both engines instead of an engine-dependent NaN/÷0 artifact.
           .withColumn("compression",
-            round(col("bpe_tokens").cast("double") / col("char_tokens").cast("double"), 4) + 0.0)
+            round(col("bpe_tokens").cast("double")
+              / expr("nullif(CAST(char_tokens AS DOUBLE), 0.0D)"), 4) + 0.0)
           .orderBy("lang")
       },
       Some {
@@ -1987,13 +1998,19 @@ object PipelineOps extends OpGroup {
                 (acc, mg) -> replace(acc,
                   '$p' || substr(mg, 1, 1) || '$p$p' || substr(mg, 2, 1) || '$p',
                   '$p' || mg || '$p')) AS merged
-            FROM documents d LEFT JOIN merges m USING (lang)
+            FROM (
+              SELECT lang,
+                CASE WHEN contains(text, '$p')
+                     THEN CAST(error('text_bpe_apply: input text contains the U+0001 token delimiter') AS VARCHAR)
+                     ELSE text END AS text
+              FROM documents
+            ) d LEFT JOIN merges m USING (lang)
           )
         )
         SELECT lang, COUNT(*) AS docs,
           CAST(SUM(char_toks) AS BIGINT) AS char_tokens,
           CAST(SUM(bpe_toks) AS BIGINT) AS bpe_tokens,
-          CAST(ROUND(CAST(CAST(CAST(SUM(bpe_toks) AS DOUBLE) / CAST(SUM(char_toks) AS DOUBLE)
+          CAST(ROUND(CAST(CAST(CAST(SUM(bpe_toks) AS DOUBLE) / nullif(CAST(SUM(char_toks) AS DOUBLE), 0.0)
             AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS compression
         FROM docs GROUP BY lang ORDER BY lang
         """.trim
@@ -4048,29 +4065,45 @@ object PipelineOps extends OpGroup {
             .select("vec_id", "sim").head()
           (r.getLong(0), r.getDouble(1))
         }
-        var (cur, curSim) = best(sym.agg(min(col("src")).as("vec_id")))
-        val visited = scala.collection.mutable.LinkedHashSet(cur)
-        var converged = false
-        for (_ <- 1 to 6 if !converged) {
-          val cand = sym.filter(col("src") === cur).select(col("dst").as("vec_id"))
-            .union(s.range(1).select(lit(cur).as("vec_id")))
-          val (next, nextSim) = best(cand)
-          converged = next == cur
-          cur = next; curSim = nextSim
-          visited += next
-        }
-        e.filter(col("vec_id") =!= 0)
+        val exactTop = e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .withColumn("sim", expr("vec_dot(embedding, qemb)")
             / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
           .orderBy(desc("sim"), asc("vec_id")).limit(1)
-          .select(
+        // Degenerate-corpus guard (round-12 advice): a graph with no
+        // non-query mutual edges has no entry node — short-circuit to the
+        // exact top-1 with path_nodes=0 instead of head()-crashing. The
+        // oracle's recursive walk degrades to a NULL cur in the same case
+        // and its COALESCE tail lands on the identical row.
+        val entryRow = sym.agg(min(col("src")).as("mn")).head()
+        if (entryRow.isNullAt(0)) {
+          exactTop.select(
+            lit(0L).as("path_nodes"),
+            col("vec_id").as("found_id"),
+            (round(col("sim"), 3) + 0.0).as("found_sim"),
+            col("vec_id").as("exact_id"),
+            (round(col("sim"), 3) + 0.0).as("exact_sim"),
+            lit(true).as("hit"))
+        } else {
+          var (cur, curSim) = best(s.range(1).select(lit(entryRow.getLong(0)).as("vec_id")))
+          val visited = scala.collection.mutable.LinkedHashSet(cur)
+          var converged = false
+          for (_ <- 1 to 6 if !converged) {
+            val cand = sym.filter(col("src") === cur).select(col("dst").as("vec_id"))
+              .union(s.range(1).select(lit(cur).as("vec_id")))
+            val (next, nextSim) = best(cand)
+            converged = next == cur
+            cur = next; curSim = nextSim
+            visited += next
+          }
+          exactTop.select(
             lit(visited.size.toLong).as("path_nodes"),
             lit(cur).as("found_id"),
             (round(lit(curSim), 3) + 0.0).as("found_sim"),
             col("vec_id").as("exact_id"),
             (round(col("sim"), 3) + 0.0).as("exact_sim"),
             (lit(cur) === col("vec_id")).as("hit"))
+        }
       },
       Some(s"""
         WITH RECURSIVE knn AS (
@@ -4119,10 +4152,12 @@ object PipelineOps extends OpGroup {
           FROM scored ORDER BY sim DESC, vec_id LIMIT 1)
         SELECT
           (SELECT CAST(COUNT(DISTINCT cur) AS BIGINT) FROM rec) AS path_nodes,
-          f.cur AS found_id,
-          CAST(ROUND(CAST(CAST((SELECT sim FROM scored WHERE vec_id = f.cur) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS found_sim,
+          COALESCE(f.cur, ex.exact_id) AS found_id,
+          COALESCE(
+            CAST(ROUND(CAST(CAST((SELECT sim FROM scored WHERE vec_id = f.cur) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0,
+            ex.exact_sim) AS found_sim,
           ex.exact_id, ex.exact_sim,
-          (f.cur = ex.exact_id) AS hit
+          (COALESCE(f.cur, ex.exact_id) = ex.exact_id) AS hit
         FROM fin f, ex
       """.trim)),
 
