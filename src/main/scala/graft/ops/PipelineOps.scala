@@ -623,10 +623,64 @@ object PipelineOps extends OpGroup {
         .localCheckpoint(true)
       graft.Caches.track(s, dir, "mutual_knn_edges",
         Set("graph_triangle_count", "graph_connected_components",
-          "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search"),
+          "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
+          "vec_graph_beam_search"),
         () => mutualEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       mutual
     })
+
+  /** Best-first BEAM walk over a navigable graph — the ef-frontier
+    * generalization of vec_graph_greedy_search's beam=1 walk (the actual
+    * HNSW search loop). State per step is ≤ef node ids of DRIVER scalars
+    * (the documented iterative-op shape — never a data collect, and never
+    * an unrolled declarative chain, which re-executes prefixes 2^steps
+    * times; see the greedy op's round-12 lesson). Each step scores ONLY
+    * the frontier's neighbors ∪ the frontier itself (≤ ef·(k+1) ids — a
+    * broadcast point-lookup join against the corpus, never a scan) and
+    * keeps the top-ef by (sim DESC, id ASC). Early-stop when the beam is
+    * stable is exact: the beam update is idempotent at stability, so a
+    * fixed-step oracle lands on the identical final beam.
+    *
+    * @param sym   symmetric edge list (src, dst)
+    * @param score ids(vec_id) => (vec_id BIGINT, sim DOUBLE) — scoring is
+    *              injected so UnitSuite can drive the walk over a
+    *              hand-built graph (the beam=1-stops-local-optimum /
+    *              beam=4-escapes pin) without synthesizing embeddings
+    * @return (final beam ordered by sim DESC then id, distinct nodes ever
+    *         beamed) — (Nil, 0) on an edgeless graph (callers
+    *         short-circuit to their exact fallback, mirroring the
+    *         round-12 degenerate-corpus guard)
+    */
+  private[graft] def beamWalk(
+      s: org.apache.spark.sql.SparkSession,
+      sym: org.apache.spark.sql.DataFrame,
+      score: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      ef: Int,
+      maxSteps: Int): (Seq[(Long, Double)], Long) = {
+    val entryRow = sym.agg(min(col("src")).as("mn")).head()
+    if (entryRow.isNullAt(0)) return (Nil, 0L)
+    import s.implicits._
+    def idsDf(ids: Seq[Long]) = ids.toDF("vec_id")
+    def top(ids: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      score(ids.distinct())
+        .orderBy(desc("sim"), asc("vec_id")).limit(ef)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    var beam = top(idsDf(Seq(entryRow.getLong(0))))
+    val visited = scala.collection.mutable.LinkedHashSet(beam.map(_._1): _*)
+    var converged = false
+    for (_ <- 1 to maxSteps if !converged) {
+      val beamDf = idsDf(beam.map(_._1))
+      val cand = sym
+        .join(broadcast(beamDf.withColumnRenamed("vec_id", "src")), "src")
+        .select(col("dst").as("vec_id"))
+        .union(beamDf)
+      val next = top(cand)
+      converged = next.map(_._1) == beam.map(_._1)
+      beam = next
+      visited ++= next.map(_._1)
+    }
+    (beam, visited.size.toLong)
+  }
 
   /** Convergence scalar for the label-propagation loop — one row to the
     * driver per round (never the data). Empty subgraph (no near-dup
@@ -4158,6 +4212,126 @@ object PipelineOps extends OpGroup {
             ex.exact_sim) AS found_sim,
           ex.exact_id, ex.exact_sim,
           (COALESCE(f.cur, ex.exact_id) = ex.exact_id) AS hit
+        FROM fin f, ex
+      """.trim)),
+
+    // BEAM-width graph search (ef=4) — the production HNSW search loop
+    // that vec_graph_greedy_search's beam=1 walk deliberately simplifies
+    // away (and whose miss it measures: the greedy walk can stop at a
+    // local optimum of the navigable graph; an ef-sized frontier carries
+    // enough alternatives to climb out). Same shared mutual-3NN graph,
+    // same min-id entry node, ≤6 steps; each step scores ONLY the
+    // frontier's neighbors ∪ frontier (≤ ef·(k+1) point lookups — never a
+    // corpus scan) and keeps the top-ef; the walk state is ≤ef driver
+    // scalars per step ([[beamWalk]]; the CC/label-prop iterative shape).
+    // Early-stop at a stable beam is exact — the update is idempotent
+    // there, so the fixed-6-step oracle (recursive CTE carrying the beam
+    // as a LIST) lands on the identical final beam. Output: distinct
+    // nodes ever beamed, the beam's best vs the exact top-1 (brute-force
+    // truth leg), hit flag. UnitSuite pins the semantics on a hand-built
+    // graph where beam=1 provably stops at a local optimum and beam=4
+    // reaches the true top-1. At 100 TB: per-step cost is ef·k lookups
+    // against a bucketed node table — ef trades recall for lookups, the
+    // HNSW knob; the graph build amortizes across the graph_* family
+    // (shared Caches checkpoint).
+    Op("vec_graph_beam_search",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        val m = mutualKnnEdges(s, dir).filter(col("a") =!= 0 && col("b") =!= 0)
+        val sym = m.select(col("a").as("src"), col("b").as("dst"))
+          .union(m.select(col("b").as("src"), col("a").as("dst")))
+        val score = (ids: org.apache.spark.sql.DataFrame) =>
+          e.join(broadcast(ids), Seq("vec_id"))
+            .crossJoin(broadcast(q))
+            .withColumn("sim", expr("vec_dot(embedding, qemb)")
+              / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
+            .select("vec_id", "sim")
+        val (beam, beamed) = beamWalk(s, sym, score, ef = 4, maxSteps = 6)
+        val exactTop = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("sim", expr("vec_dot(embedding, qemb)")
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
+          .orderBy(desc("sim"), asc("vec_id")).limit(1)
+        beam match {
+          case Nil =>
+            // Degenerate corpus: no mutual edges → no walk; exact top-1
+            // with beam_nodes=0 (the greedy op's round-12 guard, mirrored
+            // by the oracle's NULL-beam COALESCE tail).
+            exactTop.select(
+              lit(0L).as("beam_nodes"),
+              col("vec_id").as("found_id"),
+              (round(col("sim"), 3) + 0.0).as("found_sim"),
+              col("vec_id").as("exact_id"),
+              (round(col("sim"), 3) + 0.0).as("exact_sim"),
+              lit(true).as("hit"))
+          case (foundId, foundSim) +: _ =>
+            exactTop.select(
+              lit(beamed).as("beam_nodes"),
+              lit(foundId).as("found_id"),
+              (round(lit(foundSim), 3) + 0.0).as("found_sim"),
+              col("vec_id").as("exact_id"),
+              (round(col("sim"), 3) + 0.0).as("exact_sim"),
+              (lit(foundId) === col("vec_id")).as("hit"))
+        }
+      },
+      Some(s"""
+        WITH RECURSIVE knn AS (
+          SELECT l, a, b FROM (
+            SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
+              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
+                y.vec_id) AS rk
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          ) WHERE rk <= $MutualKnnK),
+        mutual AS (
+          SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
+            ON k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b AND k1.a <> 0 AND k1.b <> 0),
+        sym AS (
+          SELECT a AS src, b AS dst FROM mutual
+          UNION ALL SELECT b, a FROM mutual),
+        scored AS (
+          SELECT e.vec_id,
+            list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qemb)
+              / (sqrt(greatest(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(q.qemb, v -> v * v)), 1e-300))) AS sim
+          FROM embeddings e,
+            (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0) q
+          WHERE e.vec_id <> 0),
+        rec AS (
+          SELECT 0 AS step, [(SELECT MIN(src) FROM sym)] AS beam
+          UNION ALL
+          SELECT r.step + 1, n.nb FROM rec r,
+            LATERAL (
+              SELECT list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) AS nb FROM (
+                SELECT s.vec_id AS nid, s.sim FROM sym g
+                  JOIN scored s ON s.vec_id = g.dst
+                WHERE list_contains(r.beam, g.src)
+                UNION
+                SELECT u.nid, s2.sim
+                FROM (SELECT unnest(r.beam) AS nid) u
+                  JOIN scored s2 ON s2.vec_id = u.nid
+              )
+            ) n
+          WHERE r.step < 6),
+        fin AS (SELECT beam[1] AS found FROM rec WHERE step = 6),
+        ex AS (
+          SELECT vec_id AS exact_id,
+            CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS exact_sim
+          FROM scored ORDER BY sim DESC, vec_id LIMIT 1)
+        SELECT
+          (SELECT CAST(COUNT(DISTINCT nid) AS BIGINT) FROM
+            (SELECT unnest(beam) AS nid FROM rec)) AS beam_nodes,
+          COALESCE(f.found, ex.exact_id) AS found_id,
+          COALESCE(
+            CAST(ROUND(CAST(CAST((SELECT sim FROM scored WHERE vec_id = f.found) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0,
+            ex.exact_sim) AS found_sim,
+          ex.exact_id, ex.exact_sim,
+          (COALESCE(f.found, ex.exact_id) = ex.exact_id) AS hit
         FROM fin f, ex
       """.trim)),
 

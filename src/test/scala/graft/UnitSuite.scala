@@ -779,6 +779,31 @@ class UnitSuite extends AnyFunSuite {
       got.getLong(3), got.getBoolean(5)) == ((3L, 4L, 0.94, 4L, true)))
   }
 
+  test("beam search: beam=1 stops at a local optimum, beam=4 escapes to the true top-1") {
+    // Hand-built navigable graph: 1–2, 2–3, 2–5, 3–9 with query sims
+    // 1→0.1, 2→0.5, 3→0.4, 5→0.45, 9→0.9. From entry node 1 the greedy
+    // walk reaches 2 and stops — every neighbor of 2 (1, 3, 5) scores
+    // below it, yet the TRUE top-1 (9, sim 0.9) sits behind the downhill
+    // hop 2→3. An ef=4 frontier keeps 3 alive in the beam, expands its
+    // neighborhood, and surfaces 9 — the recall-vs-lookups trade beam
+    // width exists for.
+    val simDf = Seq((1L, 0.1), (2L, 0.5), (3L, 0.4), (5L, 0.45), (9L, 0.9))
+      .toDF("vec_id", "sim")
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 5L), (3L, 9L))
+    val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val score = (ids: org.apache.spark.sql.DataFrame) =>
+      ids.join(simDf, "vec_id").select("vec_id", "sim")
+    val (greedy, gSeen) = ops.PipelineOps.beamWalk(spark, sym, score, ef = 1, maxSteps = 6)
+    assert(greedy.map(_._1) == Seq(2L), "ef=1 must stop at the local optimum 2")
+    assert(gSeen == 2L) // touched only {1, 2}
+    val (beam, bSeen) = ops.PipelineOps.beamWalk(spark, sym, score, ef = 4, maxSteps = 6)
+    assert(beam.head == ((9L, 0.9)), "ef=4 must escape to the true top-1")
+    assert(bSeen == 5L) // every node entered the beam along the way
+    val (empty, eSeen) = ops.PipelineOps.beamWalk(
+      spark, sym.limit(0), score, ef = 4, maxSteps = 6)
+    assert(empty.isEmpty && eSeen == 0L, "edgeless graph short-circuits")
+  }
+
   test("temperature sample: sqrt weights flatten the mix, md5 coin decides membership") {
     // 8 "aa" docs vs 2 "bb" docs, budget N/2 = 5. Weights √8:√2 give
     // p = 2/3 : 1/3, so keep-per-million = floor(5·p/cnt·1e6) =
