@@ -355,6 +355,25 @@ class EquivalenceSuite extends AnyFunSuite {
     assert(via == brute, s"augmented-cosine route diverged:\n via=$via\n brute=$brute")
   }
 
+  test("vec_ivf_trained_topk: trained-cell route vs label-cell route recall@10") {
+    // Round-12 verdict item 3: the trained quantizer must actually be
+    // consumed by retrieval. Truth = brute-force cosine top-10; both IVF
+    // routes probe 3 cells. Lloyd is seeded FROM the labels, so on this
+    // fixture the trained route must retain at least the label route's
+    // recall (training only tightens cells toward the geometry the
+    // label cells approximate); both must beat a non-vacuous floor.
+    val exact = rows("vec_cosine_topk").map(_.getLong(0)).toSet
+    assert(exact.size == 10, "exact top-10 truth leg is malformed")
+    val labelRoute = SparkEntry.queries("vec_ivf_topk")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val trained = rows("vec_ivf_trained_topk").map(_.getLong(0)).toSet
+    val rLabel = (exact & labelRoute).size / 10.0
+    val rTrained = (exact & trained).size / 10.0
+    assert(rTrained >= 0.5, s"trained-route recall@10=$rTrained — IVF probe lost the neighborhood")
+    assert(rTrained >= rLabel,
+      s"trained cells underperform their own label seed: trained=$rTrained label=$rLabel")
+  }
+
   test("vec_ndcg_eval and vec_recall_eval agree: perfect recall implies perfect ndcg") {
     // Both replicate the same IVF(probe=3) path against the same exact
     // top-10; if recall@10 is 1.0 AND the orderings agree, NDCG must be
