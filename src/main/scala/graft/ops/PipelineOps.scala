@@ -770,14 +770,16 @@ object PipelineOps extends OpGroup {
 
   /** Oracle CTE chain matching [[kmeansTrained]] (DuckDB): the quantized
     * corpus `q` and the unrolled 3-round Lloyd assignment `a0`..`a3` —
-    * shared by vec_kmeans_train and vec_ivf_trained_topk exactly as the
-    * Spark side shares the checkpointed training artifact.
+    * shared by vec_kmeans_train, vec_ivf_trained_topk and
+    * vec_index_upsert exactly as the Spark side shares the training
+    * code. `where` restricts the trained population (vec_index_upsert
+    * trains on the pre-batch corpus only).
     */
-  private val kmeansCtes = """q AS (
+  private def kmeansCtes(where: String = "TRUE") = s"""q AS (
           SELECT vec_id, label,
             list_transform(CAST(embedding AS DOUBLE[]),
               x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS qv
-          FROM embeddings),
+          FROM embeddings WHERE $where),
         a0 AS (SELECT vec_id, label AS c FROM q),
         c1 AS (
           SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
@@ -1496,7 +1498,7 @@ object PipelineOps extends OpGroup {
           .orderBy(desc("cos_sim"), asc("vec_id"))
       },
       Some(s"""
-        WITH $kmeansCtes,
+        WITH ${kmeansCtes()},
         c4 AS (
           SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
             SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
@@ -1530,6 +1532,119 @@ object PipelineOps extends OpGroup {
             WHERE e.vec_id <> 0
           ) ORDER BY sim DESC, vec_id LIMIT 10
         ) ORDER BY cos_sim DESC, vec_id
+      """.trim)),
+
+    // INCREMENTAL vector-index maintenance — the embedding twin of
+    // text_dedup_incremental (round-12 verdict item 7) and the nightly
+    // shape every one-shot index op above simplifies away: a new BATCH of
+    // vectors (vec_id % 10 = 0, the deterministic 10% "today's
+    // embeddings") is assigned to the EXISTING index's trained cells —
+    // trained on the pre-batch corpus ONLY, so today's arrivals never
+    // leak into yesterday's quantizer — and the op emits the per-cell
+    // index delta: members before, members added, and how far the
+    // mean centroid is displaced by folding the batch in
+    // (||new−old||₂ over exact BIGINT position sums; a retrain trigger
+    // reads this column). Asymmetry mirrors the dedup twin: the
+    // existing side aggregates ONCE into (Σqv, n) per cell — at 100 TB
+    // that pair IS the persisted index sidecar, maintained by exactly
+    // the integer additions this op performs, never recomputed — while
+    // the batch routes against a broadcast k×dim centroid table, and the
+    // delta report joins k-row frames. Zero-addition cells report shift
+    // 0.0 exactly (the new-mean expression collapses to the old mean
+    // bit-for-bit), so the report covers every cell, not just touched
+    // ones.
+    Op("vec_index_upsert",
+      (s, dir) => {
+        def quant(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))").as("qv"))
+        val e = Tables.t(s, dir, "embeddings")
+        val exist = quant(e.filter(col("vec_id") % 10 =!= 0)).localCheckpoint(false)
+        val assign = kmeansLoop(exist)
+        graft.Caches.track(s, dir, "index_upsert_state", Set("vec_index_upsert"),
+          () => { graft.Caches.releaseCheckpoint(exist); graft.Caches.releaseCheckpoint(assign) })
+        val cOld = exist.join(assign, "vec_id")
+          .select(col("c").as("clabel"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("clabel", "pos")
+          .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+          .groupBy("clabel")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), s -> s.sv)").as("svec"),
+            max("n").as("n"))
+        val batch = quant(e.filter(col("vec_id") % 10 === 0))
+        val bAssign = batch.crossJoin(broadcast(cOld))
+          .withColumn("dist", expr("vec_l2q_dist(qv, svec, n)"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("clabel"))).as("m"))
+          .select(col("vec_id"), col("m.clabel").as("c"))
+        val bSums = batch.join(bAssign, "vec_id")
+          .select(col("c").as("clabel"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("clabel", "pos")
+          .agg(sum("v").as("bsv"), count(lit(1)).as("bn"))
+          .groupBy("clabel")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, bsv))), s -> s.bsv)").as("bsvec"),
+            max("bn").as("bn"))
+        val dd = "(CAST(o + b AS DOUBLE) / CAST(n + n_added AS DOUBLE)" +
+          " - CAST(o AS DOUBLE) / CAST(n AS DOUBLE))"
+        cOld.join(bSums, Seq("clabel"), "left")
+          .withColumn("n_added", coalesce(col("bn"), lit(0L)))
+          .withColumn("shift", expr(
+            s"""sqrt(aggregate(
+                zip_with(svec, coalesce(bsvec, transform(svec, x -> CAST(0 AS BIGINT))),
+                  (o, b) -> $dd * $dd),
+                CAST(0 AS DOUBLE), (a, x) -> a + x))"""))
+          .select(col("clabel").as("cluster"), col("n").as("n_before"),
+            col("n_added"), (round(col("shift"), 3) + 0.0).as("centroid_shift"))
+          .orderBy("cluster")
+      },
+      Some(s"""
+        WITH ${kmeansCtes("vec_id % 10 <> 0")},
+        cOld AS (
+          SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT a.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
+                unnest(q.qv) AS v
+              FROM q JOIN a3 a USING (vec_id)
+            ) GROUP BY clabel, pos
+          ) GROUP BY clabel),
+        batch AS (
+          SELECT vec_id,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS qv
+          FROM embeddings WHERE vec_id % 10 = 0),
+        bassign AS (
+          SELECT vec_id, clabel AS c FROM (
+            SELECT vec_id, clabel,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
+            FROM (
+              SELECT b.vec_id, o.clabel,
+                list_sum(list_transform(range(1, len(b.qv) + 1), i ->
+                  (CAST(b.qv[i] AS DOUBLE) - CAST(o.svec[i] AS DOUBLE) / o.n)
+                    * (CAST(b.qv[i] AS DOUBLE) - CAST(o.svec[i] AS DOUBLE) / o.n))) AS dist
+              FROM batch b, cOld o
+            )
+          ) WHERE rk = 1),
+        bsums AS (
+          SELECT clabel, list(bsv ORDER BY pos) AS bsvec, MAX(bn) AS bn FROM (
+            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS bsv, COUNT(*) AS bn FROM (
+              SELECT a.c AS clabel, generate_subscripts(b.qv, 1) - 1 AS pos,
+                unnest(b.qv) AS v
+              FROM batch b JOIN bassign a USING (vec_id)
+            ) GROUP BY clabel, pos
+          ) GROUP BY clabel)
+        SELECT cluster, n_before, n_added,
+          CAST(ROUND(CAST(CAST(shift AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS centroid_shift
+        FROM (
+          SELECT o.clabel AS cluster, o.n AS n_before,
+            CAST(COALESCE(s.bn, 0) AS BIGINT) AS n_added,
+            sqrt(list_sum(list_transform(range(1, len(o.svec) + 1), i ->
+              (CAST(o.svec[i] + COALESCE(s.bsvec, list_transform(o.svec, x -> CAST(0 AS BIGINT)))[i] AS DOUBLE)
+                 / CAST(o.n + COALESCE(s.bn, 0) AS DOUBLE)
+               - CAST(o.svec[i] AS DOUBLE) / CAST(o.n AS DOUBLE))
+              * (CAST(o.svec[i] + COALESCE(s.bsvec, list_transform(o.svec, x -> CAST(0 AS BIGINT)))[i] AS DOUBLE)
+                 / CAST(o.n + COALESCE(s.bn, 0) AS DOUBLE)
+               - CAST(o.svec[i] AS DOUBLE) / CAST(o.n AS DOUBLE))))) AS shift
+          FROM cOld o LEFT JOIN bsums s ON o.clabel = s.clabel
+        ) ORDER BY cluster
       """.trim)),
 
     // LSH-bucketed ANN (the second scale path next to vec_ivf_topk):
@@ -3126,7 +3241,7 @@ object PipelineOps extends OpGroup {
           .orderBy("cluster")
       },
       Some(s"""
-        WITH $kmeansCtes
+        WITH ${kmeansCtes()}
         SELECT a.c AS cluster, COUNT(*) AS n_members,
           CAST(SUM(CASE WHEN q.label <> a.c THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
           MIN(q.vec_id) AS first_vec
