@@ -708,6 +708,47 @@ object PipelineOps extends OpGroup {
       mutual
     })
 
+  /** text_dedup_incremental's body, with the one at-scale knob exposed:
+    * `broadcastBatch = true` is the nightly shape (today's crawl is small
+    * — its band keys broadcast, candidate generation is a map-side hash
+    * join over ONE streaming pass of the existing side's bands, the
+    * corpus never shuffles). When a day's batch outgrows the broadcast
+    * budget, the correct degradation is `broadcastBatch = false`: the
+    * SAME equi-join on (band, bval) runs as a SHUFFLED hash join — both
+    * sides shuffle by band key, work stays candidate-bounded — and can
+    * never decay to a nested-loop/cartesian shape because the join keys
+    * are unconditional equi keys (PlanSuite pins both shapes; round-12
+    * verdict item 5). The corpus side is never broadcast in either mode.
+    */
+  private[graft] def incrementalDedup(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      broadcastBatch: Boolean): org.apache.spark.sql.DataFrame = {
+    val sigs = simhashSigs(s, dir)
+    def bands(df: org.apache.spark.sql.DataFrame, pre: String) =
+      df.select(col("doc_id").as(s"${pre}_id"), col("simhash").as(s"${pre}_sh"))
+        .select(col(s"${pre}_id"), col(s"${pre}_sh"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bval", expr(s"shiftright(${pre}_sh, band * 15) & 32767"))
+    val batch = sigs.filter(col("doc_id") % 10 === 0)
+    val exist = sigs.filter(col("doc_id") % 10 =!= 0)
+    val batchBands =
+      if (broadcastBatch) broadcast(bands(batch, "b"))
+      else bands(batch, "b").hint("SHUFFLE_HASH")
+    val best = bands(exist, "e")
+      .join(batchBands, Seq("band", "bval"))
+      .select("b_id", "e_id", "b_sh", "e_sh").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(b_sh ^ e_sh) AS INT)"))
+      .filter(col("hamming") <= 3)
+      .groupBy("b_id")
+      .agg(min(struct(col("hamming"), col("e_id"))).as("m"))
+      .select(col("b_id").as("doc_id"),
+        col("m.e_id").as("dup_of"), col("m.hamming").as("hamming"))
+    batch.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("hamming"))
+      .orderBy("doc_id")
+  }
+
   /** Best-first BEAM walk over a navigable graph — the ef-frontier
     * generalization of vec_graph_greedy_search's beam=1 walk (the actual
     * HNSW search loop). State per step is ≤ef node ids of DRIVER scalars
@@ -1019,29 +1060,7 @@ object PipelineOps extends OpGroup {
     // batch-bounded state, never corpus × corpus. Shares the checkpointed
     // simhash signature frame with the text_simhash family (Caches).
     Op("text_dedup_incremental",
-      (s, dir) => {
-        val sigs = simhashSigs(s, dir)
-        def bands(df: org.apache.spark.sql.DataFrame, pre: String) =
-          df.select(col("doc_id").as(s"${pre}_id"), col("simhash").as(s"${pre}_sh"))
-            .select(col(s"${pre}_id"), col(s"${pre}_sh"),
-              explode(expr("sequence(0, 3)")).as("band"))
-            .withColumn("bval", expr(s"shiftright(${pre}_sh, band * 15) & 32767"))
-        val batch = sigs.filter(col("doc_id") % 10 === 0)
-        val exist = sigs.filter(col("doc_id") % 10 =!= 0)
-        val best = bands(exist, "e")
-          .join(broadcast(bands(batch, "b")), Seq("band", "bval"))
-          .select("b_id", "e_id", "b_sh", "e_sh").distinct()
-          .withColumn("hamming", expr("CAST(bit_count(b_sh ^ e_sh) AS INT)"))
-          .filter(col("hamming") <= 3)
-          .groupBy("b_id")
-          .agg(min(struct(col("hamming"), col("e_id"))).as("m"))
-          .select(col("b_id").as("doc_id"),
-            col("m.e_id").as("dup_of"), col("m.hamming").as("hamming"))
-        batch.select("doc_id").join(best, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
-            col("dup_of"), col("hamming"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => incrementalDedup(s, dir, broadcastBatch = true),
       Some(s"""
         WITH $simsSql
         , cand AS (

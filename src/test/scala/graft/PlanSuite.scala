@@ -197,6 +197,27 @@ class PlanSuite extends AnyFunSuite {
     }
   }
 
+  test("text_dedup_incremental: batch broadcasts; an outgrown batch degrades to a shuffled hash join, never BNLJ") {
+    // Round-12 verdict item 5. Nightly shape: the batch's band keys are
+    // the build side of a broadcast hash join — the corpus streams once
+    // and never shuffles. When a day's batch outgrows the broadcast
+    // budget the coded degradation (incrementalDedup broadcastBatch =
+    // false) must keep the SAME (band, bval) equi join as a SHUFFLED
+    // hash join — never a BroadcastNestedLoopJoin, never a cartesian,
+    // and never a broadcast of the corpus side.
+    val p = plan("text_dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      "nightly shape: the batch band keys must broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    val deg = graft.ops.PipelineOps
+      .incrementalDedup(spark, sf0001, broadcastBatch = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(deg.contains("ShuffledHashJoin"),
+      "degraded shape must stay a keyed shuffled hash join on (band, bval)")
+    assert(!deg.contains("BroadcastNestedLoopJoin") && !deg.contains("CartesianProduct"),
+      "an outgrown batch must never decay to a nested-loop shape")
+  }
+
   test("window top-k: one shuffle + rank-limit pushed below it (WindowGroupLimit)") {
     val p = plan("win_rownum_topk")
     // Exactly 2 Exchange nodes: hash for the window partition, range for
