@@ -118,7 +118,9 @@ object StreamOps extends OpGroup {
       root
     })
 
-  private def eventStream(s: SparkSession, sfDir: String): DataFrame = {
+  // private[graft]: the checkpoint-recovery drill (EquivalenceSuite)
+  // builds its own watermarked query over the same source contract.
+  private[graft] def eventStream(s: SparkSession, sfDir: String): DataFrame = {
     Tables.conf(s)
     val nb = sourceBatches
     if (nb > 1) return eventStreamSplit(s, sfDir, nb)

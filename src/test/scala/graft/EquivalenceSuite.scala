@@ -198,6 +198,73 @@ class EquivalenceSuite extends AnyFunSuite {
     }
   }
 
+  test("streaming checkpoint recovery: crash mid-stream, resume exactly-once from the checkpoint") {
+    // Round-12 verdict item 4: the stream_* family proves SEMANTICS via
+    // one-shot runs; this proves the OPERATIONAL property a production
+    // ingest relies on — a watermarked stateful query killed mid-stream
+    // resumes from its checkpoint with exactly-once sink contents. The
+    // crash is planted at the worst point: batch 1's foreachBatch SINK
+    // WRITE has committed but the query dies before the commit log
+    // records the batch, so the restart MUST redeliver batch 1 (same
+    // batchId, same data — the contract foreachBatch idempotence builds
+    // on) and the sink's overwrite-by-batchId keeps it exactly-once.
+    import org.apache.spark.sql.DataFrame
+    graft.ops.StreamOps.sourceBatches = 3
+    try {
+      val sink = Tables.tmpDir("graft_ckpt_drill_sink")
+      val ckpt = Tables.tmpDir("graft_ckpt_drill_ckpt")
+      def agg = graft.ops.StreamOps.eventStream(spark, sf0001)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("ws"),
+          col("event_type"), col("n"))
+      def start(bomb: Boolean) = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$sink/batchId=$id")
+          if (bomb && id == 1)
+            throw new RuntimeException("poison pill: crash after sink write, before batch commit")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val q1 = start(bomb = true)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.awaitTermination()
+      }
+      // Mid-stream wreckage: batch 0 committed, batch 1's sink partition
+      // exists but its offset range is uncommitted, batch 2 never ran.
+      val wrecked = new java.io.File(sink).list().toSet
+      assert(Set("batchId=0", "batchId=1").subsetOf(wrecked) && !wrecked("batchId=2"),
+        s"crash point drifted: sink has $wrecked")
+      val q2 = start(bomb = false)
+      q2.awaitTermination()
+      val parts = new java.io.File(sink).list().toSet
+      assert(Set("batchId=0", "batchId=1", "batchId=2").subsetOf(parts),
+        s"restart must redeliver batch 1 and finish batch 2, got $parts")
+      // Exactly-once reconstruction: update mode emits a key's row in
+      // every batch that changed it — the sink's truth per key is its
+      // LATEST batch's value.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ws", "event_type")
+        .orderBy(col("batchId").desc)
+      val got = spark.read.parquet(sink)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select("ws", "event_type", "n")
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val truth = Tables.events(spark, sf0001)
+        .groupBy(window(col("ts").cast("timestamp"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("ws"),
+          col("event_type"), col("n"))
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(got.nonEmpty && got == truth,
+        s"recovered sink diverged from batch truth (got ${got.length} rows, want ${truth.length})")
+    } finally graft.ops.StreamOps.sourceBatches = 1
+  }
+
   test("agg_approx_distinct within 5% of exact distinct counts") {
     val approx = rows("agg_approx_distinct")
       .map(r => r.getString(0) -> r.getLong(1)).toMap
