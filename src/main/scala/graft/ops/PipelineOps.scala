@@ -4407,12 +4407,19 @@ object PipelineOps extends OpGroup {
             (round(col("sim"), 3) + 0.0).as("exact_sim"),
             lit(true).as("hit"))
         } else {
-          var (cur, curSim) = best(s.range(1).select(lit(entryRow.getLong(0)).as("vec_id")))
+          // LocalRelation (Seq.toDF), not range(1)+lit: the optimizer's
+          // runtime bloom-filter injection targets the Range fragment and
+          // its might_contain-over-subquery codegen fails to compile in
+          // Spark 4.1 (interpreter fallback — harmless but it disables
+          // whole-stage codegen for the fragment and stack-traces every
+          // run). A LocalTableScan is not an injection site.
+          import s.implicits._
+          var (cur, curSim) = best(Seq(entryRow.getLong(0)).toDF("vec_id"))
           val visited = scala.collection.mutable.LinkedHashSet(cur)
           var converged = false
           for (_ <- 1 to 6 if !converged) {
             val cand = sym.filter(col("src") === cur).select(col("dst").as("vec_id"))
-              .union(s.range(1).select(lit(cur).as("vec_id")))
+              .union(Seq(cur).toDF("vec_id"))
             val (next, nextSim) = best(cand)
             converged = next == cur
             cur = next; curSim = nextSim
