@@ -676,13 +676,46 @@ object PipelineOps extends OpGroup {
       val q = quantCorpus(s, dir)
       val fin = kmeansLoop(q)
       graft.Caches.track(s, dir, "kmeans_trained",
-        Set("vec_kmeans_train", "vec_ivf_trained_topk"),
+        Set("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk"),
         () => kmeansCache.remove((s, dir)).foreach { case (qf, af) =>
           graft.Caches.releaseCheckpoint(qf)
           graft.Caches.releaseCheckpoint(af)
         })
       (q, fin)
     })
+
+  /** TRAINED-cell IVF routing: (quantized corpus, trained assignment,
+    * top-3 probed cells for the vec_id=0 query by centroid cosine) —
+    * shared by vec_ivf_trained_topk and vec_ivf_pq_topk. Centroids are
+    * sv/n doubles over exact BIGINT position sums of [[kmeansTrained]]'s
+    * assignment; the k-row centroid table broadcasts.
+    */
+  private def trainedCellRoute(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val e = Tables.t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    val (qv, assign) = kmeansTrained(s, dir)
+    val cent = qv.join(assign, "vec_id")
+      .select(col("c"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("c", "pos")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .groupBy("c")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), s -> s.sv)").as("svec"),
+        max("n").as("n"))
+      .select(col("c"), expr("transform(svec, x -> CAST(x AS DOUBLE) / n)").as("cemb"))
+    val topCells = cent.crossJoin(broadcast(q))
+      .withColumn("cdot", expr(
+        "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .withColumn("csim", col("cdot")
+        / (sqrt(greatest(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"), lit(1e-300)))
+          * Tables.safeNorm("qemb")))
+      .orderBy(desc("csim"), asc("c"))
+      .limit(3)
+      .select("c")
+    (qv, assign, topCells)
+  }
 
   private def mutualKnnEdges(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
@@ -882,6 +915,34 @@ object PipelineOps extends OpGroup {
               FROM q, c3
             )
           ) WHERE rk = 1)"""
+
+  /** Oracle CTEs for the TRAINED-cell routing stage (DuckDB), appended
+    * after [[kmeansCtes]]: c4 = per-trained-cell exact integer sums,
+    * cent = sv/n double centroids, qq = the query vector, cells = the
+    * top-3 probed cells by centroid cosine. Shared by
+    * vec_ivf_trained_topk and vec_ivf_pq_topk exactly as the Spark side
+    * shares the routing code.
+    */
+  private val trainedCellCtes = """c4 AS (
+          SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT a.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
+                unnest(q.qv) AS v
+              FROM q JOIN a3 a USING (vec_id)
+            ) GROUP BY clabel, pos
+          ) GROUP BY clabel),
+        cent AS (
+          SELECT clabel AS c, list_transform(svec, x -> CAST(x AS DOUBLE) / n) AS cemb
+          FROM c4),
+        qq AS (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0),
+        cells AS (
+          SELECT c FROM (
+            SELECT c,
+              list_dot_product(cemb, qemb)
+                / (sqrt(greatest(list_sum(list_transform(cemb, x -> x * x)), 1e-300))
+                   * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS csim
+            FROM cent, qq
+          ) ORDER BY csim DESC, c LIMIT 3)"""
 
   /** Oracle CTE bodies matching [[simhashSigs]]/[[simhashEdges]] (DuckDB). */
   private val simsSql = """
@@ -1486,24 +1547,7 @@ object PipelineOps extends OpGroup {
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
-        val (qv, assign) = kmeansTrained(s, dir)
-        val cent = qv.join(assign, "vec_id")
-          .select(col("c"), posexplode(col("qv")).as(Seq("pos", "v")))
-          .groupBy("c", "pos")
-          .agg(sum("v").as("sv"), count(lit(1)).as("n"))
-          .groupBy("c")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), s -> s.sv)").as("svec"),
-            max("n").as("n"))
-          .select(col("c"), expr("transform(svec, x -> CAST(x AS DOUBLE) / n)").as("cemb"))
-        val topCells = cent.crossJoin(broadcast(q))
-          .withColumn("cdot", expr(
-            "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
-          .withColumn("csim", col("cdot")
-            / (sqrt(greatest(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"), lit(1e-300)))
-              * Tables.safeNorm("qemb")))
-          .orderBy(desc("csim"), asc("c"))
-          .limit(3)
-          .select("c")
+        val (_, assign, topCells) = trainedCellRoute(s, dir)
         e.filter(col("vec_id") =!= 0)
           .join(assign, "vec_id")
           .join(broadcast(topCells), "c")
@@ -1518,26 +1562,7 @@ object PipelineOps extends OpGroup {
       },
       Some(s"""
         WITH ${kmeansCtes()},
-        c4 AS (
-          SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
-            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
-              SELECT a.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
-                unnest(q.qv) AS v
-              FROM q JOIN a3 a USING (vec_id)
-            ) GROUP BY clabel, pos
-          ) GROUP BY clabel),
-        cent AS (
-          SELECT clabel AS c, list_transform(svec, x -> CAST(x AS DOUBLE) / n) AS cemb
-          FROM c4),
-        qq AS (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0),
-        cells AS (
-          SELECT c FROM (
-            SELECT c,
-              list_dot_product(cemb, qemb)
-                / (sqrt(greatest(list_sum(list_transform(cemb, x -> x * x)), 1e-300))
-                   * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS csim
-            FROM cent, qq
-          ) ORDER BY csim DESC, c LIMIT 3)
+        $trainedCellCtes
         SELECT vec_id, cluster, cos_sim FROM (
           SELECT vec_id, cluster,
             CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS cos_sim, sim FROM (
@@ -1551,6 +1576,108 @@ object PipelineOps extends OpGroup {
             WHERE e.vec_id <> 0
           ) ORDER BY sim DESC, vec_id LIMIT 10
         ) ORDER BY cos_sim DESC, vec_id
+      """.trim)),
+
+    // IVF + PQ — THE production ANN composition (FAISS IVFPQ): the query
+    // routes through the TRAINED coarse quantizer to its top-3 cells
+    // (shared [[trainedCellRoute]]), the probed cells' members are ranked
+    // in the COMPRESSED domain (vec_pq_topk's 8×10 ADC table — approx
+    // distance is a Σ of 8 exact BIGINT table entries, 8 bytes/vector at
+    // rest), and the ADC top-10 is re-ranked by EXACT cosine (the refine
+    // step — one embedding fetch per survivor). Composition is the point:
+    // at 100 TB the scan cost is |probed cells| × 8 bytes/vector, the
+    // exact math touches 10 rows, and every artifact is the persisted
+    // index (trained assignment partitioned by cell, PQ codes as a
+    // sidecar column, codebooks broadcast). Codebooks are label-seeded
+    // sub-centroids and encode raw vectors; the production refinement —
+    // per-cell RESIDUAL encoding before PQ — changes the codebook input,
+    // not this plan shape. Candidate encoding is cell-bounded here
+    // (codes are precomputed corpus-wide in the index lifecycle).
+    Op("vec_ivf_pq_topk",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val qemb = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        val (qv, assign, topCells) = trainedCellRoute(s, dir)
+        val cand = assign.join(broadcast(topCells), "c")
+          .filter(col("vec_id") =!= 0).select("vec_id")
+        val sub = qv.select(col("vec_id"), col("label"), explode(expr(
+            "transform(sequence(0, 7), s -> named_struct('s', s, 'sq', slice(qv, s * 8 + 1, 8)))")).as("x"))
+          .select(col("vec_id"), col("label"), col("x.s").as("s"), col("x.sq").as("sq"))
+        val cb = sub
+          .select(col("s"), col("label").as("cl"), posexplode(col("sq")).as(Seq("pos", "v")))
+          .groupBy("s", "cl", "pos")
+          .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+          .groupBy("s", "cl")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), t -> t.sv)").as("svec"),
+            max("n").as("n"))
+        val codes = sub.join(cand, Seq("vec_id"), "leftsemi")
+          .join(broadcast(cb), Seq("s"))
+          .withColumn("dist", expr("vec_l2q_dist(sq, svec, n)"))
+          .groupBy("vec_id", "s")
+          .agg(min(struct(col("dist"), col("cl"))).as("m"))
+          .select(col("vec_id"), col("s"), col("m.cl").as("code"))
+        val adc = sub.filter(col("vec_id") === 0)
+          .select(col("s"), col("sq").as("qsq"))
+          .join(cb, Seq("s"))
+          .select(col("s").as("adc_s"), col("cl").as("adc_cl"),
+            expr("CAST(FLOOR(vec_l2q_dist(qsq, svec, n) * 1000000) AS BIGINT)").as("dscaled"))
+        val approx = codes.join(broadcast(adc),
+            col("s") === col("adc_s") && col("code") === col("adc_cl"))
+          .groupBy("vec_id").agg(sum("dscaled").as("approx_dist_scaled"))
+          .orderBy(col("approx_dist_scaled"), col("vec_id")).limit(10)
+        approx.join(e, "vec_id")
+          .crossJoin(broadcast(qemb))
+          .withColumn("sim", expr("vec_dot(embedding, qemb)")
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
+          .select(col("vec_id"), col("approx_dist_scaled"),
+            (round(col("sim"), 3) + 0.0).as("cos_sim"))
+          .orderBy(desc("cos_sim"), asc("vec_id"))
+      },
+      Some(s"""
+        WITH ${kmeansCtes()},
+        $trainedCellCtes,
+        cand AS (
+          SELECT vec_id FROM a3 a JOIN cells ce ON a.c = ce.c
+          WHERE vec_id <> 0),
+        sub AS (
+          SELECT vec_id, label, i.s AS s, qv[(i.s * 8 + 1):(i.s * 8 + 8)] AS sq
+          FROM q, (SELECT unnest(range(8)) AS s) i
+        ), cb AS (
+          SELECT s, cl, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT s, cl, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT s, label AS cl, generate_subscripts(sq, 1) - 1 AS pos,
+                unnest(sq) AS v
+              FROM sub
+            ) GROUP BY s, cl, pos
+          ) GROUP BY s, cl
+        ), dist AS (
+          SELECT sub.vec_id, sub.s, cb.cl,
+            list_sum(list_transform(range(1, len(sq) + 1), i ->
+              (CAST(sq[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n)
+                * (CAST(sq[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n))) AS dist
+          FROM sub JOIN cb USING (s)
+        ), codes AS (
+          SELECT vec_id, s, cl AS code FROM (
+            SELECT vec_id, s, cl,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cl) AS rk
+            FROM dist JOIN cand USING (vec_id)
+          ) WHERE rk = 1
+        ), adc AS (
+          SELECT s, cl, CAST(FLOOR(dist * 1000000) AS BIGINT) AS dscaled
+          FROM dist WHERE vec_id = 0
+        ), approx AS (
+          SELECT vec_id, CAST(SUM(dscaled) AS BIGINT) AS approx_dist_scaled
+          FROM codes JOIN adc ON codes.s = adc.s AND codes.code = adc.cl
+          GROUP BY vec_id
+          ORDER BY approx_dist_scaled, vec_id LIMIT 10)
+        SELECT vec_id, approx_dist_scaled,
+          CAST(ROUND(CAST(CAST(
+            list_dot_product(CAST(e.embedding AS DOUBLE[]), qq.qemb)
+              / (sqrt(greatest(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(qq.qemb, x -> x * x)), 1e-300)))
+            AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS cos_sim
+        FROM approx JOIN embeddings e USING (vec_id), qq
+        ORDER BY cos_sim DESC, vec_id
       """.trim)),
 
     // INCREMENTAL vector-index maintenance — the embedding twin of
