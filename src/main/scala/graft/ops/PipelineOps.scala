@@ -736,7 +736,7 @@ object PipelineOps extends OpGroup {
       graft.Caches.track(s, dir, "mutual_knn_edges",
         Set("graph_triangle_count", "graph_connected_components",
           "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
-          "vec_graph_beam_search"),
+          "vec_graph_beam_search", "graph_louvain_step"),
         () => mutualEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       mutual
     })
@@ -4475,6 +4475,88 @@ object PipelineOps extends OpGroup {
           SELECT x AS a, y AS b, CAST(cn AS BIGINT) AS common_neighbors, aa AS aa_micro
           FROM agg ORDER BY aa DESC, x, y LIMIT 20)
         ORDER BY aa_micro DESC, a, b
+      """.trim)),
+
+    // One synchronous Louvain sweep — community detection joins the graph
+    // family (pagerank, CC, label-prop, triangles, Adamic-Adar): from
+    // singleton communities, every node evaluates the MODULARITY gain of
+    // joining each neighbor's community and moves on the best strictly
+    // positive gain (ties → lowest target id). The gain is exact: for a
+    // singleton move, ΔQ·2m² = 2m·k_{i,C} − k_i·Σtot_C collapses to the
+    // all-BIGINT 2m − k_i·k_j — no float enters the decision, so both
+    // engines move identical nodes (the agg_entropy no-libm-in-membership
+    // stance applied to modularity). Synchronous update (all nodes decide
+    // against the PRE-sweep state — the parallel Louvain variant; the
+    // sequential variant's order-dependence cannot be made deterministic
+    // across engines). Output: top-20 post-sweep communities by size with
+    // movers and summed scaled gain. At 100 TB: degrees and the per-node
+    // argmax are one partial-aggregating shuffle each over the shared
+    // checkpointed edge set; the |V|-row move table aggregates map-side —
+    // the label_prop_step cost shape with a modularity objective.
+    Op("graph_louvain_step",
+      (s, dir) => {
+        val mutual = mutualKnnEdges(s, dir).select("a", "b")
+        val sym = mutual.union(mutual.select(col("b").as("a"), col("a").as("b")))
+        val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("dz"))
+        val mRow = mutual.agg(count(lit(1)).as("m"))
+        val gains = sym
+          .join(deg.select(col("z").as("a"), col("dz").as("ki")), "a")
+          .join(deg.select(col("z").as("b"), col("dz").as("kj")), "b")
+          .crossJoin(broadcast(mRow))
+          .withColumn("neg_gain", col("ki") * col("kj") - lit(2L) * col("m"))
+        val move = gains.groupBy("a")
+          .agg(min(struct(col("neg_gain"), col("b"))).as("mm"))
+          .select(col("a"),
+            when(col("mm.neg_gain") < 0, col("mm.b")).otherwise(col("a")).as("comm"),
+            (col("mm.neg_gain") < 0).as("moved"),
+            when(col("mm.neg_gain") < 0, -col("mm.neg_gain")).otherwise(lit(0L)).as("gain_scaled"))
+        move.groupBy("comm")
+          .agg(count(lit(1)).as("n_members"),
+            sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved_in"),
+            sum("gain_scaled").as("gain_scaled_sum"))
+          .orderBy(desc("n_members"), asc("comm"))
+          .limit(20)
+          .orderBy(desc("n_members"), asc("comm"))
+      },
+      Some(s"""
+        WITH knn AS (
+          SELECT a, b FROM (
+            SELECT x.vec_id AS a, y.vec_id AS b,
+              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
+                y.vec_id) AS rk
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          ) WHERE rk <= $MutualKnnK),
+        mutual AS (
+          SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
+            ON k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b),
+        sym AS (SELECT a, b FROM mutual UNION ALL SELECT b AS a, a AS b FROM mutual),
+        deg AS (SELECT a AS z, COUNT(*) AS dz FROM sym GROUP BY 1),
+        mm AS (SELECT COUNT(*) AS m FROM mutual),
+        gains AS (
+          SELECT s.a, s.b, di.dz * dj.dz - 2 * mm.m AS neg_gain
+          FROM sym s JOIN deg di ON di.z = s.a JOIN deg dj ON dj.z = s.b, mm),
+        mv AS (
+          SELECT a,
+            CASE WHEN ng < 0 THEN tb ELSE a END AS comm,
+            (ng < 0) AS moved,
+            CASE WHEN ng < 0 THEN -ng ELSE CAST(0 AS BIGINT) END AS gain_scaled
+          FROM (
+            SELECT a, ng, tb FROM (
+              SELECT a, neg_gain AS ng, b AS tb,
+                ROW_NUMBER() OVER (PARTITION BY a ORDER BY neg_gain, b) AS rk
+              FROM gains) WHERE rk = 1))
+        SELECT comm, n_members, n_moved_in, gain_scaled_sum FROM (
+          SELECT comm, CAST(COUNT(*) AS BIGINT) AS n_members,
+            CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
+            CAST(SUM(gain_scaled) AS BIGINT) AS gain_scaled_sum
+          FROM mv GROUP BY comm
+          ORDER BY n_members DESC, comm LIMIT 20)
+        ORDER BY n_members DESC, comm
       """.trim)),
 
     // Graph-based greedy ANN search — the FOURTH modern ANN paradigm next
