@@ -4559,6 +4559,100 @@ object PipelineOps extends OpGroup {
         ORDER BY n_members DESC, comm
       """.trim)),
 
+    // HNSW BUILD — the index-construction half of the navigable-graph
+    // story whose search halves are vec_graph_greedy_search (beam=1) and
+    // vec_graph_beam_search (ef=4): every vector draws a deterministic
+    // geometric layer (P(layer ≥ l) = 4⁻ˡ, from the base-4 digits of its
+    // 60-bit md5 — cross-engine exact, no RNG state), and each layer
+    // l hosts a mutual-kNN graph over the vectors assigned height ≥ l —
+    // the HNSW invariant that upper layers are sparser express lanes over
+    // nested node subsets. Reported per non-empty layer: node count, edge
+    // count, and the entry node (min id at that height — the search
+    // entry at the TOP layer). Layer populations shrink 4× per level, so
+    // the 5 per-layer builds cost ≈ 4/3 of one base build; at 100 TB each
+    // is the standard label-cell-blocked kNN shuffle over a
+    // geometrically-shrinking slice, and the build artifact is exactly
+    // what the walk ops consume. Greedy/beam search over layer 0 is the
+    // already-shipped pair; multi-layer descent composes them.
+    Op("vec_hnsw_build",
+      (s, dir) => {
+        val layerCase =
+          """CASE WHEN h % 4 <> 0 THEN 0
+                  WHEN (h DIV 4) % 4 <> 0 THEN 1
+                  WHEN (h DIV 16) % 4 <> 0 THEN 2
+                  WHEN (h DIV 64) % 4 <> 0 THEN 3
+                  ELSE 4 END"""
+        val lay = Tables.t(s, dir, "embeddings")
+          .withColumn("h", expr(md5Long("CAST(vec_id AS STRING)")))
+          .withColumn("lay", expr(layerCase))
+          .select("vec_id", "label", "embedding", "lay")
+        val w = Window.partitionBy("a").orderBy(desc("sim"), asc("b"))
+        val layers = (0 to 4).map { level =>
+          val nodes = lay.filter(col("lay") >= level)
+          val l = nodes.select(col("label").as("la"), col("vec_id").as("a"), col("embedding").as("ea"))
+          val r = nodes.select(col("label").as("lb"), col("vec_id").as("b"), col("embedding").as("eb"))
+          val knn = l.join(r, col("la") === col("lb") && col("a") =!= col("b"))
+            .withColumn("sim", expr("vec_dot(ea, eb)")
+              / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= MutualKnnK)
+            .select("a", "b")
+          val mutual = knn.filter(col("a") < col("b"))
+            .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "leftsemi")
+          nodes.agg(count(lit(1)).as("n_nodes"), min("vec_id").as("entry_node"))
+            .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_edges"))))
+            .select(lit(level).as("layer"), col("n_nodes"), col("n_edges"), col("entry_node"))
+        }
+        layers.reduce(_.union(_))
+          .filter(col("n_nodes") > 0)
+          .orderBy("layer")
+      },
+      Some {
+        val layerCase =
+          """CASE WHEN h % 4 <> 0 THEN 0
+                  WHEN (h // 4) % 4 <> 0 THEN 1
+                  WHEN (h // 16) % 4 <> 0 THEN 2
+                  WHEN (h // 64) % 4 <> 0 THEN 3
+                  ELSE 4 END"""
+        val perLayer = (0 to 4).map { level =>
+          s"""
+          n$level AS (SELECT vec_id, label, embedding FROM lay WHERE lyr >= $level),
+          k$level AS (
+            SELECT a, b FROM (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                  list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                    / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                       * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
+                  y.vec_id) AS rk
+              FROM n$level x JOIN n$level y
+                ON x.label = y.label AND x.vec_id <> y.vec_id
+            ) WHERE rk <= $MutualKnnK),
+          m$level AS (
+            SELECT k1.a, k1.b FROM k$level k1 JOIN k$level k2
+              ON k1.a = k2.b AND k1.b = k2.a
+            WHERE k1.a < k1.b),
+          s$level AS (
+            SELECT $level AS layer,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM n$level) AS n_nodes,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM m$level) AS n_edges,
+              (SELECT MIN(vec_id) FROM n$level) AS entry_node)"""
+        }.mkString(",")
+        s"""
+        WITH lay AS (
+          SELECT vec_id, label, embedding, $layerCase AS lyr FROM (
+            SELECT vec_id, label, embedding,
+              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM embeddings)),
+        $perLayer
+        SELECT layer, n_nodes, n_edges, entry_node FROM (
+          SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+          UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+        WHERE n_nodes > 0
+        ORDER BY layer
+        """.trim
+      }),
+
     // Graph-based greedy ANN search — the FOURTH modern ANN paradigm next
     // to vec_ivf_topk (cells), vec_pq_topk (compressed scan) and
     // vec_lsh_topk (buckets): best-first walk over the shared mutual-3NN
