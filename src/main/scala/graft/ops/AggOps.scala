@@ -1416,6 +1416,100 @@ object AggOps extends OpGroup {
         FROM a, tt
       """.trim)),
 
+    // KMV (k-minimum-values) distinct sketch — the ORDER-STATISTICS
+    // member of the sketch family (countmin counts, HLL bit-patterns,
+    // bitmap exact): keep the k=64 smallest distinct 60-bit md5 hashes
+    // per group; the 64th smallest θ estimates distinct = 63·2⁶⁰/θ.
+    // Unlike the HLL ops this sketch is EXACTLY oracle-able — the hash
+    // is the deterministic md5 coin, the sketch is an order statistic,
+    // and the only float is one division repr-rounded at the boundary.
+    // The per-group k-min is TWO-LEVEL (rank within (grp, salt) keeping
+    // ≤64, then re-rank ≤8·64 survivors per group — lossless for a
+    // bottom-k: any global bottom-64 hash is in its salt's bottom-64),
+    // so no partition ever sorts more than a salt's share. The ALL row
+    // is computed by MERGING the per-group sketches (union of ≤64·|grps|
+    // hashes → bottom-64) — mergeability is the property that makes KMV
+    // a one-pass distributed sketch; the merge input is sketch-sized by
+    // construction (the one unpartitioned window in the op, bounded at
+    // 64·|grps| rows). Groups with <64 distinct report exactly.
+    Op("agg_kmv_distinct",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val d = ev.select(col("event_type").as("grp"), col("user_id")).distinct()
+          .withColumn("h", expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+          .withColumn("salt", pmod(col("user_id"), lit(8)))
+        val sk = d
+          .withColumn("r1", row_number().over(
+            Window.partitionBy("grp", "salt").orderBy("h")))
+          .filter(col("r1") <= 64)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("grp").orderBy("h")))
+          .filter(col("rn") <= 64)
+        val estCase =
+          """CASE WHEN kk < 64 THEN CAST(kk AS BIGINT)
+                  ELSE CAST(ROUND(CAST(CAST(63.0D * 1152921504606846976.0D / CAST(theta AS DOUBLE)
+                    AS STRING) AS DECIMAL(38,15)), 0) AS BIGINT) END"""
+        val perGrp = sk.groupBy("grp")
+          .agg(count(lit(1)).as("kk"),
+            max(when(col("rn") === 64, col("h"))).as("theta"))
+          .join(d.groupBy("grp").agg(count(lit(1)).as("n_exact")), "grp")
+        val merged = sk.select("h").distinct()
+          .withColumn("rn", row_number().over(Window.orderBy("h")))
+          .filter(col("rn") <= 64)
+          .agg(count(lit(1)).as("kk"),
+            max(when(col("rn") === 64, col("h"))).as("theta"))
+          .crossJoin(broadcast(
+            ev.select("user_id").distinct().agg(count(lit(1)).as("n_exact"))))
+          .select(lit("ALL").as("grp"), col("kk"), col("theta"), col("n_exact"))
+        perGrp.unionByName(merged)
+          .withColumn("kmv_est", expr(estCase))
+          .select(col("grp"), col("n_exact"),
+            col("kmv_est"),
+            expr("CAST(abs(kmv_est - n_exact) * 1000 DIV n_exact AS BIGINT)").as("err_permille"))
+          .orderBy("grp")
+      },
+      Some("""
+        WITH d AS (
+          SELECT grp, user_id,
+            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT DISTINCT event_type AS grp, user_id FROM events)
+        ), sk AS (
+          SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+          FROM d
+          QUALIFY rn <= 64
+        ), per_grp AS (
+          SELECT s.grp, s.kk, s.theta, e.n_exact FROM (
+            SELECT grp, COUNT(*) AS kk,
+              MAX(CASE WHEN rn = 64 THEN h END) AS theta
+            FROM sk GROUP BY grp
+          ) s JOIN (
+            SELECT grp, COUNT(*) AS n_exact FROM d GROUP BY grp
+          ) e USING (grp)
+        ), merged AS (
+          SELECT 'ALL' AS grp, COUNT(*) AS kk,
+            MAX(CASE WHEN rn = 64 THEN h END) AS theta,
+            (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact
+          FROM (
+            SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+            FROM (SELECT DISTINCT h FROM sk)
+            QUALIFY rn <= 64
+          )
+        ), unioned AS (
+          SELECT * FROM per_grp UNION ALL SELECT * FROM merged
+        )
+        SELECT grp, CAST(n_exact AS BIGINT) AS n_exact,
+          kmv_est,
+          CAST(abs(kmv_est - n_exact) * 1000 // n_exact AS BIGINT) AS err_permille
+        FROM (
+          SELECT grp, n_exact,
+            CASE WHEN kk < 64 THEN CAST(kk AS BIGINT)
+                 ELSE CAST(ROUND(CAST(CAST(63.0 * 1152921504606846976.0 / CAST(theta AS DOUBLE)
+                   AS VARCHAR) AS DECIMAL(38,15)), 0) AS BIGINT) END AS kmv_est
+          FROM unioned
+        ) ORDER BY grp
+      """.trim)),
+
     // Poisson bootstrap CI — THE single-pass resampling technique at
     // scale (classical bootstrap resamples the dataset B times; the
     // Poisson approximation draws each row's per-resample multiplicity
