@@ -736,7 +736,7 @@ object PipelineOps extends OpGroup {
       graft.Caches.track(s, dir, "mutual_knn_edges",
         Set("graph_triangle_count", "graph_connected_components",
           "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
-          "vec_graph_beam_search", "graph_louvain_step"),
+          "vec_graph_beam_search", "graph_louvain_step", "graph_kcore_peel"),
         () => mutualEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       mutual
     })
@@ -4476,6 +4476,126 @@ object PipelineOps extends OpGroup {
           FROM agg ORDER BY aa DESC, x, y LIMIT 20)
         ORDER BY aa_micro DESC, a, b
       """.trim)),
+
+    // 2-core PEELING — the degeneracy-ordering primitive of the graph
+    // family (the k-core is what survives repeatedly deleting nodes of
+    // degree < k; cores locate the dense backbone that pagerank/community
+    // steps operate on, and "peeled" nodes are the dangling tendrils a
+    // graph-cleanup pipeline drops). Fixed 6 synchronous peel rounds:
+    // round i keeps nodes with degree ≥ 2 in round i−1's induced
+    // subgraph, then induces the edge set on the survivors. Peeling is
+    // monotone and idempotent at the fixpoint, so Spark's early-stop
+    // (survivor count unchanged — ONE scalar per round to the driver, the
+    // CC convergence shape) lands on the oracle's fixed-6-round result
+    // whenever it converges, and on the identical 6th iterate when it
+    // does not (converged=false reports the truncation honestly — a
+    // 7-long chain peels one end per round). Per label cell: endpoint
+    // nodes, 2-core survivors, peeled count. At 100 TB: each round is a
+    // degree aggregate + two semi-joins over a SHRINKING edge set, every
+    // round checkpointed and the predecessor released (the kmeansLoop
+    // lineage discipline).
+    Op("graph_kcore_peel",
+      (s, dir) => {
+        val mutual = mutualKnnEdges(s, dir)
+        val labels = mutual.select(col("l"), col("a").as("n"))
+          .union(mutual.select(col("l"), col("b").as("n"))).distinct()
+        val edges0 = mutual.select("a", "b")
+        // edges0 is NOT a checkpoint of this op — its plan leaf is the
+        // SHARED mutual-kNN cache, and releaseCheckpoint walks every
+        // LogicalRDD leaf, so releasing it would unpersist the whole
+        // graph family's edge set mid-pass. Only frames this loop
+        // checkpointed itself are ever released (the `ne edges0` guards).
+        var edges = edges0
+        var keep: org.apache.spark.sql.DataFrame = null
+        var prevEdges: org.apache.spark.sql.DataFrame = null
+        var prevN = -1L
+        var lastN = -1L
+        var converged = false
+        for (_ <- 1 to 6 if !converged) {
+          val deg = edges.select(col("a").as("n"))
+            .union(edges.select(col("b").as("n")))
+            .groupBy("n").agg(count(lit(1)).as("dg"))
+          val nk = deg.filter(col("dg") >= 2).select("n").localCheckpoint(true)
+          // The prior round's survivor set feeds nothing once its induced
+          // edge set exists — release it (only the FINAL one outlives the
+          // loop, pinned below until the key reports done).
+          Option(keep).foreach(graft.Caches.releaseCheckpoint)
+          keep = nk
+          val ne = edges
+            .join(keep.select(col("n").as("a")), Seq("a"), "leftsemi")
+            .join(keep.select(col("n").as("b")), Seq("b"), "leftsemi")
+            .localCheckpoint(true)
+          Option(prevEdges).filter(_ ne edges0)
+            .foreach(graft.Caches.releaseCheckpoint)
+          prevEdges = edges
+          edges = ne
+          prevN = lastN
+          lastN = keep.count()
+          converged = lastN == prevN
+        }
+        // The returned plan references ONLY keep (and the shared mutual
+        // cache): the edge chain's tail frames can go now; keep stays
+        // pinned until the key completes.
+        Option(prevEdges).filter(_ ne edges0)
+          .foreach(graft.Caches.releaseCheckpoint)
+        if (edges ne edges0) graft.Caches.releaseCheckpoint(edges)
+        val keepFinal = keep
+        graft.Caches.track(s, dir, "kcore_keep", Set("graph_kcore_peel"),
+          () => graft.Caches.releaseCheckpoint(keepFinal))
+        labels
+          .join(keepFinal.withColumn("in_core", lit(true)), Seq("n"), "left")
+          .groupBy(col("l").as("label"))
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(when(col("in_core"), 1L).otherwise(0L)).as("n_core"),
+            sum(when(col("in_core").isNull, 1L).otherwise(0L)).as("n_peeled"))
+          .withColumn("converged", lit(converged))
+          .orderBy("label")
+      },
+      Some {
+        val rounds = (1 to 6).map { i =>
+          s"""
+          d$i AS MATERIALIZED (
+            SELECT n, COUNT(*) AS dg FROM (
+              SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}
+            ) GROUP BY n),
+          k$i AS MATERIALIZED (SELECT n FROM d$i WHERE dg >= 2),
+          e$i AS MATERIALIZED (
+            SELECT e.a, e.b FROM e${i - 1} e
+            WHERE EXISTS (SELECT 1 FROM k$i x WHERE x.n = e.a)
+              AND EXISTS (SELECT 1 FROM k$i y WHERE y.n = e.b))"""
+        }.mkString(",")
+        s"""
+        WITH knn AS MATERIALIZED (
+          SELECT l, a, b FROM (
+            SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
+              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
+                y.vec_id) AS rk
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          ) WHERE rk <= $MutualKnnK),
+        mutual AS MATERIALIZED (
+          SELECT k1.l, k1.a, k1.b FROM knn k1 JOIN knn k2
+            ON k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b),
+        labels AS (
+          SELECT DISTINCT l, n FROM (
+            SELECT l, a AS n FROM mutual UNION ALL SELECT l, b FROM mutual)),
+        e0 AS MATERIALIZED (SELECT a, b FROM mutual),
+        $rounds
+        SELECT label, n_nodes, n_core, n_peeled,
+          ((SELECT COUNT(*) FROM k6) = (SELECT COUNT(*) FROM k5)) AS converged
+        FROM (
+          SELECT lb.l AS label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+            CAST(SUM(CASE WHEN k.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+            CAST(SUM(CASE WHEN k.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_peeled
+          FROM labels lb LEFT JOIN k6 k ON lb.n = k.n
+          GROUP BY lb.l
+        ) ORDER BY label
+        """.trim
+      }),
 
     // One synchronous Louvain sweep — community detection joins the graph
     // family (pagerank, CC, label-prop, triangles, Adamic-Adar): from
