@@ -426,6 +426,70 @@ object SourceOps extends OpGroup {
         SELECT p_partkey, p_name, p_brand, p_size,
           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS retailprice
         FROM part ORDER BY p_partkey
+      """.trim)),
+
+    // Transaction-log snapshot reconstruction — the MECHANISM behind every
+    // lakehouse table format (Delta/Iceberg/Hudi), expressed Spark-first
+    // with zero format dependencies: a table is a directory of data files
+    // plus an ordered log of JSON commits, each adding/removing files; the
+    // current snapshot is "replay the log, read the files whose LAST
+    // action is add". The fixture is a deterministic 3-commit history over
+    // customer: commit 0 adds f0 (custkey%3=0) and f1 (%3=1), commit 1
+    // adds f2 (%3=2), commit 2 REWRITES f1 as f3 with acctbal+100 (the
+    // compaction/update shape: remove + add in one atomic commit). Replay
+    // is one tiny aggregate over the log (argmax commit per path — the
+    // log is KBs while the data is TBs, the asymmetry the design exists
+    // for); the snapshot read unions exactly the live files, so
+    // time-travel is the same replay with a commit ceiling. The oracle
+    // restates the expected snapshot from customer directly (same
+    // deterministic predicates), proving the replay semantics — file
+    // pruning via the log, stale data invisible after the rewrite.
+    Op("src_txn_log_snapshot",
+      (s, dir) => {
+        val root = tmpDir("graft_txnlog")
+        val c = Tables.t(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        def writeFile(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+          df.coalesce(1).write.mode("overwrite").parquet(s"$root/data/$name")
+        writeFile("f0", c.filter(col("c_custkey") % 3 === 0))
+        writeFile("f1", c.filter(col("c_custkey") % 3 === 1))
+        writeFile("f2", c.filter(col("c_custkey") % 3 === 2))
+        writeFile("f3", c.filter(col("c_custkey") % 3 === 1)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0))
+        val log = java.nio.file.Paths.get(root, "log")
+        java.nio.file.Files.createDirectories(log)
+        def commit(id: Int, actions: Seq[(String, String)]): Unit =
+          java.nio.file.Files.write(log.resolve(f"$id%03d.json"),
+            actions.map { case (act, path) =>
+              s"""{"commit": $id, "action": "$act", "path": "$path"}"""
+            }.mkString("\n").getBytes("UTF-8"))
+        commit(0, Seq("add" -> "f0", "add" -> "f1"))
+        commit(1, Seq("add" -> "f2"))
+        commit(2, Seq("remove" -> "f1", "add" -> "f3"))
+        // Replay: a path is live iff its LAST action (max commit) is add.
+        val live = s.read
+          .schema("commit INT, action STRING, path STRING")
+          .json(s"$root/log")
+          .groupBy("path")
+          .agg(max(struct(col("commit"), col("action"))).as("last"))
+          .filter(col("last.action") === "add")
+          .select("path")
+          .collect().map(_.getString(0)).sorted
+        s.read.parquet(live.map(p => s"$root/data/$p"): _*)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")).as("bal_cents"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH snapshot AS (
+          SELECT c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 3 <> 1
+          UNION ALL
+          SELECT c_mktsegment, c_acctbal + 100.0 FROM customer WHERE c_custkey % 3 = 1
+        )
+        SELECT c_mktsegment, COUNT(*) AS n,
+          CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
+        FROM snapshot GROUP BY c_mktsegment ORDER BY c_mktsegment
       """.trim))
   )
 
