@@ -2046,6 +2046,46 @@ object PipelineOps extends OpGroup {
         FROM m ORDER BY doc_id
       """.trim)),
 
+    // WebDataset-style SHARD MANIFEST — the packing artifact a multimodal
+    // training pipeline actually ships: samples (binary payload = encoded
+    // text + a 64-byte header) are packed in deterministic doc_id order
+    // into ~16 KB shards PER LANGUAGE STREAM, and the manifest rows
+    // (samples, bytes, first/last member) are what the training loader
+    // seeks by. Shard assignment is by START OFFSET (cumulative bytes of
+    // prior samples DIV shard size), so a sample straddling a boundary
+    // belongs to the shard it starts in — the tar-offset convention.
+    // The running sum shards by lang (win_running_sum's partitioned
+    // shape — a global pack order would single-partition the window; per
+    // stream is also what loaders want, one language mix knob per shard
+    // set). One window + one hash aggregate, all integers.
+    Op("multimodal_shard_manifest",
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+        Tables.t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            (length(col("text")).cast("long") + 64L).as("bytes"))
+          .withColumn("start_off", sum("bytes").over(w) - col("bytes"))
+          .withColumn("shard_id", expr("CAST(start_off DIV 16384 AS INT)"))
+          .groupBy("lang", "shard_id")
+          .agg(count(lit(1)).as("n_samples"),
+            sum("bytes").as("shard_bytes"),
+            min("doc_id").as("first_doc"),
+            max("doc_id").as("last_doc"))
+          .orderBy("lang", "shard_id")
+      },
+      Some("""
+        WITH m AS (
+          SELECT lang, doc_id, CAST(len(text) + 64 AS BIGINT) AS bytes,
+            SUM(CAST(len(text) + 64 AS BIGINT)) OVER (
+              PARTITION BY lang ORDER BY doc_id) - CAST(len(text) + 64 AS BIGINT) AS start_off
+          FROM documents)
+        SELECT lang, CAST(start_off // 16384 AS INT) AS shard_id,
+          COUNT(*) AS n_samples,
+          CAST(SUM(bytes) AS BIGINT) AS shard_bytes,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM m GROUP BY 1, 2 ORDER BY lang, shard_id
+      """.trim)),
+
     // Corpus composition report: docs/chars per (source, lang) with the
     // doc-count share of the whole corpus — the mixture table a training
     // run is configured against. One hash aggregate; the share window
