@@ -445,42 +445,7 @@ object SourceOps extends OpGroup {
     // deterministic predicates), proving the replay semantics — file
     // pruning via the log, stale data invisible after the rewrite.
     Op("src_txn_log_snapshot",
-      (s, dir) => {
-        val root = tmpDir("graft_txnlog")
-        val c = Tables.t(s, dir, "customer")
-          .select("c_custkey", "c_mktsegment", "c_acctbal")
-        def writeFile(name: String, df: org.apache.spark.sql.DataFrame): Unit =
-          df.coalesce(1).write.mode("overwrite").parquet(s"$root/data/$name")
-        writeFile("f0", c.filter(col("c_custkey") % 3 === 0))
-        writeFile("f1", c.filter(col("c_custkey") % 3 === 1))
-        writeFile("f2", c.filter(col("c_custkey") % 3 === 2))
-        writeFile("f3", c.filter(col("c_custkey") % 3 === 1)
-          .withColumn("c_acctbal", col("c_acctbal") + 100.0))
-        val log = java.nio.file.Paths.get(root, "log")
-        java.nio.file.Files.createDirectories(log)
-        def commit(id: Int, actions: Seq[(String, String)]): Unit =
-          java.nio.file.Files.write(log.resolve(f"$id%03d.json"),
-            actions.map { case (act, path) =>
-              s"""{"commit": $id, "action": "$act", "path": "$path"}"""
-            }.mkString("\n").getBytes("UTF-8"))
-        commit(0, Seq("add" -> "f0", "add" -> "f1"))
-        commit(1, Seq("add" -> "f2"))
-        commit(2, Seq("remove" -> "f1", "add" -> "f3"))
-        // Replay: a path is live iff its LAST action (max commit) is add.
-        val live = s.read
-          .schema("commit INT, action STRING, path STRING")
-          .json(s"$root/log")
-          .groupBy("path")
-          .agg(max(struct(col("commit"), col("action"))).as("last"))
-          .filter(col("last.action") === "add")
-          .select("path")
-          .collect().map(_.getString(0)).sorted
-        s.read.parquet(live.map(p => s"$root/data/$p"): _*)
-          .groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("n"),
-            sum(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")).as("bal_cents"))
-          .orderBy("c_mktsegment")
-      },
+      (s, dir) => txnLogRead(s, dir, asOf = Int.MaxValue),
       Some("""
         WITH snapshot AS (
           SELECT c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 3 <> 1
@@ -490,8 +455,76 @@ object SourceOps extends OpGroup {
         SELECT c_mktsegment, COUNT(*) AS n,
           CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
         FROM snapshot GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """.trim)),
+
+    // TIME TRAVEL over the same transaction log: replay with a commit
+    // CEILING (as-of commit 1 — before the f1→f3 rewrite landed) and the
+    // pre-update balances are visible again. The ceiling is ONE filter on
+    // the KB-sized log; no data file is rewritten, versioned, or copied —
+    // the entire versioning cost of a lakehouse table lives in the log,
+    // which is the design's whole point. The oracle restates the as-of
+    // snapshot as the unmodified base table.
+    Op("src_txn_log_time_travel",
+      (s, dir) => txnLogRead(s, dir, asOf = 1),
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n,
+          CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
       """.trim))
   )
+
+  /** Shared 3-commit transaction-log fixture over customer (built once
+    * per (session, sfDir); released after both consumer keys run):
+    * commit 0 adds f0 (custkey%3=0) + f1 (%3=1), commit 1 adds f2
+    * (%3=2), commit 2 atomically rewrites f1 as f3 with acctbal+100.
+    */
+  private def txnLogFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    Tables.sharedWrite(s, dir, "txnlog_demo",
+      Set("src_txn_log_snapshot", "src_txn_log_time_travel")) { root =>
+      val c = Tables.t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      def writeFile(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+        df.coalesce(1).write.mode("overwrite").parquet(s"$root/data/$name")
+      writeFile("f0", c.filter(col("c_custkey") % 3 === 0))
+      writeFile("f1", c.filter(col("c_custkey") % 3 === 1))
+      writeFile("f2", c.filter(col("c_custkey") % 3 === 2))
+      writeFile("f3", c.filter(col("c_custkey") % 3 === 1)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0))
+      val log = java.nio.file.Paths.get(root, "log")
+      java.nio.file.Files.createDirectories(log)
+      def commit(id: Int, actions: Seq[(String, String)]): Unit =
+        java.nio.file.Files.write(log.resolve(f"$id%03d.json"),
+          actions.map { case (act, path) =>
+            s"""{"commit": $id, "action": "$act", "path": "$path"}"""
+          }.mkString("\n").getBytes("UTF-8"))
+      commit(0, Seq("add" -> "f0", "add" -> "f1"))
+      commit(1, Seq("add" -> "f2"))
+      commit(2, Seq("remove" -> "f1", "add" -> "f3"))
+    }
+
+  /** Replay the log up to `asOf` (inclusive): a path is live iff its
+    * LAST action within the ceiling is add; read exactly the live files.
+    */
+  private def txnLogRead(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      asOf: Int): org.apache.spark.sql.DataFrame = {
+    val root = txnLogFixture(s, dir)
+    val live = s.read
+      .schema("commit INT, action STRING, path STRING")
+      .json(s"$root/log")
+      .filter(col("commit") <= asOf)
+      .groupBy("path")
+      .agg(max(struct(col("commit"), col("action"))).as("last"))
+      .filter(col("last.action") === "add")
+      .select("path")
+      .collect().map(_.getString(0)).sorted
+    s.read.parquet(live.map(p => s"$root/data/$p").toIndexedSeq: _*)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")).as("bal_cents"))
+      .orderBy("c_mktsegment")
+  }
 
   /** Morton interleave of (o_custkey, orderdate-epoch-day), 16 bits each,
     * via the classic mask cascade — generated for BOTH engines from one
