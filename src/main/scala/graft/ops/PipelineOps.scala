@@ -108,7 +108,7 @@ object PipelineOps extends OpGroup {
           .as("k"))
         .localCheckpoint(true)
       graft.Caches.track(s, dir, "span_frame",
-        Set("text_dup_spans", "text_span_novelty"),
+        Set("text_dup_spans", "text_span_novelty", "text_novelty_curve"),
         () => spanCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       sp
     })
@@ -3356,6 +3356,47 @@ object PipelineOps extends OpGroup {
         GROUP BY s.doc_id
         HAVING SUM(CASE WHEN dup.k IS NOT NULL THEN 1 ELSE 0 END) > 0
         ORDER BY s.doc_id
+      """.trim)),
+
+    // Content-NOVELTY curve — the diminishing-returns audit a crawl
+    // pipeline runs before paying for the next batch: with doc_id % 8 as
+    // the deterministic batch order, what fraction of each batch's
+    // word-8-gram spans is NOVEL (never seen in an earlier batch)? A
+    // flattening curve says further crawling buys duplication, not data —
+    // the budget signal corpus planners act on. One min-batch aggregate
+    // per span key + one batch rollup, both partial-aggregating; shares
+    // the checkpointed span explosion with the dup-span family. Exact
+    // integer permille — no float in the reported signal.
+    Op("text_novelty_curve",
+      (s, dir) => {
+        val sp = spanFrame(s, dir)
+          .withColumn("batch", pmod(col("doc_id"), lit(8)).cast("int"))
+        val first = sp.groupBy("k").agg(min("batch").as("first_batch"))
+        sp.join(first, "k")
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("first_batch") === col("batch"), 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novel_permille",
+            expr("CAST(n_novel * 1000 DIV n_spans AS BIGINT)"))
+          .orderBy("batch")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        sp AS (
+          SELECT doc_id, CAST(doc_id % 8 AS INT) AS batch,
+            unnest(list_transform(range(1, len(w) - 6),
+              i -> substr(md5(array_to_string(w[i:i+7], ' ')), 1, 16))) AS k
+          FROM d),
+        first AS (
+          SELECT k, MIN(batch) AS first_batch FROM sp GROUP BY k)
+        SELECT batch, COUNT(*) AS n_spans,
+          CAST(SUM(CASE WHEN s.batch = f.first_batch THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          CAST(SUM(CASE WHEN s.batch = f.first_batch THEN 1 ELSE 0 END) * 1000
+            // COUNT(*) AS BIGINT) AS novel_permille
+        FROM sp s JOIN first f USING (k)
+        GROUP BY batch ORDER BY batch
       """.trim)),
 
     // Corpus-likelihood quality filter (the CCNet/kenlm shape without
