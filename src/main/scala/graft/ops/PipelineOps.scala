@@ -676,7 +676,8 @@ object PipelineOps extends OpGroup {
       val q = quantCorpus(s, dir)
       val fin = kmeansLoop(q)
       graft.Caches.track(s, dir, "kmeans_trained",
-        Set("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk"),
+        Set("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk",
+          "vec_ivf_probe_sweep"),
         () => kmeansCache.remove((s, dir)).foreach { case (qf, af) =>
           graft.Caches.releaseCheckpoint(qf)
           graft.Caches.releaseCheckpoint(af)
@@ -1576,6 +1577,107 @@ object PipelineOps extends OpGroup {
             WHERE e.vec_id <> 0
           ) ORDER BY sim DESC, vec_id LIMIT 10
         ) ORDER BY cos_sim DESC, vec_id
+      """.trim)),
+
+    // IVF probe-count SWEEP — the tuning curve behind every IVF
+    // deployment: recall@10 of the TRAINED-cell route as nprobe grows
+    // 1→4, against the brute-force top-10 truth. nprobe is the latency/
+    // recall knob an operator actually turns; this op produces the table
+    // that decision reads (candidates scanned vs recall bought — the
+    // marginal cell's value). Cell ranking and the exact scoring run
+    // ONCE; the four probe levels share them via a 4-row explode, and the
+    // per-level top-10 window partitions by nprobe over cell-bounded
+    // candidates (never a global sort). Exact integer permille.
+    Op("vec_ivf_probe_sweep",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val qemb = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        val (qv, assign, _) = trainedCellRoute(s, dir)
+        val cent = qv.join(assign, "vec_id")
+          .select(col("c"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("c", "pos")
+          .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+          .groupBy("c")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), s -> s.sv)").as("svec"),
+            max("n").as("n"))
+          .select(col("c"), expr("transform(svec, x -> CAST(x AS DOUBLE) / n)").as("cemb"))
+        val crk = cent.crossJoin(broadcast(qemb))
+          .withColumn("cdot", expr(
+            "aggregate(zip_with(cemb, qemb, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+          .withColumn("csim", col("cdot")
+            / (sqrt(greatest(expr("aggregate(cemb, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"), lit(1e-300)))
+              * Tables.safeNorm("qemb")))
+          .withColumn("crk", row_number().over(
+            Window.orderBy(desc("csim"), asc("c"))))
+          .select("c", "crk")
+        val scored = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qemb))
+          .withColumn("sim", expr("vec_dot(embedding, qemb)")
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
+          .select("vec_id", "sim")
+        // TakeOrdered heap, not a global window: the truth leg must not
+        // single-partition-sort the corpus. The crk window above IS
+        // global but k-bounded (one row per trained cell).
+        val exact = scored
+          .orderBy(desc("sim"), asc("vec_id")).limit(10)
+          .select(col("vec_id"), lit(1).as("is_exact"))
+        val wN = Window.partitionBy("nprobe").orderBy(desc("sim"), asc("vec_id"))
+        assign.join(broadcast(crk), "c")
+          .join(scored, "vec_id")
+          .select(col("vec_id"), col("sim"),
+            explode(expr("sequence(1, 4)")).as("nprobe"))
+          .filter(col("crk") <= col("nprobe"))
+          .withColumn("rk", row_number().over(wN))
+          .join(broadcast(exact), Seq("vec_id"), "left")
+          .groupBy("nprobe")
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("rk") <= 10 && col("is_exact").isNotNull, 1L).otherwise(0L)).as("hits"))
+          .withColumn("recall_permille", col("hits") * 100L)
+          .orderBy("nprobe")
+      },
+      Some(s"""
+        WITH ${kmeansCtes()},
+        c4 AS (
+          SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT a.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
+                unnest(q.qv) AS v
+              FROM q JOIN a3 a USING (vec_id)
+            ) GROUP BY clabel, pos
+          ) GROUP BY clabel),
+        cent AS (
+          SELECT clabel AS c, list_transform(svec, x -> CAST(x AS DOUBLE) / n) AS cemb
+          FROM c4),
+        qq AS (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0),
+        crk AS (
+          SELECT c, ROW_NUMBER() OVER (ORDER BY
+            list_dot_product(cemb, qemb)
+              / (sqrt(greatest(list_sum(list_transform(cemb, x -> x * x)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) DESC, c) AS crk
+          FROM cent, qq),
+        scored AS (
+          SELECT e.vec_id,
+            list_dot_product(CAST(e.embedding AS DOUBLE[]), qq.qemb)
+              / (sqrt(greatest(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(qq.qemb, x -> x * x)), 1e-300))) AS sim
+          FROM embeddings e, qq WHERE e.vec_id <> 0),
+        exact AS (
+          SELECT vec_id FROM (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS xrk
+            FROM scored) WHERE xrk <= 10),
+        cand AS (
+          SELECT p.nprobe, s.vec_id, s.sim,
+            ROW_NUMBER() OVER (PARTITION BY p.nprobe ORDER BY s.sim DESC, s.vec_id) AS rk
+          FROM a3 a
+            JOIN crk ON a.c = crk.c
+            JOIN scored s ON s.vec_id = a.vec_id,
+            (SELECT unnest(range(1, 5)) AS nprobe) p
+          WHERE crk.crk <= p.nprobe)
+        SELECT CAST(nprobe AS INT) AS nprobe, COUNT(*) AS n_candidates,
+          CAST(SUM(CASE WHEN rk <= 10 AND x.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+          CAST(SUM(CASE WHEN rk <= 10 AND x.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 100 AS BIGINT) AS recall_permille
+        FROM cand c LEFT JOIN exact x ON c.vec_id = x.vec_id
+        GROUP BY nprobe ORDER BY nprobe
       """.trim)),
 
     // IVF + PQ — THE production ANN composition (FAISS IVFPQ): the query
