@@ -818,6 +818,98 @@ object EtlOps extends OpGroup {
           hwm_m - last_m AS months_behind,
           hwm_m - last_m > 24 AS expire
         FROM h ORDER BY yr
+      """.trim)),
+
+    // WRITE–AUDIT–PUBLISH — the staging gate every production load runs
+    // behind (Iceberg's WAP, dbt's test-then-promote): an incoming batch
+    // lands in a STAGING area, an audit battery runs against it AND the
+    // live target, and the batch publishes only if every check is clean —
+    // a failed audit leaves the target byte-identical. Two deterministic
+    // staged batches over orders (target = o_orderkey % 7 <> 0):
+    // "dirty" carries all three violation classes (negated prices, an
+    // in-batch key duplicated, keys already live in the target) and is
+    // REJECTED; "clean" is the same delta uncorrupted and PUBLISHES. The
+    // report is the audit ledger (per batch × check: violation count +
+    // the publish verdict) plus the published-state row count — target +
+    // clean batch only, the dirty rows invisible. Audits are three
+    // partial-aggregating counts (the dup and orphan checks are keyed
+    // joins); nothing scans the target more than once per check. At
+    // 100 TB the staging area is a txn-log pre-commit (src_txn_log_*)
+    // and the verdict gates the log append — same ledger, same checks.
+    Op("etl_write_audit_publish",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val target = o.filter(col("o_orderkey") % 7 =!= 0)
+          .select("o_orderkey", "o_totalprice")
+        val delta = o.filter(col("o_orderkey") % 7 === 0)
+          .select("o_orderkey", "o_totalprice")
+        val dirty = delta
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 1000 === 0, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")))
+          .union(delta.filter(col("o_orderkey") % 500 === 0))
+          .union(target.filter(col("o_orderkey") % 997 === 0))
+        def audit(name: String, batch: org.apache.spark.sql.DataFrame) = {
+          val bad = Seq(
+            ("nonpositive_price",
+              batch.filter(col("o_totalprice") <= 0)),
+            ("dup_in_batch",
+              batch.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+                .filter(col("c") > 1)),
+            ("already_in_target",
+              batch.select("o_orderkey").distinct()
+                .join(target.select("o_orderkey"), Seq("o_orderkey"), "leftsemi")))
+          val counts = bad.map { case (check, df) =>
+            df.agg(count(lit(1)).as("n_bad"))
+              .select(lit(name).as("batch"), lit(check).as("check"), col("n_bad"))
+          }.reduce(_.union(_))
+          val verdict = Window.partitionBy("batch")
+          counts.withColumn("published",
+            max(col("n_bad")).over(verdict) === 0)
+        }
+        val ledger = audit("a_dirty", dirty).union(audit("b_clean", delta))
+        val publishedRows = target.select(col("o_orderkey"))
+          .union(delta.select(col("o_orderkey")))
+          .agg(count(lit(1)).as("n_bad"))
+          .select(lit("z_published_state").as("batch"), lit("rows").as("check"),
+            col("n_bad"), lit(true).as("published"))
+        ledger.union(publishedRows).orderBy("batch", "check")
+      },
+      Some("""
+        WITH target AS (
+          SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+        delta AS (
+          SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0),
+        dirty AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 1000 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+          FROM delta
+          UNION ALL SELECT * FROM delta WHERE o_orderkey % 500 = 0
+          UNION ALL SELECT * FROM target WHERE o_orderkey % 997 = 0),
+        checks AS (
+          SELECT 'a_dirty' AS batch, 'nonpositive_price' AS chk,
+            (SELECT COUNT(*) FROM dirty WHERE o_totalprice <= 0) AS n_bad
+          UNION ALL SELECT 'a_dirty', 'dup_in_batch',
+            (SELECT COUNT(*) FROM (SELECT o_orderkey FROM dirty GROUP BY 1 HAVING COUNT(*) > 1))
+          UNION ALL SELECT 'a_dirty', 'already_in_target',
+            (SELECT COUNT(*) FROM (
+              SELECT DISTINCT d.o_orderkey FROM dirty d
+              WHERE EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = d.o_orderkey)))
+          UNION ALL SELECT 'b_clean', 'nonpositive_price',
+            (SELECT COUNT(*) FROM delta WHERE o_totalprice <= 0)
+          UNION ALL SELECT 'b_clean', 'dup_in_batch',
+            (SELECT COUNT(*) FROM (SELECT o_orderkey FROM delta GROUP BY 1 HAVING COUNT(*) > 1))
+          UNION ALL SELECT 'b_clean', 'already_in_target',
+            (SELECT COUNT(*) FROM (
+              SELECT DISTINCT d.o_orderkey FROM delta d
+              WHERE EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = d.o_orderkey))))
+        SELECT batch, chk AS "check", CAST(n_bad AS BIGINT) AS n_bad,
+          MAX(n_bad) OVER (PARTITION BY batch) = 0 AS published
+        FROM checks
+        UNION ALL
+        SELECT 'z_published_state', 'rows',
+          (SELECT COUNT(*) FROM target) + (SELECT COUNT(*) FROM delta), TRUE
+        ORDER BY batch, "check"
       """.trim))
   )
 }
