@@ -441,6 +441,20 @@ class EquivalenceSuite extends AnyFunSuite {
       s"trained cells underperform their own label seed: trained=$rTrained label=$rLabel")
   }
 
+  test("beam search dominates greedy: wider frontier never lands on a worse node") {
+    // The beam always contains the best node seen so far, and greedy's
+    // trajectory is a subset of what an ef=4 frontier explores from the
+    // same entry node — so the beam's final answer must score at least
+    // the greedy endpoint's similarity (this is the recall the extra
+    // ef·k lookups per step buy).
+    val g = SparkEntry.queries("vec_graph_greedy_search")(spark, sf0001).head()
+    val b = SparkEntry.queries("vec_graph_beam_search")(spark, sf0001).head()
+    assert(b.getDouble(2) + 1e-9 >= g.getDouble(2),
+      s"beam found_sim=${b.getDouble(2)} < greedy found_sim=${g.getDouble(2)}")
+    assert(b.getLong(0) >= g.getLong(0),
+      "the frontier must touch at least as many nodes as the single walker")
+  }
+
   test("vec_ndcg_eval and vec_recall_eval agree: perfect recall implies perfect ndcg") {
     // Both replicate the same IVF(probe=3) path against the same exact
     // top-10; if recall@10 is 1.0 AND the orderings agree, NDCG must be

@@ -1053,6 +1053,44 @@ class PlanSuite extends AnyFunSuite {
       "the first top-k level must shard by (query, salt), not funnel by query alone")
   }
 
+  test("round-13 keys: IVF routes keyed, bootstrap sharded, manifest/probe windows partitioned") {
+    // vec_ivf_trained_topk / vec_ivf_pq_topk: candidate access is keyed
+    // equi joins through the trained assignment — nothing cartesian on
+    // data-sized frames (the only BNLJ-able frames are 1-row query
+    // broadcasts).
+    Seq("vec_ivf_trained_topk", "vec_ivf_pq_topk").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k: candidate joins must stay keyed")
+    }
+
+    // agg_bootstrap_ci: the (grp, b) resample cells must partial-aggregate
+    // map-side (the one-pass property IS the op), and the percentile
+    // window shards by group — never a global sort.
+    val bs = plan("agg_bootstrap_ci")
+    assert(bs.contains("partial_"), "resample cells must partial-aggregate")
+    assert("""hashpartitioning\(grp#\d+""".r.findFirstIn(bs).isDefined,
+      "the percentile window must shard by group")
+    assert(!bs.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "no global serialization anywhere in the bootstrap pass")
+
+    // multimodal_shard_manifest: the pack-order running sum shards by
+    // lang (a global pack order would single-partition the window).
+    val sm = plan("multimodal_shard_manifest")
+    assert("""hashpartitioning\(lang#\d+""".r.findFirstIn(sm).isDefined,
+      "the shard-offset window must shard by language stream")
+
+    // vec_ivf_probe_sweep: the per-level top-10 shards by nprobe.
+    val ps = plan("vec_ivf_probe_sweep")
+    assert("""hashpartitioning\(nprobe#\d+""".r.findFirstIn(ps).isDefined,
+      "the per-probe-level ranking must shard by nprobe")
+
+    // text_novelty_curve: first-batch aggregate and batch rollup both
+    // partial-aggregate; nothing cartesian.
+    val nc = plan("text_novelty_curve")
+    assert(nc.contains("partial_"), "span aggregates must partial-aggregate")
+    assert(!nc.contains("CartesianProduct"))
+  }
+
   test("kruskal-wallis reads the checkpointed value frame; hashing-tfidf shards by doc") {
     val k = plan("agg_kruskal_wallis")
     assert(!k.contains("Scan parquet"),
