@@ -1579,6 +1579,108 @@ object PipelineOps extends OpGroup {
         ) ORDER BY cos_sim DESC, vec_id
       """.trim)),
 
+    // MMR (maximal marginal relevance) RE-RANKING — the diversification
+    // step between retrieval and the context window in a RAG pipeline:
+    // from the cosine top-20, greedily pick 5 results maximizing
+    // λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) with λ=1/2 (exact dyadic —
+    // no float enters the trade-off weights), so near-duplicate hits
+    // can't crowd out coverage. The DISTRIBUTED part is the top-20
+    // retrieval (TakeOrdered over the corpus); MMR itself runs on the
+    // bounded candidate set — 20 rows + a 20×20 pairwise-sim table, both
+    // checkpointed once — with the 5-step greedy selection carrying ONE
+    // scalar per step to the driver (the house iterative shape; ties →
+    // lowest id on identical doubles, engine-deterministic). The oracle
+    // replays the same greedy recursion as a recursive CTE carrying the
+    // selected set as a LIST.
+    Op("vec_mmr_rerank",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        val cand = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("rel", expr("vec_dot(embedding, qemb)")
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
+          .orderBy(desc("rel"), asc("vec_id")).limit(20)
+          .select(col("vec_id"), col("embedding"), col("rel"))
+          .localCheckpoint(true)
+        val pair = cand.select(col("vec_id").as("a"), col("embedding").as("ea"))
+          .crossJoin(broadcast(cand.select(col("vec_id").as("b"), col("embedding").as("eb"))))
+          .filter(col("a") =!= col("b"))
+          .withColumn("ps", expr("vec_dot(ea, eb)")
+            / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
+          .select("a", "b", "ps")
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "mmr_frames", Set("vec_mmr_rerank"), () => {
+          graft.Caches.releaseCheckpoint(cand)
+          graft.Caches.releaseCheckpoint(pair)
+        })
+        var selected = Vector.empty[(Long, Double)]
+        for (_ <- 1 to 5) {
+          val selIds = selected.map(_._1)
+          val base = cand.filter(!col("vec_id").isin(selIds: _*))
+          val scored =
+            if (selIds.isEmpty) base.withColumn("pen", lit(0.0))
+            else base.join(
+                pair.filter(col("b").isin(selIds: _*))
+                  .groupBy("a").agg(max("ps").as("pen")),
+                col("vec_id") === col("a"), "left")
+              .withColumn("pen", coalesce(col("pen"), lit(0.0)))
+          val top = scored
+            .withColumn("mmr", col("rel") / 2 - col("pen") / 2)
+            .orderBy(desc("mmr"), asc("vec_id")).limit(1)
+            .select("vec_id", "mmr").head()
+          selected :+= ((top.getLong(0), top.getDouble(1)))
+        }
+        import s.implicits._
+        val sel = selected.zipWithIndex
+          .map { case ((id, sc), i) => (i + 1, id, sc) }
+          .toDF("rank", "vec_id", "mmr")
+        sel.join(cand.select("vec_id", "rel"), "vec_id")
+          .select(col("rank"), col("vec_id"),
+            (round(col("rel"), 3) + 0.0).as("rel_sim"),
+            (round(col("mmr"), 3) + 0.0).as("mmr_score"))
+          .orderBy("rank")
+      },
+      Some("""
+        WITH RECURSIVE cand AS MATERIALIZED (
+          SELECT vec_id, embedding, rel FROM (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS embedding,
+              list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qemb)
+                / (sqrt(greatest(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+                   * sqrt(greatest(list_sum(list_transform(q.qemb, x -> x * x)), 1e-300))) AS rel
+            FROM embeddings e,
+              (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+          ) ORDER BY rel DESC, vec_id LIMIT 20),
+        pair AS MATERIALIZED (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+            list_dot_product(x.embedding, y.embedding)
+              / (sqrt(greatest(list_sum(list_transform(x.embedding, v -> v * v)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(y.embedding, v -> v * v)), 1e-300))) AS ps
+          FROM cand x JOIN cand y ON x.vec_id <> y.vec_id),
+        rec AS (
+          SELECT 0 AS step, CAST([] AS BIGINT[]) AS sel,
+            CAST(NULL AS BIGINT) AS picked, CAST(NULL AS DOUBLE) AS mmr
+          UNION ALL
+          SELECT r.step + 1, list_append(r.sel, n.vid), n.vid, n.m
+          FROM rec r, LATERAL (
+            SELECT vec_id AS vid, mmr AS m FROM (
+              SELECT c.vec_id,
+                c.rel / 2 - COALESCE(
+                  (SELECT MAX(ps) FROM pair p
+                   WHERE p.a = c.vec_id AND list_contains(r.sel, p.b)), 0.0) / 2 AS mmr
+              FROM cand c WHERE NOT list_contains(r.sel, c.vec_id)
+            ) ORDER BY mmr DESC, vec_id LIMIT 1
+          ) n
+          WHERE r.step < 5)
+        SELECT CAST(r.step AS INT) AS rank, r.picked AS vec_id,
+          CAST(ROUND(CAST(CAST(c.rel AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS rel_sim,
+          CAST(ROUND(CAST(CAST(r.mmr AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS mmr_score
+        FROM rec r JOIN cand c ON c.vec_id = r.picked
+        WHERE r.step >= 1
+        ORDER BY rank
+      """.trim)),
+
     // IVF probe-count SWEEP — the tuning curve behind every IVF
     // deployment: recall@10 of the TRAINED-cell route as nprobe grows
     // 1→4, against the brute-force top-10 truth. nprobe is the latency/
