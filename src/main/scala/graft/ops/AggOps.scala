@@ -1416,6 +1416,130 @@ object AggOps extends OpGroup {
         FROM a, tt
       """.trim)),
 
+    // CUPED variance reduction — the experimentation-analytics workhorse
+    // (pre-period covariate adjustment): with pre-period spend x (1995)
+    // and experiment-period spend y (1996) per customer and a
+    // deterministic arm split (custkey % 2), the adjusted metric
+    // y − θ(x − x̄) with θ = cov(x,y)/var(x) removes the variance the
+    // pre-period already explains — the difference between a week-long
+    // and a month-long experiment at the same power. Everything float is
+    // CLOSED-FORM over exact integer moments: per-arm Σx, Σy, Σx², Σy²,
+    // Σxy accumulate in cents as DECIMAL(38,0) (order-insensitive), the
+    // pooled θ/x̄ and every reported statistic are fixed double
+    // expressions of those moments (no per-row float ever sums, so the
+    // result is partition-invariant AND engine-identical — the
+    // agg_welch_ttest stance extended to adjusted means). At 100 TB:
+    // two keyed year aggregates + one |arms|-row moment rollup.
+    Op("agg_cuped_adjust",
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        def spend(yr: Int, as: String) = o
+          .filter(year(col("o_orderdate")) === yr)
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as(as))
+        val units = Tables.t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"),
+            (col("c_custkey") % 2).cast("int").as("arm"))
+          .join(spend(1995, "xc"), Seq("o_custkey"), "left")
+          .join(spend(1996, "yc"), Seq("o_custkey"), "left")
+          .select(col("arm"),
+            expr("CAST(coalesce(xc, 0) AS DECIMAL(19,0))").as("x"),
+            expr("CAST(coalesce(yc, 0) AS DECIMAL(19,0))").as("y"))
+        val perArm = units.groupBy("arm")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).cast(DecimalType(38, 0)).as("sx"),
+            sum(col("y")).cast(DecimalType(38, 0)).as("sy"),
+            sum(col("x") * col("x")).cast(DecimalType(38, 0)).as("sxx"),
+            sum(col("y") * col("y")).cast(DecimalType(38, 0)).as("syy"),
+            sum(col("x") * col("y")).cast(DecimalType(38, 0)).as("sxy"))
+        val pooled = perArm.agg(
+          sum("n").as("pn"),
+          sum("sx").cast(DecimalType(38, 0)).as("psx"),
+          sum("sy").cast(DecimalType(38, 0)).as("psy"),
+          sum("sxx").cast(DecimalType(38, 0)).as("psxx"),
+          sum("sxy").cast(DecimalType(38, 0)).as("psxy"))
+        def d(c: String) = s"CAST(CAST($c AS STRING) AS DOUBLE)"
+        perArm.crossJoin(broadcast(pooled))
+          .withColumn("theta", expr(
+            s"(${d("pn")} * ${d("psxy")} - ${d("psx")} * ${d("psy")})" +
+              s" / (${d("pn")} * ${d("psxx")} - ${d("psx")} * ${d("psx")})"))
+          .withColumn("xbar", expr(s"${d("psx")} / ${d("pn")}"))
+          .withColumn("sadj", expr(
+            s"${d("sy")} - theta * ${d("sx")} + ${d("n")} * theta * xbar"))
+          .withColumn("sadj2", expr(
+            s"${d("syy")} + theta * theta * ${d("sxx")} + ${d("n")} * theta * theta * xbar * xbar" +
+              s" - 2 * theta * ${d("sxy")} + 2 * theta * xbar * ${d("sy")}" +
+              s" - 2 * theta * theta * xbar * ${d("sx")}"))
+          .withColumn("var_y", expr(
+            s"(${d("syy")} - ${d("sy")} * ${d("sy")} / ${d("n")}) / ${d("n")}"))
+          .withColumn("var_yadj", expr(
+            s"(sadj2 - sadj * sadj / ${d("n")}) / ${d("n")}"))
+          .select(col("arm"), col("n"),
+            (round(expr(s"${d("sy")} / ${d("n")} / 100.0"), 2) + 0.0).as("mean_y"),
+            (round(expr(s"sadj / ${d("n")} / 100.0"), 2) + 0.0).as("mean_y_adj"),
+            expr("CAST(ROUND(CAST(CAST((1.0 - var_yadj / var_y) * 1000 AS STRING) AS DECIMAL(38,15)), 0) AS BIGINT)")
+              .as("var_reduction_permille"))
+          .orderBy("arm")
+      },
+      Some("""
+        WITH units AS (
+          SELECT CAST(c.c_custkey % 2 AS INT) AS arm,
+            CAST(COALESCE(x.xc, 0) AS DECIMAL(19,0)) AS x,
+            CAST(COALESCE(y.yc, 0) AS DECIMAL(19,0)) AS y
+          FROM customer c
+          LEFT JOIN (
+            SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS xc
+            FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1) x
+            ON c.c_custkey = x.o_custkey
+          LEFT JOIN (
+            SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS yc
+            FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1) y
+            ON c.c_custkey = y.o_custkey
+        ), per_arm AS (
+          SELECT arm, COUNT(*) AS n,
+            CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+            CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+            CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+            CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+            CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+          FROM units GROUP BY arm
+        ), pooled AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS pn,
+            CAST(SUM(sx) AS DECIMAL(38,0)) AS psx,
+            CAST(SUM(sy) AS DECIMAL(38,0)) AS psy,
+            CAST(SUM(sxx) AS DECIMAL(38,0)) AS psxx,
+            CAST(SUM(sxy) AS DECIMAL(38,0)) AS psxy
+          FROM per_arm
+        ), calc AS (
+          SELECT arm, n,
+            CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dsy,
+            CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dsx,
+            CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dsxx,
+            CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dsyy,
+            CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy,
+            CAST(CAST(n AS VARCHAR) AS DOUBLE) AS dn,
+            (CAST(CAST(pn AS VARCHAR) AS DOUBLE) * CAST(CAST(psxy AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(psx AS VARCHAR) AS DOUBLE) * CAST(CAST(psy AS VARCHAR) AS DOUBLE))
+            / (CAST(CAST(pn AS VARCHAR) AS DOUBLE) * CAST(CAST(psxx AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(psx AS VARCHAR) AS DOUBLE) * CAST(CAST(psx AS VARCHAR) AS DOUBLE)) AS theta,
+            CAST(CAST(psx AS VARCHAR) AS DOUBLE) / CAST(CAST(pn AS VARCHAR) AS DOUBLE) AS xbar
+          FROM per_arm, pooled
+        ), adj AS (
+          SELECT arm, n, dsy, dn,
+            dsy - theta * dsx + dn * theta * xbar AS sadj,
+            dsyy + theta * theta * dsxx + dn * theta * theta * xbar * xbar
+              - 2 * theta * dsxy + 2 * theta * xbar * dsy
+              - 2 * theta * theta * xbar * dsx AS sadj2,
+            (dsyy - dsy * dsy / dn) / dn AS var_y
+          FROM calc
+        )
+        SELECT arm, CAST(n AS BIGINT) AS n,
+          CAST(ROUND(CAST(CAST(dsy / dn / 100.0 AS VARCHAR) AS DECIMAL(38,15)), 2) AS DOUBLE) + 0.0 AS mean_y,
+          CAST(ROUND(CAST(CAST(sadj / dn / 100.0 AS VARCHAR) AS DECIMAL(38,15)), 2) AS DOUBLE) + 0.0 AS mean_y_adj,
+          CAST(ROUND(CAST(CAST((1.0 - ((sadj2 - sadj * sadj / dn) / dn) / var_y) * 1000 AS VARCHAR) AS DECIMAL(38,15)), 0) AS BIGINT) AS var_reduction_permille
+        FROM adj ORDER BY arm
+      """.trim)),
+
     // KMV (k-minimum-values) distinct sketch — the ORDER-STATISTICS
     // member of the sketch family (countmin counts, HLL bit-patterns,
     // bitmap exact): keep the k=64 smallest distinct 60-bit md5 hashes
