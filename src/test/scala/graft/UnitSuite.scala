@@ -779,6 +779,36 @@ class UnitSuite extends AnyFunSuite {
       got.getLong(3), got.getBoolean(5)) == ((3L, 4L, 0.94, 4L, true)))
   }
 
+  test("louvain step and kcore peel: hand-computed sweep on a tie-free angle fixture") {
+    // Angles chosen so no node sees two equi-distant neighbors (the
+    // greedy test's 0/80/60/40/20 fixture has cos-20° ties whose float
+    // rounding decides the kNN — fine for an empirical pin, hostile to a
+    // hand derivation). With 0/85/62/42/20 the mutual-3NN graph is
+    // unambiguously {0–3, 0–4, 1–2, 2–3, 2–4, 3–4} (0–2 is NOT mutual:
+    // 2's top-3 is {3,1,4}), degrees k = (2,1,3,3,3), m = 6.
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val dir = miniDir("embeddings" -> Seq(
+      (0L, at(0), 0), (1L, at(85), 0), (2L, at(62), 0),
+      (3L, at(42), 0), (4L, at(20), 0))
+      .toDF("vec_id", "embedding", "label"))
+    // Louvain singleton sweep: each node joins its min-degree neighbor
+    // (gain 2m − k_i·k_j, all positive here; ties → lowest id):
+    // 0→3 (gain 6), 1→2 (9), 2→1 (9), 3→0 (6), 4→0 (6).
+    // Communities: 0:{3,4}, 1:{2}, 2:{1}, 3:{0}.
+    val lv = SparkEntry.queries("graph_louvain_step")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(lv.toSeq == Seq(
+      (0L, 2L, 2L, 12L), (1L, 1L, 1L, 9L), (2L, 1L, 1L, 9L), (3L, 1L, 1L, 6L)))
+    // 2-core peel: round 1 drops node 1 (degree 1); the induced graph
+    // {0,2,3,4} has min degree 2 → round 2 is a fixpoint (converged).
+    val kc = SparkEntry.queries("graph_kcore_peel")(spark, dir).head()
+    assert((kc.getInt(0), kc.getLong(1), kc.getLong(2), kc.getLong(3), kc.getBoolean(4))
+      == ((0, 5L, 4L, 1L, true)))
+  }
+
   test("beam search: beam=1 stops at a local optimum, beam=4 escapes to the true top-1") {
     // Hand-built navigable graph: 1–2, 2–3, 2–5, 3–9 with query sims
     // 1→0.1, 2→0.5, 3→0.4, 5→0.45, 9→0.9. From entry node 1 the greedy
