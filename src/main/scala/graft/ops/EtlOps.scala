@@ -868,11 +868,20 @@ object EtlOps extends OpGroup {
             max(col("n_bad")).over(verdict) === 0)
         }
         val ledger = audit("a_dirty", dirty).union(audit("b_clean", delta))
-        val publishedRows = target.select(col("o_orderkey"))
-          .union(delta.select(col("o_orderkey")))
-          .agg(count(lit(1)).as("n_bad"))
+        // Published state is DERIVED from the clean batch's audit verdict
+        // (round-13 advice): the delta's rows count only when every b_clean
+        // check is zero — the WAP invariant itself, not a hard-coded
+        // assumption about the fixture. All three frames are 1-row scalars;
+        // the cross joins broadcast.
+        val cleanVerdict = ledger.filter(col("batch") === "b_clean")
+          .agg(max(col("n_bad")).as("max_bad"))
+        val publishedRows = target.agg(count(lit(1)).as("t_n"))
+          .crossJoin(delta.agg(count(lit(1)).as("d_n")))
+          .crossJoin(cleanVerdict)
           .select(lit("z_published_state").as("batch"), lit("rows").as("check"),
-            col("n_bad"), lit(true).as("published"))
+            (col("t_n") + when(col("max_bad") === 0, col("d_n")).otherwise(lit(0L)))
+              .as("n_bad"),
+            (col("max_bad") === 0).as("published"))
         ledger.union(publishedRows).orderBy("batch", "check")
       },
       Some("""
@@ -908,7 +917,10 @@ object EtlOps extends OpGroup {
         FROM checks
         UNION ALL
         SELECT 'z_published_state', 'rows',
-          (SELECT COUNT(*) FROM target) + (SELECT COUNT(*) FROM delta), TRUE
+          (SELECT COUNT(*) FROM target)
+            + CASE WHEN (SELECT MAX(n_bad) FROM checks WHERE batch = 'b_clean') = 0
+                   THEN (SELECT COUNT(*) FROM delta) ELSE 0 END,
+          (SELECT MAX(n_bad) FROM checks WHERE batch = 'b_clean') = 0
         ORDER BY batch, "check"
       """.trim))
   )

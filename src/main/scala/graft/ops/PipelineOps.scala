@@ -1615,7 +1615,12 @@ object PipelineOps extends OpGroup {
           graft.Caches.releaseCheckpoint(pair)
         })
         var selected = Vector.empty[(Long, Double)]
-        for (_ <- 1 to 5) {
+        var exhausted = false
+        // Degenerate-corpus guard (round-13 advice): with < 5 non-query
+        // candidates the limit(1) frame comes back empty — emit the short
+        // list like the greedy/beam walks (and the oracle's recursive CTE,
+        // which simply stops recursing) instead of throwing on head().
+        for (_ <- 1 to 5 if !exhausted) {
           val selIds = selected.map(_._1)
           val base = cand.filter(!col("vec_id").isin(selIds: _*))
           val scored =
@@ -1625,11 +1630,13 @@ object PipelineOps extends OpGroup {
                   .groupBy("a").agg(max("ps").as("pen")),
                 col("vec_id") === col("a"), "left")
               .withColumn("pen", coalesce(col("pen"), lit(0.0)))
-          val top = scored
+          scored
             .withColumn("mmr", col("rel") / 2 - col("pen") / 2)
             .orderBy(desc("mmr"), asc("vec_id")).limit(1)
-            .select("vec_id", "mmr").head()
-          selected :+= ((top.getLong(0), top.getDouble(1)))
+            .select("vec_id", "mmr").head(1).headOption match {
+            case Some(top) => selected :+= ((top.getLong(0), top.getDouble(1)))
+            case None      => exhausted = true
+          }
         }
         import s.implicits._
         val sel = selected.zipWithIndex

@@ -216,6 +216,13 @@ class PlanSuite extends AnyFunSuite {
       "degraded shape must stay a keyed shuffled hash join on (band, bval)")
     assert(!deg.contains("BroadcastNestedLoopJoin") && !deg.contains("CartesianProduct"),
       "an outgrown batch must never decay to a nested-loop shape")
+    // Round-13 advice: the degraded path's RESULTS must also match the
+    // broadcast path — plan shape alone would let a semantic drift slip by.
+    def rows(broadcastBatch: Boolean) = graft.ops.PipelineOps
+      .incrementalDedup(spark, sf0001, broadcastBatch)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(false) == rows(true),
+      "broadcast and shuffled incremental-dedup paths must collect identically")
   }
 
   test("window top-k: one shuffle + rank-limit pushed below it (WindowGroupLimit)") {
