@@ -737,7 +737,8 @@ object PipelineOps extends OpGroup {
       graft.Caches.track(s, dir, "mutual_knn_edges",
         Set("graph_triangle_count", "graph_connected_components",
           "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
-          "vec_graph_beam_search", "graph_louvain_step", "graph_kcore_peel"),
+          "vec_graph_beam_search", "graph_louvain_step", "graph_louvain_converge",
+          "graph_kcore_peel", "vec_hnsw_search"),
         () => mutualEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       mutual
     })
@@ -810,9 +811,18 @@ object PipelineOps extends OpGroup {
       sym: org.apache.spark.sql.DataFrame,
       score: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       ef: Int,
-      maxSteps: Int): (Seq[(Long, Double)], Long) = {
-    val entryRow = sym.agg(min(col("src")).as("mn")).head()
-    if (entryRow.isNullAt(0)) return (Nil, 0L)
+      maxSteps: Int,
+      entry: Option[Long] = None): (Seq[(Long, Double)], Long) = {
+    // Seeded form (vec_hnsw_search): the upper-layer descent hands its
+    // endpoint in as the layer-0 entry instead of the min-id default, and
+    // the walk proceeds even on an edgeless layer (candidates = the seed
+    // itself — idempotent, lands on the seed's score).
+    val start = entry.orElse {
+      val entryRow = sym.agg(min(col("src")).as("mn")).head()
+      if (entryRow.isNullAt(0)) None else Some(entryRow.getLong(0))
+    }
+    if (start.isEmpty) return (Nil, 0L)
+    val entryRow = org.apache.spark.sql.Row(start.get)
     import s.implicits._
     def idsDf(ids: Seq[Long]) = ids.toDF("vec_id")
     def top(ids: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
@@ -834,6 +844,24 @@ object PipelineOps extends OpGroup {
       visited ++= next.map(_._1)
     }
     (beam, visited.size.toLong)
+  }
+
+  /** (vec_id, sim) cosine of the given candidate ids against the vec_id-0
+    * query — the walk family's per-step scorer (beam + HNSW descent): a
+    * broadcast point-lookup join against the corpus, never a scan
+    * (PlanSuite pins the shape). Shared so the step cost every walk
+    * op's scaladoc quotes (k lookups, not |corpus|) is one audited frame.
+    */
+  private[graft] def queryCosineScore(
+      s: org.apache.spark.sql.SparkSession, dir: String)(
+      ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    e.join(broadcast(ids), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("sim", expr("vec_dot(embedding, qemb)")
+        / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
+      .select("vec_id", "sim")
   }
 
   /** Convergence scalar for the label-propagation loop — one row to the
@@ -5231,13 +5259,7 @@ object PipelineOps extends OpGroup {
         val m = mutualKnnEdges(s, dir).filter(col("a") =!= 0 && col("b") =!= 0)
         val sym = m.select(col("a").as("src"), col("b").as("dst"))
           .union(m.select(col("b").as("src"), col("a").as("dst")))
-        val score = (ids: org.apache.spark.sql.DataFrame) =>
-          e.join(broadcast(ids), Seq("vec_id"))
-            .crossJoin(broadcast(q))
-            .withColumn("sim", expr("vec_dot(embedding, qemb)")
-              / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
-            .select("vec_id", "sim")
-        val (beam, beamed) = beamWalk(s, sym, score, ef = 4, maxSteps = 6)
+        val (beam, beamed) = beamWalk(s, sym, queryCosineScore(s, dir), ef = 4, maxSteps = 6)
         val exactTop = e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .withColumn("sim", expr("vec_dot(embedding, qemb)")
@@ -5325,6 +5347,252 @@ object PipelineOps extends OpGroup {
         FROM fin f, ex
       """.trim)),
 
+
+    // MULTI-LAYER HNSW DESCENT — the search that consumes vec_hnsw_build's
+    // layered artifact (its scaladoc's promised composition; round-13
+    // verdict item 1): start at the min-id node of the HIGHEST occupied
+    // layer, greedy-descend layer 4→1 (each layer's endpoint seeds the
+    // next — the express-lane hops that make HNSW log-like), then run the
+    // production ef=4 beam at layer 0 ([[beamWalk]], seeded — NOT from the
+    // global min id, which is the whole point: the descent has already
+    // navigated near the target before the wide search spends lookups).
+    // Layer membership is the build op's deterministic geometric recipe
+    // (md5 base-4 digits), so the two keys describe the same index; the
+    // query node (vec_id 0) is excluded from every layer, mirroring the
+    // greedy/beam ops. Upper-layer graphs are label-blocked mutual-3NN
+    // over 4×-shrinking populations (Σ cost ≈ 1/3 of one layer-0 build),
+    // materialized once per invocation; layer 0 reuses the family's
+    // shared mutual-kNN checkpoint. Per-layer walks early-stop at a local
+    // optimum — exact vs the oracle's fixed-6-step recursion because the
+    // step map is idempotent there (the greedy op's argument, per layer).
+    // Walk state is one node id per upper layer + ef ids at layer 0 — the
+    // documented iterative-op driver-scalar shape, never a data collect.
+    // Output: the occupied top layer, distinct nodes the descent touched,
+    // distinct nodes layer-0 ever beamed, and the found-vs-exact verdict
+    // (brute-force truth leg, like the greedy/beam ops). At 100 TB: the
+    // descent costs k lookups per layer over log-many layers against
+    // bucketed per-layer edge tables, and the expensive beam only ever
+    // sees the neighborhood the descent chose — exactly why HNSW search
+    // is sub-linear while the flat walks pay the full navigable diameter.
+    Op("vec_hnsw_search",
+      (s, dir) => {
+        val layerCase =
+          """CASE WHEN h % 4 <> 0 THEN 0
+                  WHEN (h DIV 4) % 4 <> 0 THEN 1
+                  WHEN (h DIV 16) % 4 <> 0 THEN 2
+                  WHEN (h DIV 64) % 4 <> 0 THEN 3
+                  ELSE 4 END"""
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        val score = queryCosineScore(s, dir) _
+        val lay = e.filter(col("vec_id") =!= 0)
+          .withColumn("h", expr(md5Long("CAST(vec_id AS STRING)")))
+          .withColumn("lay", expr(layerCase))
+          .select("vec_id", "label", "embedding", "lay")
+        val exactTop = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("sim", expr("vec_dot(embedding, qemb)")
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
+          .orderBy(desc("sim"), asc("vec_id")).limit(1)
+        lay.orderBy(desc("lay"), asc("vec_id")).limit(1)
+          .select("lay", "vec_id").head(1).headOption match {
+          case None =>
+            // Empty corpus (nothing but the query): exactTop is empty too —
+            // the select below emits zero rows, matching the oracle's empty
+            // cross join. No layer, no walk, no throw (PropertySuite gate).
+            exactTop.select(
+              lit(0).as("top_layer"), lit(0L).as("descent_nodes"),
+              lit(0L).as("beam_nodes"),
+              col("vec_id").as("found_id"),
+              (round(col("sim"), 3) + 0.0).as("found_sim"),
+              col("vec_id").as("exact_id"),
+              (round(col("sim"), 3) + 0.0).as("exact_sim"),
+              lit(true).as("hit"))
+          case Some(top) =>
+            val topLayer = top.getInt(0)
+            val entry = top.getLong(1)
+            // Upper-layer mutual-3NN edges, one checkpointed (lvl, a, b)
+            // frame for the ≤24 point-lookup filters of the descent loop.
+            val w = Window.partitionBy("a").orderBy(desc("sim"), asc("b"))
+            val upper = (1 to 4).map { level =>
+              val nodes = lay.filter(col("lay") >= level)
+              val l = nodes.select(col("label").as("la"), col("vec_id").as("a"),
+                col("embedding").as("ea"))
+              val r = nodes.select(col("label").as("lb"), col("vec_id").as("b"),
+                col("embedding").as("eb"))
+              val knn = l.join(r, col("la") === col("lb") && col("a") =!= col("b"))
+                .withColumn("sim", expr("vec_dot(ea, eb)")
+                  / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
+                .withColumn("rk", row_number().over(w))
+                .filter(col("rk") <= MutualKnnK)
+                .select("a", "b")
+              knn.filter(col("a") < col("b"))
+                .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "leftsemi")
+                .select(lit(level).as("lvl"), col("a"), col("b"))
+            }.reduce(_.union(_)).localCheckpoint(true)
+            graft.Caches.track(s, dir, "hnsw_upper_edges", Set("vec_hnsw_search"),
+              () => graft.Caches.releaseCheckpoint(upper))
+            val symUp = upper.select(col("lvl"), col("a").as("src"), col("b").as("dst"))
+              .union(upper.select(col("lvl"), col("b").as("src"), col("a").as("dst")))
+            def best(ids: org.apache.spark.sql.DataFrame): Long =
+              score(ids.distinct())
+                .orderBy(desc("sim"), asc("vec_id")).limit(1)
+                .select("vec_id").head().getLong(0)
+            import s.implicits._
+            var cur = entry
+            val descended = scala.collection.mutable.LinkedHashSet(cur)
+            for (level <- 4 to 1 by -1) {
+              var converged = false
+              for (_ <- 1 to 6 if !converged) {
+                val cand = symUp
+                  .filter(col("lvl") === level && col("src") === cur)
+                  .select(col("dst").as("vec_id"))
+                  .union(Seq(cur).toDF("vec_id"))
+                val next = best(cand)
+                converged = next == cur
+                cur = next
+                descended += next
+              }
+            }
+            val m0 = mutualKnnEdges(s, dir).filter(col("a") =!= 0 && col("b") =!= 0)
+            val sym0 = m0.select(col("a").as("src"), col("b").as("dst"))
+              .union(m0.select(col("b").as("src"), col("a").as("dst")))
+            val (beam, beamed) = beamWalk(s, sym0, score, ef = 4, maxSteps = 6,
+              entry = Some(cur))
+            val (foundId, foundSim) = beam.head
+            exactTop.select(
+              lit(topLayer).as("top_layer"),
+              lit(descended.size.toLong).as("descent_nodes"),
+              lit(beamed).as("beam_nodes"),
+              lit(foundId).as("found_id"),
+              (round(lit(foundSim), 3) + 0.0).as("found_sim"),
+              col("vec_id").as("exact_id"),
+              (round(col("sim"), 3) + 0.0).as("exact_sim"),
+              (lit(foundId) === col("vec_id")).as("hit"))
+        }
+      },
+      Some {
+        val layerCase =
+          """CASE WHEN h % 4 <> 0 THEN 0
+                  WHEN (h // 4) % 4 <> 0 THEN 1
+                  WHEN (h // 16) % 4 <> 0 THEN 2
+                  WHEN (h // 64) % 4 <> 0 THEN 3
+                  ELSE 4 END"""
+        val cos = (x: String, y: String) =>
+          s"""list_dot_product($x, $y)
+              / (sqrt(greatest(list_sum(list_transform($x, v -> v * v)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform($y, v -> v * v)), 1e-300)))"""
+        val perLayer = (1 to 4).map { level =>
+          s"""
+          n$level AS (SELECT vec_id, label, embedding FROM lay WHERE lyr >= $level),
+          k$level AS (
+            SELECT a, b FROM (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                  ${cos("x.embedding", "y.embedding")} DESC, y.vec_id) AS rk
+              FROM n$level x JOIN n$level y
+                ON x.label = y.label AND x.vec_id <> y.vec_id
+            ) WHERE rk <= $MutualKnnK),
+          s$level AS (
+            SELECT k1.a, k1.b FROM k$level k1 JOIN k$level k2
+              ON k1.a = k2.b AND k1.b = k2.a
+            WHERE k1.a < k1.b),
+          g$level AS (
+            SELECT a AS src, b AS dst FROM s$level
+            UNION ALL SELECT b, a FROM s$level)"""
+        }.mkString(",")
+        // Greedy per-layer descent 4→1: each recL's seed is the previous
+        // layer's fixed-6-step endpoint (idempotent ⇒ ≡ the early-stopped
+        // Spark walk), then the ef=4 beam at layer 0 seeded from e1.
+        // NO `AS MATERIALIZED` anywhere in this oracle: DuckDB 1.0 loses
+        // the lateral correlation through the beam recursion's UNION when
+        // the referenced CTEs are materialized (the candidate set comes
+        // back empty and the beam silently never leaves its seed —
+        // found at sf0.1, round 14). Plain CTEs re-inline per reference,
+        // which is acceptable oracle-side cost.
+        val descent = (4 to 1 by -1).map { level =>
+          val seed = if (level == 4) "(SELECT entry FROM ent)"
+            else s"(SELECT cur FROM e${level + 1})"
+          s"""
+          rec$level AS (
+            SELECT 0 AS step, $seed AS cur
+            UNION ALL
+            SELECT r.step + 1, n.nid FROM rec$level r,
+              LATERAL (
+                SELECT nid FROM (
+                  SELECT s.vec_id AS nid, s.sim FROM g$level g
+                    JOIN scored s ON s.vec_id = g.dst
+                  WHERE g.src = r.cur
+                  UNION ALL SELECT r.cur, (SELECT sim FROM scored WHERE vec_id = r.cur)
+                ) ORDER BY sim DESC, nid LIMIT 1
+              ) n
+            WHERE r.step < 6),
+          e$level AS (SELECT cur FROM rec$level WHERE step = 6)"""
+        }.mkString(",")
+        s"""
+        WITH RECURSIVE lay AS (
+          SELECT vec_id, label, embedding, $layerCase AS lyr FROM (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding,
+              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM embeddings WHERE vec_id <> 0)),
+        scored AS (
+          SELECT l.vec_id, ${cos("l.embedding", "q.qemb")} AS sim
+          FROM lay l,
+            (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0) q),
+        ent AS (
+          SELECT lyr AS top_layer, vec_id AS entry FROM lay
+          ORDER BY lyr DESC, vec_id LIMIT 1),
+        $perLayer,
+        k0 AS (
+          SELECT a, b FROM (
+            SELECT x.vec_id AS a, y.vec_id AS b,
+              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                ${cos("CAST(x.embedding AS DOUBLE[])", "CAST(y.embedding AS DOUBLE[])")} DESC, y.vec_id) AS rk
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          ) WHERE rk <= $MutualKnnK),
+        m0 AS (
+          SELECT k1.a, k1.b FROM k0 k1 JOIN k0 k2
+            ON k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b AND k1.a <> 0 AND k1.b <> 0),
+        g0 AS (
+          SELECT a AS src, b AS dst FROM m0 UNION ALL SELECT b, a FROM m0),
+        $descent,
+        rec0 AS (
+          SELECT 0 AS step, [(SELECT cur FROM e1)] AS beam
+          UNION ALL
+          SELECT r.step + 1, n.nb FROM rec0 r,
+            LATERAL (
+              SELECT list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) AS nb FROM (
+                SELECT s.vec_id AS nid, s.sim FROM g0 g
+                  JOIN scored s ON s.vec_id = g.dst
+                WHERE list_contains(r.beam, g.src)
+                UNION
+                SELECT u.nid, s2.sim
+                FROM (SELECT unnest(r.beam) AS nid) u
+                  JOIN scored s2 ON s2.vec_id = u.nid
+              )
+            ) n
+          WHERE r.step < 6),
+        fin AS (SELECT beam[1] AS found FROM rec0 WHERE step = 6),
+        ex AS (
+          SELECT vec_id AS exact_id,
+            CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS exact_sim
+          FROM scored ORDER BY sim DESC, vec_id LIMIT 1)
+        SELECT
+          (SELECT CAST(top_layer AS INT) FROM ent) AS top_layer,
+          (SELECT CAST(COUNT(DISTINCT cur) AS BIGINT) FROM (
+            SELECT cur FROM rec4 UNION ALL SELECT cur FROM rec3
+            UNION ALL SELECT cur FROM rec2 UNION ALL SELECT cur FROM rec1)) AS descent_nodes,
+          (SELECT CAST(COUNT(DISTINCT nid) AS BIGINT) FROM
+            (SELECT unnest(beam) AS nid FROM rec0)) AS beam_nodes,
+          f.found AS found_id,
+          CAST(ROUND(CAST(CAST((SELECT sim FROM scored WHERE vec_id = f.found) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS found_sim,
+          ex.exact_id, ex.exact_sim,
+          (f.found = ex.exact_id) AS hit
+        FROM fin f, ex
+        """.trim
+      }),
 
     // Multi-query MRR of the IVF(probe=3) path: vec_ids 0..4 are the
     // query batch, each query's EXACT nearest neighbor is its relevant

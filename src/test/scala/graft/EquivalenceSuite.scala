@@ -455,6 +455,25 @@ class EquivalenceSuite extends AnyFunSuite {
       "the frontier must touch at least as many nodes as the single walker")
   }
 
+  test("hnsw descent lands inside the exact top-10 (recall pin vs vec_cosine_topk truth)") {
+    // The composed search (layer-4→1 greedy descent + ef=4 layer-0 beam)
+    // must retrieve a node from the brute-force top-10 — the recall the
+    // layered express lanes exist to preserve while skipping the corpus
+    // scan. Plus the op's own internal invariants: the found node can
+    // never outscore the exact truth leg, and the hit flag must be
+    // exactly found==exact.
+    val h = SparkEntry.queries("vec_hnsw_search")(spark, sf0001).head()
+    val exact = rows("vec_cosine_topk").map(_.getLong(0)).toSet
+    assert(exact.size == 10, "exact top-10 truth leg is malformed")
+    val foundId = h.getLong(3)
+    assert(exact.contains(foundId), s"hnsw found_id=$foundId missed the exact top-10")
+    assert(h.getDouble(4) <= h.getDouble(6) + 1e-9,
+      "found_sim cannot beat the brute-force truth")
+    assert(h.getBoolean(7) == (foundId == h.getLong(5)),
+      "hit flag must equal found_id == exact_id")
+    assert(h.getInt(0) >= 0 && h.getInt(0) <= 4 && h.getLong(1) >= 1 && h.getLong(2) >= 1)
+  }
+
   test("vec_ndcg_eval and vec_recall_eval agree: perfect recall implies perfect ndcg") {
     // Both replicate the same IVF(probe=3) path against the same exact
     // top-10; if recall@10 is 1.0 AND the orderings agree, NDCG must be

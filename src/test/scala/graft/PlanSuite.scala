@@ -225,6 +225,23 @@ class PlanSuite extends AnyFunSuite {
       "broadcast and shuffled incremental-dedup paths must collect identically")
   }
 
+  test("hnsw/beam per-step scorer: broadcast point lookup, never a corpus scan or cartesian") {
+    // The walk family's step cost claim (k lookups per step) lives in
+    // queryCosineScore: the candidate ids must be the BROADCAST side of a
+    // hash join against the corpus scan, and the 1-row query vector rides
+    // a broadcast nested-loop — no CartesianProduct, no shuffle of the
+    // corpus per step.
+    import spark.implicits._
+    val p = graft.ops.PipelineOps
+      .queryCosineScore(spark, sf0001)(Seq(5L).toDF("vec_id"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate ids must broadcast into a hash join against the corpus")
+    assert(!p.contains("CartesianProduct"), "a walk step must never go cartesian")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "a walk step must not shuffle the corpus")
+  }
+
   test("window top-k: one shuffle + rank-limit pushed below it (WindowGroupLimit)") {
     val p = plan("win_rownum_topk")
     // Exactly 2 Exchange nodes: hash for the window partition, range for

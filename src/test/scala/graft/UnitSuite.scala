@@ -832,6 +832,18 @@ class UnitSuite extends AnyFunSuite {
     val (empty, eSeen) = ops.PipelineOps.beamWalk(
       spark, sym.limit(0), score, ef = 4, maxSteps = 6)
     assert(empty.isEmpty && eSeen == 0L, "edgeless graph short-circuits")
+    // Seeded form (vec_hnsw_search's layer-0 entry): starting PAST the
+    // ridge at 3, even ef=1 reaches the true top-1 — the value the
+    // upper-layer descent adds before the beam spends lookups.
+    val (seeded, sSeen) = ops.PipelineOps.beamWalk(
+      spark, sym, score, ef = 1, maxSteps = 6, entry = Some(3L))
+    assert(seeded.map(_._1) == Seq(9L), "a seed past the ridge must reach 9 at ef=1")
+    assert(sSeen == 2L) // touched only {3, 9}
+    // A seed on an edgeless graph stays put instead of short-circuiting:
+    // candidates are the seed itself, the walk is idempotent there.
+    val (stay, stSeen) = ops.PipelineOps.beamWalk(
+      spark, sym.limit(0), score, ef = 4, maxSteps = 6, entry = Some(5L))
+    assert(stay == Seq((5L, 0.45)) && stSeen == 1L, "isolated seed lands on itself")
   }
 
   test("temperature sample: sqrt weights flatten the mix, md5 coin decides membership") {
