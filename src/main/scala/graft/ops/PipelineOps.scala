@@ -4999,6 +4999,283 @@ object PipelineOps extends OpGroup {
         ORDER BY n_members DESC, comm
       """.trim)),
 
+    // LOUVAIN TO CONVERGENCE WITH COARSENING — the full community-detection
+    // loop graph_louvain_step is one sweep of (round-13 verdict item 2):
+    // synchronous sweeps repeat until no node moves (≤4 rounds, the
+    // kcore-style cap), communities CONTRACT into super-nodes (inter-
+    // community edge weights + intra-community self-loops), and one
+    // weighted sweep runs on the coarse graph. The gain is the GENERAL
+    // exact-integer form ΔQ·2m² = 2m·(k_i→C − k_i→A\i) − k_i·(Σtot_C −
+    // Σtot_A\i) — the step op's singleton collapse is its round-1 special
+    // case — so no float enters any membership decision on either engine.
+    // Synchronous sweeps oscillate on mutual best-pairs (i wants j's
+    // community exactly when j wants i's), so the published parallel-
+    // Louvain mitigation applies: when two SINGLETON communities target
+    // each other, only the smaller node id moves (one merge instead of an
+    // infinite swap) — without it the hand fixture provably 2-cycles
+    // forever; with it, it converges in 3 sweeps (UnitSuite pin). The
+    // coarse sweep reuses the same guard (super-nodes are singletons by
+    // construction). Early-stop at moved=0 is exact vs the oracle's fixed
+    // 4 unrolled rounds: a moveless sweep is a fixpoint of the update.
+    // Output: top-15 final communities (base-node count, super-node
+    // count, internal edges) + the run's move ledger. At 100 TB: each
+    // sweep is three partial-aggregating shuffles over the shared
+    // checkpointed edge set (tot by community, k_i→C by (node, community),
+    // argmax by node), the guard joins touch only the mover set, and
+    // coarsening SHRINKS the edge set for everything after it — the
+    // contraction is why Louvain scales where flat sweeps don't.
+    Op("graph_louvain_converge",
+      (s, dir) => {
+        val mutual = mutualKnnEdges(s, dir).select("a", "b")
+        val sym = mutual.union(mutual.select(col("b").as("a"), col("a").as("b")))
+        val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("dz"))
+        val mVal = mutual.count()
+        val nodes = sym.select(col("a").as("n")).distinct()
+        var comm = nodes.withColumn("c", col("n")).localCheckpoint(true)
+        var moves = Vector.empty[Long]
+        var converged = false
+        for (_ <- 1 to 4 if !converged) {
+          val tot = comm.join(deg, col("n") === col("z"))
+            .groupBy("c").agg(sum("dz").as("tot"))
+          val kic = sym
+            .join(comm.select(col("n").as("b"), col("c").as("cc")), "b")
+            .groupBy("a", "cc").agg(count(lit(1)).as("kic"))
+          val own = comm.select(col("n").as("a"), col("c").as("ca"))
+          val gains = kic.join(own, "a")
+            .filter(col("cc") =!= col("ca"))
+            .join(deg.select(col("z").as("a"), col("dz").as("ki")), "a")
+            .join(tot.select(col("c").as("cc"), col("tot").as("tot_c")), "cc")
+            .join(tot.select(col("c").as("ca"), col("tot").as("tot_a")), "ca")
+            .join(kic.select(col("a"), col("cc").as("ca"), col("kic").as("kia")),
+              Seq("a", "ca"), "left")
+            .withColumn("dq",
+              lit(2L * mVal) * (col("kic") - coalesce(col("kia"), lit(0L)))
+                - col("ki") * (col("tot_c") - col("tot_a") + col("ki")))
+          val mv = gains.filter(col("dq") > 0)
+            .groupBy("a", "ca")
+            .agg(min(struct((-col("dq")).as("nd"), col("cc").as("tc"))).as("mm"))
+            .select(col("a"), col("ca"), col("mm.tc").as("tc"))
+          // Singleton-swap guard: movers whose OWN community is a
+          // singleton, whose TARGET is a singleton {j}, and whose j
+          // reciprocally targets them, cancel on the larger id.
+          val csize = comm.groupBy("c").agg(count(lit(1)).as("cs"))
+          val singleMember = comm.join(csize.filter(col("cs") === 1), "c")
+            .select(col("c").as("tc"), col("n").as("tmember"))
+          val grd = mv
+            .join(csize.select(col("c").as("ca"), col("cs").as("ca_size")), "ca")
+            .join(singleMember, Seq("tc"), "left")
+            .join(mv.select(col("a").as("tmember"), col("tc").as("ttc")),
+              Seq("tmember"), "left")
+            .filter(!coalesce(
+              col("ca_size") === 1 && col("tmember").isNotNull
+                && col("ttc") === col("ca") && col("a") > col("tmember"),
+              lit(false)))
+            .select(col("a").as("n"), col("tc").as("mvc"))
+          val next = comm.join(grd, Seq("n"), "left")
+            .select(col("n"), coalesce(col("mvc"), col("c")).as("c"))
+            .localCheckpoint(true)
+          val moved = next.join(comm.select(col("n"), col("c").as("oc")), "n")
+            .filter(col("c") =!= col("oc")).count()
+          graft.Caches.releaseCheckpoint(comm)
+          comm = next
+          moves :+= moved
+          converged = moved == 0
+        }
+        val cB = comm
+        graft.Caches.track(s, dir, "louvain_comm", Set("graph_louvain_converge"),
+          () => graft.Caches.releaseCheckpoint(cB))
+        // Contract: canonical (least, greatest) community pairs weighted
+        // by edge count; intra edges become self-loop weight (counted
+        // twice in the coarse degree).
+        val ce = mutual
+          .join(cB.select(col("n").as("a"), col("c").as("xca")), "a")
+          .join(cB.select(col("n").as("b"), col("c").as("xcb")), "b")
+          .select(least(col("xca"), col("xcb")).as("ca"),
+            greatest(col("xca"), col("xcb")).as("cb"))
+        val wE = ce.filter(col("ca") =!= col("cb"))
+          .groupBy("ca", "cb").agg(count(lit(1)).as("w"))
+        val selfw = ce.filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("c")).agg(count(lit(1)).as("sw"))
+        val supers = cB.select("c").distinct()
+        val wdeg = wE.select(col("ca").as("c"), col("w"))
+          .union(wE.select(col("cb").as("c"), col("w")))
+          .groupBy("c").agg(sum("w").as("wsum"))
+        val kw = supers.join(wdeg, Seq("c"), "left").join(selfw, Seq("c"), "left")
+          .select(col("c"),
+            (coalesce(col("wsum"), lit(0L)) + lit(2L) * coalesce(col("sw"), lit(0L)))
+              .as("kw"))
+        val wsym = wE.select(col("ca").as("i"), col("cb").as("j"), col("w"))
+          .union(wE.select(col("cb").as("i"), col("ca").as("j"), col("w")))
+        val cmv = wsym
+          .join(kw.select(col("c").as("i"), col("kw").as("kwi")), "i")
+          .join(kw.select(col("c").as("j"), col("kw").as("kwj")), "j")
+          .withColumn("dq", lit(2L * mVal) * col("w") - col("kwi") * col("kwj"))
+          .filter(col("dq") > 0)
+          .groupBy("i")
+          .agg(min(struct((-col("dq")).as("nd"), col("j").as("tj"))).as("mm"))
+          .select(col("i"), col("mm.tj").as("tj"))
+        // Coarse swap guard: every super is a singleton community, so a
+        // mutual target pair cancels its larger id directly.
+        val cmvG = cmv
+          .join(cmv.select(col("i").as("tj"), col("tj").as("their")), Seq("tj"), "left")
+          .filter(!coalesce(col("their") === col("i") && col("i") > col("tj"), lit(false)))
+          .select(col("i").as("c"), col("tj").as("fc0"))
+        val cfin = supers.join(cmvG, Seq("c"), "left")
+          .select(col("c").as("super"), coalesce(col("fc0"), col("c")).as("fc"))
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "louvain_cfin", Set("graph_louvain_converge"),
+          () => graft.Caches.releaseCheckpoint(cfin))
+        val coarseMoves = cfin.filter(col("super") =!= col("fc")).count()
+        val baseFin = cB.join(cfin, col("c") === col("super")).select(col("n"), col("fc"))
+        val internal = mutual
+          .join(baseFin.select(col("n").as("a"), col("fc").as("fa")), "a")
+          .join(baseFin.select(col("n").as("b"), col("fc").as("fb")), "b")
+          .filter(col("fa") === col("fb"))
+          .groupBy(col("fa").as("fc")).agg(count(lit(1)).as("internal_edges"))
+        cfin.groupBy(col("fc")).agg(count(lit(1)).as("n_super"))
+          .join(baseFin.groupBy("fc").agg(count(lit(1)).as("n_base")), "fc")
+          .join(internal, Seq("fc"), "left")
+          .select(col("fc").as("comm"), col("n_super"), col("n_base"),
+            coalesce(col("internal_edges"), lit(0L)).as("internal_edges"))
+          .withColumn("sweep_moves", lit(moves.sum))
+          .withColumn("active_rounds", lit(moves.count(_ > 0).toLong))
+          .withColumn("coarse_moves", lit(coarseMoves))
+          .withColumn("converged", lit(converged))
+          .orderBy(desc("n_base"), asc("comm")).limit(15)
+          .orderBy(desc("n_base"), asc("comm"))
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          val p = r - 1
+          s"""
+          cs$r AS MATERIALIZED (SELECT c, COUNT(*) AS cs FROM c$p GROUP BY c),
+          sm$r AS MATERIALIZED (
+            SELECT c, MIN(n) AS member FROM c$p GROUP BY c HAVING COUNT(*) = 1),
+          tot$r AS MATERIALIZED (
+            SELECT x.c, SUM(d.dz) AS tot FROM c$p x JOIN deg d ON d.z = x.n GROUP BY x.c),
+          kic$r AS MATERIALIZED (
+            SELECT s.a, cb.c AS cc, COUNT(*) AS kic
+            FROM sym s JOIN c$p cb ON cb.n = s.b GROUP BY s.a, cb.c),
+          mv$r AS MATERIALIZED (
+            SELECT a, ca, tc FROM (
+              SELECT g.a, g.ca, g.cc AS tc, g.dq,
+                ROW_NUMBER() OVER (PARTITION BY g.a ORDER BY g.dq DESC, g.cc) AS rk
+              FROM (
+                SELECT k.a, o.c AS ca, k.cc,
+                  2 * mm.m * (k.kic - COALESCE(ka.kic, 0))
+                    - d.dz * (tc.tot - ta.tot + d.dz) AS dq
+                FROM kic$r k
+                JOIN c$p o ON o.n = k.a
+                JOIN deg d ON d.z = k.a
+                JOIN tot$r tc ON tc.c = k.cc
+                JOIN tot$r ta ON ta.c = o.c
+                LEFT JOIN kic$r ka ON ka.a = k.a AND ka.cc = o.c
+                , mm
+                WHERE k.cc <> o.c
+              ) g
+            ) WHERE rk = 1 AND dq > 0),
+          grd$r AS MATERIALIZED (
+            SELECT m.a, m.tc FROM mv$r m
+            JOIN cs$r s ON s.c = m.ca
+            LEFT JOIN sm$r t ON t.c = m.tc
+            LEFT JOIN mv$r m2 ON m2.a = t.member
+            WHERE NOT COALESCE(
+              s.cs = 1 AND t.member IS NOT NULL AND m2.tc = m.ca AND m.a > t.member,
+              FALSE)),
+          c$r AS MATERIALIZED (
+            SELECT b.n, COALESCE(g.tc, b.c) AS c
+            FROM c$p b LEFT JOIN grd$r g ON g.a = b.n),
+          mvd$r AS MATERIALIZED (
+            SELECT COUNT(*) AS mvd FROM c$r x JOIN c$p y ON x.n = y.n
+            WHERE x.c <> y.c)"""
+        }.mkString(",")
+        s"""
+        WITH knn AS MATERIALIZED (
+          SELECT a, b FROM (
+            SELECT x.vec_id AS a, y.vec_id AS b,
+              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
+                y.vec_id) AS rk
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          ) WHERE rk <= $MutualKnnK),
+        mutual AS MATERIALIZED (
+          SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
+            ON k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b),
+        sym AS MATERIALIZED (
+          SELECT a, b FROM mutual UNION ALL SELECT b AS a, a AS b FROM mutual),
+        deg AS MATERIALIZED (SELECT a AS z, COUNT(*) AS dz FROM sym GROUP BY 1),
+        mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM mutual),
+        c0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS c FROM sym),
+        $rounds,
+        ce AS MATERIALIZED (
+          SELECT LEAST(x.c, y.c) AS ca, GREATEST(x.c, y.c) AS cb
+          FROM mutual m JOIN c4 x ON x.n = m.a JOIN c4 y ON y.n = m.b),
+        wE AS MATERIALIZED (
+          SELECT ca, cb, COUNT(*) AS w FROM ce WHERE ca <> cb GROUP BY ca, cb),
+        selfw AS MATERIALIZED (
+          SELECT ca AS c, COUNT(*) AS sw FROM ce WHERE ca = cb GROUP BY ca),
+        supers AS MATERIALIZED (SELECT DISTINCT c FROM c4),
+        kw AS MATERIALIZED (
+          SELECT s.c, COALESCE(wd.wsum, 0) + 2 * COALESCE(sf.sw, 0) AS kw
+          FROM supers s
+          LEFT JOIN (
+            SELECT c, SUM(w) AS wsum FROM (
+              SELECT ca AS c, w FROM wE UNION ALL SELECT cb, w FROM wE) GROUP BY c
+          ) wd ON wd.c = s.c
+          LEFT JOIN selfw sf ON sf.c = s.c),
+        cmv AS MATERIALIZED (
+          SELECT i, tj FROM (
+            SELECT ws.i, ws.j AS tj, 2 * mm.m * ws.w - ki.kw * kj.kw AS dq,
+              ROW_NUMBER() OVER (PARTITION BY ws.i
+                ORDER BY 2 * mm.m * ws.w - ki.kw * kj.kw DESC, ws.j) AS rk
+            FROM (SELECT ca AS i, cb AS j, w FROM wE
+                  UNION ALL SELECT cb, ca, w FROM wE) ws
+            JOIN kw ki ON ki.c = ws.i
+            JOIN kw kj ON kj.c = ws.j, mm
+          ) WHERE rk = 1 AND dq > 0),
+        cmvg AS MATERIALIZED (
+          SELECT m.i, m.tj FROM cmv m
+          LEFT JOIN cmv m2 ON m2.i = m.tj
+          WHERE NOT COALESCE(m2.tj = m.i AND m.i > m.tj, FALSE)),
+        cfin AS MATERIALIZED (
+          SELECT s.c AS super, COALESCE(g.tj, s.c) AS fc
+          FROM supers s LEFT JOIN cmvg g ON g.i = s.c),
+        basefin AS MATERIALIZED (
+          SELECT x.n, f.fc FROM c4 x JOIN cfin f ON f.super = x.c),
+        internal AS MATERIALIZED (
+          SELECT fa.fc, COUNT(*) AS internal_edges
+          FROM mutual m
+          JOIN basefin fa ON fa.n = m.a
+          JOIN basefin fb ON fb.n = m.b
+          WHERE fa.fc = fb.fc GROUP BY fa.fc)
+        SELECT comm, n_super, n_base, internal_edges,
+          sweep_moves, active_rounds, coarse_moves, converged
+        FROM (
+          SELECT f.fc AS comm,
+            CAST(COUNT(*) AS BIGINT) AS n_super,
+            CAST(MIN(nb.n_base) AS BIGINT) AS n_base,
+            CAST(MIN(COALESCE(i.internal_edges, 0)) AS BIGINT) AS internal_edges,
+            CAST((SELECT mvd FROM mvd1) + (SELECT mvd FROM mvd2)
+               + (SELECT mvd FROM mvd3) + (SELECT mvd FROM mvd4) AS BIGINT) AS sweep_moves,
+            CAST((CASE WHEN (SELECT mvd FROM mvd1) > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN (SELECT mvd FROM mvd2) > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN (SELECT mvd FROM mvd3) > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN (SELECT mvd FROM mvd4) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS active_rounds,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cfin WHERE super <> fc) AS coarse_moves,
+            ((SELECT mvd FROM mvd4) = 0) AS converged
+          FROM cfin f
+          JOIN (SELECT fc, COUNT(*) AS n_base FROM basefin GROUP BY fc) nb ON nb.fc = f.fc
+          LEFT JOIN internal i ON i.fc = f.fc
+          GROUP BY f.fc
+          ORDER BY n_base DESC, comm LIMIT 15)
+        ORDER BY n_base DESC, comm
+        """.trim
+      }),
+
     // HNSW BUILD — the index-construction half of the navigable-graph
     // story whose search halves are vec_graph_greedy_search (beam=1) and
     // vec_graph_beam_search (ef=4): every vector draws a deterministic

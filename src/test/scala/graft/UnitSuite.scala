@@ -807,6 +807,23 @@ class UnitSuite extends AnyFunSuite {
     val kc = SparkEntry.queries("graph_kcore_peel")(spark, dir).head()
     assert((kc.getInt(0), kc.getLong(1), kc.getLong(2), kc.getLong(3), kc.getBoolean(4))
       == ((0, 5L, 4L, 1L, true)))
+    // Louvain to convergence, hand-derived on the same graph (m=6,
+    // k=(2,1,3,3,3)). Round 1 tentative: 0→3, 1→2, 2→1, 3→0, 4→0; the
+    // singleton-swap guard cancels the larger half of the (0,3) and (1,2)
+    // mutual pairs, so only 0→3, 1→2, 4→0 land (3 moves). Round 2: with
+    // tot={c3:5, c2:4, c0:3} every general-form gain is ≤0 except node 4's
+    // 2m·2 − 3·(5−3+3) = 9 into {0,3} (1 move). Round 3: no positive gain
+    // (e.g. node 2 → c3 scores 12·(2−1) − 3·(8−4+3) = −9) — fixpoint at
+    // sweep 3, so sweep_moves=4 over 2 active rounds, converged. The
+    // contraction yields supers {0,3,4} (self-weight 3) and {1,2} (1)
+    // with one inter-edge of weight 2; the weighted gain 12·2 − 4·8 = −8
+    // keeps them apart (coarse_moves=0).
+    val lc = SparkEntry.queries("graph_louvain_converge")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(lc.toSeq == Seq(
+      (3L, 1L, 3L, 3L, 4L, 2L, 0L, true),
+      (2L, 1L, 2L, 1L, 4L, 2L, 0L, true)))
   }
 
   test("beam search: beam=1 stops at a local optimum, beam=4 escapes to the true top-1") {
