@@ -470,6 +470,110 @@ object SourceOps extends OpGroup {
         SELECT c_mktsegment, COUNT(*) AS n,
           CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """.trim)),
+
+    // LOG COMPACTION + VACUUM AUDIT — the maintenance third of the
+    // lakehouse triplet (snapshot read, time travel, and now the daily
+    // run that keeps them fast): (1) CHECKPOINT — materialize the live
+    // set as of a commit ceiling as its own artifact beside the log, so
+    // a reader replays checkpoint + log-tail instead of the whole
+    // history (the log grows forever; the checkpoint caps replay cost);
+    // (2) prove the checkpointed replay reconstructs the full replay
+    // exactly (set-equal live paths — the correctness gate a real
+    // compactor must pass before swapping readers over); (3) VACUUM
+    // AUDIT — every data file whose LAST log action is remove is orphaned
+    // bytes the table no longer reads; report it with its reclaimable
+    // rows/cents. The audit is ONE globbed scan of the data directory
+    // with input_file_name() grouped per file — never a per-file driver
+    // loop — joined to the log's argmax action; at 100 TB that scan is
+    // the listing join the snapshot op's scaladoc promises (millions of
+    // files = a DataFrame, not a driver list), and the DELETE this
+    // report drives is withheld here only because the fixture is shared
+    // with the other two keys. Oracle restates the expected ledger from
+    // customer via the fixture's deterministic predicates.
+    Op("src_txn_log_compact",
+      (s, dir) => {
+        val root = txnLogFixture(s, dir)
+        val log = s.read
+          .schema("commit INT, action STRING, path STRING")
+          .json(s"$root/log")
+        val ceiling = 1
+        // Checkpoint: live set as of the ceiling, written as an artifact
+        // (its own dir — the log dir must stay pure commit lines).
+        val ckptLive = log.filter(col("commit") <= ceiling)
+          .groupBy("path")
+          .agg(max(struct(col("commit"), col("action"))).as("last"))
+          .filter(col("last.action") === "add")
+          .select(col("path"), lit(ceiling).as("ceiling"))
+        ckptLive.coalesce(1).write.mode("overwrite").json(s"$root/ckpt")
+        val ckpt = s.read.schema("path STRING, ceiling INT").json(s"$root/ckpt")
+        // Tail replay: checkpoint paths count as adds at the ceiling,
+        // then only commits PAST the ceiling replay on top.
+        val tail = log.filter(col("commit") > ceiling)
+        val fromCkpt = ckpt
+          .select(col("path"), lit(ceiling).as("commit"), lit("add").as("action"))
+          .union(tail.select("path", "commit", "action"))
+          .groupBy("path")
+          .agg(max(struct(col("commit"), col("action"))).as("last"))
+          .filter(col("last.action") === "add").select("path")
+        val full = log.groupBy("path")
+          .agg(max(struct(col("commit"), col("action"))).as("last"))
+          .filter(col("last.action") === "add").select("path")
+        val ckptMatch = fromCkpt.exceptAll(full)
+          .union(full.exceptAll(fromCkpt)).isEmpty
+        val ckptLiveN = ckpt.count()
+        val tailN = tail.select("commit").distinct().count()
+        // Vacuum audit: one scan of the whole data dir, file identity
+        // from input_file_name, status from the log's argmax action.
+        // recursiveFileLookup on the concrete dir (a glob here resolves,
+        // but Spark's FileStreamSink.hasMetadata probe stats the literal
+        // glob string and stack-traces a FileNotFound into the log).
+        val files = s.read.option("recursiveFileLookup", "true")
+          .parquet(s"$root/data")
+          .withColumn("path",
+            regexp_extract(input_file_name(), "/data/([^/]+)/", 1))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")).as("bal_cents"))
+        val status = log.groupBy("path")
+          .agg(max(col("commit")).as("last_commit"),
+            max(struct(col("commit"), col("action"))).as("last"))
+          .select(col("path"), col("last_commit"),
+            when(col("last.action") === "add", "live")
+              .otherwise("orphan").as("status"))
+        files.join(status, "path")
+          .select(col("path"), col("last_commit").cast("int").as("last_commit"),
+            col("status"), col("n_rows"), col("bal_cents"))
+          .withColumn("ckpt_live", lit(ckptLiveN))
+          .withColumn("tail_commits", lit(tailN))
+          .withColumn("checkpoint_match", lit(ckptMatch))
+          .orderBy("path")
+      },
+      Some("""
+        WITH f AS (
+          SELECT 'f0' AS path, 0 AS last_commit, 'live' AS status,
+            (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 0) AS n_rows,
+            (SELECT CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             FROM customer WHERE c_custkey % 3 = 0) AS bal_cents
+          UNION ALL
+          SELECT 'f1', 2, 'orphan',
+            (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 1),
+            (SELECT CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             FROM customer WHERE c_custkey % 3 = 1)
+          UNION ALL
+          SELECT 'f2', 1, 'live',
+            (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 2),
+            (SELECT CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             FROM customer WHERE c_custkey % 3 = 2)
+          UNION ALL
+          SELECT 'f3', 2, 'live',
+            (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 1),
+            (SELECT CAST(SUM(CAST(round((c_acctbal + 100.0) * 100, 0) AS BIGINT)) AS BIGINT)
+             FROM customer WHERE c_custkey % 3 = 1))
+        SELECT path, CAST(last_commit AS INT) AS last_commit, status, n_rows, bal_cents,
+          CAST(3 AS BIGINT) AS ckpt_live, CAST(1 AS BIGINT) AS tail_commits,
+          TRUE AS checkpoint_match
+        FROM f ORDER BY path
       """.trim))
   )
 
@@ -481,7 +585,8 @@ object SourceOps extends OpGroup {
   private def txnLogFixture(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     Tables.sharedWrite(s, dir, "txnlog_demo",
-      Set("src_txn_log_snapshot", "src_txn_log_time_travel")) { root =>
+      Set("src_txn_log_snapshot", "src_txn_log_time_travel",
+        "src_txn_log_compact")) { root =>
       val c = Tables.t(s, dir, "customer")
         .select("c_custkey", "c_mktsegment", "c_acctbal")
       def writeFile(name: String, df: org.apache.spark.sql.DataFrame): Unit =
