@@ -1634,6 +1634,124 @@ object AggOps extends OpGroup {
         ) ORDER BY grp
       """.trim)),
 
+    // KMV SET ALGEBRA — θ-sketch style intersection/union/difference
+    // estimates from the same k-minimum-values agg_kmv_distinct builds
+    // (round-13 verdict item 4): the overlap question between two corpus
+    // slices ("how many customers do the URGENT and HIGH order books
+    // share?") answered from two 64-hash sketches instead of a full
+    // distinct join. θ = min of the two sketches' 64th-smallest hashes
+    // (2⁶⁰ when a sketch holds its whole set — estimates collapse to
+    // exact); every hash below θ is a uniform sample of its set, so any
+    // SET EXPRESSION over the retained samples estimates as count·2⁶⁰/θ
+    // — the theta-sketch insight that makes sketch set algebra closed.
+    // Jaccard needs no θ at all (a ratio of sample counts). The exact
+    // legs ride alongside for the same est-vs-truth pinning as
+    // agg_kmv_distinct. All arithmetic is BIGINT until the single
+    // repr-rounded division per estimate; the permille ratios are
+    // integer DIV. At 100 TB: each sketch is the kmv op's two-level
+    // salted bottom-k (no partition sorts more than a salt's share);
+    // the set ops then touch ≤64-row frames — the entire point: overlap
+    // between two snapshots costs two sketch scans, not a distinct join.
+    Op("agg_kmv_set_ops",
+      (s, dir) => {
+        val U = 1152921504606846976L // 2^60, the hash space
+        val d = Tables.t(s, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select(col("o_orderpriority").as("grp"), col("o_custkey")).distinct()
+          .withColumn("h", expr(
+            "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+          .withColumn("salt", pmod(col("o_custkey"), lit(8)))
+        val sk = d
+          .withColumn("r1", row_number().over(
+            Window.partitionBy("grp", "salt").orderBy("h")))
+          .filter(col("r1") <= 64)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("grp").orderBy("h")))
+          .filter(col("rn") <= 64)
+          .select("grp", "h", "rn")
+        val fills = sk.groupBy("grp")
+          .agg(count(lit(1)).as("kk"),
+            max(when(col("rn") === 64, col("h"))).as("t"))
+        val th = fills.agg(
+          min(when(col("kk") === 64, col("t")).otherwise(lit(U))).as("theta"),
+          max(when(col("grp") === "1-URGENT", col("kk"))).as("ka"),
+          max(when(col("grp") === "2-HIGH", col("kk"))).as("kb"))
+        def sample(g: String) = sk.filter(col("grp") === g)
+          .crossJoin(broadcast(th.select("theta")))
+          .filter(col("h") < col("theta")).select("h")
+        val sa = sample("1-URGENT")
+        val sb = sample("2-HIGH")
+        val cnts = sa.join(sb, Seq("h"), "leftsemi").agg(count(lit(1)).as("ic"))
+          .crossJoin(sa.union(sb).distinct().agg(count(lit(1)).as("uc")))
+          .crossJoin(sa.join(sb, Seq("h"), "leftanti").agg(count(lit(1)).as("dc")))
+        def set(g: String) = d.filter(col("grp") === g).select("o_custkey")
+        val a = set("1-URGENT")
+        val b = set("2-HIGH")
+        val exact = a.join(b, Seq("o_custkey"), "leftsemi").agg(count(lit(1)).as("ie"))
+          .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("ue")))
+          .crossJoin(a.join(b, Seq("o_custkey"), "leftanti").agg(count(lit(1)).as("de")))
+        def est(cnt: String) =
+          s"""CASE WHEN theta >= ${U}L THEN CAST($cnt AS BIGINT)
+                   ELSE CAST(ROUND(CAST(CAST(CAST($cnt AS DOUBLE) * 1152921504606846976.0D
+                     / CAST(theta AS DOUBLE) AS STRING) AS DECIMAL(38,15)), 0) AS BIGINT) END"""
+        th.crossJoin(broadcast(cnts)).crossJoin(broadcast(exact))
+          .selectExpr(
+            "ka", "kb",
+            s"${est("ic")} AS inter_est", "ie AS inter_exact",
+            s"${est("uc")} AS union_est", "ue AS union_exact",
+            s"${est("dc")} AS diff_est", "de AS diff_exact",
+            "CASE WHEN uc = 0 THEN 0L ELSE ic * 1000 DIV uc END AS jaccard_est_permille",
+            "CASE WHEN ue = 0 THEN 0L ELSE ie * 1000 DIV ue END AS jaccard_exact_permille")
+      },
+      Some("""
+        WITH d AS (
+          SELECT grp, o_custkey,
+            CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT DISTINCT o_orderpriority AS grp, o_custkey FROM orders
+                WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        ), sk AS (
+          SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+          FROM d QUALIFY rn <= 64
+        ), th AS (
+          SELECT
+            MIN(CASE WHEN kk = 64 THEN t ELSE 1152921504606846976 END) AS theta,
+            MAX(CASE WHEN grp = '1-URGENT' THEN kk END) AS ka,
+            MAX(CASE WHEN grp = '2-HIGH' THEN kk END) AS kb
+          FROM (SELECT grp, COUNT(*) AS kk, MAX(CASE WHEN rn = 64 THEN h END) AS t
+                FROM sk GROUP BY grp)
+        ), sa AS (SELECT h FROM sk, th WHERE grp = '1-URGENT' AND h < th.theta),
+        sb AS (SELECT h FROM sk, th WHERE grp = '2-HIGH' AND h < th.theta),
+        cnts AS (
+          SELECT
+            (SELECT COUNT(*) FROM sa WHERE h IN (SELECT h FROM sb)) AS ic,
+            (SELECT COUNT(*) FROM (SELECT h FROM sa UNION SELECT h FROM sb)) AS uc,
+            (SELECT COUNT(*) FROM sa WHERE h NOT IN (SELECT h FROM sb)) AS dc
+        ), ex AS (
+          SELECT
+            (SELECT COUNT(*) FROM (SELECT o_custkey FROM d WHERE grp = '1-URGENT') a
+             WHERE a.o_custkey IN (SELECT o_custkey FROM d WHERE grp = '2-HIGH')) AS ie,
+            (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM d)) AS ue,
+            (SELECT COUNT(*) FROM (SELECT o_custkey FROM d WHERE grp = '1-URGENT') a
+             WHERE a.o_custkey NOT IN (SELECT o_custkey FROM d WHERE grp = '2-HIGH')) AS de
+        )
+        SELECT CAST(ka AS BIGINT) AS ka, CAST(kb AS BIGINT) AS kb,
+          CASE WHEN theta >= 1152921504606846976 THEN CAST(ic AS BIGINT)
+               ELSE CAST(ROUND(CAST(CAST(CAST(ic AS DOUBLE) * 1152921504606846976.0
+                 / CAST(theta AS DOUBLE) AS VARCHAR) AS DECIMAL(38,15)), 0) AS BIGINT) END AS inter_est,
+          CAST(ie AS BIGINT) AS inter_exact,
+          CASE WHEN theta >= 1152921504606846976 THEN CAST(uc AS BIGINT)
+               ELSE CAST(ROUND(CAST(CAST(CAST(uc AS DOUBLE) * 1152921504606846976.0
+                 / CAST(theta AS DOUBLE) AS VARCHAR) AS DECIMAL(38,15)), 0) AS BIGINT) END AS union_est,
+          CAST(ue AS BIGINT) AS union_exact,
+          CASE WHEN theta >= 1152921504606846976 THEN CAST(dc AS BIGINT)
+               ELSE CAST(ROUND(CAST(CAST(CAST(dc AS DOUBLE) * 1152921504606846976.0
+                 / CAST(theta AS DOUBLE) AS VARCHAR) AS DECIMAL(38,15)), 0) AS BIGINT) END AS diff_est,
+          CAST(de AS BIGINT) AS diff_exact,
+          CAST(CASE WHEN uc = 0 THEN 0 ELSE ic * 1000 // uc END AS BIGINT) AS jaccard_est_permille,
+          CAST(CASE WHEN ue = 0 THEN 0 ELSE ie * 1000 // ue END AS BIGINT) AS jaccard_exact_permille
+        FROM th, cnts, ex
+      """.trim)),
+
     // Poisson bootstrap CI — THE single-pass resampling technique at
     // scale (classical bootstrap resamples the dataset B times; the
     // Poisson approximation draws each row's per-resample multiplicity
