@@ -295,6 +295,41 @@ object StreamOps extends OpGroup {
       },
       None),
 
+    // LEFT-OUTER stream-stream join — the state-EVICTION path the inner
+    // interval join above never exercises: a click with no purchase in
+    // its (0, 5 min] window can only emit its null-padded row once the
+    // watermark proves no matching purchase can still arrive (ts1 + 5 min
+    // < watermark), i.e. the null row is produced BY state eviction, not
+    // by the join probe. Clicks whose window is still open when the
+    // stream ends stay in state and never surface — the honest streaming
+    // semantics, which the ScalaTest twin reproduces by restricting the
+    // batch anti-join to watermark-closed clicks. Matched rows are
+    // identical to the inner join's and are pinned to the same batch
+    // truth. At 100 TB/day this outer flavor is the funnel-abandonment
+    // query (clicked, never purchased) that unbounded-state joins cannot
+    // run at all; the two-sided watermark + interval bound cap state
+    // exactly as in the inner op.
+    Op("stream_stream_outer_join",
+      (s, dir) => {
+        val clicks = eventStream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("u1"), col("ts").as("ts1"))
+          .withWatermark("ts1", "1 hour")
+        val purchases = eventStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u2"), col("ts").as("ts2"))
+          .withWatermark("ts2", "1 hour")
+        val joined = clicks.join(purchases,
+          expr("u1 = u2 AND ts2 > ts1 AND ts2 <= ts1 + INTERVAL 5 MINUTE"),
+          "leftOuter")
+        runToMemory(s, joined, "graft_stream_ssojoin", "append")
+          .groupBy(col("u1").as("user_id"))
+          .agg(sum(when(col("u2").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+            sum(when(col("u2").isNull, 1L).otherwise(0L)).as("n_abandoned"))
+          .orderBy("user_id")
+      },
+      None),
+
     // foreachBatch file sink: the exactly-once escape hatch — each
     // micro-batch lands as parquet (idempotent by batchId in production;
     // here one AvailableNow batch), then the landed files are read back

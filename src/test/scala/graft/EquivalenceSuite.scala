@@ -81,6 +81,50 @@ class EquivalenceSuite extends AnyFunSuite {
     assert(streaming == batch)
   }
 
+  test("stream_stream_outer_join: matched rows equal the inner truth; null rows are exactly the watermark-closed abandons") {
+    val streaming = rows("stream_stream_outer_join")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Matched side: identical to the inner interval join's oracle-checked
+    // batch truth (outer adds rows, never changes matches).
+    val pairs = streaming.filter(_._2 > 0).map(t => (t._1, t._2)).toSet
+    val batchPairs = SparkEntry.queries("join_range_interval")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty && pairs == batchPairs)
+    // Null-padded side: a click abandons only once the watermark CLOSES
+    // its 5-min window (ts1 + 5min < global watermark = min of the two
+    // sides' max-event-time − 1 h); later clicks stay in state and never
+    // surface — the eviction semantics this op exists to pin.
+    val ev = Tables.events(spark, sf0001)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("u1"), col("ts").as("ts1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("ts2"))
+    val maxC = c.agg(max("ts1")).head().getAs[java.time.LocalDateTime](0)
+    val maxP = p.agg(max("ts2")).head().getAs[java.time.LocalDateTime](0)
+    val w = (if (maxC.isBefore(maxP)) maxC else maxP).minusHours(1)
+    val abandoned = c
+      .join(p, expr("u1 = u2 AND ts2 > ts1 AND ts2 <= ts1 + INTERVAL 5 MINUTE"), "left_anti")
+      .filter(col("ts1") + expr("INTERVAL 5 MINUTE") < lit(w))
+      .groupBy("u1").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamAbandoned = streaming.filter(_._3 > 0).map(t => (t._1, t._3)).toSet
+    assert(abandoned.nonEmpty && streamAbandoned == abandoned,
+      s"eviction-closed abandons diverge: stream=$streamAbandoned batch=$abandoned")
+    // RocksDB state store must evict and null-pad identically.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = rows("stream_stream_outer_join")
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rocks.nonEmpty && rocks.toSet == streaming.toSet)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stream_foreach_batch_sink counts match batch per-type counts") {
     val streaming = rows("stream_foreach_batch_sink")
       .map(r => (r.getString(0), r.getLong(1))).toSet
