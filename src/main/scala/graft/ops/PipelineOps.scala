@@ -677,7 +677,7 @@ object PipelineOps extends OpGroup {
       val fin = kmeansLoop(q)
       graft.Caches.track(s, dir, "kmeans_trained",
         Set("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk",
-          "vec_ivf_probe_sweep"),
+          "vec_ivf_probe_sweep", "vec_pq_residual_topk"),
         () => kmeansCache.remove((s, dir)).foreach { case (qf, af) =>
           graft.Caches.releaseCheckpoint(qf)
           graft.Caches.releaseCheckpoint(af)
@@ -1908,6 +1908,185 @@ object PipelineOps extends OpGroup {
           SELECT vec_id, CAST(SUM(dscaled) AS BIGINT) AS approx_dist_scaled
           FROM codes JOIN adc ON codes.s = adc.s AND codes.code = adc.cl
           GROUP BY vec_id
+          ORDER BY approx_dist_scaled, vec_id LIMIT 10)
+        SELECT vec_id, approx_dist_scaled,
+          CAST(ROUND(CAST(CAST(
+            list_dot_product(CAST(e.embedding AS DOUBLE[]), qq.qemb)
+              / (sqrt(greatest(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(qq.qemb, x -> x * x)), 1e-300)))
+            AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS cos_sim
+        FROM approx JOIN embeddings e USING (vec_id), qq
+        ORDER BY cos_sim DESC, vec_id
+      """.trim)),
+
+    // IVF + RESIDUAL PQ — the FAISS-standard refinement vec_ivf_pq_topk's
+    // scaladoc defers (round-13 verdict item 7): PQ encodes each vector's
+    // RESIDUAL against its trained cell's centroid, not the raw vector.
+    // Residuals are near-zero-mean within a cell, so the same 8×|labels|
+    // codebook budget spends its precision on the part the coarse
+    // quantizer didn't already explain — the reason every production
+    // IVF-PQ does this. Mechanics: residuals re-quantize to the SAME
+    // 1e-3 integer units as qv (one repr-rounded ROUND per component —
+    // rule 9 — keeping every downstream codebook sum an exact BIGINT and
+    // the BIGINT overflow headroom identical to the raw op); codebooks,
+    // codes, and ADC reuse the raw op's exact machinery verbatim. The
+    // one structural change: the query's residual DIFFERS per probed
+    // cell, so the ADC table is per (cell, s, code) — 3×8×|labels| rows,
+    // still a broadcast — and a candidate sums the table of ITS OWN
+    // cell. Exact-cosine refine on the ADC top-10 as in the raw op. At
+    // 100 TB the artifacts are the same persisted index sidecars (codes
+    // per cell partition, per-cell codebooks broadcast); scan cost is
+    // unchanged, accuracy is what improves.
+    Op("vec_pq_residual_topk",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val qemb = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        val (qv, assign, topCells) = trainedCellRoute(s, dir)
+        val cent = qv.join(assign, "vec_id")
+          .select(col("c"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("c", "pos")
+          .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+          .groupBy("c")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), t -> t.sv)").as("svec"),
+            max("n").as("n"))
+        val resExpr =
+          "zip_with(%s, svec, (a, b) -> CAST(ROUND(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) / n, 0) AS BIGINT))"
+        val rq = qv.join(assign, "vec_id").join(broadcast(cent), "c")
+          .select(col("vec_id"), col("label"), col("c"),
+            expr(resExpr.format("qv")).as("rv"))
+        val sub = rq.select(col("vec_id"), col("label"), col("c"), explode(expr(
+            "transform(sequence(0, 7), s -> named_struct('s', s, 'sq', slice(rv, s * 8 + 1, 8)))")).as("x"))
+          .select(col("vec_id"), col("label"), col("c"),
+            col("x.s").as("s"), col("x.sq").as("sq"))
+        // Residual sub-codebooks must be TRAINED, not label-seeded: a
+        // label's residual mean is ≈0 by construction (the centroid
+        // already explained the label structure), so label-mean codebooks
+        // collapse toward the origin and lose all discrimination —
+        // measured worse than raw PQ before this Lloyd round. One
+        // label-seeded round then one re-estimation is the kmeansLoop
+        // recipe per subspace: assignments by compare-only double
+        // distance, centroids exact BIGINT sums.
+        def cbOf(a: org.apache.spark.sql.DataFrame) =
+          sub.join(a, Seq("vec_id", "s"))
+            .select(col("s"), col("cl"), posexplode(col("sq")).as(Seq("pos", "v")))
+            .groupBy("s", "cl", "pos")
+            .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+            .groupBy("s", "cl")
+            .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), t -> t.sv)").as("svec"),
+              max("n").as("n"))
+        val c1r = cbOf(sub.select(col("vec_id"), col("s"), col("label").as("cl")))
+        val a1r = sub.join(broadcast(c1r), Seq("s"))
+          .withColumn("dist", expr("vec_l2q_dist(sq, svec, n)"))
+          .groupBy("vec_id", "s")
+          .agg(min(struct(col("dist"), col("cl"))).as("m"))
+          .select(col("vec_id"), col("s"), col("m.cl").as("cl"))
+        val cb = cbOf(a1r).localCheckpoint(true)
+        graft.Caches.track(s, dir, "pq_residual_cb", Set("vec_pq_residual_topk"),
+          () => graft.Caches.releaseCheckpoint(cb))
+        val cand = assign.join(broadcast(topCells), "c")
+          .filter(col("vec_id") =!= 0).select("vec_id", "c")
+        val codes = sub.join(cand.select("vec_id"), Seq("vec_id"), "leftsemi")
+          .join(broadcast(cb), Seq("s"))
+          .withColumn("dist", expr("vec_l2q_dist(sq, svec, n)"))
+          .groupBy("vec_id", "c", "s")
+          .agg(min(struct(col("dist"), col("cl"))).as("m"))
+          .select(col("vec_id"), col("c"), col("s"), col("m.cl").as("code"))
+        val q0 = qv.filter(col("vec_id") === 0).select(col("qv").as("q0"))
+        val qres = topCells.join(cent, "c").crossJoin(broadcast(q0))
+          .select(col("c"), expr(resExpr.format("q0")).as("qr"))
+        val qsub = qres.select(col("c").as("adc_c"), explode(expr(
+            "transform(sequence(0, 7), s -> named_struct('s', s, 'sq', slice(qr, s * 8 + 1, 8)))")).as("x"))
+          .select(col("adc_c"), col("x.s").as("adc_s"), col("x.sq").as("qsq"))
+        val adc = qsub.join(cb, col("adc_s") === col("s"))
+          .select(col("adc_c"), col("adc_s"), col("cl").as("adc_cl"),
+            expr("CAST(FLOOR(vec_l2q_dist(qsq, svec, n) * 1000000) AS BIGINT)").as("dscaled"))
+        val approx = codes.join(broadcast(adc),
+            col("c") === col("adc_c") && col("s") === col("adc_s")
+              && col("code") === col("adc_cl"))
+          .groupBy("vec_id").agg(sum("dscaled").as("approx_dist_scaled"))
+          .orderBy(col("approx_dist_scaled"), col("vec_id")).limit(10)
+        approx.join(e, "vec_id")
+          .crossJoin(broadcast(qemb))
+          .withColumn("sim", expr("vec_dot(embedding, qemb)")
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
+          .select(col("vec_id"), col("approx_dist_scaled"),
+            (round(col("sim"), 3) + 0.0).as("cos_sim"))
+          .orderBy(desc("cos_sim"), asc("vec_id"))
+      },
+      Some(s"""
+        WITH ${kmeansCtes()},
+        $trainedCellCtes,
+        rq AS (
+          SELECT q.vec_id, q.label, a.c,
+            list_transform(range(1, len(q.qv) + 1), i ->
+              CAST(ROUND(CAST(CAST(CAST(q.qv[i] AS DOUBLE) - CAST(c4.svec[i] AS DOUBLE) / c4.n
+                AS VARCHAR) AS DECIMAL(38,15)), 0) AS BIGINT)) AS rv
+          FROM q JOIN a3 a USING (vec_id) JOIN c4 ON c4.clabel = a.c),
+        sub AS (
+          SELECT vec_id, label, c, i.s AS s, rv[(i.s * 8 + 1):(i.s * 8 + 8)] AS sq
+          FROM rq, (SELECT unnest(range(8)) AS s) i
+        ), c1r AS (
+          SELECT s, cl, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT s, cl, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT s, label AS cl, generate_subscripts(sq, 1) - 1 AS pos,
+                unnest(sq) AS v
+              FROM sub
+            ) GROUP BY s, cl, pos
+          ) GROUP BY s, cl
+        ), a1r AS (
+          SELECT vec_id, s, cl FROM (
+            SELECT sub.vec_id, sub.s, c.cl,
+              ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+                list_sum(list_transform(range(1, len(sq) + 1), i ->
+                  (CAST(sq[i] AS DOUBLE) - CAST(c.svec[i] AS DOUBLE) / c.n)
+                    * (CAST(sq[i] AS DOUBLE) - CAST(c.svec[i] AS DOUBLE) / c.n))), c.cl) AS rk
+            FROM sub JOIN c1r c USING (s)
+          ) WHERE rk = 1
+        ), cb AS (
+          SELECT s, cl, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT s, cl, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT sub.s, a.cl, generate_subscripts(sub.sq, 1) - 1 AS pos,
+                unnest(sub.sq) AS v
+              FROM sub JOIN a1r a ON a.vec_id = sub.vec_id AND a.s = sub.s
+            ) GROUP BY s, cl, pos
+          ) GROUP BY s, cl
+        ), cand AS (
+          SELECT vec_id FROM a3 a JOIN cells ce ON a.c = ce.c
+          WHERE vec_id <> 0
+        ), dist AS (
+          SELECT sub.vec_id, sub.c, sub.s, cb.cl,
+            list_sum(list_transform(range(1, len(sq) + 1), i ->
+              (CAST(sq[i] AS DOUBLE) - CAST(cb.svec[i] AS DOUBLE) / cb.n)
+                * (CAST(sq[i] AS DOUBLE) - CAST(cb.svec[i] AS DOUBLE) / cb.n))) AS dist
+          FROM sub JOIN cb USING (s)
+        ), codes AS (
+          SELECT vec_id, c, s, cl AS code FROM (
+            SELECT d.vec_id, d.c, d.s, d.cl,
+              ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s ORDER BY d.dist, d.cl) AS rk
+            FROM dist d
+            WHERE d.vec_id IN (SELECT vec_id FROM cand)
+          ) WHERE rk = 1
+        ), qres AS (
+          SELECT ce.c,
+            list_transform(range(1, len(q0.qv) + 1), i ->
+              CAST(ROUND(CAST(CAST(CAST(q0.qv[i] AS DOUBLE) - CAST(c4.svec[i] AS DOUBLE) / c4.n
+                AS VARCHAR) AS DECIMAL(38,15)), 0) AS BIGINT)) AS qr
+          FROM cells ce JOIN c4 ON c4.clabel = ce.c,
+            (SELECT qv FROM q WHERE vec_id = 0) q0
+        ), qsub AS (
+          SELECT c, i.s AS s, qr[(i.s * 8 + 1):(i.s * 8 + 8)] AS qsq
+          FROM qres, (SELECT unnest(range(8)) AS s) i
+        ), adc AS (
+          SELECT qsub.c, qsub.s, cb.cl,
+            CAST(FLOOR(list_sum(list_transform(range(1, len(qsq) + 1), i ->
+              (CAST(qsq[i] AS DOUBLE) - CAST(cb.svec[i] AS DOUBLE) / cb.n)
+                * (CAST(qsq[i] AS DOUBLE) - CAST(cb.svec[i] AS DOUBLE) / cb.n))) * 1000000) AS BIGINT) AS dscaled
+          FROM qsub JOIN cb USING (s)
+        ), approx AS (
+          SELECT codes.vec_id, CAST(SUM(adc.dscaled) AS BIGINT) AS approx_dist_scaled
+          FROM codes JOIN adc
+            ON codes.c = adc.c AND codes.s = adc.s AND codes.code = adc.cl
+          GROUP BY codes.vec_id
           ORDER BY approx_dist_scaled, vec_id LIMIT 10)
         SELECT vec_id, approx_dist_scaled,
           CAST(ROUND(CAST(CAST(
