@@ -195,39 +195,44 @@ object Bench {
       Caches.keyDone(spark, sfDir, name)
       results(name) = best
     }
-    // Isolated quiet-confirm pass (round-11 verdict item 5): a key over
-    // the per-key budget whose breach class is NOT confirmed_hot was only
-    // ever measured under suspect host conditions — in-pass reruns can
-    // self-confirm when contention spans both reps. Before the artifact
-    // records such a breach as genuine, wait (bounded) for the host to go
-    // quiet — zero steal over a 2 s window and 1-min loadavg under the
-    // thread count — then rerun once in isolation (all shared caches
-    // dropped, fixture rebuilt untimed, exactly BenchOne's shape). An
-    // under-budget isolated time downgrades the key to its quiet cost
-    // ("recovered"); a still-over time under a QUIET host is the real
-    // thing ("confirmed_hot").
-    for ((name, best) <- results.toSeq if best > BudgetSec
-         && breach.getOrElse(name, "") != "confirmed_hot") {
-      var waited = 0
+    // Isolated adjudication pass (round-13 verdict item 8, generalizing
+    // round-11 item 5): EVERY key that kept a breach label — not only the
+    // over-budget ones — gets ONE isolated rerun (all shared caches
+    // dropped, fixture rebuilt untimed, exactly BenchOne's shape) after a
+    // bounded wait for the host to go quiet (zero steal over a 2 s
+    // window, 1-min loadavg under the thread count). The isolated figure
+    // is RECORDED in the artifact ("iso" map) so a breach entry carries
+    // its own adjudication instead of costing the next round a manual
+    // BenchOne (r12: vec_knn_graph, r13: vec_lsh_topk — both misfired
+    // confirmed_hot under residual load). Labeling from the figure: an
+    // isolated time well under the in-pass best (<0.7×) proves the pair
+    // of in-pass reps shared contention → "recovered"; a reproduced cost
+    // is "confirmed_hot" only under a verified-quiet host, else it stays
+    // "contention_suspect" — never mint a confident class from noisy
+    // evidence.
+    val iso = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var isoBudget = 120.0   // seconds of isolated reruns, soft cap
+    var quietWaits = 15     // shared across the pass (~2 s each)
+    def quiet(): Boolean = {
+      val s0 = stealJiffies
+      Thread.sleep(2000)
+      stealJiffies == s0 && load1m >= 0 && load1m <= cpus.toDouble
+    }
+    for ((name, cls) <- breach.toSeq if cls != "recovered" && isoBudget > 0) {
+      val best = results(name)
       var isQuiet = false
-      def quiet(): Boolean = {
-        val s0 = stealJiffies
-        Thread.sleep(2000)
-        stealJiffies == s0 && load1m >= 0 && load1m <= cpus.toDouble
-      }
-      while ({ isQuiet = quiet(); !isQuiet } && waited < 30) waited += 1 // ≤ ~62 s wait
+      while ({ isQuiet = quiet(); !isQuiet } && quietWaits > 0) quietWaits -= 1
       Caches.releaseAll(spark, sfDir)
       Setups.warm(spark, sfDir, Set(name))
-      val iso = timeOnce(SparkEntry.queries(name))
+      val t = timeOnce(SparkEntry.queries(name))
+      isoBudget -= t
       Caches.keyDone(spark, sfDir, name)
-      // Host never went quiet → the isolated rep proves nothing either
-      // way; leave the suspect label standing rather than minting a
-      // confident class from noisy evidence.
+      iso(name) = t
       breach(name) =
-        if (iso <= BudgetSec) "recovered"
+        if (t < best * 0.7) "recovered"
         else if (isQuiet) "confirmed_hot"
         else "contention_suspect"
-      results(name) = math.min(best, iso)
+      results(name) = math.min(best, t)
     }
     val stealDelta = if (steal0 >= 0 && stealJiffies >= 0) stealJiffies - steal0 else -1L
     val load1 = procLine("/proc/loadavg").split("\\s+").take(3).mkString(",")
@@ -254,8 +259,10 @@ object Bench {
       .mkString("\"cold\":{", ",", "}")
     val breachJson = breach.map { case (k, c) => s""""$k":"$c"""" }
       .mkString("\"breach\":{", ",", "}")
+    val isoJson = iso.map { case (k, v) => s""""$k":${sec3(v)}""" }
+      .mkString("\"iso\":{", ",", "}")
     val json =
-      s"""{$envJson,$rerunsJson,$coldJson,$breachJson,"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${sec3(total)}}"""
+      s"""{$envJson,$rerunsJson,$coldJson,$breachJson,$isoJson,"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${sec3(total)}}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))

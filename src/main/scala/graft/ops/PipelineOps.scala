@@ -45,7 +45,7 @@ object PipelineOps extends OpGroup {
     */
   private val SimConsumers = Set(
     "text_simhash", "text_simhash_neardup", "text_dedup_clusters", "text_dedup_keep_best",
-    "text_dedup_incremental")
+    "text_dedup_incremental", "text_simhash_radius_sweep")
 
   private def simhashSigs(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.Caches.memo(sigCache, (s, dir), {
@@ -738,7 +738,7 @@ object PipelineOps extends OpGroup {
         Set("graph_triangle_count", "graph_connected_components",
           "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
           "vec_graph_beam_search", "graph_louvain_step", "graph_louvain_converge",
-          "graph_kcore_peel", "vec_hnsw_search"),
+          "graph_kcore_peel", "vec_hnsw_search", "graph_bfs_hops"),
         () => mutualEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       mutual
     })
@@ -1044,6 +1044,63 @@ object PipelineOps extends OpGroup {
       Some(s"""
         WITH $simsSql
         SELECT a, b, hamming FROM pairs ORDER BY a, b
+      """.trim)),
+
+    // Hamming-RADIUS SWEEP — the dedup tuning curve (vec_ivf_probe_sweep's
+    // pattern applied to SimHash): pair count, docs-with-a-dup, and dup
+    // rate at every radius 0..3, the table the "how aggressive should the
+    // near-dup cut be" decision reads. Radii ≤3 are EXACT, not
+    // probabilistic: 4 bands of 15 bits mean a pair differing in ≤3 bits
+    // has a clean band by pigeonhole, so the banded candidates contain
+    // every such pair. One explode of the shared cached edge list over
+    // its eligible radii — the banding/hamming work is the same cached
+    // frame every simhash key amortizes; no new scan of the corpus at any
+    // radius. At 100 TB the curve costs one sketch-sized aggregation on
+    // top of the dedup pipeline's existing candidates.
+    Op("text_simhash_radius_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val e = simhashEdges(s, dir).select("a", "b", "hamming")
+        val contrib = e.select(col("a"), col("b"),
+          explode(expr("sequence(hamming, 3)")).as("radius"))
+        val pairs = contrib.groupBy("radius").agg(count(lit(1)).as("n_pairs"))
+        val docs = contrib.select(col("radius"), col("a").as("d"))
+          .union(contrib.select(col("radius"), col("b").as("d")))
+          .distinct()
+          .groupBy("radius").agg(count(lit(1)).as("nd"))
+        val nDocs = Tables.t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+        Seq(0, 1, 2, 3).toDF("radius")
+          .join(pairs, Seq("radius"), "left")
+          .join(docs, Seq("radius"), "left")
+          .crossJoin(broadcast(nDocs))
+          .select(col("radius"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("nd"), lit(0L)).as("n_docs_with_dup"),
+            expr("coalesce(nd, 0L) * 1000 DIV n_docs").as("dup_rate_permille"))
+          .orderBy("radius")
+      },
+      Some(s"""
+        WITH $simsSql,
+        contrib AS (
+          SELECT a, b, radius FROM pairs,
+            (SELECT unnest(range(4)) AS radius) r
+          WHERE radius >= hamming),
+        p AS (SELECT radius, COUNT(*) AS n_pairs FROM contrib GROUP BY radius),
+        d AS (
+          SELECT radius, COUNT(*) AS nd FROM (
+            SELECT DISTINCT radius, d FROM (
+              SELECT radius, a AS d FROM contrib
+              UNION ALL SELECT radius, b FROM contrib)
+          ) GROUP BY radius),
+        ndocs AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT CAST(s.radius AS INT) AS radius,
+          CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+          CAST(COALESCE(d.nd, 0) AS BIGINT) AS n_docs_with_dup,
+          CAST(COALESCE(d.nd, 0) * 1000 // ndocs.n_docs AS BIGINT) AS dup_rate_permille
+        FROM (SELECT unnest(range(4)) AS radius) s
+        LEFT JOIN p ON p.radius = s.radius
+        LEFT JOIN d ON d.radius = s.radius, ndocs
+        ORDER BY radius
       """.trim)),
 
     // Near-dup CLUSTERS: connected components over the hamming≤3 pair
@@ -5452,6 +5509,99 @@ object PipelineOps extends OpGroup {
           GROUP BY f.fc
           ORDER BY n_base DESC, comm LIMIT 15)
         ORDER BY n_base DESC, comm
+        """.trim
+      }),
+
+    // MULTI-SOURCE BFS — hop distance from the nearest label exemplar
+    // (min-id node per label), the classic frontier-expansion member the
+    // graph family was missing next to CC/pagerank/label-prop/k-core:
+    // per hop 0..6, how many nodes the frontier reaches, plus the
+    // unreachable remainder (hop −1). Per round: one keyed join of the
+    // frontier against the shared checkpointed edge set + an anti-join
+    // against the visited set — never a whole-graph pass; the visited
+    // frame re-checkpoints per round with the predecessor released (the
+    // kcore-loop lineage discipline) and the convergence signal is one
+    // driver scalar (frontier count). Early-stop on an empty frontier is
+    // exact vs the oracle's fixed 6 unrolled rounds (an empty frontier
+    // generates nothing forever). At 100 TB: each round shuffles only
+    // frontier-adjacent edges — BFS cost is O(Σ frontier degrees), the
+    // property every distributed traversal (Pregel superstep) relies on.
+    Op("graph_bfs_hops",
+      (s, dir) => {
+        val m = mutualKnnEdges(s, dir)
+        val sym = m.select(col("a").as("src"), col("b").as("dst"))
+          .union(m.select(col("b").as("src"), col("a").as("dst")))
+        val seeds = m.select(col("l"), col("a").as("n"))
+          .union(m.select(col("l"), col("b").as("n")))
+          .groupBy("l").agg(min("n").as("n")).select("n").distinct()
+        var visited = seeds.withColumn("hop", lit(0)).localCheckpoint(true)
+        var frontier = visited
+        var hop = 0
+        var emptied = false
+        while (hop < 6 && !emptied) {
+          hop += 1
+          val next = sym.join(frontier.select(col("n").as("src")), "src")
+            .select(col("dst").as("n")).distinct()
+            .join(visited.select("n"), Seq("n"), "leftanti")
+            .withColumn("hop", lit(hop))
+          val nv = visited.union(next).localCheckpoint(true)
+          frontier = nv.filter(col("hop") === hop)
+          emptied = frontier.isEmpty
+          graft.Caches.releaseCheckpoint(visited)
+          visited = nv
+        }
+        val vFinal = visited
+        graft.Caches.track(s, dir, "bfs_visited", Set("graph_bfs_hops"),
+          () => graft.Caches.releaseCheckpoint(vFinal))
+        val nodes = sym.select(col("src").as("n")).distinct()
+        val reach = nodes.join(vFinal, Seq("n"), "left")
+          .groupBy(coalesce(col("hop"), lit(-1)).as("hop"))
+          .agg(count(lit(1)).as("n_nodes"))
+        reach.orderBy("hop")
+      },
+      Some {
+        val rounds = (1 to 6).map { i =>
+          s"""
+          f$i AS MATERIALIZED (
+            SELECT DISTINCT g.dst AS n FROM sym g
+            JOIN f${i - 1} f ON g.src = f.n
+            WHERE g.dst NOT IN (SELECT n FROM v${i - 1})),
+          v$i AS MATERIALIZED (
+            SELECT n, hop FROM v${i - 1}
+            UNION ALL SELECT n, $i AS hop FROM f$i)"""
+        }.mkString(",")
+        s"""
+        WITH knn AS MATERIALIZED (
+          SELECT l, a, b FROM (
+            SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
+              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
+                y.vec_id) AS rk
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          ) WHERE rk <= $MutualKnnK),
+        mutual AS MATERIALIZED (
+          SELECT k1.l, k1.a, k1.b FROM knn k1 JOIN knn k2
+            ON k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b),
+        sym AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM mutual
+          UNION ALL SELECT b, a FROM mutual),
+        seeds AS MATERIALIZED (
+          SELECT DISTINCT n FROM (
+            SELECT l, MIN(n) AS n FROM (
+              SELECT l, a AS n FROM mutual UNION ALL SELECT l, b FROM mutual
+            ) GROUP BY l)),
+        f0 AS MATERIALIZED (SELECT n FROM seeds),
+        v0 AS MATERIALIZED (SELECT n, 0 AS hop FROM seeds),
+        $rounds
+        SELECT CAST(hop AS INT) AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
+          SELECT COALESCE(v.hop, -1) AS hop
+          FROM (SELECT DISTINCT src AS n FROM sym) nodes
+          LEFT JOIN v6 v ON v.n = nodes.n)
+        GROUP BY hop ORDER BY hop
         """.trim
       }),
 
