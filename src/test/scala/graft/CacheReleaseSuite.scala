@@ -19,7 +19,7 @@ class CacheReleaseSuite extends AnyFunSuite {
   private val dir = TestSpark.sf0001
 
   private val simFamily = Seq(
-    "text_simhash", "text_simhash_neardup",
+    "text_simhash", "text_simhash_neardup", "text_simhash_radius_sweep",
     "text_dedup_clusters", "text_dedup_keep_best", "text_dedup_incremental")
 
   test("simhash-family caches release after their last consumer key") {
