@@ -767,6 +767,91 @@ object EventOps extends OpGroup {
         FROM rec WHERE i = n ORDER BY event_type
       """.trim)),
 
+    // HOLT-WINTERS additive (triple exponential) smoothing — the seasonal
+    // completion of ts_holt_linear: level + trend + a rolling 7-slot
+    // weekly seasonal state, α=0.5 β=0.25 γ=0.25 (binary fractions — both
+    // engines compute bit-identical doubles when the expression trees
+    // match, the holt_linear determinism argument extended to the
+    // seasonal array). Init is the textbook two-week split: l₀ = mean of
+    // week 2, b₀ = (week-2 mean − week-1 mean)/7, s = week 2's deviations
+    // from l₀; series shorter than 15 days are filtered on BOTH engines
+    // (no seasonal cycle to estimate — the degenerate-fixture guard).
+    // Init sums are integer-valued daily counts, so summation order
+    // cannot perturb them. The fold carries (l, b, ss[7]) through a
+    // higher-order aggregate over the pre-collected daily array — per
+    // type the heavy work is the same one partial-aggregating rollup of
+    // raw events as holt_linear; the smoothing state is metadata-sized.
+    // Forecast_next = l + b + s_{t+1−7} (the oldest live seasonal slot).
+    Op("ts_holt_winters",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+          .agg(count(lit(1)).cast("double").as("v"))
+        val lNew = "0.5D * (x.v - element_at(a.ss, 1)) + 0.5D * (a.l + a.b)"
+        daily.groupBy("event_type")
+          .agg(expr("array_sort(collect_list(struct(d, v)))").as("m"),
+            count(lit(1)).as("n_days"))
+          .filter(col("n_days") >= 15)
+          .withColumn("pre", expr(
+            "aggregate(slice(m, 1, 7), CAST(0 AS DOUBLE), (a, x) -> a + x.v) / 7"))
+          .withColumn("l0", expr(
+            "aggregate(slice(m, 8, 7), CAST(0 AS DOUBLE), (a, x) -> a + x.v) / 7"))
+          .withColumn("b0", expr("(l0 - pre) / 7"))
+          .withColumn("ss0", expr("transform(slice(m, 8, 7), x -> x.v - l0)"))
+          .withColumn("h", expr(
+            s"""aggregate(slice(m, 15, size(m) - 14),
+                named_struct('l', l0, 'b', b0, 'ss', ss0),
+                (a, x) -> named_struct(
+                  'l', $lNew,
+                  'b', 0.25D * (($lNew) - a.l) + 0.75D * a.b,
+                  'ss', concat(slice(a.ss, 2, 6), array(
+                    0.25D * (x.v - ($lNew)) + 0.75D * element_at(a.ss, 1)))))"""))
+          .select(col("event_type"), col("n_days"),
+            (round(col("h.l"), 4) + 0.0).as("level"),
+            (round(col("h.b"), 4) + 0.0).as("trend"),
+            (round(expr("element_at(h.ss, 1)"), 4) + 0.0).as("season_next"),
+            (round(expr("h.l + h.b + element_at(h.ss, 1)"), 4) + 0.0).as("forecast_next"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH RECURSIVE daily AS (
+          SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+            CAST(COUNT(*) AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT event_type, v,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM daily),
+        grp AS (
+          SELECT event_type, MAX(n) AS n, list(v ORDER BY i) AS vs
+          FROM idx GROUP BY event_type HAVING MAX(n) >= 15),
+        base AS (
+          SELECT event_type, n, vs,
+            list_sum(vs[1:7]) / 7 AS pre,
+            list_sum(vs[8:14]) / 7 AS l0
+          FROM grp),
+        rec AS (
+          SELECT event_type, 14 AS i, n, vs,
+            l0 AS l, (l0 - pre) / 7 AS b,
+            list_transform(vs[8:14], x -> x - l0) AS ss
+          FROM base
+          UNION ALL
+          SELECT event_type, i + 1, n, vs,
+            0.5 * (vs[i + 1] - ss[1]) + 0.5 * (l + b) AS l,
+            0.25 * ((0.5 * (vs[i + 1] - ss[1]) + 0.5 * (l + b)) - l) + 0.75 * b AS b,
+            list_append(ss[2:7],
+              0.25 * (vs[i + 1] - (0.5 * (vs[i + 1] - ss[1]) + 0.5 * (l + b)))
+                + 0.75 * ss[1]) AS ss
+          FROM rec WHERE i < n)
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+          CAST(ROUND(CAST(CAST(l AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS level,
+          CAST(ROUND(CAST(CAST(b AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS trend,
+          CAST(ROUND(CAST(CAST(ss[1] AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS season_next,
+          CAST(ROUND(CAST(CAST(l + b + ss[1] AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS forecast_next
+        FROM rec WHERE i = n ORDER BY event_type
+      """.trim)),
+
     // (event_type, weekday) — the per-cell traffic shape a forecaster or
     // anomaly detector conditions on. Two-level aggregation: the daily
     // rollup shrinks raw events to |types|×|days| before the profile agg,

@@ -758,6 +758,29 @@ class UnitSuite extends AnyFunSuite {
     assert(got.toSeq == Seq(("x", 3L, 2.875, 0.8125, 3.6875)))
   }
 
+  test("holt-winters: hand-computed 15-day fixture (one fold step) and the short-series filter") {
+    // Type x: daily counts 1..7 (week 1, mean 4), 8..14 (week 2, mean 11),
+    // then 22 on day 15. Init: l0=11, b0=(11-4)/7=1, ss=[-3..3]. The one
+    // fold step: l=0.5·(22-(-3))+0.5·12=18.5; b=0.25·7.5+0.75=2.625;
+    // s_new=0.25·3.5-2.25=-1.375; season_next = shifted ss head = -2;
+    // forecast = 18.5+2.625-2 = 19.125. All binary fractions — exact.
+    // Type y has only 14 days → filtered (no seasonal cycle to estimate).
+    val d0 = 1704067200L * 1000000000L
+    val day = 86400L * 1000000000L
+    val counts = (1 to 7) ++ (8 to 14) :+ 22
+    var id = 0L
+    val xRows = counts.zipWithIndex.flatMap { case (c, i) =>
+      (1 to c).map { _ => id += 1; (id, d0 + i * day, 1L, "x", 1.0, "{}") }
+    }
+    val yRows = (0 until 14).map { i => id += 1; (id, d0 + i * day, 1L, "y", 1.0, "{}") }
+    val dir = miniDir("events" -> (xRows ++ yRows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = SparkEntry.queries("ts_holt_winters")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(("x", 15L, 18.5, 2.625, -2.0, 19.125)))
+  }
+
   test("graph greedy search: walks the mutual-kNN graph to the best node") {
     // 4 items at angles 80/60/40/20 degrees from the query [1,0], one
     // label. The query node participates in the kNN graph BUILD (it is a
