@@ -1540,6 +1540,72 @@ object AggOps extends OpGroup {
         FROM adj ORDER BY arm
       """.trim)),
 
+    // ROBUST LOCATION — trimmed and winsorized means per order priority,
+    // the outlier-resistant pair every metrics pipeline publishes next to
+    // the raw mean (one fat-finger order should not move the KPI). Exact
+    // integer machinery end-to-end: prices become cents (BIGINT), ranks
+    // are a deterministic (value, orderkey) row_number, k = n DIV 10
+    // rows trim from each tail, and winsorizing re-adds k copies of the
+    // exact boundary cents — the only doubles are the three final
+    // quotients, repr-rounded per §2.0 rule 9. n − 2k > 0 always
+    // (k ≤ n/10), so the degenerate-group case needs no guard. The
+    // window sorts each priority's slice only (|orders|/5 per partition);
+    // at 100 TB the same report drops the full sort: the two boundary
+    // cents are order statistics (distributed selection or the
+    // approx-percentile sketch) and everything else is one conditional
+    // partial aggregate.
+    Op("agg_robust_mean",
+      (s, dir) => {
+        val repr2 = (e: String) => s"CAST(ROUND($e, 2) AS DOUBLE) + 0.0"
+        Tables.t(s, dir, "orders")
+          .select(col("o_orderpriority").as("grp"),
+            expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("c"),
+            col("o_orderkey"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("grp").orderBy(col("c"), col("o_orderkey"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+          .withColumn("k", expr("n DIV 10"))
+          .groupBy("grp")
+          .agg(max("n").as("n"), max("k").as("k"),
+            sum("c").as("sum_c"),
+            sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"), col("c"))
+              .otherwise(0L)).as("trim_sum"),
+            max(when(col("rn") === col("k") + 1, col("c"))).as("lo_c"),
+            max(when(col("rn") === col("n") - col("k"), col("c"))).as("hi_c"))
+          .select(col("grp").as("priority"), col("n"),
+            expr(repr2("CAST(sum_c AS DOUBLE) / n / 100.0")).as("mean"),
+            expr(repr2("CAST(trim_sum AS DOUBLE) / (n - 2 * k) / 100.0")).as("trimmed_mean"),
+            expr(repr2("CAST(trim_sum + k * lo_c + k * hi_c AS DOUBLE) / n / 100.0")).as("winsorized_mean"))
+          .orderBy("priority")
+      },
+      Some {
+        val repr2 = (e: String) =>
+          s"CAST(ROUND(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,15)), 2) AS DOUBLE) + 0.0"
+        s"""
+        WITH o AS (
+          SELECT o_orderpriority AS grp,
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c, o_orderkey
+          FROM orders),
+        rn AS (
+          SELECT grp, c,
+            ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c, o_orderkey) AS rn,
+            COUNT(*) OVER (PARTITION BY grp) AS n
+          FROM o),
+        ag AS (
+          SELECT grp, MAX(n) AS n, MAX(n) // 10 AS k,
+            CAST(SUM(c) AS BIGINT) AS sum_c,
+            CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN c ELSE 0 END) AS BIGINT) AS trim_sum,
+            MAX(CASE WHEN rn = n // 10 + 1 THEN c END) AS lo_c,
+            MAX(CASE WHEN rn = n - n // 10 THEN c END) AS hi_c
+          FROM rn GROUP BY grp)
+        SELECT grp AS priority, CAST(n AS BIGINT) AS n,
+          ${repr2("CAST(sum_c AS DOUBLE) / n / 100.0")} AS mean,
+          ${repr2("CAST(trim_sum AS DOUBLE) / (n - 2 * k) / 100.0")} AS trimmed_mean,
+          ${repr2("CAST(trim_sum + k * lo_c + k * hi_c AS DOUBLE) / n / 100.0")} AS winsorized_mean
+        FROM ag ORDER BY priority
+        """.trim
+      }),
+
     // KMV (k-minimum-values) distinct sketch — the ORDER-STATISTICS
     // member of the sketch family (countmin counts, HLL bit-patterns,
     // bitmap exact): keep the k=64 smallest distinct 60-bit md5 hashes

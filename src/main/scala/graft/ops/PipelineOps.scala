@@ -137,7 +137,8 @@ object PipelineOps extends OpGroup {
         .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
         .localCheckpoint(true)
       graft.Caches.track(s, dir, "token_tf",
-        Set("text_hashing_tfidf", "text_lm_perplexity", "text_zipf_fit"),
+        Set("text_hashing_tfidf", "text_lm_perplexity", "text_zipf_fit",
+          "text_oov_rate"),
         () => tokenTfCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       tf
     })
@@ -677,7 +678,7 @@ object PipelineOps extends OpGroup {
       val fin = kmeansLoop(q)
       graft.Caches.track(s, dir, "kmeans_trained",
         Set("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk",
-          "vec_ivf_probe_sweep", "vec_pq_residual_topk"),
+          "vec_ivf_probe_sweep", "vec_pq_residual_topk", "vec_ivf_cell_stats"),
         () => kmeansCache.remove((s, dir)).foreach { case (qf, af) =>
           graft.Caches.releaseCheckpoint(qf)
           graft.Caches.releaseCheckpoint(af)
@@ -2217,6 +2218,68 @@ object PipelineOps extends OpGroup {
             AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS cos_sim
         FROM approx JOIN embeddings e USING (vec_id), qq
         ORDER BY cos_sim DESC, vec_id
+      """.trim)),
+
+    // IVF INDEX-HEALTH AUDIT — the cell-size distribution every IVF
+    // deployment monitors (the retrain/re-shard trigger next to
+    // vec_index_upsert's centroid-displacement column): from the shared
+    // trained assignment, per-cell populations → count of live cells,
+    // dead seeds (a Lloyd round can empty a cell — its queries pay
+    // routing cost for zero recall), min/median/p95/max cell size, and
+    // the max-cell skew in permille of a perfectly balanced cell. All
+    // integer: percentiles are order statistics at ceil-rank positions
+    // over the size-sorted cells (ties → cell id), skew is an integer
+    // DIV. The window is |cells|-rows (k-bounded metadata); the only
+    // data-scale work is the one groupBy(cell) count — and the
+    // assignment itself is the family's shared cache. At 100 TB this
+    // table is the nightly index-health report: a p95/median ratio
+    // drifting up is exactly when probe-count tuning stops working.
+    Op("vec_ivf_cell_stats",
+      (s, dir) => {
+        val (_, assign) = kmeansTrained(s, dir)
+        val sizes = assign.groupBy("c").agg(count(lit(1)).as("sz"))
+        val seeded = Tables.t(s, dir, "embeddings")
+          .agg(countDistinct(col("label")).as("n_seeded"))
+        val ranked = sizes
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("sz"), col("c"))))
+        val stats = ranked
+          .withColumn("n_cells", count(lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .groupBy("n_cells")
+          .agg(sum("sz").as("n_vecs"),
+            min("sz").as("min_sz"),
+            max("sz").as("max_sz"),
+            max(when(col("rk") === expr("(n_cells + 1) DIV 2"), col("sz"))).as("p50_sz"),
+            max(when(col("rk") === expr("(n_cells * 95 + 99) DIV 100"), col("sz"))).as("p95_sz"))
+        stats.crossJoin(broadcast(seeded))
+          .select(col("n_cells"), col("n_seeded").as("n_seeded_cells"),
+            (col("n_seeded") - col("n_cells")).as("dead_cells"),
+            col("n_vecs"), col("min_sz"), col("p50_sz"), col("p95_sz"), col("max_sz"),
+            expr("max_sz * n_cells * 1000 DIV n_vecs").as("max_skew_permille"))
+      },
+      Some(s"""
+        WITH ${kmeansCtes()},
+        sizes AS (SELECT c, COUNT(*) AS sz FROM a3 GROUP BY c),
+        ranked AS (
+          SELECT sz, ROW_NUMBER() OVER (ORDER BY sz, c) AS rk,
+            COUNT(*) OVER () AS n_cells
+          FROM sizes),
+        st AS (
+          SELECT MAX(n_cells) AS n_cells,
+            CAST(SUM(sz) AS BIGINT) AS n_vecs,
+            CAST(MIN(sz) AS BIGINT) AS min_sz,
+            CAST(MAX(sz) AS BIGINT) AS max_sz,
+            CAST(MAX(CASE WHEN rk = (n_cells + 1) // 2 THEN sz END) AS BIGINT) AS p50_sz,
+            CAST(MAX(CASE WHEN rk = (n_cells * 95 + 99) // 100 THEN sz END) AS BIGINT) AS p95_sz
+          FROM ranked),
+        seeded AS (SELECT COUNT(DISTINCT label) AS n_seeded FROM embeddings)
+        SELECT CAST(n_cells AS BIGINT) AS n_cells,
+          CAST(n_seeded AS BIGINT) AS n_seeded_cells,
+          CAST(n_seeded - n_cells AS BIGINT) AS dead_cells,
+          n_vecs, min_sz, p50_sz, p95_sz, max_sz,
+          CAST(max_sz * n_cells * 1000 // n_vecs AS BIGINT) AS max_skew_permille
+        FROM st, seeded
       """.trim)),
 
     // INCREMENTAL vector-index maintenance — the embedding twin of
@@ -6481,6 +6544,51 @@ object PipelineOps extends OpGroup {
     // the rank window runs per-lang on the vocabulary frame, and the
     // regression reduces 100 rows per lang — nothing touches the corpus
     // after the first partial-aggregating scan.
+    // VOCAB COVERAGE / OOV RATE — the tokenizer-sizing question a corpus
+    // answers before training: with a top-8 per-lang vocabulary (rank by
+    // occurrences, ties → token asc; 8 because this synthetic corpus has
+    // only ~31 distinct tokens per lang — a production budget of 32k
+    // changes one literal), what share of token OCCURRENCES falls
+    // outside it? The per-lang window runs over the (lang, token)
+    // aggregate — vocabulary-bounded, never raw tokens (the tfidf
+    // precedent) — and the corpus-wide explode is the family's shared
+    // token_tf checkpoint, so the op adds one bounded aggregation to
+    // work the tokenizer family already paid for. All integer; the rate
+    // is an exact permille DIV. At 100 TB the vocab table is the
+    // artifact a BPE trainer consumes and this rate is its acceptance
+    // test.
+    Op("text_oov_rate",
+      (s, dir) => {
+        val lt = tokenTf(s, dir).groupBy("lang", "tok").agg(sum("tf").as("occ"))
+        lt.withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy(desc("occ"), asc("tok"))))
+          .groupBy("lang")
+          .agg(sum("occ").as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("rk") <= 8, col("occ")).otherwise(lit(0L))).as("covered"),
+            sum(when(col("rk") <= 8, 1L).otherwise(0L)).as("vocab_size"))
+          .select(col("lang"), col("n_tokens"), col("n_distinct"), col("vocab_size"),
+            expr("(n_tokens - covered) * 1000 DIV n_tokens").as("oov_permille"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT lang, tok FROM (
+            SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE length(tok) > 0),
+        lt AS (SELECT lang, tok, COUNT(*) AS occ FROM toks GROUP BY 1, 2),
+        rk AS (
+          SELECT lang, occ,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY occ DESC, tok) AS rk
+          FROM lt)
+        SELECT lang, CAST(SUM(occ) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          CAST(SUM(CASE WHEN rk <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_size,
+          CAST((SUM(occ) - SUM(CASE WHEN rk <= 8 THEN occ ELSE 0 END)) * 1000
+            // SUM(occ) AS BIGINT) AS oov_permille
+        FROM rk GROUP BY lang ORDER BY lang
+      """.trim)),
+
     Op("text_zipf_fit",
       (s, dir) => {
         val d0 = DecimalType(38, 0)

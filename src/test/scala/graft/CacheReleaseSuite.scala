@@ -50,20 +50,21 @@ class CacheReleaseSuite extends AnyFunSuite {
       s"ngram_shingles still pinned after text_ngram_jaccard: $live")
   }
 
-  test("token_tf releases at its THIRD consumer, not before (3-consumer accounting)") {
+  test("token_tf releases at its FOURTH consumer, not before (4-consumer accounting)") {
     Caches.releaseAll(spark, dir)
-    // token_tf gained text_lm_perplexity/text_zipf_fit as consumers in
-    // round 9 — pin the 3-consumer accounting: the checkpoint must stay
-    // live through consumers 1 and 2 (releasing early would force each
-    // later consumer to rebuild it, silently doubling the explode cost)
-    // and release exactly when the third reports.
-    val consumers = Seq("text_hashing_tfidf", "text_lm_perplexity", "text_zipf_fit")
+    // token_tf gained text_lm_perplexity/text_zipf_fit in round 9 and
+    // text_oov_rate in round 14 — pin the 4-consumer accounting: the
+    // checkpoint must stay live through consumers 1..3 (releasing early
+    // would force each later consumer to rebuild it, silently doubling
+    // the explode cost) and release exactly when the fourth reports.
+    val consumers = Seq("text_hashing_tfidf", "text_lm_perplexity",
+      "text_zipf_fit", "text_oov_rate")
     consumers.zipWithIndex.foreach { case (k, i) =>
       assert(SparkEntry.queries(k)(spark, dir).count() > 0, s"$k returned 0 rows")
       Caches.keyDone(spark, dir, k)
       val live = Caches.activeEntries(spark, dir)("token_tf")
       if (i < consumers.size - 1)
-        assert(live, s"token_tf released early, after consumer ${i + 1}/3 ($k)")
+        assert(live, s"token_tf released early, after consumer ${i + 1}/4 ($k)")
       else
         assert(!live, "token_tf still pinned after its last consumer")
     }
