@@ -820,6 +820,55 @@ object EtlOps extends OpGroup {
         FROM h ORDER BY yr
       """.trim)),
 
+    // VOLUME CIRCUIT BREAKER — the ingest gate that catches a broken
+    // upstream before it poisons downstream tables: each day's row count
+    // is judged against the TRAILING 7-day window's median ± 3·MAD
+    // (median absolute deviation — the robust spread that one prior bad
+    // day cannot inflate, unlike stddev; the +1 slack term keeps a
+    // zero-MAD flat week from rejecting ±1 jitter). Both statistics are
+    // EXACT integer order statistics (4th smallest of 7) over the
+    // trailing list — no float enters the verdict on either engine.
+    // The daily rollup is the only data-scale pass; the gate itself
+    // works on a |days|-row frame, and the report is pinned to the 15
+    // most recent days (deterministic). At 100 TB this is the check a
+    // scheduler consults before publishing a partition — the
+    // etl_write_audit_publish verdict's volume-anomaly sibling.
+    Op("etl_volume_gate",
+      (s, dir) => {
+        val daily = Tables.t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("timestamp_ntz").as("d"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy("d").rowsBetween(-7, -1)
+        daily
+          .withColumn("trail", collect_list(col("n")).over(w))
+          .filter(size(col("trail")) === 7)
+          .withColumn("med7", expr("element_at(array_sort(trail), 4)"))
+          .withColumn("mad7", expr(
+            "element_at(array_sort(transform(trail, x -> abs(x - element_at(array_sort(trail), 4)))), 4)"))
+          .select(col("d"), col("n"), col("med7"), col("mad7"),
+            (abs(col("n") - col("med7")) <= lit(3) * col("mad7") + 1).as("ok"))
+          .orderBy(desc("d")).limit(15)
+          .orderBy("d")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS TIMESTAMP) AS d, COUNT(*) AS n
+          FROM orders GROUP BY 1),
+        t AS (
+          SELECT d, n,
+            list(n) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail
+          FROM daily),
+        g AS (
+          SELECT d, n,
+            list_sort(trail)[4] AS med7,
+            list_sort(list_transform(trail, x -> abs(x - list_sort(trail)[4])))[4] AS mad7
+          FROM t WHERE len(trail) = 7)
+        SELECT d, n, CAST(med7 AS BIGINT) AS med7, CAST(mad7 AS BIGINT) AS mad7,
+          (abs(n - med7) <= 3 * mad7 + 1) AS ok
+        FROM (SELECT * FROM g ORDER BY d DESC LIMIT 15)
+        ORDER BY d
+      """.trim)),
+
     // WRITE–AUDIT–PUBLISH — the staging gate every production load runs
     // behind (Iceberg's WAP, dbt's test-then-promote): an incoming batch
     // lands in a STAGING area, an audit battery runs against it AND the

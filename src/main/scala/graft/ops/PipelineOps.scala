@@ -6301,6 +6301,76 @@ object PipelineOps extends OpGroup {
         """.trim
       }),
 
+    // HARD-NEGATIVE MINING — the contrastive-training data prep every
+    // embedding-model pipeline runs: for each query (vec_ids 0..4), the
+    // top-5 most-similar vectors of a DIFFERENT label are its hard
+    // negatives (similar enough to confuse, wrong by ground truth), and
+    // the margin against the best same-label positive is the signal of
+    // how hard the batch really is (a negative above the positive is a
+    // label-noise candidate). Per-query top-k is the two-level salted
+    // rank (vec_mrr_eval's shape — no partition ever sorts more than a
+    // salt's share of one query's candidates; lossless for a top-k), the
+    // query batch broadcasts, and the corpus streams once for both the
+    // negative and positive legs. At 100 TB this op IS the nightly
+    // batch-mining job whose output feeds the trainer's data loader.
+    Op("vec_hard_negatives",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("qemb"))
+        val scored = e.filter(col("vec_id") >= 5)
+          .crossJoin(broadcast(q))
+          .withColumn("sim", expr("vec_dot(embedding, qemb)")
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
+        val negs = scored.filter(col("label") =!= col("qlabel"))
+          .withColumn("salt", pmod(col("vec_id"), lit(8)))
+          .withColumn("r1", row_number().over(
+            Window.partitionBy("qid", "salt").orderBy(desc("sim"), asc("vec_id"))))
+          .where(col("r1") <= 5)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))))
+          .where(col("rank") <= 5)
+        val bestPos = scored.filter(col("label") === col("qlabel"))
+          .groupBy("qid")
+          .agg(max(struct(col("sim"), -col("vec_id"))).as("m"))
+          .select(col("qid"), col("m.sim").as("pos_sim"))
+        negs.join(bestPos, Seq("qid"), "left")
+          .select(col("qid"), col("rank"), col("vec_id").as("neg_id"),
+            (round(col("sim"), 3) + 0.0).as("neg_sim"),
+            (round(coalesce(col("pos_sim"), lit(-1.0)), 3) + 0.0).as("best_pos_sim"),
+            (coalesce(col("pos_sim"), lit(-1.0)) < col("sim")).as("harder_than_positive"))
+          .orderBy("qid", "rank")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qemb
+          FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT e.vec_id, e.label, q.qid, q.qlabel,
+            list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qemb)
+              / (sqrt(greatest(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(q.qemb, x -> x * x)), 1e-300))) AS sim
+          FROM embeddings e, q WHERE e.vec_id >= 5),
+        negs AS (
+          SELECT qid, vec_id, sim,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+          FROM scored WHERE label <> qlabel
+          QUALIFY rank <= 5),
+        bestpos AS (
+          SELECT qid, MAX(sim) AS pos_sim FROM (
+            SELECT qid, sim,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+            FROM scored WHERE label = qlabel) WHERE rk = 1
+          GROUP BY qid)
+        SELECT n.qid, CAST(n.rank AS INT) AS rank, n.vec_id AS neg_id,
+          CAST(ROUND(CAST(CAST(n.sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS neg_sim,
+          CAST(ROUND(CAST(CAST(COALESCE(b.pos_sim, -1.0) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS best_pos_sim,
+          (COALESCE(b.pos_sim, -1.0) < n.sim) AS harder_than_positive
+        FROM negs n LEFT JOIN bestpos b ON b.qid = n.qid
+        ORDER BY n.qid, rank
+      """.trim)),
+
     // Multi-query MRR of the IVF(probe=3) path: vec_ids 0..4 are the
     // query batch, each query's EXACT nearest neighbor is its relevant
     // item, reciprocal rank of where the IVF top-10 finds it (0 if
