@@ -356,6 +356,88 @@ object StreamOps extends OpGroup {
       },
       None),
 
+    // LATE-DATA DROP METRICS — the watermark actually DROPPING rows, plus
+    // the observability surface that reports it (StreamingQueryProgress
+    // stateOperators.numRowsDroppedByWatermark — what a production
+    // monitor alerts on). THREE staged micro-batches: batch 0 carries
+    // every on-time event; batch 1 is one synthetic head event 2 h past
+    // the stream's max, whose commit advances the watermark and EVICTS
+    // every on-time window from state; batch 2 re-delivers a
+    // deterministic subset ≥2 h older than the on-time max — their
+    // windows are long gone, so the aggregation must discard every one
+    // (measured: a late row whose window is merely BELOW the watermark
+    // but still LIVE in state merges fine — eviction is what makes
+    // lateness fatal, which is why the eviction batch exists; and the
+    // engine splits the discard between a pre-state filter and the
+    // state-store drop counter, so the metric is a lower bound on the
+    // discard, never the sink math). Append mode — complete mode never
+    // drops. The sink at termination is then EXACTLY the batch tumbling
+    // aggregation of the on-time set (every on-time window finalizes
+    // under the head-advanced watermark; the head's own window stays in
+    // state) — the EquivalenceSuite pin. At 100 TB/day this metric is
+    // the pipeline's data-loss accounting — late drops are silent
+    // without it.
+    Op("stream_late_drop_metrics",
+      (s, dir) => {
+        Tables.conf(s)
+        val ev = Tables.events(s, dir)
+        val mx = ev.agg(max(Tables.ntzMicros("ts"))).head().getLong(0)
+        val cutoff = mx - 2L * 3600 * 1000000
+        val lateCond = expr(s"xxhash64(event_id) % 7 = 0") &&
+          Tables.ntzMicros("ts") <= cutoff
+        val late = ev.filter(lateCond)
+        val onTime = ev.filter(!lateCond)
+        val nLate = late.count()
+        val head = onTime.orderBy(desc("ts")).limit(1)
+          .withColumn("ts", expr("ts + INTERVAL 2 HOURS"))
+          .withColumn("event_id", col("event_id") + 1000000L)
+        val root = Tables.tmpDir("graft_late_src")
+        Seq(onTime, head, late).zipWithIndex.foreach { case (df, i) =>
+          val stage = Tables.tmpDir("graft_late_stage")
+          df.coalesce(1).write.mode("overwrite").parquet(stage)
+          val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          val part = try listing
+            .filter(f => f.getFileName.toString.startsWith("part-")
+              && f.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally listing.close()
+          val dst = java.nio.file.Paths.get(root, s"b$i.parquet")
+          java.nio.file.Files.copy(part, dst)
+          dst.toFile.setLastModified(1700000000000L + i * 10000L)
+        }
+        val raw = s.readStream
+          .schema(rawSchema(org.apache.spark.sql.types.TimestampNTZType))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(root)
+          .withColumn("ts", col("ts").cast("timestamp"))
+        val agg = raw.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").cast("timestamp_ntz").as("window_start"), col("n"))
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        val (sink, dropped, batches) = try {
+          val q = agg.writeStream
+            .outputMode("append")
+            .format("memory")
+            .queryName("graft_stream_late_drop")
+            .option("checkpointLocation", Tables.tmpDir("graft_ckpt_late"))
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          lastRunBatches = q.recentProgress.count(_.numInputRows > 0)
+          val drops = q.recentProgress
+            .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+          (s.table("graft_stream_late_drop"), drops, lastRunBatches.toLong)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        sink.agg(count(lit(1)).as("finalized_windows"),
+            coalesce(sum("n"), lit(0L)).as("finalized_events"))
+          .select(lit(batches).as("n_batches"), lit(nLate).as("late_candidates"),
+            lit(dropped).as("dropped_by_watermark"),
+            col("finalized_windows"), col("finalized_events"))
+      },
+      None),
+
     // Streaming session windows (30 min gap) per user — ties the streaming
     // session operator to the oracle-checked ts_session_gap semantics.
     Op("stream_session_window",

@@ -125,6 +125,31 @@ class EquivalenceSuite extends AnyFunSuite {
     }
   }
 
+  test("stream_late_drop_metrics: late replay is discarded and the sink equals the on-time batch twin") {
+    val r = rows("stream_late_drop_metrics").head
+    val (nBatches, lateCand, dropped, finWin, finEv) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nBatches == 3, "fixture must deliver on-time, eviction head, late replay")
+    assert(lateCand > 0, "no late candidates — the fixture is vacuous")
+    // The engine splits the discard between a pre-state filter and the
+    // state-store drop counter: the metric must be positive and can never
+    // exceed the replayed rows.
+    assert(dropped > 0 && dropped <= lateCand,
+      s"dropped=$dropped outside (0, late_candidates=$lateCand]")
+    // Sink at termination == batch tumbling aggregation of the ON-TIME set
+    // (every on-time window finalizes under the head-advanced watermark;
+    // late rows contribute nothing; the head stays in state).
+    val ev = Tables.events(spark, sf0001)
+    val mxRow = ev.agg(max(Tables.ntzMicros("ts"))).head()
+    val cutoff = mxRow.getLong(0) - 2L * 3600 * 1000000
+    val onTime = ev.filter(!(expr("xxhash64(event_id) % 7 = 0")
+      && Tables.ntzMicros("ts") <= cutoff))
+    val batch = onTime.groupBy(window(col("ts").cast("timestamp"), "1 hour")).count()
+      .agg(count(lit(1)), coalesce(sum("count"), lit(0L))).head()
+    assert((finWin, finEv) == ((batch.getLong(0), batch.getLong(1))),
+      s"finalized ($finWin, $finEv) != on-time batch twin (${batch.getLong(0)}, ${batch.getLong(1)})")
+  }
+
   test("stream_foreach_batch_sink counts match batch per-type counts") {
     val streaming = rows("stream_foreach_batch_sink")
       .map(r => (r.getString(0), r.getLong(1))).toSet
