@@ -1606,6 +1606,63 @@ object AggOps extends OpGroup {
         """.trim
       }),
 
+    // SAMPLE-RATIO MISMATCH — the FIRST gate every A/B readout runs
+    // before any effect estimate (welch/CUPED/bootstrap are garbage on a
+    // biased assignment): users split 50/50 by the deterministic md5
+    // coin, and the χ²(1df) goodness-of-fit of observed arm counts is
+    // checked against the 95% critical value. Two scenarios: the clean
+    // assignment (passes — the coin is fair) and a seeded EXPOSURE-LOSS
+    // bug (half of arm B's users never log exposure — the classic SRM
+    // root cause), which must flag at the gate scales (with 15 users at
+    // sf0.001 the test is honestly underpowered and stays quiet — the
+    // statistically correct verdict). The χ² for a 50/50 split collapses
+    // to (n_a−n_b)²/(n_a+n_b); the VERDICT is all-integer
+    // ((n_a−n_b)²·1000 > 3841·(n_a+n_b) ⟺ χ² > 3.841), so no float
+    // decides the flag — only the reported statistic is a repr-rounded
+    // double. One distinct + two partial-aggregating counts; at 100 TB
+    // the assignment audit is a map-side count per arm.
+    Op("agg_ab_srm_check",
+      (s, dir) => {
+        val repr4 = (e: String) =>
+          s"CAST(ROUND($e, 4) AS DOUBLE) + 0.0"
+        val users = Tables.events(s, dir).select("user_id").distinct()
+          .withColumn("arm", expr(
+            """CASE WHEN CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 2 = 0
+               THEN 'A' ELSE 'B' END"""))
+        def report(name: String, df: org.apache.spark.sql.DataFrame) = df
+          .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+          .select(lit(name).as("scenario"), col("n_a"), col("n_b"),
+            expr(repr4("CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)")).as("chi2"),
+            expr("(n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b)").as("srm"))
+        report("a_clean", users)
+          .union(report("b_exposure_loss",
+            users.filter(!(col("user_id") % 2 === 0 && col("arm") === "B"))))
+          .orderBy("scenario")
+      },
+      Some("""
+        WITH users AS (
+          SELECT user_id,
+            CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                 THEN 'A' ELSE 'B' END AS arm
+          FROM (SELECT DISTINCT user_id FROM events)),
+        rep AS (
+          SELECT 'a_clean' AS scenario,
+            SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
+            SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b
+          FROM users
+          UNION ALL
+          SELECT 'b_exposure_loss',
+            SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END),
+            SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+          FROM users WHERE NOT (user_id % 2 = 0 AND arm = 'B'))
+        SELECT scenario, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          CAST(ROUND(CAST(CAST(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+            AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS chi2,
+          ((n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b)) AS srm
+        FROM rep ORDER BY scenario
+      """.trim)),
+
     // KMV (k-minimum-values) distinct sketch — the ORDER-STATISTICS
     // member of the sketch family (countmin counts, HLL bit-patterns,
     // bitmap exact): keep the k=64 smallest distinct 60-bit md5 hashes
