@@ -242,6 +242,32 @@ class PlanSuite extends AnyFunSuite {
       "a walk step must not shuffle the corpus")
   }
 
+  test("round-14 ops: no plan ever goes cartesian") {
+    // The iterative ops (louvain sweeps, BFS rounds, HNSW descent) run
+    // eagerly at plan-build time; what this pins is the RETURNED frame's
+    // physical plan — coarse contraction, report joins, sketch algebra —
+    // none of which may decay to a CartesianProduct as the frames grow.
+    for (k <- Seq("graph_louvain_converge", "graph_bfs_hops", "vec_hnsw_search",
+        "vec_pq_residual_topk", "agg_kmv_set_ops", "src_txn_log_compact",
+        "agg_robust_mean", "vec_hard_negatives", "etl_volume_gate",
+        "agg_ab_srm_check", "text_oov_rate", "vec_ivf_cell_stats")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k plan went cartesian")
+    }
+  }
+
+  test("text_simhash_radius_sweep rides the banded edge checkpoint") {
+    // The tuning curve must be one explode over the shared cached edge
+    // list — never a fresh banding pass; the only parquet scan allowed is
+    // the 1-row documents denominator.
+    val p = plan("text_simhash_radius_sweep")
+    assert(p.contains("Scan ExistingRDD"),
+      "radius sweep must read the checkpointed signature-pair frame")
+    // Count detail-section headers — the tree section repeats each node.
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size <= 1,
+      "only the denominator count may touch parquet")
+  }
+
   test("window top-k: one shuffle + rank-limit pushed below it (WindowGroupLimit)") {
     val p = plan("win_rownum_topk")
     // Exactly 2 Exchange nodes: hash for the window partition, range for
