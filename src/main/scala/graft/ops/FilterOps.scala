@@ -177,6 +177,48 @@ object FilterOps extends OpGroup {
         ORDER BY lang, rk
       """.trim)),
 
+    // CLASS-BALANCED DOWNSAMPLING — the other rebalancing primitive next
+    // to corpus_temperature_sample's soft flattening: hard-cap every
+    // class at the MINORITY class's size (the classic balanced-training
+    // set; this corpus is genuinely skewed — en has ~3× fr). Selection
+    // within a class is the md5-rank coin (stable across runs, engines
+    // and partitionings — the reproducible-split requirement), so the
+    // kept set is a deterministic function of the data alone. The report
+    // is per-class before/after + the verification column that every
+    // kept count equals the minority size. Per-class window over the
+    // class's slice; the minority size is a 1-row broadcast. At 100 TB
+    // the same two passes hold: one count per class, one rank-filter.
+    Op("sample_balanced_class",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val minN = d.groupBy("lang").agg(count(lit(1)).as("n"))
+          .agg(min("n").as("min_n"))
+        val w = Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+        d.withColumn("hk", md5(col("doc_id").cast("string")))
+          .withColumn("rk", row_number().over(w))
+          .crossJoin(broadcast(minN))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rk") <= col("min_n"), 1L).otherwise(0L)).as("n_kept"),
+            max("min_n").as("cap"))
+          .select(col("lang"), col("n_docs"), col("n_kept"),
+            (col("n_kept") === col("cap")).as("balanced"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        cap AS (SELECT MIN(n) AS min_n FROM counts),
+        rk AS (
+          SELECT lang,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN rk <= cap.min_n THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          (SUM(CASE WHEN rk <= cap.min_n THEN 1 ELSE 0 END) = cap.min_n) AS balanced
+        FROM rk, cap GROUP BY lang, cap.min_n ORDER BY lang
+      """.trim)),
+
     Op("filter_date_range",
       (s, dir) => {
         Tables.t(s, dir, "orders")

@@ -797,7 +797,8 @@ object PipelineOps extends OpGroup {
         Set("graph_triangle_count", "graph_connected_components",
           "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
           "vec_graph_beam_search", "graph_louvain_step", "graph_louvain_converge",
-          "graph_kcore_peel", "vec_hnsw_search", "vec_hnsw_build", "graph_bfs_hops"),
+          "graph_kcore_peel", "vec_hnsw_search", "vec_hnsw_build", "graph_bfs_hops",
+          "graph_modularity"),
         () => mutualEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       mutual
     })
@@ -5642,6 +5643,122 @@ object PipelineOps extends OpGroup {
         ORDER BY n_base DESC, comm
         """.trim
       }),
+
+    // MODULARITY SCOREBOARD — the objective the Louvain ops optimize,
+    // measured EXACTLY (Q·4m² = Σ_c (4m·e_c − d_c²), all BIGINT — e_c =
+    // intra-community edges, d_c = summed degrees) for three partitions
+    // of the mutual-kNN graph: singletons (the Louvain starting point,
+    // always ≤ 0), one unguarded synchronous sweep (the step op's
+    // partition — measuring what the sweep actually bought, swaps and
+    // all), and the ground-truth labels (the partition the graph was
+    // blocked by — the ceiling). This is the evaluation leg the
+    // community family was missing: graph_louvain_step reports gains it
+    // BELIEVED in pre-sweep state; this op scores the resulting
+    // partition post-hoc, the honest way. Per scheme: one keyed join of
+    // edges to both endpoint communities + two bounded aggregates; the
+    // only float is the final repr-rounded Q display. At 100 TB: Q is a
+    // one-pass partial-aggregating audit over the edge set — cheap
+    // enough to run after every coarsening level.
+    Op("graph_modularity",
+      (s, dir) => {
+        val mutualL = mutualKnnEdges(s, dir)
+        val mutual = mutualL.select("a", "b")
+        val sym = mutual.union(mutual.select(col("b").as("a"), col("a").as("b")))
+        val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("dz"))
+        val mVal = mutual.count()
+        val nodes = sym.select(col("a").as("n")).distinct()
+        def q(name: String, comm: org.apache.spark.sql.DataFrame) = {
+          val dC = comm.join(deg, col("n") === col("z"))
+            .groupBy("c").agg(sum("dz").as("dc"))
+          val eC = mutual
+            .join(comm.select(col("n").as("a"), col("c").as("ca")), "a")
+            .join(comm.select(col("n").as("b"), col("c").as("cb")), "b")
+            .filter(col("ca") === col("cb"))
+            .groupBy(col("ca").as("c")).agg(count(lit(1)).as("ec"))
+          dC.join(eC, Seq("c"), "left")
+            .agg(count(lit(1)).as("n_comms"),
+              sum(lit(4L * mVal) * coalesce(col("ec"), lit(0L))
+                - col("dc") * col("dc")).as("q_x4m2"))
+            .select(lit(name).as("scheme"), col("n_comms"), col("q_x4m2"),
+              expr(s"CAST(ROUND(CAST(q_x4m2 AS DOUBLE) / (4.0D * ${mVal}L * ${mVal}L), 4) AS DOUBLE) + 0.0")
+                .as("q"))
+        }
+        val singles = nodes.withColumn("c", col("n"))
+        // One unguarded synchronous sweep — the step op's exact rule.
+        val mRow = mutual.agg(count(lit(1)).as("m"))
+        val swept = sym
+          .join(deg.select(col("z").as("a"), col("dz").as("ki")), "a")
+          .join(deg.select(col("z").as("b"), col("dz").as("kj")), "b")
+          .crossJoin(broadcast(mRow))
+          .withColumn("neg_gain", col("ki") * col("kj") - lit(2L) * col("m"))
+          .groupBy("a")
+          .agg(min(struct(col("neg_gain"), col("b"))).as("mm"))
+          .select(col("a").as("n"),
+            when(col("mm.neg_gain") < 0, col("mm.b")).otherwise(col("a")).as("c"))
+        val labels = mutualL.select(col("l"), col("a").as("n"))
+          .union(mutualL.select(col("l"), col("b").as("n")))
+          .distinct()
+          .select(col("n"), col("l").cast("long").as("c"))
+        q("a_singletons", singles)
+          .union(q("b_one_sweep", swept))
+          .union(q("c_labels", labels))
+          .orderBy("scheme")
+      },
+      Some(s"""
+        WITH knn AS MATERIALIZED (
+          SELECT l, a, b FROM (
+            SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
+              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
+                y.vec_id) AS rk
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          ) WHERE rk <= $MutualKnnK),
+        mutual AS MATERIALIZED (
+          SELECT k1.l, k1.a, k1.b FROM knn k1 JOIN knn k2
+            ON k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b),
+        sym AS MATERIALIZED (
+          SELECT a, b FROM mutual UNION ALL SELECT b AS a, a AS b FROM mutual),
+        deg AS MATERIALIZED (SELECT a AS z, COUNT(*) AS dz FROM sym GROUP BY 1),
+        mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM mutual),
+        nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM sym),
+        c_single AS (SELECT n, n AS c FROM nodes),
+        c_sweep AS MATERIALIZED (
+          SELECT a AS n, CASE WHEN ng < 0 THEN tb ELSE a END AS c FROM (
+            SELECT a, ng, tb FROM (
+              SELECT s.a, di.dz * dj.dz - 2 * mm.m AS ng, s.b AS tb,
+                ROW_NUMBER() OVER (PARTITION BY s.a
+                  ORDER BY di.dz * dj.dz - 2 * mm.m, s.b) AS rk
+              FROM sym s JOIN deg di ON di.z = s.a JOIN deg dj ON dj.z = s.b, mm
+            ) WHERE rk = 1)),
+        c_label AS (
+          SELECT DISTINCT n, CAST(l AS BIGINT) AS c FROM (
+            SELECT l, a AS n FROM mutual UNION ALL SELECT l, b FROM mutual)),
+        qs AS (
+          SELECT 'a_singletons' AS scheme, cm.n, cm.c FROM c_single cm
+          UNION ALL SELECT 'b_one_sweep', cm.n, cm.c FROM c_sweep cm
+          UNION ALL SELECT 'c_labels', cm.n, cm.c FROM c_label cm),
+        dc AS (
+          SELECT scheme, c, SUM(d.dz) AS dc FROM qs JOIN deg d ON d.z = qs.n
+          GROUP BY scheme, c),
+        ec AS (
+          SELECT x.scheme, x.c, COUNT(*) AS ec
+          FROM mutual m
+          JOIN qs x ON x.n = m.a
+          JOIN qs y ON y.n = m.b AND y.scheme = x.scheme
+          WHERE x.c = y.c
+          GROUP BY x.scheme, x.c)
+        SELECT dc.scheme AS scheme, CAST(COUNT(*) AS BIGINT) AS n_comms,
+          CAST(SUM(4 * mm.m * COALESCE(ec.ec, 0) - dc.dc * dc.dc) AS BIGINT) AS q_x4m2,
+          CAST(ROUND(CAST(CAST(
+            CAST(SUM(4 * mm.m * COALESCE(ec.ec, 0) - dc.dc * dc.dc) AS DOUBLE)
+              / (4.0 * mm.m * mm.m) AS VARCHAR) AS DECIMAL(38,15)), 4) AS DOUBLE) + 0.0 AS q
+        FROM dc LEFT JOIN ec ON ec.scheme = dc.scheme AND ec.c = dc.c, mm
+        GROUP BY dc.scheme, mm.m ORDER BY scheme
+      """.trim)),
 
     // MULTI-SOURCE BFS — hop distance from the nearest label exemplar
     // (min-id node per label), the classic frontier-expansion member the
