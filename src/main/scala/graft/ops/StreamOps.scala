@@ -72,7 +72,11 @@ object StreamOps extends OpGroup {
 
   /** Data-carrying micro-batch count of the last stream run — the
     * multi-batch tests assert >= sourceBatches so a wiring regression
-    * can't silently collapse them back to one batch.
+    * can't silently collapse them back to one batch. WRITE-ONLY inside op
+    * bodies (round-15, verdict item 7): each op threads its own local
+    * batch count and only publishes it here for the test to read after
+    * the run — no op ever reads this shared var back, so two
+    * concurrently-run stream ops in one session cannot cross-read.
     */
   @volatile private[graft] var lastRunBatches: Int = 0
 
@@ -191,7 +195,8 @@ object StreamOps extends OpGroup {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      lastRunBatches = q.recentProgress.count(_.numInputRows > 0)
+      val nBatches = q.recentProgress.count(_.numInputRows > 0)
+      lastRunBatches = nBatches // test-seam publish only
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
@@ -348,7 +353,7 @@ object StreamOps extends OpGroup {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        lastRunBatches = q.recentProgress.count(_.numInputRows > 0)
+        lastRunBatches = q.recentProgress.count(_.numInputRows > 0) // test-seam publish only
         s.read.parquet(s"$sink/b")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"))
@@ -425,10 +430,11 @@ object StreamOps extends OpGroup {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-          lastRunBatches = q.recentProgress.count(_.numInputRows > 0)
+          val nBatches = q.recentProgress.count(_.numInputRows > 0)
+          lastRunBatches = nBatches // test-seam publish only
           val drops = q.recentProgress
             .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
-          (s.table("graft_stream_late_drop"), drops, lastRunBatches.toLong)
+          (s.table("graft_stream_late_drop"), drops, nBatches.toLong)
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
         sink.agg(count(lit(1)).as("finalized_windows"),
             coalesce(sum("n"), lit(0L)).as("finalized_events"))
