@@ -772,7 +772,7 @@ object PipelineOps extends OpGroup {
           .select(lit(level).as("lvl"), col("a"), col("b"))
       }.reduce(_.union(_)).localCheckpoint(true)
       graft.Caches.track(s, dir, "hnsw_layer_edges",
-        Set("vec_hnsw_build", "vec_hnsw_search"),
+        Set("vec_hnsw_build", "vec_hnsw_search", "vec_hnsw_batch_search"),
         () => hnswEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       upper
     })
@@ -798,7 +798,7 @@ object PipelineOps extends OpGroup {
           "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
           "vec_graph_beam_search", "graph_louvain_step", "graph_louvain_converge",
           "graph_kcore_peel", "vec_hnsw_search", "vec_hnsw_build", "graph_bfs_hops",
-          "graph_modularity"),
+          "graph_modularity", "vec_hnsw_batch_search"),
         () => mutualEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       mutual
     })
@@ -922,6 +922,176 @@ object PipelineOps extends OpGroup {
       .withColumn("sim", expr("vec_dot(embedding, qemb)")
         / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
       .select("vec_id", "sim")
+  }
+
+  /** Batched HNSW descent body (vec_hnsw_batch_search), with the query
+    * modulus and the walk shape exposed so PlanSuite can prove both the
+    * hop-bounded-job claim (two batch sizes, identical job count) and
+    * the dual-shape result equality. Queries = vec_id ≡ 0 (mod `mod`).
+    *
+    * `fusedWalk = true` (the op default) is the PER-SHARD LOCAL-WALK
+    * serving shape: the layer's edge frame (endpoint vectors stored with
+    * the edges — the vectors-in-the-index HNSW layout) and the |Q|-row
+    * state are both single-partition, so every hop is an exchange-free
+    * sort-merge join + argmax inside ONE task and a whole 6-hop level
+    * materializes as ONE job. This is how real HNSW serves: each shard
+    * walks its own subgraph in memory; this corpus is one shard, and the
+    * label-blocked graph makes shards (labels) genuinely independent.
+    *
+    * `fusedWalk = false` is the cross-shard fallback for when even one
+    * shard's layer graph exceeds a task: the state BROADCASTS into the
+    * distributed edge frame per hop (a |Q|·(k+1)-bounded point-lookup),
+    * one job per hop — hop-bounded, never query- or corpus-bounded.
+    * PlanSuite pins the two shapes result-equal.
+    *
+    * Both shapes are fully declarative — state is (qid, qemb, cur) /
+    * (qid, qemb, cid, sim) rows, never driver scalars; each hop
+    * references the state exactly once (the "stay" option rides
+    * self-loop edges), so there is no 2^steps prefix re-execution; and
+    * no `.head()` ever blocks on a per-query value.
+    */
+  private[graft] def batchHnswSearch(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      mod: Long, fusedWalk: Boolean = true): org.apache.spark.sql.DataFrame = {
+    // Walk frames are |Q|-bounded: pin the op's shuffles narrow and turn
+    // off AQE's per-stage re-plan barrier (the plans are fully known;
+    // adaptive re-planning only serializes the hop cascade). The conf is
+    // set, the walk built EAGERLY (every state frame localCheckpoints),
+    // then restored — the StreamOps conf discipline.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevCg = s.conf.get("spark.sql.codegen.wholeStage", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    // A fused 6-hop level is one deep single-task stage over single-digit
+    // rows: janino compilation of its whole-stage function costs ~10x its
+    // interpreted runtime, every level. Interpreted execution is the
+    // right trade for |Q|-bounded frames (the corpus-side cache builds
+    // and the truth leg run OUTSIDE this conf window and keep codegen).
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    try batchHnswSearchBody(s, dir, mod, fusedWalk)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set("spark.sql.codegen.wholeStage", prevCg)
+    }
+  }
+
+  private def batchHnswSearchBody(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      mod: Long, fusedWalk: Boolean): org.apache.spark.sql.DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val q = broadcast(e.filter(pmod(col("vec_id"), lit(mod)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb")))
+    val lay = hnswLayerAssign(s, dir)
+    // Global entry candidates: TakeOrdered top-2 by (layer DESC, id) —
+    // the 2-deep list covers the query that IS the entry node. The
+    // unpartitioned window ranks a 2-row frame (post-limit), not data.
+    val entTop = lay.orderBy(desc("lay"), asc("vec_id")).limit(2)
+      .withColumn("erk", row_number().over(
+        Window.orderBy(desc("lay"), asc("vec_id"))))
+      .select("vec_id", "erk")
+    val st0 = q.select("qid", "qemb").crossJoin(broadcast(entTop))
+      .filter(col("vec_id") =!= col("qid"))
+      .coalesce(1)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy("erk")))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("qemb"), col("vec_id").as("cur"))
+    val emb = e.select(col("vec_id").as("dst"), col("embedding").as("demb"))
+    // Self-loops keep "stay where you are" inside the edge relation so
+    // each hop references the state frame exactly once.
+    val loops = e.select(col("vec_id").as("src"), col("vec_id").as("dst"))
+    val upper = hnswUpperEdges(s, dir) // ALL nodes — batch serves the shared index
+    val simExpr = expr("vec_dot(demb, qemb)") /
+      (Tables.safeNorm("demb") * Tables.safeNorm("qemb"))
+    // ALL level edge frames in one checkpoint: (lvl, src, dst, demb),
+    // self-loops attached per level; single-partition in the fused shape.
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      (if (fusedWalk) df.coalesce(1) else df).localCheckpoint(true)
+    val levelEdges = shaped {
+      val sym = upper.select(col("lvl"), col("a").as("src"), col("b").as("dst"))
+        .union(upper.select(col("lvl"), col("b").as("src"), col("a").as("dst")))
+      val lvls = s.range(1, 5).select(col("id").cast("int").as("lvl"))
+      val lvlLoops = loops.crossJoin(broadcast(lvls))
+        .select(col("lvl"), col("src"), col("dst"))
+      sym.union(lvlLoops).join(emb, Seq("dst"))
+        .select("lvl", "src", "dst", "demb")
+    }
+    // One bounded job decides which levels have real edges; an edgeless
+    // level is provably a no-op (the greedy step map is the identity
+    // there — every query sits on its self-loop), so skipping is EXACT.
+    val occupied = upper.groupBy("lvl").count()
+      .collect().map(_.getInt(0)).toSet
+    def hopJoin(edges: org.apache.spark.sql.DataFrame,
+        state: org.apache.spark.sql.DataFrame, key: String) =
+      if (fusedWalk) edges.hint("merge").join(state, col("src") === col(key))
+      else edges.join(broadcast(state), col("src") === col(key))
+    var st = st0.localCheckpoint(true)
+    for (level <- 4 to 1 by -1 if occupied(level)) {
+      val eL = levelEdges.filter(col("lvl") === level)
+      var cur = st
+      for (_ <- 1 to 6) {
+        // No dedup needed: max_by is insensitive to duplicate candidates.
+        cur = hopJoin(eL, cur, "cur")
+          .filter(col("dst") =!= col("qid"))
+          .withColumn("sim", simExpr)
+          .groupBy("qid").agg(
+            max(struct(col("sim").as("s"), (-col("dst")).as("nc"))).as("m"),
+            first(col("qemb")).as("qemb"))
+          .select(col("qid"), col("qemb"), (-col("m.nc")).as("cur"))
+      }
+      // One job per level: the 6-hop chain is exchange-free (fused) and
+      // the checkpoint bounds per-plan optimizer cost (a single 24-hop
+      // plan measured SLOWER — Catalyst cost grows superlinearly).
+      st = cur.localCheckpoint(true)
+    }
+    // Layer-0 batched ef=4 beam over the shared mutual-kNN graph.
+    val m0 = mutualKnnEdges(s, dir)
+    val sym0 = shaped {
+      m0.select(col("a").as("src"), col("b").as("dst"))
+        .union(m0.select(col("b").as("src"), col("a").as("dst")))
+        .union(loops)
+        .join(emb, Seq("dst"))
+    }
+    var beam = st.select(col("qid"), col("qemb"), col("cur").as("cid"))
+    for (i <- 1 to 6) {
+      beam = hopJoin(sym0, beam.select("qid", "qemb", "cid"), "cid")
+        .filter(col("dst") =!= col("qid"))
+        .withColumn("sim", simExpr)
+        .select(col("qid"), col("qemb"), col("dst").as("cid"), col("sim"))
+        .distinct()
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+        .filter(col("rk") <= 4).select("qid", "qemb", "cid", "sim")
+      // Mid-chain cut bounds the plan; the final cut pins the whole walk
+      // materialized under the op's conf (the lazy tail would otherwise
+      // replay steps 4-6 at action time under the caller's restored conf).
+      if (i == 3 || i == 6) beam = beam.localCheckpoint(true)
+    }
+    val found = beam
+      .coalesce(1)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("cid").as("found_id"),
+        (round(col("sim"), 3) + 0.0).as("found_sim"))
+
+    // Truth leg: exact per-query top-1 via ONE partial-aggregatable
+    // max_by pass over the scored corpus — no per-query corpus window.
+    val exact = e.crossJoin(q)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", expr("vec_dot(embedding, qemb)")
+        / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
+      .groupBy("qid").agg(max(struct(col("sim").as("s"),
+        (-col("vec_id")).as("nc"))).as("m"))
+      .select(col("qid"), (-col("m.nc")).as("exact_id"),
+        (round(col("m.s"), 3) + 0.0).as("exact_sim"))
+    found.join(exact, Seq("qid"))
+      .select(col("qid"), col("found_id"), col("found_sim"),
+        col("exact_id"), col("exact_sim"),
+        (col("found_id") === col("exact_id")).as("hit"))
+      .orderBy("qid")
   }
 
   /** Convergence scalar for the label-propagation loop — one row to the
@@ -6415,6 +6585,162 @@ object PipelineOps extends OpGroup {
           ex.exact_id, ex.exact_sim,
           (f.found = ex.exact_id) AS hit
         FROM fin f, ex
+        """.trim
+      }),
+
+    // BATCHED MULTI-LAYER HNSW DESCENT — the serving shape of the graph
+    // family (round-14 verdict item 1): where vec_hnsw_search walks ONE
+    // query through up to 24 sequential driver-blocking micro-jobs, here
+    // the QUERY AXIS IS DATA — every vec_id ≡ 0 (mod 97) is a query row,
+    // and ALL queries advance one hop per distributed step. Per level the
+    // six greedy hops are ONE chained declarative plan (state referenced
+    // once per step via self-loop-augmented edges, so the prefix executes
+    // once — no 2^steps re-execution) materialized by a single
+    // localCheckpoint; layer 0 runs the batched ef=4 beam with a
+    // per-query windowed top-ef. Job count is therefore HOP-bounded
+    // (≈ 4 level checkpoints + the final action), never query-bounded —
+    // PlanSuite pins job parity between a 6-query and a 17-query batch.
+    // Index convention: the batch serves from the SHARED layer graphs
+    // (hnswUpperEdges / mutualKnnEdges, query nodes included — they are
+    // corpus members); each query is excluded only from its OWN candidate
+    // set (vec_dot(q,q)=1 would make the walk trivially self-find), and
+    // the global entry (top layer, min id, with a 2-deep fallback for the
+    // query that IS the entry) seeds every walk, as in a real HNSW index.
+    // Fixed 6 hops per level ≡ the single-query early-stopped walk (the
+    // greedy step map is idempotent at a local optimum). Per-query truth
+    // leg = brute-force exact top-1 via one partial-aggregatable
+    // max_by pass (never a per-query window over the corpus). At 100 TB:
+    // |Q| queries cost the SAME number of distributed jobs as one query —
+    // each step is a broadcast point-lookup join bounded by |Q|·(k+1)
+    // candidate rows, and that is precisely why batched descent is the
+    // production serving shape while the single-query walk is its debug
+    // probe.
+    Op("vec_hnsw_batch_search",
+      (s, dir) => batchHnswSearch(s, dir, 97L),
+      Some {
+        val layerCase =
+          """CASE WHEN h % 4 <> 0 THEN 0
+                  WHEN (h // 4) % 4 <> 0 THEN 1
+                  WHEN (h // 16) % 4 <> 0 THEN 2
+                  WHEN (h // 64) % 4 <> 0 THEN 3
+                  ELSE 4 END"""
+        val cos = (x: String, y: String) =>
+          s"""list_dot_product($x, $y)
+              / (sqrt(greatest(list_sum(list_transform($x, v -> v * v)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform($y, v -> v * v)), 1e-300)))"""
+        // Per-level graphs over ALL nodes (the shared-index convention —
+        // no vec_id exclusions; queries are corpus members here).
+        val perLayer = (1 to 4).map { level =>
+          s"""
+          n$level AS (SELECT vec_id, label, embedding FROM layq WHERE lyr >= $level),
+          k$level AS (
+            SELECT a, b FROM (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                  ${cos("x.embedding", "y.embedding")} DESC, y.vec_id) AS rk
+              FROM n$level x JOIN n$level y
+                ON x.label = y.label AND x.vec_id <> y.vec_id
+            ) WHERE rk <= $MutualKnnK),
+          s$level AS (
+            SELECT k1.a, k1.b FROM k$level k1 JOIN k$level k2
+              ON k1.a = k2.b AND k1.b = k2.a
+            WHERE k1.a < k1.b),
+          g$level AS (
+            SELECT a AS src, b AS dst FROM s$level
+            UNION ALL SELECT b, a FROM s$level)"""
+        }.mkString(",")
+        // Batched greedy descent 4→1: the recursion rows carry qid — all
+        // queries advance together, one recursive step per hop. NO
+        // `AS MATERIALIZED` anywhere (the round-14 finding: DuckDB 1.0
+        // loses lateral correlation through the recursion's UNION when
+        // referenced CTEs are materialized).
+        val descent = (4 to 1 by -1).map { level =>
+          val seed = if (level == 4) "SELECT 0 AS step, qid, cur FROM st0"
+            else s"SELECT 0 AS step, qid, cur FROM e${level + 1}"
+          s"""
+          rec$level AS (
+            $seed
+            UNION ALL
+            SELECT r.step + 1, r.qid, n.nid FROM rec$level r,
+              LATERAL (
+                SELECT nid FROM (
+                  SELECT s.vec_id AS nid, s.sim FROM g$level g
+                    JOIN scored s ON s.vec_id = g.dst
+                  WHERE g.src = r.cur AND s.qid = r.qid
+                  UNION ALL SELECT r.cur,
+                    (SELECT sim FROM scored WHERE vec_id = r.cur AND qid = r.qid)
+                ) ORDER BY sim DESC, nid LIMIT 1
+              ) n
+            WHERE r.step < 6),
+          e$level AS (SELECT qid, cur FROM rec$level WHERE step = 6)"""
+        }.mkString(",")
+        s"""
+        WITH RECURSIVE layq AS (
+          SELECT vec_id, label, embedding, $layerCase AS lyr FROM (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding,
+              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM embeddings)),
+        q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qemb
+              FROM embeddings WHERE vec_id % 97 = 0),
+        scored AS (
+          SELECT q.qid, l.vec_id, ${cos("l.embedding", "q.qemb")} AS sim
+          FROM layq l, q WHERE l.vec_id <> q.qid),
+        ent AS (
+          SELECT vec_id, erk FROM (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY lyr DESC, vec_id) AS erk
+            FROM layq) WHERE erk <= 2),
+        st0 AS (
+          SELECT qid, vec_id AS cur FROM (
+            SELECT q.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY e.erk) AS rk
+            FROM q JOIN ent e ON e.vec_id <> q.qid) WHERE rk = 1),
+        $perLayer,
+        k0 AS (
+          SELECT a, b FROM (
+            SELECT x.vec_id AS a, y.vec_id AS b,
+              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                ${cos("CAST(x.embedding AS DOUBLE[])", "CAST(y.embedding AS DOUBLE[])")} DESC, y.vec_id) AS rk
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          ) WHERE rk <= $MutualKnnK),
+        m0 AS (
+          SELECT k1.a, k1.b FROM k0 k1 JOIN k0 k2
+            ON k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b),
+        g0 AS (
+          SELECT a AS src, b AS dst FROM m0 UNION ALL SELECT b, a FROM m0),
+        $descent,
+        rec0 AS (
+          SELECT 0 AS step, qid, [cur] AS beam FROM e1
+          UNION ALL
+          SELECT r.step + 1, r.qid, n.nb FROM rec0 r,
+            LATERAL (
+              SELECT list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) AS nb FROM (
+                SELECT s.vec_id AS nid, s.sim FROM g0 g
+                  JOIN scored s ON s.vec_id = g.dst
+                WHERE list_contains(r.beam, g.src) AND s.qid = r.qid
+                UNION
+                SELECT u.nid, s2.sim
+                FROM (SELECT unnest(r.beam) AS nid) u
+                  JOIN scored s2 ON s2.vec_id = u.nid AND s2.qid = r.qid
+              )
+            ) n
+          WHERE r.step < 6),
+        fin AS (SELECT qid, beam[1] AS found FROM rec0 WHERE step = 6),
+        ex AS (
+          SELECT qid, vec_id AS exact_id,
+            CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS exact_sim
+          FROM (
+            SELECT qid, vec_id, sim,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+            FROM scored) WHERE rk = 1)
+        SELECT f.qid, f.found AS found_id,
+          CAST(ROUND(CAST(CAST((SELECT sim FROM scored
+            WHERE vec_id = f.found AND qid = f.qid) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS found_sim,
+          ex.exact_id, ex.exact_sim,
+          (f.found = ex.exact_id) AS hit
+        FROM fin f JOIN ex ON f.qid = ex.qid
+        ORDER BY f.qid
         """.trim
       }),
 

@@ -256,6 +256,51 @@ class PlanSuite extends AnyFunSuite {
     }
   }
 
+  test("vec_hnsw_batch_search: jobs are hop-bounded, not query-bounded; walk shapes agree") {
+    // The whole point of the batched op (round-14 verdict item 1): a
+    // 3x-larger query batch must cost the SAME number of Spark jobs —
+    // the walk advances all queries one hop per job, it never loops per
+    // query. Warm the shared family caches first so both measured runs
+    // count only walk + action jobs.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    graft.ops.PipelineOps.batchHnswSearch(spark, sf0001, 97L).count()
+    def measured(mod: Long): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        jobs.set(0)
+        graft.ops.PipelineOps.batchHnswSearch(spark, sf0001, mod).count()
+        // Listener delivery is async — wait for the count to stabilize.
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(50)
+          val now = jobs.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+        last
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val small = measured(97L) // 6 queries at sf0.001
+    val large = measured(31L) // 17 queries — ~3x the batch
+    assert(math.abs(small - large) <= 2,
+      s"job count must not scale with the query batch: mod97=$small mod31=$large")
+    assert(large <= 45, s"walk jobs must stay hop-bounded, got $large")
+    // Dual-shape equality: the fused per-shard local walk and the
+    // cross-shard broadcast point-lookup walk must return identical rows.
+    val fused = graft.ops.PipelineOps.batchHnswSearch(spark, sf0001, 97L)
+      .collect().map(_.toString).toSeq
+    val bcast = graft.ops.PipelineOps
+      .batchHnswSearch(spark, sf0001, 97L, fusedWalk = false)
+      .collect().map(_.toString).toSeq
+    assert(fused == bcast, "fused and broadcast walk shapes diverged")
+    assert(!plan("vec_hnsw_batch_search").contains("CartesianProduct"))
+  }
+
   test("text_simhash_radius_sweep rides the banded edge checkpoint") {
     // The tuning curve must be one explode over the shared cached edge
     // list — never a fresh banding pass; the only parquet scan allowed is
