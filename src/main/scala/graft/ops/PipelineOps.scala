@@ -5814,6 +5814,198 @@ object PipelineOps extends OpGroup {
         """.trim
       }),
 
+    // MULTILEVEL LOUVAIN — the contraction RECURSED (round-14 verdict
+    // item 2): graph_louvain_converge stops after one coarse sweep; here
+    // coarsening repeats for 3 levels on the weighted graph, and every
+    // level reports (n_communities, exact-integer modularity). The merge
+    // rule is MUTUAL-BEST-PAIR MATCHING (Graclus/METIS-style heavy-pair
+    // coarsening with the modularity gain as the edge score): node i
+    // merges with j only when each is the other's best strictly-positive
+    // target (dQ*2m^2 = 2m*w_ij - kw_i*kw_j, all BIGINT, ties -> lowest
+    // id; merged into min(i,j)). Mutual-best pairs form a MATCHING, so
+    // simultaneous merges are DISJOINT and their gains add — modularity
+    // is therefore PROVABLY monotone non-decreasing level over level
+    // (the EquivalenceSuite pin is a theorem, not an observation),
+    // which the converge op's synchronous chain-move sweeps cannot
+    // guarantee. Per level: Q*4m^2 = sum_c (4m*sw_c - kw_c^2) — the
+    // graph_modularity decomposition read directly off the coarse
+    // graph's self-loop weights and weighted degrees (contraction
+    // preserves both, so no base-graph projection is ever needed); the
+    // only float is the repr-rounded permille display. At 100 TB: each
+    // level is three partial-aggregating shuffles over an edge set the
+    // previous level SHRANK, total edge weight m is invariant under
+    // contraction (one driver constant), and the per-level stats are
+    // |communities|-bounded — the multigraph-coarsening shape that makes
+    // multilevel methods the only community detection that scales.
+    Op("graph_louvain_multilevel",
+      (s, dir) => {
+        val mutual = mutualKnnEdges(s, dir).select("a", "b")
+        val mVal = mutual.count()
+        val nodes = mutual.select(col("a").as("n"))
+          .union(mutual.select(col("b").as("n"))).distinct()
+        var edges = mutual.withColumn("w", lit(1L)).localCheckpoint(true)
+        var self = nodes.select(col("n").as("c"), lit(0L).as("sw"))
+          .localCheckpoint(true)
+        def stat(e: org.apache.spark.sql.DataFrame,
+            sf: org.apache.spark.sql.DataFrame) = {
+          val wdeg = e.select(col("a").as("c"), col("w"))
+            .union(e.select(col("b").as("c"), col("w")))
+            .groupBy("c").agg(sum("w").as("wsum"))
+          sf.join(wdeg, Seq("c"), "left")
+            .select(col("c"),
+              (coalesce(col("wsum"), lit(0L)) + lit(2L) * col("sw")).as("kw"),
+              col("sw"))
+        }
+        def qrow(level: Int, st: org.apache.spark.sql.DataFrame) =
+          st.agg(count(lit(1)).as("n_communities"),
+              coalesce(sum(lit(4L * mVal) * col("sw") - col("kw") * col("kw")),
+                lit(0L)).as("q_num"))
+            .select(lit(level.toLong).as("level"), col("n_communities"),
+              col("q_num"),
+              (if (mVal == 0) lit(0L)
+               else round(col("q_num") * lit(1000.0)
+                 / lit(4.0 * mVal * mVal), 0).cast("long")).as("q_permille"))
+        // Each level's 1-row report materializes BEFORE that level's
+        // state is released — the output never reaches back into a
+        // dropped checkpoint.
+        var out = qrow(0, stat(edges, self)).localCheckpoint(true)
+        for (level <- 1 to 3) {
+          val kw = stat(edges, self).localCheckpoint(true)
+          val wsym = edges.select(col("a").as("i"), col("b").as("j"), col("w"))
+            .union(edges.select(col("b").as("i"), col("a").as("j"), col("w")))
+          val bt = wsym
+            .join(kw.select(col("c").as("i"), col("kw").as("kwi")), "i")
+            .join(kw.select(col("c").as("j"), col("kw").as("kwj")), "j")
+            .withColumn("dq", lit(2L * mVal) * col("w") - col("kwi") * col("kwj"))
+            .filter(col("dq") > 0)
+            .groupBy("i")
+            .agg(min(struct((-col("dq")).as("nd"), col("j").as("tj"))).as("mm"))
+            .select(col("i"), col("mm.tj").as("tj"))
+          val mg = bt
+            .join(bt.select(col("i").as("i2"), col("tj").as("back")),
+              col("tj") === col("i2") && col("back") === col("i"))
+            .filter(col("i") < col("tj"))
+            .select(col("i").as("keep"), col("tj").as("gone"))
+          val mp = self.select("c")
+            .join(broadcast(mg.select(col("gone").as("c"), col("keep"))),
+              Seq("c"), "left")
+            .select(col("c"), coalesce(col("keep"), col("c")).as("nc"))
+            .localCheckpoint(true)
+          val e2 = edges
+            .join(mp.select(col("c").as("a"), col("nc").as("na")), "a")
+            .join(mp.select(col("c").as("b"), col("nc").as("nb")), "b")
+          val inter = e2.filter(col("na") =!= col("nb"))
+            .select(least(col("na"), col("nb")).as("a"),
+              greatest(col("na"), col("nb")).as("b"), col("w"))
+            .groupBy("a", "b").agg(sum("w").as("w"))
+          val intra = e2.filter(col("na") === col("nb"))
+            .groupBy(col("na").as("c")).agg(sum("w").as("iw"))
+          val self2 = self.join(mp, "c")
+            .groupBy(col("nc").as("c")).agg(sum("sw").as("sw0"))
+            .join(intra, Seq("c"), "left")
+            .select(col("c"), (col("sw0") + coalesce(col("iw"), lit(0L))).as("sw"))
+          val eN = inter.localCheckpoint(true)
+          val sN = self2.localCheckpoint(true)
+          graft.Caches.releaseCheckpoint(edges)
+          graft.Caches.releaseCheckpoint(self)
+          graft.Caches.releaseCheckpoint(kw)
+          graft.Caches.releaseCheckpoint(mp)
+          edges = eN
+          self = sN
+          out = out.union(qrow(level, stat(edges, self)).localCheckpoint(true))
+        }
+        graft.Caches.releaseCheckpoint(edges)
+        graft.Caches.releaseCheckpoint(self)
+        out.orderBy("level")
+      },
+      Some {
+        val levels = (1 to 3).map { r =>
+          val p = r - 1
+          s"""
+          bt$r AS MATERIALIZED (
+            SELECT i, tj FROM (
+              SELECT ws.i, ws.j AS tj,
+                2 * mm.m * ws.w - ki.kw * kj.kw AS dq,
+                ROW_NUMBER() OVER (PARTITION BY ws.i
+                  ORDER BY 2 * mm.m * ws.w - ki.kw * kj.kw DESC, ws.j) AS rk
+              FROM (SELECT a AS i, b AS j, w FROM e$p
+                    UNION ALL SELECT b, a, w FROM e$p) ws
+              JOIN kw$p ki ON ki.c = ws.i
+              JOIN kw$p kj ON kj.c = ws.j, mm
+            ) WHERE rk = 1 AND dq > 0),
+          mg$r AS MATERIALIZED (
+            SELECT b1.i AS keep, b1.tj AS gone FROM bt$r b1 JOIN bt$r b2
+              ON b2.i = b1.tj AND b2.tj = b1.i
+            WHERE b1.i < b1.tj),
+          mp$r AS MATERIALIZED (
+            SELECT s.c, COALESCE(m.keep, s.c) AS nc FROM sf$p s
+            LEFT JOIN mg$r m ON m.gone = s.c),
+          e$r AS MATERIALIZED (
+            SELECT a, b, CAST(SUM(w) AS BIGINT) AS w FROM (
+              SELECT LEAST(ma.nc, mb.nc) AS a, GREATEST(ma.nc, mb.nc) AS b, e.w
+              FROM e$p e JOIN mp$r ma ON ma.c = e.a JOIN mp$r mb ON mb.c = e.b
+              WHERE ma.nc <> mb.nc) GROUP BY a, b),
+          sf$r AS MATERIALIZED (
+            SELECT g.c, CAST(g.sw0 + COALESCE(i.iw, 0) AS BIGINT) AS sw FROM
+              (SELECT m.nc AS c, SUM(s.sw) AS sw0 FROM sf$p s
+               JOIN mp$r m ON m.c = s.c GROUP BY m.nc) g
+            LEFT JOIN (
+              SELECT ma.nc AS c, SUM(e.w) AS iw FROM e$p e
+              JOIN mp$r ma ON ma.c = e.a JOIN mp$r mb ON mb.c = e.b
+              WHERE ma.nc = mb.nc GROUP BY ma.nc) i ON i.c = g.c),
+          kw$r AS MATERIALIZED (
+            SELECT s.c,
+              CAST(COALESCE(wd.wsum, 0) + 2 * s.sw AS BIGINT) AS kw, s.sw
+            FROM sf$r s LEFT JOIN (
+              SELECT c, SUM(w) AS wsum FROM (
+                SELECT a AS c, w FROM e$r UNION ALL SELECT b, w FROM e$r)
+              GROUP BY c) wd ON wd.c = s.c)"""
+        }.mkString(",")
+        val qsel = (0 to 3).map { r =>
+          s"""
+          SELECT CAST($r AS BIGINT) AS level,
+            CAST(COUNT(*) AS BIGINT) AS n_communities,
+            CAST(COALESCE(SUM(4 * mm.m * k.sw - k.kw * k.kw), 0) AS BIGINT) AS q_num,
+            CASE WHEN (SELECT m FROM mm) = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(ROUND(CAST(CAST(
+                   1000.0 * COALESCE(SUM(4 * mm.m * k.sw - k.kw * k.kw), 0)
+                   / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm))
+                   AS VARCHAR) AS DECIMAL(38,15)), 0) AS BIGINT) END AS q_permille
+          FROM kw$r k, mm"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH knn AS MATERIALIZED (
+          SELECT a, b FROM (
+            SELECT x.vec_id AS a, y.vec_id AS b,
+              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
+                y.vec_id) AS rk
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          ) WHERE rk <= $MutualKnnK),
+        mutual AS MATERIALIZED (
+          SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
+            ON k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b),
+        mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM mutual),
+        e0 AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w FROM mutual),
+        sf0 AS MATERIALIZED (
+          SELECT DISTINCT n AS c, CAST(0 AS BIGINT) AS sw FROM (
+            SELECT a AS n FROM mutual UNION ALL SELECT b FROM mutual)),
+        kw0 AS MATERIALIZED (
+          SELECT s.c, CAST(COALESCE(wd.wsum, 0) + 2 * s.sw AS BIGINT) AS kw, s.sw
+          FROM sf0 s LEFT JOIN (
+            SELECT c, SUM(w) AS wsum FROM (
+              SELECT a AS c, w FROM e0 UNION ALL SELECT b, w FROM e0)
+            GROUP BY c) wd ON wd.c = s.c),
+        $levels
+        SELECT level, n_communities, q_num, q_permille FROM ($qsel)
+        ORDER BY level
+        """.trim
+      }),
+
     // MODULARITY SCOREBOARD — the objective the Louvain ops optimize,
     // measured EXACTLY (Q·4m² = Σ_c (4m·e_c − d_c²), all BIGINT — e_c =
     // intra-community edges, d_c = summed degrees) for three partitions

@@ -575,6 +575,27 @@ class EquivalenceSuite extends AnyFunSuite {
         "missing exact-top-10 items cannot yield a perfect NDCG")
   }
 
+  test("graph_louvain_multilevel: modularity is monotone non-decreasing level over level") {
+    // Mutual-best-pair matching makes simultaneous merges DISJOINT, so
+    // their strictly-positive gains add: Q(level k+1) >= Q(level k) is a
+    // theorem of the merge rule, not a fixture property — and community
+    // count can only shrink. q_num shares its 4m^2 denominator across
+    // levels, so the integer numerator carries the comparison exactly.
+    val rows = SparkEntry.queries("graph_louvain_multilevel")(spark, sf0001)
+      .collect().toSeq
+    assert(rows.length == 4, s"expected 4 level rows, got ${rows.length}")
+    rows.sliding(2).foreach { case Seq(x, y) =>
+      assert(y.getLong(2) >= x.getLong(2),
+        s"modularity fell: level ${x.getLong(0)} q=${x.getLong(2)} -> " +
+          s"level ${y.getLong(0)} q=${y.getLong(2)}")
+      assert(y.getLong(1) <= x.getLong(1),
+        s"community count grew between levels ${x.getLong(0)} and ${y.getLong(0)}")
+    }
+    // The fixture graph genuinely coarsens (the pin is not vacuous).
+    assert(rows.last.getLong(1) < rows.head.getLong(1),
+      "no contraction happened across 3 levels — fixture degenerate")
+  }
+
   test("vec_hnsw_batch_search: the shared query's walk is at least as good as the single-query descent") {
     // Round-14 verdict item 1's recall pin. qid 0 is in both contracts
     // (0 ≡ 0 mod 97): the batched walk over the shared index must land
