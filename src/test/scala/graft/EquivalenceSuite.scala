@@ -575,6 +575,40 @@ class EquivalenceSuite extends AnyFunSuite {
         "missing exact-top-10 items cannot yield a perfect NDCG")
   }
 
+  test("text_bpe_train: replaying the merge table reproduces the trained tokenization; round 1 equals pair_count rank-1") {
+    // The merge table IS the tokenizer: an INDEPENDENT pure-JVM replay
+    // (String.replace fold over the collected table, rank order) must
+    // land on byte-identical tokenizations — no hidden state survives
+    // outside the emitted artifact. And round 1's tokens are chars, so
+    // its merges must equal text_bpe_pair_count's rank-1 bigrams.
+    val (mt, stDf) = graft.ops.PipelineOps.bpeTrain(spark, sf0001, 6)
+    val merges = mt.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .toSeq
+    val p = "\u0001"
+    val mByLang = merges.groupBy(_._1).map { case (l, ms) => l -> ms.sortBy(_._2) }
+    val replayed = Tables.t(spark, sf0001, "documents")
+      .select("lang", "text").collect()
+      .map { r =>
+        val (lang, text) = (r.getString(0), r.getString(1))
+        var acc = text.map(c => s"$p$c$p").mkString
+        for ((_, _, lft, rgt) <- mByLang.getOrElse(lang, Nil))
+          acc = acc.replace(s"$p$lft$p$p$rgt$p", s"$p$lft$rgt$p")
+        (lang, acc)
+      }.toSeq.sorted
+    val trained = stDf.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    graft.Caches.releaseCheckpoint(stDf)
+    assert(trained.nonEmpty && replayed == trained,
+      "merge-table replay diverged from the trained tokenization")
+    val r1 = merges.filter(_._2 == 1).map(t => (t._1, t._3 + t._4)).toSet
+    val pcTop = SparkEntry.queries("text_bpe_pair_count")(spark, sf0001)
+      .collect().filter(_.getInt(1) == 1)
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(r1 == pcTop,
+      s"trainer round-1 merges $r1 != pair_count rank-1 bigrams $pcTop")
+  }
+
   test("graph_louvain_multilevel: modularity is monotone non-decreasing level over level") {
     // Mutual-best-pair matching makes simultaneous merges DISJOINT, so
     // their strictly-positive gains add: Q(level k+1) >= Q(level k) is a

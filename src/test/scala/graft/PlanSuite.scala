@@ -251,7 +251,7 @@ class PlanSuite extends AnyFunSuite {
         "vec_pq_residual_topk", "agg_kmv_set_ops", "src_txn_log_compact",
         "agg_robust_mean", "vec_hard_negatives", "etl_volume_gate",
         "agg_ab_srm_check", "text_oov_rate", "vec_ivf_cell_stats",
-        "graph_louvain_multilevel")) {
+        "graph_louvain_multilevel", "text_bpe_train")) {
       val p = plan(k)
       assert(!p.contains("CartesianProduct"), s"$k plan went cartesian")
     }
