@@ -31,7 +31,12 @@ object PipelineOps extends OpGroup {
       s: org.apache.spark.sql.SparkSession, dir: String, rounds: Int)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val p = "\u0001"
+    // documents.parquet is a single file -> a single input partition;
+    // spread the per-round pair explode across all cores (the simhashSigs
+    // repartition discipline) BEFORE the first checkpoint so every round
+    // inherits the layout.
     var st = Tables.t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("gtext", expr(
         s"""IF(contains(text, '$p'),
             CAST(raise_error('text_bpe_train: input text contains the U+0001 token delimiter') AS STRING),
