@@ -16,6 +16,12 @@ import org.apache.spark.sql.types._
   */
 object StreamOps extends OpGroup {
 
+  /** stream_state_ttl's expiry horizon: a session expires 2 h (event
+    * time) after its last activity. Shared with the EquivalenceSuite
+    * simulation so the pin and the op can never drift apart.
+    */
+  private[graft] val TtlMs = 2L * 3600 * 1000
+
   /** Per-user cumulative event count for `stream_transform_with_state`.
     * A NAMED class (not an anonymous subclass inside the op lambda): an
     * anonymous processor closes over the op's lambda scope — including the
@@ -36,6 +42,55 @@ object StreamOps extends OpGroup {
       val t = (if (total.exists()) total.get() else 0L) + rows.size
       total.update(t)
       Iterator((user, t))
+    }
+  }
+
+  /** Per-user session state with an EVENT-TIME EXPIRY TIMER for
+    * `stream_state_ttl` — the state-TTL path (round-14 verdict item 4):
+    * a count + last-seen ValueState pair, one timer at lastSeen + 2 h.
+    * When the watermark passes the timer, the state EXPIRES: the session
+    * flushes (user, count, expiry_ms) and both state variables clear —
+    * the mechanism that bounds state size on a 100 TB/day query. New
+    * activity first DELETES the pending timer (so an active user never
+    * expires mid-batch) and re-arms it at the new last-seen; expiry →
+    * re-activity restarts the count from zero. Event-time timers (not
+    * processing-time TTL) keep the whole schedule a deterministic
+    * function of the DATA — wall clock never decides a test outcome.
+    * Named class, captures nothing (the RunningCountProcessor
+    * serialization lesson).
+    */
+  private class SessionTtlProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var cnt: ValueState[Long] = _
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        tv: TimerValues): Iterator[(Long, Long, Long)] = {
+      var n = 0L
+      var mx = Long.MinValue
+      rows.foreach { r => n += 1; mx = math.max(mx, r._2.getTime) }
+      cnt.update((if (cnt.exists()) cnt.get() else 0L) + n)
+      val last = math.max(if (seen.exists()) seen.get() else Long.MinValue, mx)
+      seen.update(last)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(last + StreamOps.TtlMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      val n = if (cnt.exists()) cnt.get() else 0L
+      cnt.clear()
+      seen.clear()
+      Iterator((user, n, info.getExpiryTimeInMs))
     }
   }
 
@@ -86,8 +141,11 @@ object StreamOps extends OpGroup {
   private val rawTsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.sql.types.DataType]
 
-  /** Build (once per session/sfDir/n) the n-file incremental layout. */
-  private def splitDir(s: SparkSession, sfDir: String, n: Int): String =
+  /** Build (once per session/sfDir/n) the n-file incremental layout.
+    * private[graft]: the stream_state_ttl equivalence simulation replays
+    * the same files batch-by-batch.
+    */
+  private[graft] def splitDir(s: SparkSession, sfDir: String, n: Int): String =
     graft.Caches.memo(splitCache, (s, sfDir, n), {
       val root = Tables.tmpDir("graft_stream_split")
       val lateWinUs = 55L * 60 * 1000000 // < the 1 h watermark delay
@@ -514,6 +572,56 @@ object StreamOps extends OpGroup {
           runToMemory(s, counts, "graft_stream_tws", "append")
             .groupBy("user_id")
             .agg(max(col("running_count")).as("n_events"))
+            .orderBy("user_id")
+        } finally prev match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None    => s.conf.unset(providerKey)
+        }
+      },
+      None),
+
+    // STATE TTL / EXPIRY — the state-expiry path (round-14 verdict item
+    // 4, the one stateful-streaming surface the suite had not exercised):
+    // transformWithState under TimeMode.EventTime with a REGISTERED
+    // EXPIRY TIMER per user (lastSeen + 2 h). The source is ALWAYS the
+    // deterministic 3-file incremental layout (one file per micro-batch,
+    // staged mtimes), because a timer can only FIRE when a later batch
+    // advances the watermark — a single-batch run would leave the expiry
+    // path untested, which was exactly the gap. Output = per expired
+    // user the flushed session (expiry count, summed flushed events);
+    // users still active near stream end hold state and emit nothing —
+    // that asymmetry IS the TTL semantics. Event-time timers make every
+    // firing a deterministic function of the data (watermark = max event
+    // time of PRIOR batches − 1 h); EquivalenceSuite replays the same
+    // three files through a driver-side simulation of the documented
+    // batch contract (input rows first — deleting and re-arming the
+    // user's timer — then timers vs the batch's eviction watermark) and
+    // pins exact equality, plus that expiries genuinely fired. RocksDB
+    // is the provider (transformWithState requires it — the production
+    // state backend). At 100 TB/day: the timer column family is what
+    // bounds state to |active users in horizon| instead of |ever-seen
+    // users| — without this path the query's state grows forever.
+    Op("stream_state_ttl",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import s.implicits._
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerKey)
+        s.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val src = eventStreamSplit(s, dir, 3)
+            .withWatermark("ts", "1 hour")
+            .select(col("user_id"), col("ts"))
+            .as[(Long, java.sql.Timestamp)]
+          val expiries = src.groupByKey(_._1)
+            .transformWithState(new SessionTtlProcessor, TimeMode.EventTime(),
+              OutputMode.Append())
+            .toDF("user_id", "expired_events", "expiry_ms")
+          runToMemory(s, expiries, "graft_stream_ttl", "append")
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("n_expiries"),
+              sum("expired_events").as("expired_events"))
             .orderBy("user_id")
         } finally prev match {
           case Some(v) => s.conf.set(providerKey, v)

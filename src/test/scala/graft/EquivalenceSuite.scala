@@ -575,6 +575,54 @@ class EquivalenceSuite extends AnyFunSuite {
         "missing exact-top-10 items cannot yield a perfect NDCG")
   }
 
+  test("stream_state_ttl: expiry timers genuinely fire and match the batch-contract simulation") {
+    // The op runs the 3-file incremental source through event-time expiry
+    // timers. This replays the SAME files through a driver-side
+    // simulation of the documented micro-batch contract: per batch,
+    // (1) rows older than the batch's watermark drop, (2) surviving
+    // input re-arms each active user's single timer at lastSeen + TTL,
+    // (3) timers whose expiry is behind the watermark fire — flushing
+    // and clearing the user's state; the watermark then advances to
+    // max event time of the processed batch minus the 1 h delay.
+    val op = rows("stream_state_ttl")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(op.nonEmpty, "no state ever expired — the TTL path is unexercised")
+    val root = graft.ops.StreamOps.splitDir(spark, sf0001, 3)
+    val delayMs = 3600L * 1000
+    val ttl = graft.ops.StreamOps.TtlMs
+    var wm = 0L
+    val cnt = scala.collection.mutable.Map.empty[Long, Long]
+    val seen = scala.collection.mutable.Map.empty[Long, Long]
+    val timer = scala.collection.mutable.Map.empty[Long, Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // 4 iterations for 3 files: AvailableNow runs one final no-data batch
+    // so the watermark advanced by the LAST file still drives eviction —
+    // without it, no timer set in the final file's batch could ever fire.
+    for (i <- 0 until 4) {
+      val batch =
+        if (i == 3) Array.empty[(Long, Long)]
+        else spark.read.parquet(s"$root/b$i.parquet")
+          .select(col("user_id"), Tables.ntzMicros("ts").as("us"))
+          .collect().map(r => (r.getLong(0), r.getLong(1) / 1000))
+      val live = batch.filter(_._2 >= wm)
+      live.groupBy(_._1).foreach { case (u, rs) =>
+        cnt(u) = cnt.getOrElse(u, 0L) + rs.length
+        seen(u) = math.max(seen.getOrElse(u, Long.MinValue), rs.map(_._2).max)
+        timer(u) = seen(u) + ttl
+      }
+      for ((u, t) <- timer.toSeq.sortBy(_._1) if t < wm) {
+        out += ((u, cnt.getOrElse(u, 0L)))
+        cnt -= u; seen -= u; timer -= u
+      }
+      if (batch.nonEmpty)
+        wm = math.max(wm, batch.map(_._2).max - delayMs)
+    }
+    val sim = out.groupBy(_._1)
+      .map { case (u, es) => (u, es.length.toLong, es.map(_._2).sum) }.toSet
+    assert(sim == op,
+      s"simulation diverged:\n  sim-only: ${sim -- op}\n  op-only: ${op -- sim}")
+  }
+
   test("text_bpe_train: replaying the merge table reproduces the trained tokenization; round 1 equals pair_count rank-1") {
     // The merge table IS the tokenizer: an INDEPENDENT pure-JVM replay
     // (String.replace fold over the collected table, rank order) must
