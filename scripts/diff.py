@@ -17,6 +17,9 @@ driver:
     vs 5.5 and -0.0 vs 0.0)
 
 Usage: python3 scripts/diff.py [sfDir] [verifyOutDir] [keys...]
+       JSON artifact: set DIFF_JSON=<path> to also write a driver-shaped
+       per-key correctness map (incl. no_oracle rows for dumped keys
+       missing from oracle_sql.json).
 """
 import duckdb, json, sys, glob, math
 import numpy as np
@@ -82,28 +85,47 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass, fails = 0, []
+    import os
+    art = {}
+    def rec(name, ok, srows, orows, err):
+        art[name] = {"rows_match": ok if err != "no_oracle" else None,
+                     "schema_match": ok if err != "no_oracle" else None,
+                     "hash_match": ok if err != "no_oracle" else None,
+                     "spark_rows": srows, "oracle_rows": orows, "err": err}
+    dumped = sorted(d for d in (os.listdir(out) if os.path.isdir(out) else [])
+                    if os.path.isdir(f"{out}/{d}"))
+    for name in dumped:
+        if name in oracle or (only and name not in only):
+            continue
+        nd = load_spark(out, name)
+        rec(name, None, None if nd is None else len(nd), None, "no_oracle")
     for name in sorted(oracle):
         if only and name not in only:
             continue
         sdf = load_spark(out, name)
         if sdf is None:
             fails.append((name, "NO SPARK OUTPUT (query threw)"))
+            rec(name, False, None, None, "no_spark_output")
             continue
         bad = unstable_cols(sdf)
         if bad:
             fails.append((name, f"UNSTABLE OUTPUT TYPES (rule 8): {bad} — "
                           "driver's pandas compare will hash-fail or crash"))
+            rec(name, False, len(sdf), None, "unstable_types")
             continue
         try:
             odf = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             fails.append((name, f"ORACLE SQL ERROR: {e}"))
+            rec(name, False, len(sdf), None, "oracle_sql_error")
             continue
         if sorted(odf.columns) != sorted(sdf.columns):
             fails.append((name, f"COLUMNS oracle={sorted(odf.columns)} spark={sorted(sdf.columns)}"))
+            rec(name, False, len(sdf), len(odf), "columns")
             continue
         if len(odf) != len(sdf):
             fails.append((name, f"ROWS oracle={len(odf)} spark={len(sdf)}"))
+            rec(name, False, len(sdf), len(odf), "rows")
             continue
         cols = sorted(odf.columns)
         try:
@@ -111,6 +133,7 @@ def main():
             ssorted = sdf[cols].sort_values(cols).reset_index(drop=True)
         except Exception as e:
             fails.append((name, f"SORT ERROR (driver would ERR too): {e}"))
+            rec(name, False, len(sdf), len(odf), "sort_error")
             continue
         of = [tuple(norm_cell(osorted[c].iloc[i]) for c in cols)
               for i in range(len(osorted))]
@@ -122,11 +145,17 @@ def main():
                           f"  cols:   {cols}\n"
                           f"  oracle: {of[badrow]}\n"
                           f"  spark:  {sfr[badrow]}"))
+            rec(name, False, len(sdf), len(odf), "values")
             continue
         n_pass += 1
+        rec(name, True, len(sdf), len(odf), None)
         print(f"PASS {name} ({len(odf)} rows)")
     for name, msg in fails:
         print(f"FAIL {name}: {msg}")
+    jout = os.environ.get("DIFF_JSON")
+    if jout:
+        json.dump(art, open(jout, "w"), indent=1)
+        print(f"wrote {jout} ({len(art)} keys)")
     print(f"\n{n_pass} pass, {len(fails)} fail")
     sys.exit(1 if fails else 0)
 

@@ -4480,7 +4480,7 @@ object PipelineOps extends OpGroup {
           .orderBy("label")
       },
       Some(s"""
-        WITH knn AS (
+        WITH knn AS MATERIALIZED (
           SELECT l, a, b FROM (
             SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
               ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
@@ -4491,7 +4491,7 @@ object PipelineOps extends OpGroup {
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
           ) WHERE rk <= $MutualKnnK),
-        mutual AS (
+        mutual AS MATERIALIZED (
           SELECT k1.l, k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
           WHERE k1.a < k1.b),
@@ -4791,7 +4791,7 @@ object PipelineOps extends OpGroup {
           .orderBy("vec_id")
       },
       Some(s"""
-        WITH RECURSIVE knn AS (
+        WITH RECURSIVE knn AS MATERIALIZED (
           SELECT a, b FROM (
             SELECT x.vec_id AS a, y.vec_id AS b,
               ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
@@ -4802,7 +4802,7 @@ object PipelineOps extends OpGroup {
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
           ) WHERE rk <= $MutualKnnK),
-        mutual AS (
+        mutual AS MATERIALIZED (
           SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
           WHERE k1.a < k1.b),
@@ -4850,7 +4850,7 @@ object PipelineOps extends OpGroup {
           .orderBy("label")
       },
       Some(s"""
-        WITH knn AS (
+        WITH knn AS MATERIALIZED (
           SELECT l, a, b FROM (
             SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
               ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
@@ -4861,7 +4861,7 @@ object PipelineOps extends OpGroup {
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
           ) WHERE rk <= $MutualKnnK),
-        mutual AS (
+        mutual AS MATERIALIZED (
           SELECT k1.l, k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
           WHERE k1.a < k1.b),
@@ -5428,7 +5428,7 @@ object PipelineOps extends OpGroup {
           .orderBy(desc("aa_micro"), asc("a"), asc("b"))
       },
       Some(s"""
-        WITH knn AS (
+        WITH knn AS MATERIALIZED (
           SELECT a, b FROM (
             SELECT x.vec_id AS a, y.vec_id AS b,
               ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
@@ -5439,7 +5439,7 @@ object PipelineOps extends OpGroup {
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
           ) WHERE rk <= $MutualKnnK),
-        mutual AS (
+        mutual AS MATERIALIZED (
           SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
           WHERE k1.a < k1.b),
@@ -5623,7 +5623,7 @@ object PipelineOps extends OpGroup {
           .orderBy(desc("n_members"), asc("comm"))
       },
       Some(s"""
-        WITH knn AS (
+        WITH knn AS MATERIALIZED (
           SELECT a, b FROM (
             SELECT x.vec_id AS a, y.vec_id AS b,
               ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
@@ -5634,7 +5634,7 @@ object PipelineOps extends OpGroup {
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
           ) WHERE rk <= $MutualKnnK),
-        mutual AS (
+        mutual AS MATERIALIZED (
           SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
           WHERE k1.a < k1.b),
@@ -6514,7 +6514,7 @@ object PipelineOps extends OpGroup {
         }
       },
       Some(s"""
-        WITH RECURSIVE knn AS (
+        WITH RECURSIVE knn AS MATERIALIZED (
           SELECT l, a, b FROM (
             SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
               ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
@@ -6525,7 +6525,7 @@ object PipelineOps extends OpGroup {
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
           ) WHERE rk <= $MutualKnnK),
-        mutual AS (
+        mutual AS MATERIALIZED (
           SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
           WHERE k1.a < k1.b AND k1.a <> 0 AND k1.b <> 0),
@@ -6624,7 +6624,7 @@ object PipelineOps extends OpGroup {
         }
       },
       Some(s"""
-        WITH RECURSIVE knn AS (
+        WITH RECURSIVE knn AS MATERIALIZED (
           SELECT l, a, b FROM (
             SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
               ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
@@ -6635,7 +6635,7 @@ object PipelineOps extends OpGroup {
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
           ) WHERE rk <= $MutualKnnK),
-        mutual AS (
+        mutual AS MATERIALIZED (
           SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
           WHERE k1.a < k1.b AND k1.a <> 0 AND k1.b <> 0),
@@ -6800,7 +6800,7 @@ object PipelineOps extends OpGroup {
         val perLayer = (1 to 4).map { level =>
           s"""
           n$level AS (SELECT vec_id, label, embedding FROM layq WHERE lyr >= $level),
-          k$level AS (
+          k$level AS MATERIALIZED (
             SELECT a, b FROM (
               SELECT x.vec_id AS a, y.vec_id AS b,
                 ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
@@ -6808,7 +6808,7 @@ object PipelineOps extends OpGroup {
               FROM n$level x JOIN n$level y
                 ON x.label = y.label AND x.vec_id <> y.vec_id
             ) WHERE rk <= $MutualKnnK),
-          s$level AS (
+          s$level AS MATERIALIZED (
             SELECT k1.a, k1.b FROM k$level k1 JOIN k$level k2
               ON k1.a = k2.b AND k1.b = k2.a
             WHERE k1.a < k1.b AND k1.a <> 0 AND k1.b <> 0),
@@ -6819,12 +6819,19 @@ object PipelineOps extends OpGroup {
         // Greedy per-layer descent 4→1: each recL's seed is the previous
         // layer's fixed-6-step endpoint (idempotent ⇒ ≡ the early-stopped
         // Spark walk), then the ef=4 beam at layer 0 seeded from e1.
-        // NO `AS MATERIALIZED` anywhere in this oracle: DuckDB 1.0 loses
-        // the lateral correlation through the beam recursion's UNION when
-        // the referenced CTEs are materialized (the candidate set comes
-        // back empty and the beam silently never leaves its seed —
-        // found at sf0.1, round 14). Plain CTEs re-inline per reference,
-        // which is acceptable oracle-side cost.
+        // Materialization split (refined round 15 for the sf1 sweep):
+        // CTEs referenced from the recursion's LATERAL (scored, g*, rec*)
+        // MUST stay plain — DuckDB 1.0 loses the lateral correlation
+        // through the beam recursion's UNION when THEY are materialized
+        // (candidate set comes back empty, the beam silently never
+        // leaves its seed — found at sf0.1, round 14; the failure is
+        // scale-dependent, surfacing only at larger cardinalities). The
+        // expensive UNCORRELATED upstream (layq, k*, s*, k0, m0) is
+        // safely MATERIALIZED — verified output-equal at all three SFs —
+        // which stops the |V|²-per-block kNN build re-inlining under
+        // every lateral reference (the single-query oracle went
+        // 31 s → 1.3 s at sf0.1; at sf1 it was the difference between
+        // minutes and hours).
         val descent = (4 to 1 by -1).map { level =>
           val seed = if (level == 4) "(SELECT entry FROM ent)"
             else s"(SELECT cur FROM e${level + 1})"
@@ -6845,7 +6852,7 @@ object PipelineOps extends OpGroup {
           e$level AS (SELECT cur FROM rec$level WHERE step = 6)"""
         }.mkString(",")
         s"""
-        WITH RECURSIVE layq AS (
+        WITH RECURSIVE layq AS MATERIALIZED (
           SELECT vec_id, label, embedding, $layerCase AS lyr FROM (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding,
               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
@@ -6859,7 +6866,7 @@ object PipelineOps extends OpGroup {
           SELECT lyr AS top_layer, vec_id AS entry FROM lay
           ORDER BY lyr DESC, vec_id LIMIT 1),
         $perLayer,
-        k0 AS (
+        k0 AS MATERIALIZED (
           SELECT a, b FROM (
             SELECT x.vec_id AS a, y.vec_id AS b,
               ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
@@ -6867,7 +6874,7 @@ object PipelineOps extends OpGroup {
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
           ) WHERE rk <= $MutualKnnK),
-        m0 AS (
+        m0 AS MATERIALIZED (
           SELECT k1.a, k1.b FROM k0 k1 JOIN k0 k2
             ON k1.a = k2.b AND k1.b = k2.a
           WHERE k1.a < k1.b AND k1.a <> 0 AND k1.b <> 0),
@@ -6955,7 +6962,7 @@ object PipelineOps extends OpGroup {
         val perLayer = (1 to 4).map { level =>
           s"""
           n$level AS (SELECT vec_id, label, embedding FROM layq WHERE lyr >= $level),
-          k$level AS (
+          k$level AS MATERIALIZED (
             SELECT a, b FROM (
               SELECT x.vec_id AS a, y.vec_id AS b,
                 ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
@@ -6963,7 +6970,7 @@ object PipelineOps extends OpGroup {
               FROM n$level x JOIN n$level y
                 ON x.label = y.label AND x.vec_id <> y.vec_id
             ) WHERE rk <= $MutualKnnK),
-          s$level AS (
+          s$level AS MATERIALIZED (
             SELECT k1.a, k1.b FROM k$level k1 JOIN k$level k2
               ON k1.a = k2.b AND k1.b = k2.a
             WHERE k1.a < k1.b),
@@ -6972,10 +6979,11 @@ object PipelineOps extends OpGroup {
             UNION ALL SELECT b, a FROM s$level)"""
         }.mkString(",")
         // Batched greedy descent 4→1: the recursion rows carry qid — all
-        // queries advance together, one recursive step per hop. NO
-        // `AS MATERIALIZED` anywhere (the round-14 finding: DuckDB 1.0
-        // loses lateral correlation through the recursion's UNION when
-        // referenced CTEs are materialized).
+        // queries advance together, one recursive step per hop.
+        // Lateral-referenced CTEs (scored, g*) stay PLAIN (the round-14
+        // correlation-loss finding); the uncorrelated upstream kNN
+        // builds are MATERIALIZED (round-15 split, output-equal at all
+        // SFs — see vec_hnsw_search's oracle note).
         val descent = (4 to 1 by -1).map { level =>
           val seed = if (level == 4) "SELECT 0 AS step, qid, cur FROM st0"
             else s"SELECT 0 AS step, qid, cur FROM e${level + 1}"
@@ -6997,7 +7005,7 @@ object PipelineOps extends OpGroup {
           e$level AS (SELECT qid, cur FROM rec$level WHERE step = 6)"""
         }.mkString(",")
         s"""
-        WITH RECURSIVE layq AS (
+        WITH RECURSIVE layq AS MATERIALIZED (
           SELECT vec_id, label, embedding, $layerCase AS lyr FROM (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding,
               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
@@ -7017,7 +7025,7 @@ object PipelineOps extends OpGroup {
               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY e.erk) AS rk
             FROM q JOIN ent e ON e.vec_id <> q.qid) WHERE rk = 1),
         $perLayer,
-        k0 AS (
+        k0 AS MATERIALIZED (
           SELECT a, b FROM (
             SELECT x.vec_id AS a, y.vec_id AS b,
               ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
@@ -7025,7 +7033,7 @@ object PipelineOps extends OpGroup {
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
           ) WHERE rk <= $MutualKnnK),
-        m0 AS (
+        m0 AS MATERIALIZED (
           SELECT k1.a, k1.b FROM k0 k1 JOIN k0 k2
             ON k1.a = k2.b AND k1.b = k2.a
           WHERE k1.a < k1.b),
