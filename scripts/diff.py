@@ -99,9 +99,11 @@ def main():
             continue
         nd = load_spark(out, name)
         rec(name, None, None if nd is None else len(nd), None, "no_oracle")
+    import time as _time
     for name in sorted(oracle):
         if only and name not in only:
             continue
+        _t0 = _time.time()
         sdf = load_spark(out, name)
         if sdf is None:
             fails.append((name, "NO SPARK OUTPUT (query threw)"))
@@ -149,7 +151,7 @@ def main():
             continue
         n_pass += 1
         rec(name, True, len(sdf), len(odf), None)
-        print(f"PASS {name} ({len(odf)} rows)")
+        print(f"PASS {name} ({len(odf)} rows) [{_time.time()-_t0:.1f}s]", flush=True)
     for name, msg in fails:
         print(f"FAIL {name}: {msg}")
     jout = os.environ.get("DIFF_JSON")

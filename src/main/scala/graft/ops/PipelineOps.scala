@@ -6866,7 +6866,7 @@ object PipelineOps extends OpGroup {
           SELECT lyr AS top_layer, vec_id AS entry FROM lay
           ORDER BY lyr DESC, vec_id LIMIT 1),
         $perLayer,
-        k0 AS MATERIALIZED (
+        k0 AS (
           SELECT a, b FROM (
             SELECT x.vec_id AS a, y.vec_id AS b,
               ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
@@ -6874,7 +6874,7 @@ object PipelineOps extends OpGroup {
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
           ) WHERE rk <= $MutualKnnK),
-        m0 AS MATERIALIZED (
+        m0 AS (
           SELECT k1.a, k1.b FROM k0 k1 JOIN k0 k2
             ON k1.a = k2.b AND k1.b = k2.a
           WHERE k1.a < k1.b AND k1.a <> 0 AND k1.b <> 0),
