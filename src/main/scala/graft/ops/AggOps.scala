@@ -1834,7 +1834,7 @@ object AggOps extends OpGroup {
                      / CAST(theta AS DOUBLE) AS STRING) AS DECIMAL(38,15)), 0) AS BIGINT) END"""
         th.crossJoin(broadcast(cnts)).crossJoin(broadcast(exact))
           .selectExpr(
-            "ka", "kb",
+            "CAST(ka AS BIGINT) AS ka", "CAST(kb AS BIGINT) AS kb",
             s"${est("ic")} AS inter_est", "ie AS inter_exact",
             s"${est("uc")} AS union_est", "ue AS union_exact",
             s"${est("dc")} AS diff_est", "de AS diff_exact",
