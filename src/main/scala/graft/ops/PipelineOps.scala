@@ -900,84 +900,176 @@ object PipelineOps extends OpGroup {
       .orderBy("doc_id")
   }
 
-  /** Best-first BEAM walk over a navigable graph — the ef-frontier
-    * generalization of vec_graph_greedy_search's beam=1 walk (the actual
-    * HNSW search loop). State per step is ≤ef node ids of DRIVER scalars
-    * (the documented iterative-op shape — never a data collect, and never
-    * an unrolled declarative chain, which re-executes prefixes 2^steps
-    * times; see the greedy op's round-12 lesson). Each step scores ONLY
-    * the frontier's neighbors ∪ the frontier itself (≤ ef·(k+1) ids — a
-    * broadcast point-lookup join against the corpus, never a scan) and
-    * keeps the top-ef by (sim DESC, id ASC). Early-stop when the beam is
-    * stable is exact: the beam update is idempotent at stability, so a
-    * fixed-step oracle lands on the identical final beam.
-    *
-    * @param sym   symmetric edge list (src, dst)
-    * @param score ids(vec_id) => (vec_id BIGINT, sim DOUBLE) — scoring is
-    *              injected so UnitSuite can drive the walk over a
-    *              hand-built graph (the beam=1-stops-local-optimum /
-    *              beam=4-escapes pin) without synthesizing embeddings
-    * @return (final beam ordered by sim DESC then id, distinct nodes ever
-    *         beamed) — (Nil, 0) on an edgeless graph (callers
-    *         short-circuit to their exact fallback, mirroring the
-    *         round-12 degenerate-corpus guard)
+  /** The walk family's per-candidate scorer: cosine of the edge's stored
+    * endpoint vector (`demb` — the vectors-in-the-index HNSW layout)
+    * against the state row's query vector (`qemb`). ONE audited
+    * expression shared by every hop of every walk key, batched or
+    * single-query — the step cost each op's scaladoc quotes (k lookups,
+    * not |corpus|) has a single implementation.
     */
-  private[graft] def beamWalk(
-      s: org.apache.spark.sql.SparkSession,
-      sym: org.apache.spark.sql.DataFrame,
-      score: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      ef: Int,
-      maxSteps: Int,
-      entry: Option[Long] = None): (Seq[(Long, Double)], Long) = {
-    // Seeded form (vec_hnsw_search): the upper-layer descent hands its
-    // endpoint in as the layer-0 entry instead of the min-id default, and
-    // the walk proceeds even on an edgeless layer (candidates = the seed
-    // itself — idempotent, lands on the seed's score).
-    val start = entry.orElse {
-      val entryRow = sym.agg(min(col("src")).as("mn")).head()
-      if (entryRow.isNullAt(0)) None else Some(entryRow.getLong(0))
-    }
-    if (start.isEmpty) return (Nil, 0L)
-    val entryRow = org.apache.spark.sql.Row(start.get)
-    import s.implicits._
-    def idsDf(ids: Seq[Long]) = ids.toDF("vec_id")
-    def top(ids: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
-      score(ids.distinct())
-        .orderBy(desc("sim"), asc("vec_id")).limit(ef)
-        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    var beam = top(idsDf(Seq(entryRow.getLong(0))))
-    val visited = scala.collection.mutable.LinkedHashSet(beam.map(_._1): _*)
-    var converged = false
-    for (_ <- 1 to maxSteps if !converged) {
-      val beamDf = idsDf(beam.map(_._1))
-      val cand = sym
-        .join(broadcast(beamDf.withColumnRenamed("vec_id", "src")), "src")
-        .select(col("dst").as("vec_id"))
-        .union(beamDf)
-      val next = top(cand)
-      converged = next.map(_._1) == beam.map(_._1)
-      beam = next
-      visited ++= next.map(_._1)
-    }
-    (beam, visited.size.toLong)
+  private def walkSim: org.apache.spark.sql.Column =
+    expr("vec_dot(demb, qemb)") /
+      (Tables.safeNorm("demb") * Tables.safeNorm("qemb"))
+
+  /** Hop join of a walk: state rows meet the edges of their current
+    * node. `fused` = exchange-free sort-merge inside one task (both
+    * frames single-partition — the per-shard local-walk serving shape);
+    * otherwise the state BROADCASTS into the distributed edge frame (the
+    * cross-shard point-lookup fallback). See [[batchHnswSearch]].
+    */
+  private def walkHopJoin(
+      edges: org.apache.spark.sql.DataFrame,
+      state: org.apache.spark.sql.DataFrame,
+      key: String, fused: Boolean): org.apache.spark.sql.DataFrame =
+    if (fused) edges.hint("merge").join(state, col("src") === col(key))
+    else edges.join(broadcast(state), col("src") === col(key))
+
+  /** ONE greedy (beam=1) hop — the navigable-graph step EVERY descent in
+    * the family takes (vec_hnsw_batch_search's layer walk, vec_hnsw_search
+    * and vec_graph_greedy_search as |Q|=1; round-15 verdict item 4 made
+    * this the single implementation). State (qid, qemb, cur) advances to
+    * the argmax by (sim DESC, id ASC) of cur's neighbors; "stay" rides the
+    * self-loop edges, so the state is referenced exactly ONCE per hop (no
+    * 2^steps prefix re-execution) and a node at a local optimum is a
+    * fixpoint — which is why a fixed-step chain equals the early-stopped
+    * oracle. `track = true` (single-query keys) additionally threads a
+    * visited `path` string and the chosen node's `cursim` through the
+    * state — pure extra columns, the argmax itself is byte-identical.
+    */
+  private[graft] def descentHop(
+      eL: org.apache.spark.sql.DataFrame,
+      state: org.apache.spark.sql.DataFrame,
+      fused: Boolean, track: Boolean): org.apache.spark.sql.DataFrame = {
+    val j = walkHopJoin(eL, state, "cur", fused)
+      .filter(col("dst") =!= col("qid"))
+      .withColumn("sim", walkSim)
+    if (!track)
+      j.groupBy("qid").agg(
+          max(struct(col("sim").as("s"), (-col("dst")).as("nc"))).as("m"),
+          first(col("qemb")).as("qemb"))
+        .select(col("qid"), col("qemb"), (-col("m.nc")).as("cur"))
+    else
+      j.groupBy("qid").agg(
+          max(struct(col("sim").as("s"), (-col("dst")).as("nc"))).as("m"),
+          first(col("qemb")).as("qemb"),
+          first(col("path")).as("path0"))
+        .select(col("qid"), col("qemb"), (-col("m.nc")).as("cur"),
+          concat(col("path0"), lit(","), (-col("m.nc")).cast("string")).as("path"),
+          col("m.s").as("cursim"))
   }
 
-  /** (vec_id, sim) cosine of the given candidate ids against the vec_id-0
-    * query — the walk family's per-step scorer (beam + HNSW descent): a
-    * broadcast point-lookup join against the corpus, never a scan
-    * (PlanSuite pins the shape). Shared so the step cost every walk
-    * op's scaladoc quotes (k lookups, not |corpus|) is one audited frame.
+  /** ONE ef=4 beam step — the production HNSW layer-0 search step,
+    * shared verbatim by vec_hnsw_batch_search, vec_hnsw_search and
+    * vec_graph_beam_search (|Q|=1). The state is the current top-4
+    * frontier (qid, qemb, cid, sim); a step scores the frontier's
+    * neighbors ∪ the frontier itself (self-loops) and keeps the top-4 by
+    * (sim DESC, id ASC) per query. Idempotent at a stable beam, so a
+    * fixed-step chain equals an early-stopped walk — beam AND visited
+    * set (repeats add nothing).
     */
-  private[graft] def queryCosineScore(
-      s: org.apache.spark.sql.SparkSession, dir: String)(
-      ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def beamStep(
+      sym0: org.apache.spark.sql.DataFrame,
+      state: org.apache.spark.sql.DataFrame,
+      fused: Boolean): org.apache.spark.sql.DataFrame =
+    walkHopJoin(sym0, state.select("qid", "qemb", "cid"), "cid", fused)
+      .filter(col("dst") =!= col("qid"))
+      .withColumn("sim", walkSim)
+      .select(col("qid"), col("qemb"), col("dst").as("cid"), col("sim"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+      .filter(col("rk") <= 4).select("qid", "qemb", "cid", "sim")
+
+  /** Materialize a walk edge frame: single-partition in the fused shape
+    * (the whole layer graph lives in one task — how a real HNSW shard
+    * serves), distributed otherwise. Callers MUST release the returned
+    * checkpoint once their walk's final state is materialized.
+    */
+  private def walkShaped(df: org.apache.spark.sql.DataFrame, fused: Boolean) =
+    (if (fused) df.coalesce(1) else df).localCheckpoint(true)
+
+  /** All-level HNSW edge frame (lvl, src, dst, demb): the symmetrized
+    * upper-layer mutual-kNN edges plus per-level self-loops for every
+    * corpus vector, endpoint vectors attached (vectors-in-the-index).
+    * Shared by the batched descent and vec_hnsw_search's |Q|=1 descent.
+    */
+  private def walkLevelEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      upper: org.apache.spark.sql.DataFrame,
+      fused: Boolean): org.apache.spark.sql.DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
-    e.join(broadcast(ids), Seq("vec_id"))
-      .crossJoin(broadcast(q))
-      .withColumn("sim", expr("vec_dot(embedding, qemb)")
-        / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
-      .select("vec_id", "sim")
+    val emb = e.select(col("vec_id").as("dst"), col("embedding").as("demb"))
+    val loops = e.select(col("vec_id").as("src"), col("vec_id").as("dst"))
+    val sym = upper.select(col("lvl"), col("a").as("src"), col("b").as("dst"))
+      .union(upper.select(col("lvl"), col("b").as("src"), col("a").as("dst")))
+    val lvls = s.range(1, 5).select(col("id").cast("int").as("lvl"))
+    val lvlLoops = loops.crossJoin(broadcast(lvls))
+      .select(col("lvl"), col("src"), col("dst"))
+    walkShaped(sym.union(lvlLoops).join(emb, Seq("dst"))
+      .select("lvl", "src", "dst", "demb"), fused)
+  }
+
+  /** Layer-0 walk graph (src, dst, demb): the symmetrized mutual-kNN
+    * edges plus self-loops, endpoint vectors attached. Shared by the
+    * batched beam and all three |Q|=1 walk keys.
+    */
+  private def walkSym0(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      m0: org.apache.spark.sql.DataFrame,
+      fused: Boolean): org.apache.spark.sql.DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val emb = e.select(col("vec_id").as("dst"), col("embedding").as("demb"))
+    val loops = e.select(col("vec_id").as("src"), col("vec_id").as("dst"))
+    walkShaped(m0.select(col("a").as("src"), col("b").as("dst"))
+      .union(m0.select(col("b").as("src"), col("a").as("dst")))
+      .union(loops)
+      .join(emb, Seq("dst")), fused)
+  }
+
+  /** 1-row walk state (qid = 0, qemb, cur = entry[, path, cursim]) for
+    * the |Q|=1 keys: the query is vec_id 0 and the walk starts at the
+    * caller-probed entry node. With `track`, the visited path starts at
+    * the entry and `cursim` is a placeholder the first hop's argmax
+    * overwrites (every walk takes ≥1 hop).
+    */
+  private def singleState0(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      entry: Long, track: Boolean): org.apache.spark.sql.DataFrame = {
+    val q = Tables.t(s, dir, "embeddings")
+      .filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    // Single-partition like the batched st0: SinglePartition satisfies the
+    // fused merge join's distribution, keeping the hop exchange-free.
+    val base = q.coalesce(1)
+      .select(lit(0L).as("qid"), col("qemb"), lit(entry).as("cur"))
+    if (track)
+      base.withColumn("path", lit(entry.toString))
+        .withColumn("cursim", lit(0.0))
+    else base
+  }
+
+  /** The narrow conf window every walk runs its |Q|-bounded frames in:
+    * 2 shuffle partitions (the state is query-batch-sized, never
+    * corpus-sized), AQE off (the plans are fully known; adaptive
+    * re-planning only serializes the hop cascade), whole-stage codegen
+    * off (a fused multi-hop level is one deep single-task stage over
+    * single-digit rows — janino compilation costs ~10x its interpreted
+    * runtime, every level). Callers warm the shared corpus-side caches
+    * BEFORE entering (the round-15 advice): only walk frames may
+    * materialize inside. Restores the caller's conf on every exit path.
+    */
+  private def narrowWalkConf[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevCg = s.conf.get("spark.sql.codegen.wholeStage", "true")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    try body
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set("spark.sql.codegen.wholeStage", prevCg)
+    }
   }
 
   /** Batched HNSW descent body (vec_hnsw_batch_search), with the query
@@ -1026,22 +1118,8 @@ object PipelineOps extends OpGroup {
     val m0 = mutualKnnEdges(s, dir)
     val occupied = upper.groupBy("lvl").count()
       .collect().map(_.getInt(0)).toSet
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
-    val prevCg = s.conf.get("spark.sql.codegen.wholeStage", "true")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    // A fused 6-hop level is one deep single-task stage over single-digit
-    // rows: janino compilation of its whole-stage function costs ~10x its
-    // interpreted runtime, every level. Interpreted execution is the
-    // right trade for |Q|-bounded frames (the corpus-side cache builds
-    // and the truth leg run OUTSIDE this conf window and keep codegen).
-    s.conf.set("spark.sql.codegen.wholeStage", "false")
-    try batchHnswSearchBody(s, dir, mod, fusedWalk, upper, m0, occupied)
-    finally {
-      s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      s.conf.set("spark.sql.codegen.wholeStage", prevCg)
+    narrowWalkConf(s) {
+      batchHnswSearchBody(s, dir, mod, fusedWalk, upper, m0, occupied)
     }
   }
 
@@ -1069,47 +1147,21 @@ object PipelineOps extends OpGroup {
         Window.partitionBy("qid").orderBy("erk")))
       .filter(col("rk") === 1)
       .select(col("qid"), col("qemb"), col("vec_id").as("cur"))
-    val emb = e.select(col("vec_id").as("dst"), col("embedding").as("demb"))
-    // Self-loops keep "stay where you are" inside the edge relation so
-    // each hop references the state frame exactly once.
-    val loops = e.select(col("vec_id").as("src"), col("vec_id").as("dst"))
-    val simExpr = expr("vec_dot(demb, qemb)") /
-      (Tables.safeNorm("demb") * Tables.safeNorm("qemb"))
-    // ALL level edge frames in one checkpoint: (lvl, src, dst, demb),
-    // self-loops attached per level; single-partition in the fused shape.
-    def shaped(df: org.apache.spark.sql.DataFrame) =
-      (if (fusedWalk) df.coalesce(1) else df).localCheckpoint(true)
-    val levelEdges = shaped {
-      val sym = upper.select(col("lvl"), col("a").as("src"), col("b").as("dst"))
-        .union(upper.select(col("lvl"), col("b").as("src"), col("a").as("dst")))
-      val lvls = s.range(1, 5).select(col("id").cast("int").as("lvl"))
-      val lvlLoops = loops.crossJoin(broadcast(lvls))
-        .select(col("lvl"), col("src"), col("dst"))
-      sym.union(lvlLoops).join(emb, Seq("dst"))
-        .select("lvl", "src", "dst", "demb")
-    }
+    // ALL level edge frames in one checkpoint: (lvl, src, dst, demb) with
+    // per-level self-loops — "stay where you are" lives inside the edge
+    // relation so each hop references the state frame exactly once
+    // ([[walkLevelEdges]], shared with vec_hnsw_search's |Q|=1 descent).
+    val levelEdges = walkLevelEdges(s, dir, upper, fusedWalk)
     // (`occupied` — which levels have real edges — was probed OUTSIDE
     // the conf window by the wrapper; an edgeless level is provably a
     // no-op: the greedy step map is the identity there — every query
     // sits on its self-loop — so skipping is EXACT.)
-    def hopJoin(edges: org.apache.spark.sql.DataFrame,
-        state: org.apache.spark.sql.DataFrame, key: String) =
-      if (fusedWalk) edges.hint("merge").join(state, col("src") === col(key))
-      else edges.join(broadcast(state), col("src") === col(key))
     var st = st0.localCheckpoint(true)
     for (level <- 4 to 1 by -1 if occupied(level)) {
       val eL = levelEdges.filter(col("lvl") === level)
       var cur = st
-      for (_ <- 1 to 6) {
-        // No dedup needed: max_by is insensitive to duplicate candidates.
-        cur = hopJoin(eL, cur, "cur")
-          .filter(col("dst") =!= col("qid"))
-          .withColumn("sim", simExpr)
-          .groupBy("qid").agg(
-            max(struct(col("sim").as("s"), (-col("dst")).as("nc"))).as("m"),
-            first(col("qemb")).as("qemb"))
-          .select(col("qid"), col("qemb"), (-col("m.nc")).as("cur"))
-      }
+      // No dedup needed: max_by is insensitive to duplicate candidates.
+      for (_ <- 1 to 6) cur = descentHop(eL, cur, fusedWalk, track = false)
       // One job per level: the 6-hop chain is exchange-free (fused) and
       // the checkpoint bounds per-plan optimizer cost (a single 24-hop
       // plan measured SLOWER — Catalyst cost grows superlinearly).
@@ -1124,24 +1176,13 @@ object PipelineOps extends OpGroup {
     // sym0. Its corpus-edge-sized blocks (full embedding per row) are
     // dead once the final descent state is checkpointed.
     graft.Caches.releaseCheckpoint(levelEdges)
-    // Layer-0 batched ef=4 beam over the shared mutual-kNN graph.
-    val sym0 = shaped {
-      m0.select(col("a").as("src"), col("b").as("dst"))
-        .union(m0.select(col("b").as("src"), col("a").as("dst")))
-        .union(loops)
-        .join(emb, Seq("dst"))
-    }
+    // Layer-0 batched ef=4 beam over the shared mutual-kNN graph
+    // ([[walkSym0]]/[[beamStep]], shared with the |Q|=1 walk keys).
+    val sym0 = walkSym0(s, dir, m0, fusedWalk)
     var beam = st.select(col("qid"), col("qemb"), col("cur").as("cid"))
     var midBeam: org.apache.spark.sql.DataFrame = null
     for (i <- 1 to 6) {
-      beam = hopJoin(sym0, beam.select("qid", "qemb", "cid"), "cid")
-        .filter(col("dst") =!= col("qid"))
-        .withColumn("sim", simExpr)
-        .select(col("qid"), col("qemb"), col("dst").as("cid"), col("sim"))
-        .distinct()
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
-        .filter(col("rk") <= 4).select("qid", "qemb", "cid", "sim")
+      beam = beamStep(sym0, beam, fusedWalk)
       // Mid-chain cut bounds the plan; the final cut pins the whole walk
       // materialized under the op's conf (the lazy tail would otherwise
       // replay steps 4-6 at action time under the caller's restored conf).
@@ -6467,39 +6508,27 @@ object PipelineOps extends OpGroup {
     // to vec_ivf_topk (cells), vec_pq_topk (compressed scan) and
     // vec_lsh_topk (buckets): best-first walk over the shared mutual-3NN
     // graph (HNSW's base-layer search, beam = 1). From the minimum-id
-    // entry node, each of ≤6 steps scores ONLY the current node's ≤k
-    // neighbors against the query (a point-lookup join — never a corpus
-    // scan). The walk state is ONE node id, so each step returns a
-    // single scalar to the driver — the documented iterative-op shape
-    // (the CC/label-prop convergence scalar), NOT a data collect. (A
-    // fully-unrolled declarative chain was measured 19 s at sf0.1:
-    // every step's 1-row frame is referenced twice downstream, and
-    // without materialization Spark re-executes each prefix 2^steps
-    // times.) Early-stop at a local optimum is exact: the step map is
-    // idempotent there, so the fixed-6-step oracle lands on the same
-    // node and the same distinct-node path. Reports the walk endpoint
-    // vs the exact top-1 (the eval half — brute force like
-    // vec_recall_eval's truth leg) + how many distinct nodes the walk
-    // touched. At 100 TB: per-step cost is k lookups against a bucketed
-    // node table, total ≈ k·steps vectors scored per query — the
-    // navigable-graph promise; the label-blocked graph build amortizes
-    // across the whole graph_* family (shared Caches checkpoint).
+    // entry node, six fixed [[descentHop]] steps — the SAME hop the
+    // batched serving shape (vec_hnsw_batch_search) takes, run as its
+    // |Q|=1 case (round-15 verdict item 4): the whole walk is ONE chained
+    // declarative plan whose state is referenced once per hop ("stay"
+    // rides the self-loop edges), so there is no 2^steps prefix
+    // re-execution and no per-hop driver round-trip — a single 1-row
+    // collect ends the walk. Fixed 6 hops equal the early-stopped walk
+    // exactly: the step map is idempotent at a local optimum, so endpoint
+    // AND distinct-node path match the oracle's fixed-6-step recursion.
+    // Reports the walk endpoint vs the exact top-1 (the eval half —
+    // brute force like vec_recall_eval's truth leg) + how many distinct
+    // nodes the walk touched. At 100 TB: per-step cost is k lookups
+    // against the shard's edge frame, total ≈ k·steps vectors scored per
+    // query — the navigable-graph promise; the label-blocked graph build
+    // amortizes across the whole graph_* family (shared Caches
+    // checkpoint), warmed OUTSIDE the narrow walk conf window.
     Op("vec_graph_greedy_search",
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
         val m = mutualKnnEdges(s, dir).filter(col("a") =!= 0 && col("b") =!= 0)
-        val sym = m.select(col("a").as("src"), col("b").as("dst"))
-          .union(m.select(col("b").as("src"), col("a").as("dst")))
-        def best(ids: org.apache.spark.sql.DataFrame): (Long, Double) = {
-          val r = e.join(broadcast(ids.distinct()), Seq("vec_id"))
-            .crossJoin(broadcast(q))
-            .withColumn("sim", expr("vec_dot(embedding, qemb)")
-              / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
-            .orderBy(desc("sim"), asc("vec_id")).limit(1)
-            .select("vec_id", "sim").head()
-          (r.getLong(0), r.getDouble(1))
-        }
         val exactTop = e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .withColumn("sim", expr("vec_dot(embedding, qemb)")
@@ -6510,7 +6539,7 @@ object PipelineOps extends OpGroup {
         // exact top-1 with path_nodes=0 instead of head()-crashing. The
         // oracle's recursive walk degrades to a NULL cur in the same case
         // and its COALESCE tail lands on the identical row.
-        val entryRow = sym.agg(min(col("src")).as("mn")).head()
+        val entryRow = m.agg(min(least(col("a"), col("b"))).as("mn")).head()
         if (entryRow.isNullAt(0)) {
           exactTop.select(
             lit(0L).as("path_nodes"),
@@ -6520,26 +6549,18 @@ object PipelineOps extends OpGroup {
             (round(col("sim"), 3) + 0.0).as("exact_sim"),
             lit(true).as("hit"))
         } else {
-          // LocalRelation (Seq.toDF), not range(1)+lit: the optimizer's
-          // runtime bloom-filter injection targets the Range fragment and
-          // its might_contain-over-subquery codegen fails to compile in
-          // Spark 4.1 (interpreter fallback — harmless but it disables
-          // whole-stage codegen for the fragment and stack-traces every
-          // run). A LocalTableScan is not an injection site.
-          import s.implicits._
-          var (cur, curSim) = best(Seq(entryRow.getLong(0)).toDF("vec_id"))
-          val visited = scala.collection.mutable.LinkedHashSet(cur)
-          var converged = false
-          for (_ <- 1 to 6 if !converged) {
-            val cand = sym.filter(col("src") === cur).select(col("dst").as("vec_id"))
-              .union(Seq(cur).toDF("vec_id"))
-            val (next, nextSim) = best(cand)
-            converged = next == cur
-            cur = next; curSim = nextSim
-            visited += next
+          val (pathNodes, cur, curSim) = narrowWalkConf(s) {
+            val sym0 = walkSym0(s, dir, m, fused = true)
+            var st = singleState0(s, dir, entryRow.getLong(0), track = true)
+            for (_ <- 1 to 6) st = descentHop(sym0, st, fused = true, track = true)
+            // The ONLY driver action of the walk: the final 1-row state.
+            val fin = st.head()
+            graft.Caches.releaseCheckpoint(sym0)
+            (fin.getAs[String]("path").split(',').distinct.length.toLong,
+              fin.getAs[Long]("cur"), fin.getAs[Double]("cursim"))
           }
           exactTop.select(
-            lit(visited.size.toLong).as("path_nodes"),
+            lit(pathNodes).as("path_nodes"),
             lit(cur).as("found_id"),
             (round(lit(curSim), 3) + 0.0).as("found_sim"),
             col("vec_id").as("exact_id"),
@@ -6608,53 +6629,72 @@ object PipelineOps extends OpGroup {
     // away (and whose miss it measures: the greedy walk can stop at a
     // local optimum of the navigable graph; an ef-sized frontier carries
     // enough alternatives to climb out). Same shared mutual-3NN graph,
-    // same min-id entry node, ≤6 steps; each step scores ONLY the
-    // frontier's neighbors ∪ frontier (≤ ef·(k+1) point lookups — never a
-    // corpus scan) and keeps the top-ef; the walk state is ≤ef driver
-    // scalars per step ([[beamWalk]]; the CC/label-prop iterative shape).
-    // Early-stop at a stable beam is exact — the update is idempotent
-    // there, so the fixed-6-step oracle (recursive CTE carrying the beam
-    // as a LIST) lands on the identical final beam. Output: distinct
-    // nodes ever beamed, the beam's best vs the exact top-1 (brute-force
-    // truth leg), hit flag. UnitSuite pins the semantics on a hand-built
-    // graph where beam=1 provably stops at a local optimum and beam=4
-    // reaches the true top-1. At 100 TB: per-step cost is ef·k lookups
-    // against a bucketed node table — ef trades recall for lookups, the
+    // same min-id entry node, six fixed [[beamStep]]s — the SAME step the
+    // batched serving shape (vec_hnsw_batch_search) takes, run as its
+    // |Q|=1 case (round-15 verdict item 4): all-declarative, the state
+    // referenced once per step, no per-step driver round-trip. Each step
+    // scores ONLY the frontier's neighbors ∪ frontier (self-loops; ≤
+    // ef·(k+1) rows — never a corpus scan) and keeps the top-ef. A fixed
+    // 6-step chain equals the early-stopped walk — the update is
+    // idempotent at a stable beam, so the oracle (recursive CTE carrying
+    // the beam as a LIST) lands on the identical final beam AND the
+    // identical ever-beamed set (repeats add nothing); the per-step ≤4-row
+    // checkpoints exist only to count that set without replaying the
+    // chain. Output: distinct nodes ever beamed, the beam's best vs the
+    // exact top-1 (brute-force truth leg), hit flag. UnitSuite pins the
+    // semantics on a hand-built graph where beam=1 provably stops at a
+    // local optimum and beam=4 reaches the true top-1. At 100 TB:
+    // per-step cost is ef·k lookups — ef trades recall for lookups, the
     // HNSW knob; the graph build amortizes across the graph_* family
-    // (shared Caches checkpoint).
+    // (shared Caches checkpoint), warmed OUTSIDE the walk conf window.
     Op("vec_graph_beam_search",
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
         val m = mutualKnnEdges(s, dir).filter(col("a") =!= 0 && col("b") =!= 0)
-        val sym = m.select(col("a").as("src"), col("b").as("dst"))
-          .union(m.select(col("b").as("src"), col("a").as("dst")))
-        val (beam, beamed) = beamWalk(s, sym, queryCosineScore(s, dir), ef = 4, maxSteps = 6)
         val exactTop = e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .withColumn("sim", expr("vec_dot(embedding, qemb)")
             / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
           .orderBy(desc("sim"), asc("vec_id")).limit(1)
-        beam match {
-          case Nil =>
-            // Degenerate corpus: no mutual edges → no walk; exact top-1
-            // with beam_nodes=0 (the greedy op's round-12 guard, mirrored
-            // by the oracle's NULL-beam COALESCE tail).
-            exactTop.select(
-              lit(0L).as("beam_nodes"),
-              col("vec_id").as("found_id"),
-              (round(col("sim"), 3) + 0.0).as("found_sim"),
-              col("vec_id").as("exact_id"),
-              (round(col("sim"), 3) + 0.0).as("exact_sim"),
-              lit(true).as("hit"))
-          case (foundId, foundSim) +: _ =>
-            exactTop.select(
-              lit(beamed).as("beam_nodes"),
-              lit(foundId).as("found_id"),
-              (round(lit(foundSim), 3) + 0.0).as("found_sim"),
-              col("vec_id").as("exact_id"),
-              (round(col("sim"), 3) + 0.0).as("exact_sim"),
-              (lit(foundId) === col("vec_id")).as("hit"))
+        // Degenerate corpus: no mutual edges → no walk; exact top-1
+        // with beam_nodes=0 (the greedy op's round-12 guard, mirrored
+        // by the oracle's NULL-beam COALESCE tail).
+        val entryRow = m.agg(min(least(col("a"), col("b"))).as("mn")).head()
+        if (entryRow.isNullAt(0)) {
+          exactTop.select(
+            lit(0L).as("beam_nodes"),
+            col("vec_id").as("found_id"),
+            (round(col("sim"), 3) + 0.0).as("found_sim"),
+            col("vec_id").as("exact_id"),
+            (round(col("sim"), 3) + 0.0).as("exact_sim"),
+            lit(true).as("hit"))
+        } else {
+          val (beamed, foundId, foundSim) = narrowWalkConf(s) {
+            val sym0 = walkSym0(s, dir, m, fused = true)
+            val seed = singleState0(s, dir, entryRow.getLong(0), track = false)
+              .select(col("qid"), col("qemb"), col("cur").as("cid"))
+            var beam = seed
+            val steps = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.spark.sql.DataFrame]
+            for (_ <- 1 to 6) {
+              beam = beamStep(sym0, beam, fused = true).localCheckpoint(true)
+              steps += beam
+            }
+            val visited = (seed.select("cid") +: steps.map(_.select("cid")).toSeq)
+              .reduce(_ union _).distinct().count()
+            val top = beam.orderBy(desc("sim"), asc("cid")).limit(1).head()
+            steps.foreach(graft.Caches.releaseCheckpoint)
+            graft.Caches.releaseCheckpoint(sym0)
+            (visited, top.getAs[Long]("cid"), top.getAs[Double]("sim"))
+          }
+          exactTop.select(
+            lit(beamed).as("beam_nodes"),
+            lit(foundId).as("found_id"),
+            (round(lit(foundSim), 3) + 0.0).as("found_sim"),
+            col("vec_id").as("exact_id"),
+            (round(col("sim"), 3) + 0.0).as("exact_sim"),
+            (lit(foundId) === col("vec_id")).as("hit"))
         }
       },
       Some(s"""
@@ -6723,7 +6763,7 @@ object PipelineOps extends OpGroup {
     // verdict item 1): start at the min-id node of the HIGHEST occupied
     // layer, greedy-descend layer 4→1 (each layer's endpoint seeds the
     // next — the express-lane hops that make HNSW log-like), then run the
-    // production ef=4 beam at layer 0 ([[beamWalk]], seeded — NOT from the
+    // production ef=4 beam at layer 0 ([[beamStep]], seeded — NOT from the
     // global min id, which is the whole point: the descent has already
     // navigated near the target before the wide search spends lookups).
     // Layer membership is the build op's deterministic geometric recipe
@@ -6732,11 +6772,13 @@ object PipelineOps extends OpGroup {
     // greedy/beam ops. Upper-layer graphs are label-blocked mutual-3NN
     // over 4×-shrinking populations (Σ cost ≈ 1/3 of one layer-0 build),
     // materialized once per invocation; layer 0 reuses the family's
-    // shared mutual-kNN checkpoint. Per-layer walks early-stop at a local
-    // optimum — exact vs the oracle's fixed-6-step recursion because the
-    // step map is idempotent there (the greedy op's argument, per layer).
-    // Walk state is one node id per upper layer + ef ids at layer 0 — the
-    // documented iterative-op driver-scalar shape, never a data collect.
+    // shared mutual-kNN checkpoint. The walk is vec_hnsw_batch_search's
+    // |Q|=1 case (round-15 verdict item 4): fixed-hop declarative chains
+    // sharing the batched op's hop builders — exact vs the oracle's
+    // fixed-6-step recursion because the step map is idempotent at a
+    // local optimum (the greedy op's argument, per layer). Walk state is
+    // a 1-row frame per level + a ≤4-row beam at layer 0 — never a data
+    // collect; the only driver scalars are the final state rows.
     // Output: the occupied top layer, distinct nodes the descent touched,
     // distinct nodes layer-0 ever beamed, and the found-vs-exact verdict
     // (brute-force truth leg, like the greedy/beam ops). At 100 TB: the
@@ -6748,7 +6790,6 @@ object PipelineOps extends OpGroup {
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
-        val score = queryCosineScore(s, dir) _
         val lay = hnswLayerAssign(s, dir).filter(col("vec_id") =!= 0)
         val exactTop = e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
@@ -6772,43 +6813,63 @@ object PipelineOps extends OpGroup {
           case Some(top) =>
             val topLayer = top.getInt(0)
             val entry = top.getLong(1)
-            // Upper-layer express lanes from the SHARED per-layer edge
-            // checkpoint (built once for build+search; kNN includes the
-            // query node per the layer-0 convention, so query-touching
-            // edges filter out here exactly as mutualKnnEdges' do below).
+            // Shared corpus-side caches warm OUTSIDE the walk conf window
+            // (the round-15 advice): the per-layer edge checkpoint is
+            // built once for build+search+batch; kNN includes the query
+            // node per the layer-0 convention — query-touching edges are
+            // excluded by the hop's dst ≠ qid filter, exactly as in the
+            // batched shape. The walk itself is vec_hnsw_batch_search's
+            // |Q|=1 case (round-15 verdict item 4): the same
+            // [[walkLevelEdges]]/[[descentHop]] level descent and the
+            // same [[walkSym0]]/[[beamStep]] layer-0 beam, fixed-hop
+            // declarative chains with per-level checkpoints — no per-hop
+            // driver round-trips; two 1-row collects and one ≤25-row
+            // distinct-count are the walk's only actions.
             val upper = hnswUpperEdges(s, dir)
-              .filter(col("a") =!= 0 && col("b") =!= 0)
-            val symUp = upper.select(col("lvl"), col("a").as("src"), col("b").as("dst"))
-              .union(upper.select(col("lvl"), col("b").as("src"), col("a").as("dst")))
-            def best(ids: org.apache.spark.sql.DataFrame): Long =
-              score(ids.distinct())
-                .orderBy(desc("sim"), asc("vec_id")).limit(1)
-                .select("vec_id").head().getLong(0)
-            import s.implicits._
-            var cur = entry
-            val descended = scala.collection.mutable.LinkedHashSet(cur)
-            for (level <- 4 to 1 by -1) {
-              var converged = false
-              for (_ <- 1 to 6 if !converged) {
-                val cand = symUp
-                  .filter(col("lvl") === level && col("src") === cur)
-                  .select(col("dst").as("vec_id"))
-                  .union(Seq(cur).toDF("vec_id"))
-                val next = best(cand)
-                converged = next == cur
-                cur = next
-                descended += next
+            val m0 = mutualKnnEdges(s, dir)
+            val occupied = upper.groupBy("lvl").count()
+              .collect().map(_.getInt(0)).toSet
+            val (descNodes, beamed, foundId, foundSim) = narrowWalkConf(s) {
+              val levelEdges = walkLevelEdges(s, dir, upper, fused = true)
+              var st = singleState0(s, dir, entry, track = true)
+                .localCheckpoint(true)
+              for (level <- 4 to 1 by -1 if occupied(level)) {
+                val eL = levelEdges.filter(col("lvl") === level)
+                var cur = st
+                for (_ <- 1 to 6) cur = descentHop(eL, cur, fused = true, track = true)
+                val next = cur.localCheckpoint(true)
+                graft.Caches.releaseCheckpoint(st)
+                st = next
               }
+              graft.Caches.releaseCheckpoint(levelEdges)
+              val fin = st.head()
+              val descNodes =
+                fin.getAs[String]("path").split(',').distinct.length.toLong
+              // Layer-0 ef=4 beam seeded at the descent endpoint — NOT the
+              // global min id, which is the whole point: the descent has
+              // already navigated near the target before the wide search
+              // spends lookups.
+              val sym0 = walkSym0(s, dir, m0, fused = true)
+              val seed = st.select(col("qid"), col("qemb"), col("cur").as("cid"))
+              var beam = seed
+              val steps = scala.collection.mutable.ArrayBuffer
+                .empty[org.apache.spark.sql.DataFrame]
+              for (_ <- 1 to 6) {
+                beam = beamStep(sym0, beam, fused = true).localCheckpoint(true)
+                steps += beam
+              }
+              val visited = (seed.select("cid") +: steps.map(_.select("cid")).toSeq)
+                .reduce(_ union _).distinct().count()
+              val topRow = beam.orderBy(desc("sim"), asc("cid")).limit(1).head()
+              steps.foreach(graft.Caches.releaseCheckpoint)
+              graft.Caches.releaseCheckpoint(sym0)
+              graft.Caches.releaseCheckpoint(st)
+              (descNodes, visited, topRow.getAs[Long]("cid"),
+                topRow.getAs[Double]("sim"))
             }
-            val m0 = mutualKnnEdges(s, dir).filter(col("a") =!= 0 && col("b") =!= 0)
-            val sym0 = m0.select(col("a").as("src"), col("b").as("dst"))
-              .union(m0.select(col("b").as("src"), col("a").as("dst")))
-            val (beam, beamed) = beamWalk(s, sym0, score, ef = 4, maxSteps = 6,
-              entry = Some(cur))
-            val (foundId, foundSim) = beam.head
             exactTop.select(
               lit(topLayer).as("top_layer"),
-              lit(descended.size.toLong).as("descent_nodes"),
+              lit(descNodes).as("descent_nodes"),
               lit(beamed).as("beam_nodes"),
               lit(foundId).as("found_id"),
               (round(lit(foundSim), 3) + 0.0).as("found_sim"),

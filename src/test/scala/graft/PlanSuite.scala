@@ -3,7 +3,7 @@ package graft
 import graft.functions.{VecDot, VecNormSq}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape regressions (SURVEY.md §4): the properties that make these
@@ -225,21 +225,31 @@ class PlanSuite extends AnyFunSuite {
       "broadcast and shuffled incremental-dedup paths must collect identically")
   }
 
-  test("hnsw/beam per-step scorer: broadcast point lookup, never a corpus scan or cartesian") {
-    // The walk family's step cost claim (k lookups per step) lives in
-    // queryCosineScore: the candidate ids must be the BROADCAST side of a
-    // hash join against the corpus scan, and the 1-row query vector rides
-    // a broadcast nested-loop — no CartesianProduct, no shuffle of the
-    // corpus per step.
+  test("hnsw/beam hop: state broadcasts as a point lookup, never a corpus shuffle or cartesian") {
+    // The walk family's step-cost claim (k lookups per step) lives in
+    // the shared descentHop (round-15 verdict item 4 — one hop for the
+    // batched AND single-query walks). In the cross-shard (unfused)
+    // shape the |Q|-bounded STATE must be the BROADCAST side of a hash
+    // join against the edge frame: no CartesianProduct, no
+    // BroadcastNestedLoopJoin (qemb rides the state — there is no 1-row
+    // query crossJoin left in the hop), and the edge frame reaches the
+    // join exchange-free — the only shuffle is the candidate-sized
+    // argmax partial aggregate on qid, never the corpus.
     import spark.implicits._
-    val p = graft.ops.PipelineOps
-      .queryCosineScore(spark, sf0001)(Seq(5L).toDF("vec_id"))
+    Tables.conf(spark) // the hop scores via the registered vec_dot/vec_norm_sq
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val edges = e.select(col("vec_id").as("src"), col("vec_id").as("dst"),
+      col("embedding").as("demb"))
+    val st = Seq((0L, Array(1f, 0f), 5L)).toDF("qid", "qemb", "cur")
+    val p = graft.ops.PipelineOps.descentHop(edges, st, fused = false, track = false)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastHashJoin"),
-      "candidate ids must broadcast into a hash join against the corpus")
-    assert(!p.contains("CartesianProduct"), "a walk step must never go cartesian")
-    assert(!p.contains("Exchange hashpartitioning"),
-      "a walk step must not shuffle the corpus")
+      "the walk state must broadcast into a hash join against the edges")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a walk step must never go cartesian or nested-loop")
+    assert(!p.contains("Exchange hashpartitioning(src")
+      && !p.contains("Exchange hashpartitioning(dst"),
+      "a walk step must not shuffle the edge frame; only the qid argmax may exchange")
   }
 
   test("round-14 ops: no plan ever goes cartesian") {
@@ -288,8 +298,14 @@ class PlanSuite extends AnyFunSuite {
     }
     val small = measured(97L) // 6 queries at sf0.001
     val large = measured(31L) // 17 queries — ~3x the batch
+    // |Q|=1 (round-15 verdict item 4): the single-query keys ride the
+    // same hop builders, so the degenerate batch must cost the same jobs
+    // too — a mod larger than any vec_id selects only the query itself.
+    val one = measured(1000000007L)
     assert(math.abs(small - large) <= 2,
       s"job count must not scale with the query batch: mod97=$small mod31=$large")
+    assert(math.abs(small - one) <= 2,
+      s"|Q|=1 must cost the same jobs as a full batch: mod97=$small |Q|=1=$one")
     assert(large <= 45, s"walk jobs must stay hop-bounded, got $large")
     // Dual-shape equality: the fused per-shard local walk and the
     // cross-shard broadcast point-lookup walk must return identical rows.

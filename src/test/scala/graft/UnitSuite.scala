@@ -849,41 +849,63 @@ class UnitSuite extends AnyFunSuite {
       (2L, 1L, 2L, 1L, 4L, 2L, 0L, true)))
   }
 
-  test("beam search: beam=1 stops at a local optimum, beam=4 escapes to the true top-1") {
+  test("walk hop builders: beam=1 stops at a local optimum, beam=4 escapes to the true top-1") {
     // Hand-built navigable graph: 1–2, 2–3, 2–5, 3–9 with query sims
-    // 1→0.1, 2→0.5, 3→0.4, 5→0.45, 9→0.9. From entry node 1 the greedy
-    // walk reaches 2 and stops — every neighbor of 2 (1, 3, 5) scores
-    // below it, yet the TRUE top-1 (9, sim 0.9) sits behind the downhill
-    // hop 2→3. An ef=4 frontier keeps 3 alive in the beam, expands its
-    // neighborhood, and surfaces 9 — the recall-vs-lookups trade beam
-    // width exists for.
-    val simDf = Seq((1L, 0.1), (2L, 0.5), (3L, 0.4), (5L, 0.45), (9L, 0.9))
-      .toDF("vec_id", "sim")
-    val edges = Seq((1L, 2L), (2L, 3L), (2L, 5L), (3L, 9L))
-    val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
-    val score = (ids: org.apache.spark.sql.DataFrame) =>
-      ids.join(simDf, "vec_id").select("vec_id", "sim")
-    val (greedy, gSeen) = ops.PipelineOps.beamWalk(spark, sym, score, ef = 1, maxSteps = 6)
-    assert(greedy.map(_._1) == Seq(2L), "ef=1 must stop at the local optimum 2")
-    assert(gSeen == 2L) // touched only {1, 2}
-    val (beam, bSeen) = ops.PipelineOps.beamWalk(spark, sym, score, ef = 4, maxSteps = 6)
-    assert(beam.head == ((9L, 0.9)), "ef=4 must escape to the true top-1")
-    assert(bSeen == 5L) // every node entered the beam along the way
-    val (empty, eSeen) = ops.PipelineOps.beamWalk(
-      spark, sym.limit(0), score, ef = 4, maxSteps = 6)
-    assert(empty.isEmpty && eSeen == 0L, "edgeless graph short-circuits")
+    // 1→0.1, 2→0.5, 3→0.4, 5→0.45, 9→0.9 — realized as 2-d unit float
+    // vectors (s, √(1−s²)) against the query (1, 0), whose cosine is s up
+    // to float casting. From entry node 1 the greedy walk ([[descentHop]],
+    // the shared hop of every descent in the walk family) reaches 2 and
+    // stops — every neighbor of 2 (1, 3, 5) scores below it, yet the TRUE
+    // top-1 (9, sim 0.9) sits behind the downhill hop 2→3. An ef=4
+    // frontier ([[beamStep]], the shared layer-0 step) keeps 3 alive in
+    // the beam, expands its neighborhood, and surfaces 9 — the
+    // recall-vs-lookups trade beam width exists for. Fixed 6 steps stand
+    // in for the ops' early-stop: both maps are idempotent at stability.
+    // (The no-edges-at-all guard is the ops' entry probe — each
+    // short-circuits to its exact fallback before any hop runs.)
+    Tables.conf(spark) // the hops score via the registered vec_dot/vec_norm_sq
+    val sims = Seq(1L -> 0.1, 2L -> 0.5, 3L -> 0.4, 5L -> 0.45, 9L -> 0.9)
+    def v(s: Double) = Array(s.toFloat, math.sqrt(1 - s * s).toFloat)
+    val und = Seq((1L, 2L), (2L, 3L), (2L, 5L), (3L, 9L))
+    val simOf = sims.toMap
+    val edges = (und ++ und.map(_.swap) ++ sims.map { case (n, _) => (n, n) })
+      .map { case (a, b) => (a, b, v(simOf(b))) }.toDF("src", "dst", "demb")
+    val qv = Array(1f, 0f)
+    def st0(entry: Long) =
+      Seq((0L, qv, entry, entry.toString, 0.0))
+        .toDF("qid", "qemb", "cur", "path", "cursim")
+    def walk(e: org.apache.spark.sql.DataFrame, entry: Long) =
+      (1 to 6).foldLeft(st0(entry)) { (st, _) =>
+        ops.PipelineOps.descentHop(e, st, fused = false, track = true)
+      }.head()
+    val g = walk(edges, 1L)
+    assert(g.getAs[Long]("cur") == 2L, "beam=1 must stop at the local optimum 2")
+    assert(g.getAs[String]("path").split(',').distinct.length == 2) // {1, 2}
+    assert(math.abs(g.getAs[Double]("cursim") - 0.5) < 1e-6)
+    // ef=4 beam from the same entry escapes the ridge.
+    val seed = Seq((0L, qv, 1L)).toDF("qid", "qemb", "cid")
+    var beam = seed
+    val seen = scala.collection.mutable.Set(1L)
+    for (_ <- 1 to 6) {
+      beam = ops.PipelineOps.beamStep(edges, beam, fused = false)
+      seen ++= beam.select("cid").collect().map(_.getLong(0))
+    }
+    val top = beam.orderBy(desc("sim"), asc("cid")).limit(1).head()
+    assert(top.getAs[Long]("cid") == 9L, "ef=4 must escape to the true top-1")
+    assert(math.abs(top.getAs[Double]("sim") - 0.9) < 1e-6)
+    assert(seen.size == 5, "every node entered the beam along the way")
     // Seeded form (vec_hnsw_search's layer-0 entry): starting PAST the
-    // ridge at 3, even ef=1 reaches the true top-1 — the value the
+    // ridge at 3, even beam=1 reaches the true top-1 — the value the
     // upper-layer descent adds before the beam spends lookups.
-    val (seeded, sSeen) = ops.PipelineOps.beamWalk(
-      spark, sym, score, ef = 1, maxSteps = 6, entry = Some(3L))
-    assert(seeded.map(_._1) == Seq(9L), "a seed past the ridge must reach 9 at ef=1")
-    assert(sSeen == 2L) // touched only {3, 9}
-    // A seed on an edgeless graph stays put instead of short-circuiting:
-    // candidates are the seed itself, the walk is idempotent there.
-    val (stay, stSeen) = ops.PipelineOps.beamWalk(
-      spark, sym.limit(0), score, ef = 4, maxSteps = 6, entry = Some(5L))
-    assert(stay == Seq((5L, 0.45)) && stSeen == 1L, "isolated seed lands on itself")
+    val sd = walk(edges, 3L)
+    assert(sd.getAs[Long]("cur") == 9L, "a seed past the ridge must reach 9 at beam=1")
+    assert(sd.getAs[String]("path").split(',').distinct.length == 2) // {3, 9}
+    // A seed whose node has only its self-loop stays put: candidates are
+    // the seed itself, the walk is idempotent there.
+    val iso = walk(edges.filter(col("src") === 5 && col("dst") === 5), 5L)
+    assert(iso.getAs[Long]("cur") == 5L
+      && iso.getAs[String]("path").split(',').distinct.length == 1,
+      "isolated seed lands on itself")
   }
 
   test("temperature sample: sqrt weights flatten the mix, md5 coin decides membership") {
