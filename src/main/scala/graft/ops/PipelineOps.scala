@@ -18,17 +18,32 @@ import org.apache.spark.sql.types.DecimalType
   */
 object PipelineOps extends OpGroup {
 
-  /** BPE trainer loop state (text_bpe_train): `rounds` greedy merges from
-    * the char-token corpus. Returns (merge table (lang, rk, lft, rgt,
-    * cnt), final wrapped-token corpus state) — the state is exposed so
-    * EquivalenceSuite can pin that re-applying the emitted merge table in
-    * rank order reproduces the trained tokenization (the merge table is
-    * the tokenizer; no hidden state). Round 1 counts pairs of CHARS, so
-    * its merges must equal text_bpe_pair_count's rank-1 bigrams — the
-    * second pin tying the trainer to its one-step siblings.
+  /** BPE trainer loop state (text_bpe_train / text_bpe_train_budget):
+    * greedy merges from the char-token corpus. Returns (merge table
+    * (lang, rk, lft, rgt, cnt[, thr]), final wrapped-token corpus
+    * state) — the state is exposed so EquivalenceSuite can pin that
+    * re-applying the emitted merge table in rank order reproduces the
+    * trained tokenization (the merge table is the tokenizer; no hidden
+    * state). Round 1 counts pairs of CHARS, so its merges must equal
+    * text_bpe_pair_count's rank-1 bigrams — the second pin tying the
+    * trainer to its one-step siblings.
+    *
+    * `thrDen = Some(d)` is the BUDGETED trainer (round-15 verdict item
+    * 6): a per-language MIN-FREQUENCY floor thr = ceil(round-1 top
+    * count / d) — the real trainer's stopping knob — makes the merge
+    * count DATA-DEPENDENT but deterministic: a language keeps merging
+    * while its round's top pair still clears its own floor, and `rounds`
+    * becomes a cap, not the count. The floor check is latch-free (each
+    * round re-tests the current top), which is exact: a stopped
+    * language's corpus state never changes again, so its top pair — and
+    * the verdict — can never change either; once EVERY language is below
+    * floor the loop break is likewise exact (the tops of an unchanged
+    * state are unchanged). The thresholds are |langs| driver scalars
+    * (the occupied-levels pattern), never data.
     */
   private[graft] def bpeTrain(
-      s: org.apache.spark.sql.SparkSession, dir: String, rounds: Int)
+      s: org.apache.spark.sql.SparkSession, dir: String, rounds: Int,
+      thrDen: Option[Int] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val p = "\u0001"
     // documents.parquet is a single file -> a single input partition;
@@ -45,7 +60,9 @@ object PipelineOps extends OpGroup {
         expr(s"concat('$p', array_join(split(gtext, ''), '$p$p'), '$p')").as("merged"))
       .localCheckpoint(true)
     var mt: org.apache.spark.sql.DataFrame = null
-    for (r <- 1 to rounds) {
+    var thrMap: Map[String, Long] = Map.empty
+    var done = false
+    for (r <- 1 to rounds if !done) {
       val pc = st
         .select(col("lang"),
           expr(s"split(substring(merged, 2, length(merged) - 2), '$p$p')").as("tk"))
@@ -55,21 +72,41 @@ object PipelineOps extends OpGroup {
         .filter(col("pr.l") =!= " " && col("pr.r") =!= " ")
         .groupBy(col("lang"), col("pr.l").as("lft"), col("pr.r").as("rgt"))
         .agg(count(lit(1)).as("cnt"))
-      val top = pc.withColumn("rk0", row_number().over(
+      val top0 = pc.withColumn("rk0", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("lang")
             .orderBy(col("cnt").desc, col("lft"), col("rgt"))))
         .filter(col("rk0") === 1)
         .select(col("lang"), lit(r).as("rk"), col("lft"), col("rgt"), col("cnt"))
-        .localCheckpoint(true)
-      mt = if (mt == null) top else mt.union(top)
-      val next = st
-        .join(broadcast(top.select("lang", "lft", "rgt")), Seq("lang"), "left")
-        .select(col("lang"), when(col("lft").isNull, col("merged")).otherwise(
-          expr(s"""replace(merged, concat('$p', lft, '$p$p', rgt, '$p'),
-                   concat('$p', lft, rgt, '$p'))""")).as("merged"))
-        .localCheckpoint(true)
-      graft.Caches.releaseCheckpoint(st)
-      st = next
+      val top = thrDen match {
+        case None => top0.localCheckpoint(true)
+        case Some(den) if r == 1 =>
+          // ceil(cnt / den) in exact integer arithmetic (cross-engine);
+          // round 1's top always clears its own floor (cnt >= thr >= 1).
+          val t = top0.withColumn("thr",
+            expr(s"CAST((cnt + ${den - 1}) DIV $den AS BIGINT)"))
+            .localCheckpoint(true)
+          thrMap = t.select("lang", "thr").collect()
+            .map(row => row.getString(0) -> row.getLong(1)).toMap
+          t
+        case Some(_) =>
+          val t = top0.withColumn("thr",
+            coalesce(element_at(typedLit(thrMap), col("lang")), lit(Long.MaxValue)))
+            .filter(col("cnt") >= col("thr"))
+            .localCheckpoint(true)
+          if (t.isEmpty) done = true
+          t
+      }
+      if (!done) {
+        mt = if (mt == null) top else mt.union(top)
+        val next = st
+          .join(broadcast(top.select("lang", "lft", "rgt")), Seq("lang"), "left")
+          .select(col("lang"), when(col("lft").isNull, col("merged")).otherwise(
+            expr(s"""replace(merged, concat('$p', lft, '$p$p', rgt, '$p'),
+                     concat('$p', lft, rgt, '$p'))""")).as("merged"))
+          .localCheckpoint(true)
+        graft.Caches.releaseCheckpoint(st)
+        st = next
+      } else graft.Caches.releaseCheckpoint(top)
     }
     (mt, st)
   }
@@ -101,7 +138,7 @@ object PipelineOps extends OpGroup {
     */
   private val SimConsumers = Set(
     "text_simhash", "text_simhash_neardup", "text_dedup_clusters", "text_dedup_keep_best",
-    "text_dedup_incremental", "text_simhash_radius_sweep")
+    "text_dedup_incremental", "text_simhash_radius_sweep", "corpus_prep_pipeline_v2")
 
   private def simhashSigs(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.Caches.memo(sigCache, (s, dir), {
@@ -610,7 +647,7 @@ object PipelineOps extends OpGroup {
         .localCheckpoint(true)
       graft.Caches.releaseCheckpoint(labels)
       graft.Caches.track(s, dir, "cluster_labels",
-        Set("text_dedup_clusters", "text_dedup_keep_best"),
+        Set("text_dedup_clusters", "text_dedup_keep_best", "corpus_prep_pipeline_v2"),
         () => labelCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       out
     })
@@ -3587,6 +3624,87 @@ object PipelineOps extends OpGroup {
         """.trim
       }),
 
+    // BUDGETED BPE TRAINER — the trainer loop with the stopping knob a
+    // real tokenizer build ships with (round-15 verdict item 6):
+    // text_bpe_train runs a FIXED 6 merges; here each language keeps
+    // merging only while its round's top pair clears a per-language
+    // MIN-FREQUENCY floor (ceil of round-1's top count / 4 — exact
+    // integer arithmetic, cross-engine), capped at 12 rounds. Merge
+    // count becomes DATA-DEPENDENT but deterministic — on this corpus
+    // languages stop at different rounds, and the floor re-test is
+    // latch-free-exact (a stopped language's state never changes, so
+    // its verdict can't flip; see [[bpeTrain]]). Output = the learned
+    // merge table with each language's floor attached — the artifact
+    // plus the training config, what a tokenizer registry stores. The
+    // oracle unrolls 12 GUARDED rounds: each round's merge applies only
+    // where the top count clears the floor, so both engines run the
+    // identical data-dependent schedule. At 100 TB: same per-round cost
+    // model as text_bpe_train (pair-vocabulary-bounded shuffles, one
+    // row-local re-tokenize pass per round); the floor bounds total
+    // corpus passes by merge utility, not by a guess at the count.
+    Op("text_bpe_train_budget",
+      (s, dir) => {
+        val (mt, st) = bpeTrain(s, dir, 12, thrDen = Some(4))
+        graft.Caches.releaseCheckpoint(st)
+        mt.orderBy("lang", "rk")
+      },
+      Some {
+        val p = "\u0001"
+        val roundsSql = (1 to 12).map { r =>
+          val pv = r - 1
+          val thrCte = if (r == 1)
+            """
+          thr AS MATERIALIZED (
+            SELECT lang, CAST((cnt + 3) // 4 AS BIGINT) AS thr FROM mt1),"""
+          else ""
+          s"""
+          pc$r AS MATERIALIZED (
+            SELECT lang, pr.l AS lft, pr.r AS rgt, COUNT(*) AS cnt FROM (
+              SELECT lang, unnest(list_transform(range(1, len(tk)),
+                i -> struct_pack(l := tk[i], r := tk[i + 1]))) AS pr
+              FROM (
+                SELECT lang,
+                  string_split(substr(merged, 2, len(merged) - 2), '$p$p') AS tk
+                FROM st$pv) WHERE len(tk) >= 2
+            ) WHERE pr.l <> ' ' AND pr.r <> ' '
+            GROUP BY lang, pr.l, pr.r),
+          mt$r AS MATERIALIZED (
+            SELECT lang, lft, rgt, cnt FROM (
+              SELECT lang, lft, rgt, cnt,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY cnt DESC, lft, rgt) AS rk0
+              FROM pc$r) WHERE rk0 = 1),$thrCte
+          ok$r AS MATERIALIZED (
+            SELECT m.lang, m.lft, m.rgt, m.cnt, t.thr
+            FROM mt$r m JOIN thr t USING (lang) WHERE m.cnt >= t.thr),
+          st$r AS MATERIALIZED (
+            SELECT s.lang,
+              CASE WHEN m.lft IS NULL THEN s.merged
+                   ELSE replace(s.merged,
+                     '$p' || m.lft || '$p$p' || m.rgt || '$p',
+                     '$p' || m.lft || m.rgt || '$p') END AS merged
+            FROM st$pv s LEFT JOIN ok$r m USING (lang))"""
+        }.mkString(",")
+        val unions = (1 to 12).map { r =>
+          s"""SELECT lang, CAST($r AS INT) AS rk, lft, rgt,
+              CAST(cnt AS BIGINT) AS cnt, thr FROM ok$r"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH st0 AS MATERIALIZED (
+          SELECT lang,
+            '$p' || array_to_string(string_split(text, ''), '$p$p') || '$p' AS merged
+          FROM (
+            SELECT lang,
+              CASE WHEN contains(text, '$p')
+                   THEN CAST(error('text_bpe_train_budget: input text contains the U+0001 token delimiter') AS VARCHAR)
+                   ELSE text END AS text
+            FROM documents)),
+        $roundsSql
+        SELECT lang, rk, lft, rgt, cnt, thr FROM ($unions)
+        ORDER BY lang, rk
+        """.trim
+      }),
+
     // URL canonicalization — the dedup step for web-crawled corpora, where
     // the same page hides behind case-varied hosts, default ports,
     // tracking params, and fragments. The corpus has no URLs (measured),
@@ -3900,6 +4018,159 @@ object PipelineOps extends OpGroup {
           CAST(SUM(CASE WHEN is_lowq THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lowq,
           CAST(SUM(CASE WHEN NOT is_dup AND NOT is_lowq THEN n_bytes ELSE 0 END) AS BIGINT) AS bytes_kept
         FROM flagged GROUP BY 1 ORDER BY lang
+      """.trim)),
+
+    // CAPSTONE v2 (round-15 verdict item 8) — the FULL corpus build as
+    // one query, composing the three heavyweight stages the v1 pipeline
+    // deliberately left out: (1) NEAR-dup keep-best — the shared
+    // simhash hamming≤3 connected-component labels (clusterLabels; the
+    // same checkpointed CC loop text_dedup_clusters/keep_best ride) with
+    // one canonical doc per cluster by the quality argmax; (2)
+    // TEMPERATURE sampling over the SURVIVORS — corpus_temperature_
+    // sample's α=0.5 recipe verbatim (correctly-rounded sqrt, lang-
+    // ordered Σ√cnt fold, exact integer keep-per-million, the shared
+    // md5 coin), re-based on survivor counts; (3) SEQUENCE PACKING of
+    // the sampled set — text_pack_sequences' per-(lang, shard) running
+    // sum into 2048-token sequences. Report: per language the corpus
+    // size, near-dup survivors, the sampling rate the survivor mix
+    // implies, and the packed yield (docs, tokens, sequences) — the
+    // numbers a training-corpus build publishes. Every stage is an
+    // oracle-checked primitive elsewhere; this key proves the
+    // END-TO-END composition hash-matches too. At 100 TB: CC is the
+    // banded/collapsed simhash graph (never all-pairs), sampling is two
+    // scans + a |langs|-row broadcast, packing parallelizes over
+    // |langs|×16 shards — no stage holds more than the survivor frame.
+    Op("corpus_prep_pipeline_v2",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val labels = clusterLabels(s, dir)
+        val q = d
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("int"))
+          .withColumn("n_distinct",
+            size(expr("array_distinct(split(text, ' '))")).cast("int"))
+          .withColumn("quality",
+            least(lit(1.0), col("n_tokens").cast("double") / 50.0)
+              * (col("n_distinct").cast("double") / col("n_tokens")))
+          .select(col("doc_id"), col("lang"), col("text"), col("quality"))
+        val wq = Window.partitionBy("label").orderBy(desc("quality"), asc("doc_id"))
+        val surv = labels.join(q, labels("node") === q("doc_id"))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") === 1)
+          .select("doc_id", "lang", "text")
+        val counts = surv.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(
+          expr("""aggregate(
+              transform(array_sort(collect_list(struct(lang, cnt))),
+                s -> sqrt(CAST(s.cnt AS DOUBLE))),
+              CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("sw"),
+          sum("cnt").as("n"))
+        val probs = counts.crossJoin(broadcast(tot))
+          .withColumn("keep_per_million", expr(
+            """CAST(floor(least(CAST(1.0 AS DOUBLE),
+               CAST(n DIV 2 AS DOUBLE) * (sqrt(CAST(cnt AS DOUBLE)) / sw)
+                 / CAST(cnt AS DOUBLE)) * 1000000.0D) AS BIGINT)"""))
+          .select(col("lang"), col("cnt").as("survivors"), col("keep_per_million"))
+        val sampled = surv.join(broadcast(probs.select("lang", "keep_per_million")), Seq("lang"))
+          .filter(expr(
+            """CAST(conv(substring(md5(concat('ts_', doc_id)), 1, 15), 16, 10) AS BIGINT)
+               % 1000000 < keep_per_million"""))
+        val wp = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        val seqs = sampled
+          .select(col("doc_id"), col("lang"),
+            pmod(col("doc_id"), lit(16)).cast("int").as("shard"),
+            expr("CAST(aggregate(split(text, ' '), 0, (a, x) -> a + greatest(1, CAST(ceil(length(x) / 4.0) AS INT))) AS BIGINT)")
+              .as("tok"))
+          .withColumn("cum", sum("tok").over(wp))
+          .withColumn("seq_id", ((col("cum") - col("tok")) / 2048).cast("long"))
+          .groupBy("lang", "shard", "seq_id")
+          .agg(count(lit(1)).as("nd"), sum("tok").as("toksum"))
+        val packStats = seqs.groupBy("lang")
+          .agg(sum("nd").as("sampled_docs"), sum("toksum").as("sampled_tokens"),
+            count(lit(1)).as("n_seqs"))
+        d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .join(probs, Seq("lang"), "left")
+          .join(packStats, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"),
+            coalesce(col("survivors"), lit(0L)).as("survivors"),
+            coalesce(col("keep_per_million"), lit(0L)).as("keep_per_million"),
+            coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+            coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"),
+            coalesce(col("n_seqs"), lit(0L)).as("n_seqs"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH RECURSIVE $simsSql, edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL
+          SELECT b, a FROM pairs
+        ), reach(node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+        ), clusters AS (
+          SELECT node AS doc_id, MIN(label) AS cluster FROM reach GROUP BY node
+        ), q AS (
+          SELECT doc_id,
+            least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+              * (CAST(n_distinct AS DOUBLE) / n_tokens) AS quality
+          FROM (
+            SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+              CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+            FROM documents
+          )
+        ), surv AS (
+          SELECT doc_id, lang, text FROM (
+            SELECT d.doc_id, d.lang, d.text,
+              ROW_NUMBER() OVER (PARTITION BY c.cluster
+                ORDER BY q.quality DESC, d.doc_id) AS rk
+            FROM clusters c JOIN q ON c.doc_id = q.doc_id
+              JOIN documents d ON c.doc_id = d.doc_id
+          ) WHERE rk = 1
+        ), counts AS (SELECT lang, COUNT(*) AS cnt FROM surv GROUP BY lang),
+        tot AS (
+          SELECT list_sum(list_transform(list(CAST(cnt AS DOUBLE) ORDER BY lang), x -> sqrt(x))) AS sw,
+            CAST(SUM(cnt) AS BIGINT) AS n
+          FROM counts),
+        probs AS (
+          SELECT lang, CAST(cnt AS BIGINT) AS survivors,
+            CAST(floor(least(CAST(1.0 AS DOUBLE),
+              CAST(n // 2 AS DOUBLE) * (sqrt(CAST(cnt AS DOUBLE)) / sw)
+                / CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS keep_per_million
+          FROM counts, tot),
+        sampled AS (
+          SELECT s.doc_id, s.lang, s.text FROM surv s JOIN probs p USING (lang)
+          WHERE CAST(('0x' || substr(md5('ts_' || s.doc_id), 1, 15)) AS BIGINT)
+            % 1000000 < p.keep_per_million),
+        toks AS (
+          SELECT doc_id, lang, CAST(doc_id % 16 AS INT) AS shard,
+            CAST(list_sum(list_transform(string_split(text, ' '),
+              x -> greatest(1, CAST(ceil(len(x) / 4.0) AS INT)))) AS BIGINT) AS tok
+          FROM sampled),
+        seqs AS (
+          SELECT lang, shard, CAST(FLOOR((cum - tok) / 2048) AS BIGINT) AS seq_id,
+            COUNT(*) AS nd, CAST(SUM(tok) AS BIGINT) AS toksum
+          FROM (
+            SELECT doc_id, lang, shard, tok,
+              CAST(SUM(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS BIGINT) AS cum
+            FROM toks)
+          GROUP BY 1, 2, 3),
+        pstats AS (
+          SELECT lang, CAST(SUM(nd) AS BIGINT) AS sampled_docs,
+            CAST(SUM(toksum) AS BIGINT) AS sampled_tokens,
+            CAST(COUNT(*) AS BIGINT) AS n_seqs
+          FROM seqs GROUP BY lang),
+        base AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+        SELECT b.lang, b.n_docs,
+          CAST(COALESCE(p.survivors, 0) AS BIGINT) AS survivors,
+          CAST(COALESCE(p.keep_per_million, 0) AS BIGINT) AS keep_per_million,
+          CAST(COALESCE(ps.sampled_docs, 0) AS BIGINT) AS sampled_docs,
+          CAST(COALESCE(ps.sampled_tokens, 0) AS BIGINT) AS sampled_tokens,
+          CAST(COALESCE(ps.n_seqs, 0) AS BIGINT) AS n_seqs
+        FROM base b
+          LEFT JOIN probs p USING (lang)
+          LEFT JOIN pstats ps USING (lang)
+        ORDER BY b.lang
       """.trim)),
 
     // Distribution-drift report (Population Stability Index) — the
@@ -6609,6 +6880,27 @@ object PipelineOps extends OpGroup {
             ) n
           WHERE r.step < 6),
         fin AS (SELECT cur FROM rec WHERE step = 6),
+        expected1 AS (
+          SELECT nid FROM (
+            SELECT s.vec_id AS nid, s.sim AS sim FROM sym g
+              JOIN scored s ON s.vec_id = g.dst
+            WHERE g.src = (SELECT MIN(src) FROM sym)
+            UNION ALL
+            SELECT s2.vec_id, s2.sim FROM scored s2
+            WHERE s2.vec_id = (SELECT MIN(src) FROM sym)
+          ) ORDER BY sim DESC, nid LIMIT 1),
+        guard AS (
+          -- Structural guard (round-15 advice): the walk recursion's
+          -- step-1 node must equal a STATICALLY recomputed step 1 — a
+          -- lateral-correlation loss leaves the walk at its seed and
+          -- must error loudly, not return a plausible wrong answer.
+          SELECT CASE
+            WHEN (SELECT MIN(src) FROM sym) IS NULL THEN 1 -- degenerate
+            WHEN (SELECT cur FROM rec WHERE step = 1)
+              IS NOT DISTINCT FROM (SELECT nid FROM expected1)
+            THEN 1
+            ELSE CAST('walk-oracle guard: greedy recursion step 1 diverged from its static recomputation (lateral correlation lost?)' AS INT)
+            END AS ok),
         ex AS (
           SELECT vec_id AS exact_id,
             CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS exact_sim
@@ -6621,7 +6913,8 @@ object PipelineOps extends OpGroup {
             ex.exact_sim) AS found_sim,
           ex.exact_id, ex.exact_sim,
           (COALESCE(f.cur, ex.exact_id) = ex.exact_id) AS hit
-        FROM fin f, ex
+        FROM fin f, ex CROSS JOIN guard
+        WHERE guard.ok = 1
       """.trim)),
 
     // BEAM-width graph search (ef=4) — the production HNSW search loop
@@ -6741,6 +7034,26 @@ object PipelineOps extends OpGroup {
             ) n
           WHERE r.step < 6),
         fin AS (SELECT beam[1] AS found FROM rec WHERE step = 6),
+        expected1 AS (
+          SELECT list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) AS nb FROM (
+            SELECT s.vec_id AS nid, s.sim AS sim FROM sym g
+              JOIN scored s ON s.vec_id = g.dst
+            WHERE g.src = (SELECT MIN(src) FROM sym)
+            UNION
+            SELECT s2.vec_id, s2.sim FROM scored s2
+            WHERE s2.vec_id = (SELECT MIN(src) FROM sym))),
+        guard AS (
+          -- Structural guard (round-15 advice): the beam recursion's
+          -- step-1 state must equal a STATICALLY recomputed step 1 — a
+          -- lateral-correlation loss leaves the beam at its seed and
+          -- must error loudly, not return a plausible wrong answer.
+          SELECT CASE
+            WHEN (SELECT MIN(src) FROM sym) IS NULL THEN 1 -- degenerate
+            WHEN (SELECT beam FROM rec WHERE step = 1)
+              IS NOT DISTINCT FROM (SELECT nb FROM expected1)
+            THEN 1
+            ELSE CAST('walk-oracle guard: beam recursion step 1 diverged from its static recomputation (lateral correlation lost?)' AS INT)
+            END AS ok),
         ex AS (
           SELECT vec_id AS exact_id,
             CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS exact_sim
@@ -6754,7 +7067,8 @@ object PipelineOps extends OpGroup {
             ex.exact_sim) AS found_sim,
           ex.exact_id, ex.exact_sim,
           (COALESCE(f.found, ex.exact_id) = ex.exact_id) AS hit
-        FROM fin f, ex
+        FROM fin f, ex CROSS JOIN guard
+        WHERE guard.ok = 1
       """.trim)),
 
 
@@ -6993,6 +7307,26 @@ object PipelineOps extends OpGroup {
             ) n
           WHERE r.step < 6),
         fin AS (SELECT beam[1] AS found FROM rec0 WHERE step = 6),
+        expected1 AS (
+          SELECT list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) AS nb FROM (
+            SELECT s.vec_id AS nid, s.sim AS sim FROM g0 g
+              JOIN scored s ON s.vec_id = g.dst
+            WHERE g.src = (SELECT cur FROM e1)
+            UNION
+            SELECT s2.vec_id, s2.sim FROM scored s2
+            WHERE s2.vec_id = (SELECT cur FROM e1))),
+        guard AS (
+          -- Structural guard (round-15 advice): the beam recursion's
+          -- step-1 state must equal a STATICALLY recomputed step 1 —
+          -- a lateral-correlation loss leaves the beam at its seed and
+          -- must error loudly, not return a plausible wrong answer.
+          SELECT CASE
+            WHEN (SELECT cur FROM e1) IS NULL THEN 1 -- degenerate: no walk
+            WHEN (SELECT beam FROM rec0 WHERE step = 1)
+              IS NOT DISTINCT FROM (SELECT nb FROM expected1)
+            THEN 1
+            ELSE CAST('walk-oracle guard: beam recursion step 1 diverged from its static recomputation (lateral correlation lost?)' AS INT)
+            END AS ok),
         ex AS (
           SELECT vec_id AS exact_id,
             CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS exact_sim
@@ -7008,7 +7342,8 @@ object PipelineOps extends OpGroup {
           CAST(ROUND(CAST(CAST((SELECT sim FROM scored WHERE vec_id = f.found) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS found_sim,
           ex.exact_id, ex.exact_sim,
           (f.found = ex.exact_id) AS hit
-        FROM fin f, ex
+        FROM fin f, ex CROSS JOIN guard
+        WHERE guard.ok = 1
         """.trim
       }),
 
@@ -7152,6 +7487,30 @@ object PipelineOps extends OpGroup {
             ) n
           WHERE r.step < 6),
         fin AS (SELECT qid, beam[1] AS found FROM rec0 WHERE step = 6),
+        expected1 AS (
+          SELECT qid, list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) AS nb FROM (
+            SELECT e1.qid AS qid, s.vec_id AS nid, s.sim AS sim
+            FROM e1 JOIN g0 g ON g.src = e1.cur
+              JOIN scored s ON s.vec_id = g.dst AND s.qid = e1.qid
+            UNION
+            SELECT e1.qid, s2.vec_id, s2.sim
+            FROM e1 JOIN scored s2 ON s2.vec_id = e1.cur AND s2.qid = e1.qid
+          ) GROUP BY qid),
+        guard AS (
+          -- Structural guard (round-15 advice): the beam recursion's
+          -- step-1 state must equal a STATICALLY recomputed step 1 (a
+          -- plain non-recursive join, immune to the DuckDB lateral-
+          -- correlation loss this guards against). A silent correlation
+          -- loss leaves every beam at its seed — this errors LOUDLY
+          -- instead of producing a plausible wrong answer.
+          SELECT CASE WHEN
+              (SELECT COUNT(*) FROM rec0 r JOIN expected1 x ON r.qid = x.qid
+               WHERE r.step = 1 AND r.beam IS DISTINCT FROM x.nb) = 0
+              AND (SELECT COUNT(*) FROM rec0 WHERE step = 1)
+                  = (SELECT COUNT(*) FROM expected1)
+            THEN 1
+            ELSE CAST('walk-oracle guard: beam recursion step 1 diverged from its static recomputation (lateral correlation lost?)' AS INT)
+            END AS ok),
         ex AS (
           SELECT qid, vec_id AS exact_id,
             CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS exact_sim
@@ -7164,7 +7523,8 @@ object PipelineOps extends OpGroup {
             WHERE vec_id = f.found AND qid = f.qid) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS found_sim,
           ex.exact_id, ex.exact_sim,
           (f.found = ex.exact_id) AS hit
-        FROM fin f JOIN ex ON f.qid = ex.qid
+        FROM fin f JOIN ex ON f.qid = ex.qid CROSS JOIN guard
+        WHERE guard.ok = 1
         ORDER BY f.qid
         """.trim
       }),

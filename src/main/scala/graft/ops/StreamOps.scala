@@ -628,6 +628,88 @@ object StreamOps extends OpGroup {
           case None    => s.conf.unset(providerKey)
         }
       },
+      None),
+
+    // CHECKPOINT RESTART / EXACTLY-ONCE RECOVERY — the operational
+    // property every other stream_* key assumes but none exercised as a
+    // REGISTERED op (round-15 verdict item 5; promotes the round-12
+    // EquivalenceSuite drill into the contract): a watermarked stateful
+    // query over the 3-file incremental layout is KILLED mid-stream at
+    // the worst point — batch 1's foreachBatch sink write has committed
+    // but the poison pill fires before the commit log records the batch —
+    // then RESTARTED from the SAME checkpoint. The restart must redeliver
+    // batch 1 (same batchId, same data — the contract foreachBatch
+    // idempotence builds on; overwrite-by-batchId makes the redelivery
+    // exactly-once) and finish batch 2. Output = the recovered sink
+    // reconstructed latest-batch-wins (update mode re-emits a changed
+    // key per batch), plus the restart's data-batch count (always 2:
+    // the redelivered batch 1 + batch 3's file) — EquivalenceSuite pins
+    // the rows equal to the uninterrupted batch truth, i.e. recovery is
+    // INVISIBLE in the data. At 100 TB/day this is the property that
+    // makes a streaming ingest restartable after an executor/driver
+    // loss without double-counting a single event; the checkpoint dir
+    // (offsets + state + commit log) is the ONLY coordination state.
+    Op("stream_restart_recovery",
+      (s, dir) => {
+        Tables.conf(s)
+        val sink = Tables.tmpDir("graft_restart_sink")
+        val ckpt = Tables.tmpDir("graft_restart_ckpt")
+        def agg = eventStreamSplit3(s, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+            col("event_type"), col("n"))
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        val recoveryBatches = try {
+          def start(bomb: Boolean) = agg.writeStream
+            .outputMode("update")
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              b.write.mode("overwrite").parquet(s"$sink/batchId=$id")
+              if (bomb && id == 1)
+                throw new RuntimeException(
+                  "poison pill: crash after sink write, before batch commit")
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          val q1 = start(bomb = true)
+          try { q1.awaitTermination(); sys.error("poison pill must kill run 1") }
+          catch {
+            case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+          }
+          val q2 = start(bomb = false)
+          q2.awaitTermination()
+          val n = q2.recentProgress.count(_.numInputRows > 0)
+          lastRunBatches = n // test-seam publish only
+          n.toLong
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        // Exactly-once reconstruction: a key's truth is its LATEST
+        // batch's row (update mode re-emits changed keys per batch).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("window_start", "event_type")
+          .orderBy(col("batchId").desc)
+        s.read.parquet(sink)
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .select(col("window_start"), col("event_type"), col("n"),
+            lit(recoveryBatches).as("recovery_batches"))
+          .orderBy("window_start", "event_type")
+      },
       None)
   )
+
+  /** The recovery op's fixed 3-batch source: [[eventStreamSplit]]
+    * independent of the [[sourceBatches]] test seam (recovery is only
+    * meaningful across multiple micro-batches, whatever the seam says).
+    */
+  private def eventStreamSplit3(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = splitDir(s, sfDir, 3)
+    s.readStream
+      .schema(rawSchema(org.apache.spark.sql.types.TimestampNTZType))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+  }
 }

@@ -20,7 +20,8 @@ class CacheReleaseSuite extends AnyFunSuite {
 
   private val simFamily = Seq(
     "text_simhash", "text_simhash_neardup", "text_simhash_radius_sweep",
-    "text_dedup_clusters", "text_dedup_keep_best", "text_dedup_incremental")
+    "text_dedup_clusters", "text_dedup_keep_best", "text_dedup_incremental",
+    "corpus_prep_pipeline_v2") // round 16: the capstone v2 rides the same caches
 
   test("simhash-family caches release after their last consumer key") {
     Caches.releaseAll(spark, dir)

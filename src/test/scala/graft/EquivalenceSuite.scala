@@ -334,6 +334,29 @@ class EquivalenceSuite extends AnyFunSuite {
     } finally graft.ops.StreamOps.sourceBatches = 1
   }
 
+  test("stream_restart_recovery: the registered op's recovered sink equals the batch truth") {
+    // Round-15 verdict item 5 promoted the drill above into the contract:
+    // the OP plants the poison pill, restarts from its own checkpoint,
+    // and returns the reconstructed sink — which must match the plain
+    // batch tumbling aggregation exactly (recovery invisible in the
+    // data), with the restart having processed exactly 2 data batches
+    // (the redelivered batch 1 + batch 2's file).
+    val op = rows("stream_restart_recovery")
+    assert(op.nonEmpty, "recovery op returned no rows — test is vacuous")
+    assert(op.forall(_.getLong(3) == 2L),
+      s"restart must process exactly 2 data batches, got ${op.head.getLong(3)}")
+    val got = op.map(r => Seq(r.get(0), r.get(1), r.get(2)))
+      .sortBy(_.mkString("|"))
+    val truth = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts").cast("timestamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("timestamp_ntz").as("ws"),
+        col("event_type"), col("n"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(got == truth,
+      s"recovered op sink diverged from batch truth (got ${got.length} rows, want ${truth.length})")
+  }
+
   test("agg_approx_distinct within 5% of exact distinct counts") {
     val approx = rows("agg_approx_distinct")
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -579,18 +602,23 @@ class EquivalenceSuite extends AnyFunSuite {
     // The op runs the 3-file incremental source through event-time expiry
     // timers. This replays the SAME files through a driver-side
     // simulation of the documented micro-batch contract: per batch,
-    // (1) rows older than the batch's watermark drop, (2) surviving
-    // input re-arms each active user's single timer at lastSeen + TTL,
-    // (3) timers whose expiry is behind the watermark fire — flushing
-    // and clearing the user's state; the watermark then advances to
-    // max event time of the processed batch minus the 1 h delay.
+    // (1) rows older than the LATE watermark drop, (2) surviving input
+    // re-arms each active user's single timer at lastSeen + TTL,
+    // (3) timers whose expiry is behind the EVICTION watermark fire —
+    // flushing and clearing the user's state. Spark 3.4+ runs TWO
+    // watermarks one batch apart (round-15 advice): late events are
+    // judged against watermarkForLateEvents — max event time of batches
+    // 0..i-2 minus the delay — while timers evict against the advanced
+    // watermarkForEviction (batches 0..i-1), so the simulation tracks
+    // both instead of reusing one value for both roles.
     val op = rows("stream_state_ttl")
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(op.nonEmpty, "no state ever expired — the TTL path is unexercised")
     val root = graft.ops.StreamOps.splitDir(spark, sf0001, 3)
     val delayMs = 3600L * 1000
     val ttl = graft.ops.StreamOps.TtlMs
-    var wm = 0L
+    var wmEvict = 0L // batches 0..i-1: drives timer firing
+    var wmLate = 0L  // one batch older (0..i-2): drives the late-row drop
     val cnt = scala.collection.mutable.Map.empty[Long, Long]
     val seen = scala.collection.mutable.Map.empty[Long, Long]
     val timer = scala.collection.mutable.Map.empty[Long, Long]
@@ -604,18 +632,19 @@ class EquivalenceSuite extends AnyFunSuite {
         else spark.read.parquet(s"$root/b$i.parquet")
           .select(col("user_id"), Tables.ntzMicros("ts").as("us"))
           .collect().map(r => (r.getLong(0), r.getLong(1) / 1000))
-      val live = batch.filter(_._2 >= wm)
+      val live = batch.filter(_._2 >= wmLate)
       live.groupBy(_._1).foreach { case (u, rs) =>
         cnt(u) = cnt.getOrElse(u, 0L) + rs.length
         seen(u) = math.max(seen.getOrElse(u, Long.MinValue), rs.map(_._2).max)
         timer(u) = seen(u) + ttl
       }
-      for ((u, t) <- timer.toSeq.sortBy(_._1) if t < wm) {
+      for ((u, t) <- timer.toSeq.sortBy(_._1) if t < wmEvict) {
         out += ((u, cnt.getOrElse(u, 0L)))
         cnt -= u; seen -= u; timer -= u
       }
+      wmLate = wmEvict
       if (batch.nonEmpty)
-        wm = math.max(wm, batch.map(_._2).max - delayMs)
+        wmEvict = math.max(wmEvict, batch.map(_._2).max - delayMs)
     }
     val sim = out.groupBy(_._1)
       .map { case (u, es) => (u, es.length.toLong, es.map(_._2).sum) }.toSet
@@ -655,6 +684,45 @@ class EquivalenceSuite extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(2))).toSet
     assert(r1 == pcTop,
       s"trainer round-1 merges $r1 != pair_count rank-1 bigrams $pcTop")
+  }
+
+  test("text_bpe_train_budget: min-frequency floor is honored, schedule is data-dependent, replay reproduces state") {
+    // Round-15 verdict item 6: the budgeted trainer's merge count is a
+    // function of the DATA (per-language floors), not a fixed knob. Pin:
+    // (1) every emitted merge clears its language's floor (= ceil of the
+    //     round-1 top count / 4, recomputed here independently);
+    // (2) the schedule genuinely goes DEEPER than the fixed 6-round
+    //     trainer somewhere (else the budget is vacuous on this corpus);
+    // (3) the same pure-JVM replay pin as text_bpe_train — the merge
+    //     table alone reproduces the trained tokenization byte-for-byte.
+    val (mt, stDf) = graft.ops.PipelineOps.bpeTrain(spark, sf0001, 12, thrDen = Some(4))
+    val rows = mt.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    val thrOf = rows.filter(_._2 == 1).map(t => t._1 -> ((t._5 + 3) / 4)).toMap
+    rows.foreach { case (lang, rk, lft, rgt, cnt, thr) =>
+      assert(thr == thrOf(lang), s"$lang rk=$rk carries thr=$thr, want ${thrOf(lang)}")
+      assert(cnt >= thr, s"$lang rk=$rk merged $lft+$rgt at cnt=$cnt below floor $thr")
+    }
+    assert(rows.map(_._2).max > 6,
+      "budgeted schedule never exceeded the fixed trainer's 6 rounds — pin vacuous")
+    val p = "\u0001"
+    val mByLang = rows.groupBy(_._1).map { case (l, ms) => l -> ms.sortBy(_._2) }
+    val replayed = Tables.t(spark, sf0001, "documents")
+      .select("lang", "text").collect()
+      .map { r =>
+        val (lang, text) = (r.getString(0), r.getString(1))
+        var acc = text.map(c => s"$p$c$p").mkString
+        for ((_, _, lft, rgt, _, _) <- mByLang.getOrElse(lang, Nil))
+          acc = acc.replace(s"$p$lft$p$p$rgt$p", s"$p$lft$rgt$p")
+        (lang, acc)
+      }.toSeq.sorted
+    val trained = stDf.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    graft.Caches.releaseCheckpoint(stDf)
+    assert(trained.nonEmpty && replayed == trained,
+      "budgeted merge-table replay diverged from the trained tokenization")
   }
 
   test("graph_louvain_multilevel: modularity is monotone non-decreasing level over level") {
