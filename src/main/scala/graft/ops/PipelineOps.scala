@@ -1371,30 +1371,82 @@ object PipelineOps extends OpGroup {
             FROM cent, qq
           ) ORDER BY csim DESC, c LIMIT 3)"""
 
-  /** Oracle CTE bodies matching [[simhashSigs]]/[[simhashEdges]] (DuckDB). */
+  /** Oracle CTE bodies matching [[simhashSigs]]/[[simhashEdges]] (DuckDB).
+    *
+    * Round 16 (verdict item 3): the signature is computed per DISTINCT
+    * text and joined back — simhash is a pure function of the text, so
+    * the results are identical, but on the content-replicated sf1
+    * fixture this cuts the 60-bit fold from |docs| to |distinct texts|
+    * evaluations (measured 698.7 s → 37.3 s for the full pair build at
+    * sf1, bit-identical 27,378,000 pairs). Every stage is MATERIALIZED
+    * so multi-consumer statements (the dedup closure, the radius sweep's
+    * per-radius expansion) never re-inline the quadratic build — these
+    * CTEs are never referenced from a recursion's LATERAL, so the
+    * round-14 correlation-loss constraint does not apply to them.
+    */
   private val simsSql = """
-    sims AS (
-      SELECT doc_id,
+    tsim AS MATERIALIZED (
+      SELECT text,
         CAST(list_sum(list_transform(range(0, 60), b ->
           CASE WHEN list_sum(list_transform(hs, h ->
                  CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
       FROM (
-        SELECT doc_id,
+        SELECT text,
           list_transform(list_distinct(string_split(text, ' ')),
             t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
-        FROM documents
+        FROM (SELECT DISTINCT text FROM documents)
       )
-    ), bv AS (
+    ), sims AS MATERIALIZED (
+      SELECT d.doc_id, t.simhash FROM documents d JOIN tsim t USING (text)
+    ), bv AS MATERIALIZED (
       SELECT doc_id, simhash, band,
         (simhash >> (band * 15)) & 32767 AS bval
       FROM (SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM sims)
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
         CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
       FROM bv l JOIN bv r ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
       WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
     )"""
+
+  /** Connected components over the simhash pair graph for the dedup
+    * oracles, as UNROLLED MIN-LABEL PROPAGATION instead of a recursive
+    * transitive closure (round-16, verdict item 3): `reach` materializes
+    * Σ|component|² (node, label) rows — quadratic in cohort size, which
+    * the content-replicated sf1 fixture blows past any time budget —
+    * while label propagation keeps |docs| rows per round and converges
+    * in O(diameter) rounds (measured: 6 at sf0.001/0.01, 9 at sf0.1 and
+    * sf1; 12 rounds carry margin). The unroll is EXACT-OR-LOUD: clusters
+    * filters on a convergence guard that errors if round 12 still
+    * changed a label, so an under-unrolled corpus fails loudly instead
+    * of returning partial components — the same honesty contract as the
+    * Spark side's convergence throw in [[connectedComponents]].
+    */
+  private val ccSql: String = {
+    val n = 12
+    val rounds = (1 to n).map { i =>
+      s"""
+    lab$i AS MATERIALIZED (
+      SELECT node, MIN(label) AS label FROM (
+        SELECT node, label FROM lab${i - 1}
+        UNION ALL
+        SELECT e.dst AS node, l.label FROM lab${i - 1} l JOIN edges e ON l.node = e.src
+      ) GROUP BY node)"""
+    }.mkString(",")
+    s"""edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+    lab0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),$rounds,
+    cc_guard AS (
+      SELECT CASE WHEN (SELECT COUNT(*) FROM lab$n x
+          JOIN lab${n - 1} o USING (node) WHERE x.label <> o.label) = 0
+        THEN 1
+        ELSE CAST('cc-oracle guard: min-label propagation not converged in $n unrolled rounds' AS INT)
+        END AS ok),
+    clusters AS (
+      SELECT node AS doc_id, label AS cluster FROM lab$n
+      WHERE (SELECT ok FROM cc_guard) = 1)"""
+  }
 
   val ops: Seq[Op] = Seq(
     // SimHash: signature bit b is the sign of Σ_tokens ±1 by bit b of the
@@ -1518,18 +1570,10 @@ object PipelineOps extends OpGroup {
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH RECURSIVE $simsSql, edges AS (
-          SELECT a AS src, b AS dst FROM pairs
-          UNION ALL
-          SELECT b, a FROM pairs
-        ), reach(node, label) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
-        )
+        WITH $simsSql, $ccSql
         SELECT doc_id, cluster,
           CAST(COUNT(*) OVER (PARTITION BY cluster) AS INT) AS n_in_cluster
-        FROM (SELECT node AS doc_id, MIN(label) AS cluster FROM reach GROUP BY node)
+        FROM clusters
         ORDER BY doc_id
       """.trim)),
 
@@ -1561,17 +1605,7 @@ object PipelineOps extends OpGroup {
           .orderBy("doc_id")
       },
       Some(s"""
-        WITH RECURSIVE $simsSql, edges AS (
-          SELECT a AS src, b AS dst FROM pairs
-          UNION ALL
-          SELECT b, a FROM pairs
-        ), reach(node, label) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
-        ), clusters AS (
-          SELECT node AS doc_id, MIN(label) AS cluster FROM reach GROUP BY node
-        ), q AS (
+        WITH $simsSql, $ccSql, q AS (
           SELECT doc_id,
             least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
               * (CAST(n_distinct AS DOUBLE) / n_tokens) AS quality
@@ -4099,17 +4133,7 @@ object PipelineOps extends OpGroup {
           .orderBy("lang")
       },
       Some(s"""
-        WITH RECURSIVE $simsSql, edges AS (
-          SELECT a AS src, b AS dst FROM pairs
-          UNION ALL
-          SELECT b, a FROM pairs
-        ), reach(node, label) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
-        ), clusters AS (
-          SELECT node AS doc_id, MIN(label) AS cluster FROM reach GROUP BY node
-        ), q AS (
+        WITH $simsSql, $ccSql, q AS (
           SELECT doc_id,
             least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
               * (CAST(n_distinct AS DOUBLE) / n_tokens) AS quality
