@@ -42,8 +42,11 @@ object BenchOne {
       // otherwise stay pinned after rep 1 and make rep2+ measure
       // warm-cache times — this tool measures keys in ISOLATION, so each
       // rep pays its own cache build (Bench's full pass is where the
-      // build amortizes across consumers).
-      Caches.releaseAll(spark, sfDir)
+      // build amortizes across consumers). SPARK_GRAFT_KEEP_CACHES=1
+      // flips that: caches persist across keys/reps, measuring the
+      // family-shared residency the full Bench sequence actually sees.
+      if (!sys.env.get("SPARK_GRAFT_KEEP_CACHES").contains("1"))
+        Caches.releaseAll(spark, sfDir)
     }
     spark.stop()
   }

@@ -1007,15 +1007,34 @@ object PipelineOps extends OpGroup {
   private[graft] def beamStep(
       sym0: org.apache.spark.sql.DataFrame,
       state: org.apache.spark.sql.DataFrame,
-      fused: Boolean): org.apache.spark.sql.DataFrame =
-    walkHopJoin(sym0, state.select("qid", "qemb", "cid"), "cid", fused)
-      .filter(col("dst") =!= col("qid"))
-      .withColumn("sim", walkSim)
-      .select(col("qid"), col("qemb"), col("dst").as("cid"), col("sim"))
-      .distinct()
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
-      .filter(col("rk") <= 4).select("qid", "qemb", "cid", "sim")
+      fused: Boolean, trackSeen: Boolean = false): org.apache.spark.sql.DataFrame =
+    if (!trackSeen)
+      walkHopJoin(sym0, state.select("qid", "qemb", "cid"), "cid", fused)
+        .filter(col("dst") =!= col("qid"))
+        .withColumn("sim", walkSim)
+        .select(col("qid"), col("qemb"), col("dst").as("cid"), col("sim"))
+        .distinct()
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+        .filter(col("rk") <= 4).select("qid", "qemb", "cid", "sim")
+    else
+      // |Q|=1 keys additionally thread the EVER-BEAMED set through the
+      // state as a `seen` array (every row of a query carries the same
+      // set, so distinct/rank behave exactly as above): the visited
+      // count rides the final head() collect instead of a union of all
+      // step frames — whose 21-subplan Catalyst analysis was the |Q|=1
+      // walk's dominant driver-side cost.
+      walkHopJoin(sym0, state.select("qid", "qemb", "cid", "seen"), "cid", fused)
+        .filter(col("dst") =!= col("qid"))
+        .withColumn("sim", walkSim)
+        .select(col("qid"), col("qemb"), col("dst").as("cid"), col("sim"), col("seen"))
+        .distinct()
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("sim"), asc("cid"))))
+        .filter(col("rk") <= 4)
+        .withColumn("seen", array_union(col("seen"),
+          collect_set(col("cid")).over(Window.partitionBy("qid"))))
+        .select("qid", "qemb", "cid", "sim", "seen")
 
   /** Materialize a walk edge frame: single-partition in the fused shape
     * (the whole layer graph lives in one task — how a real HNSW shard
@@ -1062,6 +1081,45 @@ object PipelineOps extends OpGroup {
       .union(loops)
       .join(emb, Seq("dst")), fused)
   }
+
+  /** Cached FUSED walk edge frames, shared across the whole walk family
+    * (round-16): sym0 (layer-0 graph) is consumed by all four walk keys
+    * and levelEdges by both HNSW keys, but each op used to rebuild and
+    * release its own copy — 6 corpus-edge joins + checkpoints per bench
+    * pass for two identical artifacts. The fused (single-partition)
+    * shape is deterministic, so it memoizes exactly like
+    * [[mutualKnnEdges]]; [[graft.Caches.track]] releases the blocks when
+    * the last family key reports done. Builders run OUTSIDE the narrow
+    * walk conf window (callers invoke these before entering it — the
+    * round-15 warm-the-caches advice). The unfused (distributed) shape
+    * stays per-call: only PlanSuite's dual-shape equality run uses it.
+    */
+  private val walkEdgeCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, String), org.apache.spark.sql.DataFrame]
+
+  private val WalkConsumers = Set("vec_graph_greedy_search",
+    "vec_graph_beam_search", "vec_hnsw_search", "vec_hnsw_batch_search")
+
+  private def walkSym0Cached(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.memo(walkEdgeCache, (s, dir, "sym0"), {
+      val df = walkSym0(s, dir, mutualKnnEdges(s, dir), fused = true)
+      graft.Caches.track(s, dir, "walk_sym0", WalkConsumers,
+        () => walkEdgeCache.remove((s, dir, "sym0"))
+          .foreach(graft.Caches.releaseCheckpoint))
+      df
+    })
+
+  private def walkLevelEdgesCached(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.memo(walkEdgeCache, (s, dir, "lvl"), {
+      val df = walkLevelEdges(s, dir, hnswUpperEdges(s, dir), fused = true)
+      graft.Caches.track(s, dir, "walk_level_edges",
+        Set("vec_hnsw_search", "vec_hnsw_batch_search"),
+        () => walkEdgeCache.remove((s, dir, "lvl"))
+          .foreach(graft.Caches.releaseCheckpoint))
+      df
+    })
 
   /** 1-row walk state (qid = 0, qemb, cur = entry[, path, cursim]) for
     * the |Q|=1 keys: the query is vec_id 0 and the walk starts at the
@@ -1153,6 +1211,7 @@ object PipelineOps extends OpGroup {
     // only the |Q|-bounded walk runs inside the window.
     val upper = hnswUpperEdges(s, dir)
     val m0 = mutualKnnEdges(s, dir)
+    if (fusedWalk) { walkLevelEdgesCached(s, dir); walkSym0Cached(s, dir) }
     val occupied = upper.groupBy("lvl").count()
       .collect().map(_.getInt(0)).toSet
     narrowWalkConf(s) {
@@ -1186,9 +1245,14 @@ object PipelineOps extends OpGroup {
       .select(col("qid"), col("qemb"), col("vec_id").as("cur"))
     // ALL level edge frames in one checkpoint: (lvl, src, dst, demb) with
     // per-level self-loops — "stay where you are" lives inside the edge
-    // relation so each hop references the state frame exactly once
-    // ([[walkLevelEdges]], shared with vec_hnsw_search's |Q|=1 descent).
-    val levelEdges = walkLevelEdges(s, dir, upper, fusedWalk)
+    // relation so each hop references the state frame exactly once.
+    // Fused shape = the family-shared tracked cache (built by whichever
+    // walk key runs first, outside the conf window via the wrapper's
+    // warm calls; released by Caches when the last family key reports
+    // done). The unfused fallback stays per-call.
+    val levelEdges =
+      if (fusedWalk) walkLevelEdgesCached(s, dir)
+      else walkLevelEdges(s, dir, upper, fused = false)
     // (`occupied` — which levels have real edges — was probed OUTSIDE
     // the conf window by the wrapper; an edgeless level is provably a
     // no-op: the greedy step map is the identity there — every query
@@ -1210,12 +1274,15 @@ object PipelineOps extends OpGroup {
       st = next
     }
     // levelEdges fed only the descent above; the layer-0 beam reads
-    // sym0. Its corpus-edge-sized blocks (full embedding per row) are
-    // dead once the final descent state is checkpointed.
-    graft.Caches.releaseCheckpoint(levelEdges)
+    // sym0. The per-call (unfused) copy's corpus-edge-sized blocks are
+    // dead once the final descent state is checkpointed; the fused copy
+    // is the tracked family cache and outlives the call by design.
+    if (!fusedWalk) graft.Caches.releaseCheckpoint(levelEdges)
     // Layer-0 batched ef=4 beam over the shared mutual-kNN graph
     // ([[walkSym0]]/[[beamStep]], shared with the |Q|=1 walk keys).
-    val sym0 = walkSym0(s, dir, m0, fusedWalk)
+    val sym0 =
+      if (fusedWalk) walkSym0Cached(s, dir)
+      else walkSym0(s, dir, m0, fused = false)
     var beam = st.select(col("qid"), col("qemb"), col("cur").as("cid"))
     var midBeam: org.apache.spark.sql.DataFrame = null
     for (i <- 1 to 6) {
@@ -1234,7 +1301,7 @@ object PipelineOps extends OpGroup {
       } else if (i == 6) {
         beam = beam.localCheckpoint(true)
         graft.Caches.releaseCheckpoint(midBeam)
-        graft.Caches.releaseCheckpoint(sym0)
+        if (!fusedWalk) graft.Caches.releaseCheckpoint(sym0)
       }
     }
     val found = beam
@@ -6844,13 +6911,15 @@ object PipelineOps extends OpGroup {
             (round(col("sim"), 3) + 0.0).as("exact_sim"),
             lit(true).as("hit"))
         } else {
+          // Family-shared fused edge frame, built OUTSIDE the conf window
+          // and released by Caches after the last walk key (round 16 —
+          // greedy/beam/hnsw/batch all read the same checkpoint).
+          val sym0 = walkSym0Cached(s, dir)
           val (pathNodes, cur, curSim) = narrowWalkConf(s) {
-            val sym0 = walkSym0(s, dir, m, fused = true)
             var st = singleState0(s, dir, entryRow.getLong(0), track = true)
             for (_ <- 1 to 6) st = descentHop(sym0, st, fused = true, track = true)
             // The ONLY driver action of the walk: the final 1-row state.
             val fin = st.head()
-            graft.Caches.releaseCheckpoint(sym0)
             (fin.getAs[String]("path").split(',').distinct.length.toLong,
               fin.getAs[Long]("cur"), fin.getAs[Double]("cursim"))
           }
@@ -6987,23 +7056,29 @@ object PipelineOps extends OpGroup {
             (round(col("sim"), 3) + 0.0).as("exact_sim"),
             lit(true).as("hit"))
         } else {
+          // Family-shared fused edge frame, built OUTSIDE the conf window
+          // (round 16; released by Caches after the last walk key).
+          val sym0 = walkSym0Cached(s, dir)
           val (beamed, foundId, foundSim) = narrowWalkConf(s) {
-            val sym0 = walkSym0(s, dir, m, fused = true)
-            val seed = singleState0(s, dir, entryRow.getLong(0), track = false)
-              .select(col("qid"), col("qemb"), col("cur").as("cid"))
-            var beam = seed
-            val steps = scala.collection.mutable.ArrayBuffer
-              .empty[org.apache.spark.sql.DataFrame]
-            for (_ <- 1 to 6) {
-              beam = beamStep(sym0, beam, fused = true).localCheckpoint(true)
-              steps += beam
+            // Mid-chain + final checkpoints only — the batched shape's
+            // plan-bounding cuts; the ever-beamed set rides the state as
+            // a `seen` array, so ONE head() collect ends the whole walk.
+            var beam = singleState0(s, dir, entryRow.getLong(0), track = false)
+              .select(col("qid"), col("qemb"), col("cur").as("cid"),
+                array(col("cur")).as("seen"))
+            var midBeam: org.apache.spark.sql.DataFrame = null
+            for (i <- 1 to 6) {
+              beam = beamStep(sym0, beam, fused = true, trackSeen = true)
+              if (i == 3 || i == 6) {
+                beam = beam.localCheckpoint(true)
+                if (i == 3) midBeam = beam
+              }
             }
-            val visited = (seed.select("cid") +: steps.map(_.select("cid")).toSeq)
-              .reduce(_ union _).distinct().count()
             val top = beam.orderBy(desc("sim"), asc("cid")).limit(1).head()
-            steps.foreach(graft.Caches.releaseCheckpoint)
-            graft.Caches.releaseCheckpoint(sym0)
-            (visited, top.getAs[Long]("cid"), top.getAs[Double]("sim"))
+            graft.Caches.releaseCheckpoint(midBeam)
+            graft.Caches.releaseCheckpoint(beam)
+            (top.getAs[Seq[Long]]("seen").size.toLong,
+              top.getAs[Long]("cid"), top.getAs[Double]("sim"))
           }
           exactTop.select(
             lit(beamed).as("beam_nodes"),
@@ -7164,11 +7239,14 @@ object PipelineOps extends OpGroup {
             // driver round-trips; two 1-row collects and one ≤25-row
             // distinct-count are the walk's only actions.
             val upper = hnswUpperEdges(s, dir)
-            val m0 = mutualKnnEdges(s, dir)
             val occupied = upper.groupBy("lvl").count()
               .collect().map(_.getInt(0)).toSet
+            // Family-shared fused edge frames, built OUTSIDE the conf
+            // window (round 16; released by Caches after the last walk
+            // key — greedy/beam/hnsw/batch all read the same checkpoints).
+            val levelEdges = walkLevelEdgesCached(s, dir)
+            val sym0 = walkSym0Cached(s, dir)
             val (descNodes, beamed, foundId, foundSim) = narrowWalkConf(s) {
-              val levelEdges = walkLevelEdges(s, dir, upper, fused = true)
               var st = singleState0(s, dir, entry, track = true)
                 .localCheckpoint(true)
               for (level <- 4 to 1 by -1 if occupied(level)) {
@@ -7179,31 +7257,32 @@ object PipelineOps extends OpGroup {
                 graft.Caches.releaseCheckpoint(st)
                 st = next
               }
-              graft.Caches.releaseCheckpoint(levelEdges)
               val fin = st.head()
               val descNodes =
                 fin.getAs[String]("path").split(',').distinct.length.toLong
               // Layer-0 ef=4 beam seeded at the descent endpoint — NOT the
               // global min id, which is the whole point: the descent has
               // already navigated near the target before the wide search
-              // spends lookups.
-              val sym0 = walkSym0(s, dir, m0, fused = true)
-              val seed = st.select(col("qid"), col("qemb"), col("cur").as("cid"))
-              var beam = seed
-              val steps = scala.collection.mutable.ArrayBuffer
-                .empty[org.apache.spark.sql.DataFrame]
-              for (_ <- 1 to 6) {
-                beam = beamStep(sym0, beam, fused = true).localCheckpoint(true)
-                steps += beam
+              // spends lookups. Mid-chain + final checkpoints only (the
+              // batched shape's plan-bounding cuts); the ever-beamed set
+              // rides the state as a `seen` array, so ONE head() collect
+              // ends the whole walk.
+              var beam = st.select(col("qid"), col("qemb"), col("cur").as("cid"),
+                array(col("cur")).as("seen"))
+              var midBeam: org.apache.spark.sql.DataFrame = null
+              for (i <- 1 to 6) {
+                beam = beamStep(sym0, beam, fused = true, trackSeen = true)
+                if (i == 3 || i == 6) {
+                  beam = beam.localCheckpoint(true)
+                  if (i == 3) midBeam = beam
+                }
               }
-              val visited = (seed.select("cid") +: steps.map(_.select("cid")).toSeq)
-                .reduce(_ union _).distinct().count()
               val topRow = beam.orderBy(desc("sim"), asc("cid")).limit(1).head()
-              steps.foreach(graft.Caches.releaseCheckpoint)
-              graft.Caches.releaseCheckpoint(sym0)
+              graft.Caches.releaseCheckpoint(midBeam)
+              graft.Caches.releaseCheckpoint(beam)
               graft.Caches.releaseCheckpoint(st)
-              (descNodes, visited, topRow.getAs[Long]("cid"),
-                topRow.getAs[Double]("sim"))
+              (descNodes, topRow.getAs[Seq[Long]]("seen").size.toLong,
+                topRow.getAs[Long]("cid"), topRow.getAs[Double]("sim"))
             }
             exactTop.select(
               lit(topLayer).as("top_layer"),
