@@ -21,7 +21,8 @@ class CacheReleaseSuite extends AnyFunSuite {
   private val simFamily = Seq(
     "text_simhash", "text_simhash_neardup", "text_simhash_radius_sweep",
     "text_dedup_clusters", "text_dedup_keep_best", "text_dedup_incremental",
-    "corpus_prep_pipeline_v2") // round 16: the capstone v2 rides the same caches
+    "corpus_prep_pipeline_v2", // round 16: the capstone v2 rides the same caches
+    "vec_index_persist_reload") // round 17: persists the signature table
 
   test("simhash-family caches release after their last consumer key") {
     Caches.releaseAll(spark, dir)
@@ -35,11 +36,46 @@ class CacheReleaseSuite extends AnyFunSuite {
     val live = Caches.activeEntries(spark, dir)
     assert(!live.exists(Set("simhash_sigs", "simhash_edges", "cluster_labels")),
       s"simhash-family caches still pinned after their last consumer: $live")
+    // vec_index_persist_reload (round 17) also builds the kmeans_trained
+    // pair, whose OTHER consumers don't run in this test — report them
+    // done (bookkeeping only, as a full Bench/Verify pass would) so the
+    // block count below measures the sim family, not the kmeans cache's
+    // legitimate residency.
+    Seq("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk",
+      "vec_ivf_probe_sweep", "vec_pq_residual_topk", "vec_ivf_cell_stats")
+      .foreach(Caches.keyDone(spark, dir, _))
     // Entry removal alone would pass even if the release closure stopped
     // unpersisting — assert the block-manager blocks actually went away.
     val pinnedAfter = Caches.pinnedRddCount(spark)
     assert(pinnedAfter <= pinnedBefore,
       s"pinned RDDs grew across the simhash family: $pinnedBefore -> $pinnedAfter")
+  }
+
+  test("persisted-index reload serves cache-cold: zero family checkpoints touched") {
+    Caches.releaseAll(spark, dir)
+    // Run the persist/reload key once (it trains in-session and writes
+    // the parquet sidecars), then drop EVERY tracked cache and serve the
+    // trained-IVF query again FROM THE SIDECARS ONLY. The reload path
+    // must (a) register no tracked cache entry — the artifact, not a
+    // session checkpoint, is the index — and (b) return exactly the
+    // in-session top-10, the reload-equality contract the op's
+    // reload_matches_session flag asserts in-band.
+    val op = SparkEntry.queries("vec_index_persist_reload")(spark, dir).collect()
+    assert(op.nonEmpty && op.forall(_.getBoolean(4)),
+      "reload_matches_session must be true on every row")
+    val root = ops.PipelineOps.lastPersistRoot
+    Caches.releaseAll(spark, dir)
+    val entriesBefore = Caches.activeEntries(spark, dir)
+    val served = ops.PipelineOps.ivfProbeServe(spark, dir,
+        spark.read.parquet(s"$root/ivf_assign"),
+        ops.PipelineOps.centroidsFromSums(
+          spark.read.parquet(s"$root/ivf_cell_sums")))
+      .collect()
+    assert(Caches.activeEntries(spark, dir) == entriesBefore,
+      "the reload serve path registered a tracked cache — it must touch none")
+    val want = op.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val got = served.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == want, s"cache-cold reload serve diverged: got=$got want=$want")
   }
 
   test("ngram shingle checkpoint releases after its consumer key") {

@@ -357,6 +357,61 @@ class EquivalenceSuite extends AnyFunSuite {
       s"recovered op sink diverged from batch truth (got ${got.length} rows, want ${truth.length})")
   }
 
+  test("stream_txn_log_sink: committed snapshot equals batch truth; crash isolation + idempotent redelivery pinned") {
+    val op = rows("stream_txn_log_sink")
+    assert(op.nonEmpty, "txn-log sink returned no rows — test is vacuous")
+    // Restart redelivers batch 1 + processes batch 2 → exactly 2 data
+    // batches; at crash time TWO data files existed but only ONE commit —
+    // the orphan is invisible to replay (the isolation property).
+    assert(op.forall(_.getLong(2) == 2L),
+      s"restart must process exactly 2 data batches, got ${op.head.getLong(2)}")
+    assert(op.forall(r => r.getLong(3) == 2L && r.getLong(4) == 1L),
+      s"crash audit must see 2 data files / 1 commit, got " +
+        s"${op.head.getLong(3)}/${op.head.getLong(4)}")
+    // The replayed snapshot after recovery equals the uninterrupted batch
+    // truth exactly — exactly-once ingest, recovery invisible in the data.
+    val got = op.map(r => (r.getString(0), r.getLong(1))).toSet
+    val truth = Tables.events(spark, sf0001)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"recovered txn-log snapshot diverged from batch truth: got=$got want=$truth")
+  }
+
+  test("vec_hnsw_insert: per-layer delta report obeys the insert/repair structure") {
+    val op = rows("vec_hnsw_insert")
+    assert(op.size == 5, s"expected 5 layer rows, got ${op.size}")
+    // Columns: layer, n_pre_nodes, n_pre_links, n_inserted, n_fwd_links,
+    // n_rev_links_kept, n_pruned_links.
+    val byLayer = op.sortBy(_.getInt(0))
+    // Geometric layers NEST: each higher layer's pre population and
+    // batch population are subsets of the layer below.
+    byLayer.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(hi.getLong(1) <= lo.getLong(1),
+        s"pre nodes must shrink upward: layer ${hi.getInt(0)}")
+      assert(hi.getLong(3) <= lo.getLong(3),
+        s"inserted nodes must shrink upward: layer ${hi.getInt(0)}")
+    }
+    byLayer.foreach { r =>
+      // Forward links: at most M per inserted node (and 0 when no
+      // same-label pre candidate exists at the layer).
+      assert(r.getLong(4) <= 3 * r.getLong(3),
+        s"layer ${r.getInt(0)}: n_fwd_links ${r.getLong(4)} > 3×inserted")
+      // Reverse links kept + pruned old links are both bounded by the
+      // repair's input: arrivals ≤ forward links; pruned ≤ old links.
+      assert(r.getLong(5) <= r.getLong(4),
+        s"layer ${r.getInt(0)}: kept reverse links exceed arrivals")
+      assert(r.getLong(6) <= r.getLong(2),
+        s"layer ${r.getInt(0)}: pruned links exceed pre links")
+    }
+    // The base layer genuinely inserted (the batch is 10% of the corpus)
+    // and linked: the NN guarantee means every inserted node with a
+    // same-label pre candidate carries ≥1 forward link.
+    val l0 = op.find(_.getInt(0) == 0).get
+    assert(l0.getLong(3) > 0 && l0.getLong(4) >= l0.getLong(3),
+      "base layer: every inserted node has ≥1 same-label candidate on this corpus")
+  }
+
   test("agg_approx_distinct within 5% of exact distinct counts") {
     val approx = rows("agg_approx_distinct")
       .map(r => r.getString(0) -> r.getLong(1)).toMap

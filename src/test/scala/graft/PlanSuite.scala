@@ -261,7 +261,11 @@ class PlanSuite extends AnyFunSuite {
         "vec_pq_residual_topk", "agg_kmv_set_ops", "src_txn_log_compact",
         "agg_robust_mean", "vec_hard_negatives", "etl_volume_gate",
         "agg_ab_srm_check", "text_oov_rate", "vec_ivf_cell_stats",
-        "graph_louvain_multilevel", "text_bpe_train")) {
+        "graph_louvain_multilevel", "text_bpe_train",
+        // round 17: the converge loop's report joins, the insert/repair
+        // joins, the reload serve, and the k-sweep flag join.
+        "graph_pagerank_converge", "vec_hnsw_insert",
+        "vec_index_persist_reload", "text_dup_spans_sweep")) {
       val p = plan(k)
       assert(!p.contains("CartesianProduct"), s"$k plan went cartesian")
     }
