@@ -944,7 +944,8 @@ object PipelineOps extends OpGroup {
           .select(lit(level).as("lvl"), col("a"), col("b"))
       }.reduce(_.union(_)).localCheckpoint(true)
       graft.Caches.track(s, dir, "hnsw_layer_edges",
-        Set("vec_hnsw_build", "vec_hnsw_search", "vec_hnsw_batch_search"),
+        Set("vec_hnsw_build", "vec_hnsw_search", "vec_hnsw_batch_search",
+          "vec_hnsw_persist_search"),
         () => hnswEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       upper
     })
@@ -970,7 +971,7 @@ object PipelineOps extends OpGroup {
           "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
           "vec_graph_beam_search", "graph_louvain_step", "graph_louvain_converge",
           "graph_kcore_peel", "vec_hnsw_search", "vec_hnsw_build", "graph_bfs_hops",
-          "graph_modularity", "vec_hnsw_batch_search"),
+          "graph_modularity", "vec_hnsw_batch_search", "vec_hnsw_persist_search"),
         () => mutualEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       mutual
     })
@@ -1210,6 +1211,77 @@ object PipelineOps extends OpGroup {
           .foreach(graft.Caches.releaseCheckpoint))
       df
     })
+
+  /** The |Q|=1 multi-layer HNSW serve walk (vec_hnsw_search's body,
+    * factored so vec_hnsw_persist_search serves from RELOADED layer
+    * tables through literally the same code): greedy-descend the
+    * occupied levels 4→1 from `entry`, then the ef=4 beam at layer 0
+    * seeded at the descent endpoint. `levelEdges`/`sym0` are fused walk
+    * frames — the family caches or per-call builds over reloaded edges
+    * interchangeably. Returns (descent nodes, beamed nodes, found id,
+    * found sim). Runs inside [[narrowWalkConf]]; all cuts release in a
+    * finally.
+    */
+  private def hnswServeWalk(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      entry: Long, occupied: Set[Int],
+      levelEdges: org.apache.spark.sql.DataFrame,
+      sym0: org.apache.spark.sql.DataFrame): (Long, Long, Long, Double) =
+    narrowWalkConf(s) {
+      // Descent cuts at the MID and FINAL descended level only
+      // (round-16 verdict item 6): the per-level checkpoint was the
+      // |Q|=1 walk's fixed-cost floor — each cut is a driver-blocking
+      // job on a 1-row frame — and the batched beam's own mid+final
+      // pattern bounds the plan just as well (≤12 chained hops per cut,
+      // codegen off under the walk conf). Byte-identical outputs:
+      // checkpoint placement never changes values. All cuts release in
+      // a finally (round-16 advice): a throw mid-walk must not strand
+      // their blocks past the conf window.
+      val lvls = (4 to 1 by -1).filter(occupied)
+      var st = singleState0(s, dir, entry, track = true)
+        .localCheckpoint(true)
+      var midBeam: org.apache.spark.sql.DataFrame = null
+      var finBeam: org.apache.spark.sql.DataFrame = null
+      try {
+        var cur = st
+        var doneLvls = 0
+        for (level <- lvls) {
+          val eL = levelEdges.filter(col("lvl") === level)
+          for (_ <- 1 to 6)
+            cur = descentHop(eL, cur, fused = true, track = true)
+          doneLvls += 1
+          if (doneLvls == (lvls.size + 1) / 2 || doneLvls == lvls.size) {
+            val next = cur.localCheckpoint(true)
+            graft.Caches.releaseCheckpoint(st)
+            st = next
+            cur = next
+          }
+        }
+        val fin = st.head()
+        val descNodes =
+          fin.getAs[String]("path").split(',').distinct.length.toLong
+        // Layer-0 ef=4 beam seeded at the descent endpoint — NOT the
+        // global min id, which is the whole point: the descent has
+        // already navigated near the target before the wide search
+        // spends lookups. Mid-chain + final checkpoints only (the
+        // batched shape's plan-bounding cuts); the ever-beamed set
+        // rides the state as a `seen` array, so ONE head() collect
+        // ends the whole walk.
+        var beam = st.select(col("qid"), col("qemb"), col("cur").as("cid"),
+          array(col("cur")).as("seen"))
+        for (i <- 1 to 6) {
+          beam = beamStep(sym0, beam, fused = true, trackSeen = true)
+          if (i == 3 || i == 6) {
+            beam = beam.localCheckpoint(true)
+            if (i == 3) midBeam = beam else finBeam = beam
+          }
+        }
+        val topRow = beam.orderBy(desc("sim"), asc("cid")).limit(1).head()
+        (descNodes, topRow.getAs[Seq[Long]]("seen").size.toLong,
+          topRow.getAs[Long]("cid"), topRow.getAs[Double]("sim"))
+      } finally Seq(st, midBeam, finBeam).filter(_ != null)
+        .foreach(graft.Caches.releaseCheckpoint)
+    }
 
   /** 1-row walk state (qid = 0, qemb, cur = entry[, path, cursim]) for
     * the |Q|=1 keys: the query is vec_id 0 and the walk starts at the
@@ -1609,6 +1681,167 @@ object PipelineOps extends OpGroup {
     clusters AS (
       SELECT node AS doc_id, label AS cluster FROM lab$n
       WHERE (SELECT ok FROM cc_guard) = 1)"""
+  }
+
+  /** vec_hnsw_search's full oracle, factored to a val because
+    * vec_hnsw_persist_search must pin the IDENTICAL result: the persist
+    * key serves from reloaded layer tables, and the artifacts are exact
+    * (integer ids, deterministic md5 layers), so the reloaded walk's
+    * answer is definitionally the in-session walk's answer.
+    */
+  private lazy val hnswSearchOracleSql: String = {
+    val layerCase =
+      """CASE WHEN h % 4 <> 0 THEN 0
+              WHEN (h // 4) % 4 <> 0 THEN 1
+              WHEN (h // 16) % 4 <> 0 THEN 2
+              WHEN (h // 64) % 4 <> 0 THEN 3
+              ELSE 4 END"""
+    val cos = (x: String, y: String) =>
+      s"""list_dot_product($x, $y)
+          / (sqrt(greatest(list_sum(list_transform($x, v -> v * v)), 1e-300))
+             * sqrt(greatest(list_sum(list_transform($y, v -> v * v)), 1e-300)))"""
+    // Upper-layer kNN builds INCLUDE the query node (the shared-index
+    // convention, = layer 0's mutualKnnEdges); query-touching edges
+    // are filtered from the mutual set exactly as at layer 0.
+    val perLayer = (1 to 4).map { level =>
+      s"""
+      n$level AS (SELECT vec_id, label, embedding FROM layq WHERE lyr >= $level),
+      k$level AS MATERIALIZED (
+        SELECT a, b FROM (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+            ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+              ${cos("x.embedding", "y.embedding")} DESC, y.vec_id) AS rk
+          FROM n$level x JOIN n$level y
+            ON x.label = y.label AND x.vec_id <> y.vec_id
+        ) WHERE rk <= $MutualKnnK),
+      s$level AS MATERIALIZED (
+        SELECT k1.a, k1.b FROM k$level k1 JOIN k$level k2
+          ON k1.a = k2.b AND k1.b = k2.a
+        WHERE k1.a < k1.b AND k1.a <> 0 AND k1.b <> 0),
+      g$level AS (
+        SELECT a AS src, b AS dst FROM s$level
+        UNION ALL SELECT b, a FROM s$level)"""
+    }.mkString(",")
+    // Greedy per-layer descent 4→1: each recL's seed is the previous
+    // layer's fixed-6-step endpoint (idempotent ⇒ ≡ the early-stopped
+    // Spark walk), then the ef=4 beam at layer 0 seeded from e1.
+    // Materialization split (refined round 15 for the sf1 sweep):
+    // CTEs referenced from the recursion's LATERAL (scored, g*, rec*)
+    // MUST stay plain — DuckDB 1.0 loses the lateral correlation
+    // through the beam recursion's UNION when THEY are materialized
+    // (candidate set comes back empty, the beam silently never
+    // leaves its seed — found at sf0.1, round 14; the failure is
+    // scale-dependent, surfacing only at larger cardinalities). The
+    // expensive UNCORRELATED upstream (layq, k*, s*, k0, m0) is
+    // safely MATERIALIZED — verified output-equal at all three SFs —
+    // which stops the |V|²-per-block kNN build re-inlining under
+    // every lateral reference (the single-query oracle went
+    // 31 s → 1.3 s at sf0.1; at sf1 it was the difference between
+    // minutes and hours).
+    val descent = (4 to 1 by -1).map { level =>
+      val seed = if (level == 4) "(SELECT entry FROM ent)"
+        else s"(SELECT cur FROM e${level + 1})"
+      s"""
+      rec$level AS (
+        SELECT 0 AS step, $seed AS cur
+        UNION ALL
+        SELECT r.step + 1, n.nid FROM rec$level r,
+          LATERAL (
+            SELECT nid FROM (
+              SELECT s.vec_id AS nid, s.sim FROM g$level g
+                JOIN scored s ON s.vec_id = g.dst
+              WHERE g.src = r.cur
+              UNION ALL SELECT r.cur, (SELECT sim FROM scored WHERE vec_id = r.cur)
+            ) ORDER BY sim DESC, nid LIMIT 1
+          ) n
+        WHERE r.step < 6),
+      e$level AS (SELECT cur FROM rec$level WHERE step = 6)"""
+    }.mkString(",")
+    s"""
+    WITH RECURSIVE layq AS MATERIALIZED (
+      SELECT vec_id, label, embedding, $layerCase AS lyr FROM (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding,
+          CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM embeddings)),
+    lay AS (SELECT * FROM layq WHERE vec_id <> 0),
+    scored AS (
+      SELECT l.vec_id, ${cos("l.embedding", "q.qemb")} AS sim
+      FROM lay l,
+        (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0) q),
+    ent AS (
+      SELECT lyr AS top_layer, vec_id AS entry FROM lay
+      ORDER BY lyr DESC, vec_id LIMIT 1),
+    $perLayer,
+    k0 AS (
+      SELECT a, b FROM (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+          ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+            ${cos("CAST(x.embedding AS DOUBLE[])", "CAST(y.embedding AS DOUBLE[])")} DESC, y.vec_id) AS rk
+        FROM embeddings x JOIN embeddings y
+          ON x.label = y.label AND x.vec_id <> y.vec_id
+      ) WHERE rk <= $MutualKnnK),
+    m0 AS (
+      SELECT k1.a, k1.b FROM k0 k1 JOIN k0 k2
+        ON k1.a = k2.b AND k1.b = k2.a
+      WHERE k1.a < k1.b AND k1.a <> 0 AND k1.b <> 0),
+    g0 AS (
+      SELECT a AS src, b AS dst FROM m0 UNION ALL SELECT b, a FROM m0),
+    $descent,
+    rec0 AS (
+      SELECT 0 AS step, [(SELECT cur FROM e1)] AS beam
+      UNION ALL
+      SELECT r.step + 1, n.nb FROM rec0 r,
+        LATERAL (
+          SELECT list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) AS nb FROM (
+            SELECT s.vec_id AS nid, s.sim FROM g0 g
+              JOIN scored s ON s.vec_id = g.dst
+            WHERE list_contains(r.beam, g.src)
+            UNION
+            SELECT u.nid, s2.sim
+            FROM (SELECT unnest(r.beam) AS nid) u
+              JOIN scored s2 ON s2.vec_id = u.nid
+          )
+        ) n
+      WHERE r.step < 6),
+    fin AS (SELECT beam[1] AS found FROM rec0 WHERE step = 6),
+    expected1 AS (
+      SELECT list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) AS nb FROM (
+        SELECT s.vec_id AS nid, s.sim AS sim FROM g0 g
+          JOIN scored s ON s.vec_id = g.dst
+        WHERE g.src = (SELECT cur FROM e1)
+        UNION
+        SELECT s2.vec_id, s2.sim FROM scored s2
+        WHERE s2.vec_id = (SELECT cur FROM e1))),
+    guard AS (
+      -- Structural guard (round-15 advice): the beam recursion's
+      -- step-1 state must equal a STATICALLY recomputed step 1 —
+      -- a lateral-correlation loss leaves the beam at its seed and
+      -- must error loudly, not return a plausible wrong answer.
+      SELECT CASE
+        WHEN (SELECT cur FROM e1) IS NULL THEN 1 -- degenerate: no walk
+        WHEN (SELECT beam FROM rec0 WHERE step = 1)
+          IS NOT DISTINCT FROM (SELECT nb FROM expected1)
+        THEN 1
+        ELSE CAST('walk-oracle guard: beam recursion step 1 diverged from its static recomputation (lateral correlation lost?)' AS INT)
+        END AS ok),
+    ex AS (
+      SELECT vec_id AS exact_id,
+        CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS exact_sim
+      FROM scored ORDER BY sim DESC, vec_id LIMIT 1)
+    SELECT
+      (SELECT CAST(top_layer AS INT) FROM ent) AS top_layer,
+      (SELECT CAST(COUNT(DISTINCT cur) AS BIGINT) FROM (
+        SELECT cur FROM rec4 UNION ALL SELECT cur FROM rec3
+        UNION ALL SELECT cur FROM rec2 UNION ALL SELECT cur FROM rec1)) AS descent_nodes,
+      (SELECT CAST(COUNT(DISTINCT nid) AS BIGINT) FROM
+        (SELECT unnest(beam) AS nid FROM rec0)) AS beam_nodes,
+      f.found AS found_id,
+      CAST(ROUND(CAST(CAST((SELECT sim FROM scored WHERE vec_id = f.found) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS found_sim,
+      ex.exact_id, ex.exact_sim,
+      (f.found = ex.exact_id) AS hit
+    FROM fin f, ex CROSS JOIN guard
+    WHERE guard.ok = 1
+    """.trim
   }
 
   val ops: Seq[Op] = Seq(
@@ -7791,62 +8024,8 @@ object PipelineOps extends OpGroup {
             // key — greedy/beam/hnsw/batch all read the same checkpoints).
             val levelEdges = walkLevelEdgesCached(s, dir)
             val sym0 = walkSym0Cached(s, dir)
-            val (descNodes, beamed, foundId, foundSim) = narrowWalkConf(s) {
-              // Descent cuts at the MID and FINAL descended level only
-              // (round-16 verdict item 6): the per-level checkpoint was
-              // the |Q|=1 walk's fixed-cost floor — each cut is a
-              // driver-blocking job on a 1-row frame — and the batched
-              // beam's own mid+final pattern bounds the plan just as
-              // well (≤12 chained hops per cut, codegen off under the
-              // walk conf). Byte-identical outputs: checkpoint placement
-              // never changes values. All cuts release in a finally
-              // (round-16 advice): a throw mid-walk must not strand
-              // their blocks past the conf window.
-              val lvls = (4 to 1 by -1).filter(occupied)
-              var st = singleState0(s, dir, entry, track = true)
-                .localCheckpoint(true)
-              var midBeam: org.apache.spark.sql.DataFrame = null
-              var finBeam: org.apache.spark.sql.DataFrame = null
-              try {
-                var cur = st
-                var doneLvls = 0
-                for (level <- lvls) {
-                  val eL = levelEdges.filter(col("lvl") === level)
-                  for (_ <- 1 to 6)
-                    cur = descentHop(eL, cur, fused = true, track = true)
-                  doneLvls += 1
-                  if (doneLvls == (lvls.size + 1) / 2 || doneLvls == lvls.size) {
-                    val next = cur.localCheckpoint(true)
-                    graft.Caches.releaseCheckpoint(st)
-                    st = next
-                    cur = next
-                  }
-                }
-                val fin = st.head()
-                val descNodes =
-                  fin.getAs[String]("path").split(',').distinct.length.toLong
-                // Layer-0 ef=4 beam seeded at the descent endpoint — NOT the
-                // global min id, which is the whole point: the descent has
-                // already navigated near the target before the wide search
-                // spends lookups. Mid-chain + final checkpoints only (the
-                // batched shape's plan-bounding cuts); the ever-beamed set
-                // rides the state as a `seen` array, so ONE head() collect
-                // ends the whole walk.
-                var beam = st.select(col("qid"), col("qemb"), col("cur").as("cid"),
-                  array(col("cur")).as("seen"))
-                for (i <- 1 to 6) {
-                  beam = beamStep(sym0, beam, fused = true, trackSeen = true)
-                  if (i == 3 || i == 6) {
-                    beam = beam.localCheckpoint(true)
-                    if (i == 3) midBeam = beam else finBeam = beam
-                  }
-                }
-                val topRow = beam.orderBy(desc("sim"), asc("cid")).limit(1).head()
-                (descNodes, topRow.getAs[Seq[Long]]("seen").size.toLong,
-                  topRow.getAs[Long]("cid"), topRow.getAs[Double]("sim"))
-              } finally Seq(st, midBeam, finBeam).filter(_ != null)
-                .foreach(graft.Caches.releaseCheckpoint)
-            }
+            val (descNodes, beamed, foundId, foundSim) =
+              hnswServeWalk(s, dir, entry, occupied, levelEdges, sym0)
             exactTop.select(
               lit(topLayer).as("top_layer"),
               lit(descNodes).as("descent_nodes"),
@@ -7858,160 +8037,90 @@ object PipelineOps extends OpGroup {
               (lit(foundId) === col("vec_id")).as("hit"))
         }
       },
-      Some {
-        val layerCase =
-          """CASE WHEN h % 4 <> 0 THEN 0
-                  WHEN (h // 4) % 4 <> 0 THEN 1
-                  WHEN (h // 16) % 4 <> 0 THEN 2
-                  WHEN (h // 64) % 4 <> 0 THEN 3
-                  ELSE 4 END"""
-        val cos = (x: String, y: String) =>
-          s"""list_dot_product($x, $y)
-              / (sqrt(greatest(list_sum(list_transform($x, v -> v * v)), 1e-300))
-                 * sqrt(greatest(list_sum(list_transform($y, v -> v * v)), 1e-300)))"""
-        // Upper-layer kNN builds INCLUDE the query node (the shared-index
-        // convention, = layer 0's mutualKnnEdges); query-touching edges
-        // are filtered from the mutual set exactly as at layer 0.
-        val perLayer = (1 to 4).map { level =>
-          s"""
-          n$level AS (SELECT vec_id, label, embedding FROM layq WHERE lyr >= $level),
-          k$level AS MATERIALIZED (
-            SELECT a, b FROM (
-              SELECT x.vec_id AS a, y.vec_id AS b,
-                ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                  ${cos("x.embedding", "y.embedding")} DESC, y.vec_id) AS rk
-              FROM n$level x JOIN n$level y
-                ON x.label = y.label AND x.vec_id <> y.vec_id
-            ) WHERE rk <= $MutualKnnK),
-          s$level AS MATERIALIZED (
-            SELECT k1.a, k1.b FROM k$level k1 JOIN k$level k2
-              ON k1.a = k2.b AND k1.b = k2.a
-            WHERE k1.a < k1.b AND k1.a <> 0 AND k1.b <> 0),
-          g$level AS (
-            SELECT a AS src, b AS dst FROM s$level
-            UNION ALL SELECT b, a FROM s$level)"""
-        }.mkString(",")
-        // Greedy per-layer descent 4→1: each recL's seed is the previous
-        // layer's fixed-6-step endpoint (idempotent ⇒ ≡ the early-stopped
-        // Spark walk), then the ef=4 beam at layer 0 seeded from e1.
-        // Materialization split (refined round 15 for the sf1 sweep):
-        // CTEs referenced from the recursion's LATERAL (scored, g*, rec*)
-        // MUST stay plain — DuckDB 1.0 loses the lateral correlation
-        // through the beam recursion's UNION when THEY are materialized
-        // (candidate set comes back empty, the beam silently never
-        // leaves its seed — found at sf0.1, round 14; the failure is
-        // scale-dependent, surfacing only at larger cardinalities). The
-        // expensive UNCORRELATED upstream (layq, k*, s*, k0, m0) is
-        // safely MATERIALIZED — verified output-equal at all three SFs —
-        // which stops the |V|²-per-block kNN build re-inlining under
-        // every lateral reference (the single-query oracle went
-        // 31 s → 1.3 s at sf0.1; at sf1 it was the difference between
-        // minutes and hours).
-        val descent = (4 to 1 by -1).map { level =>
-          val seed = if (level == 4) "(SELECT entry FROM ent)"
-            else s"(SELECT cur FROM e${level + 1})"
-          s"""
-          rec$level AS (
-            SELECT 0 AS step, $seed AS cur
-            UNION ALL
-            SELECT r.step + 1, n.nid FROM rec$level r,
-              LATERAL (
-                SELECT nid FROM (
-                  SELECT s.vec_id AS nid, s.sim FROM g$level g
-                    JOIN scored s ON s.vec_id = g.dst
-                  WHERE g.src = r.cur
-                  UNION ALL SELECT r.cur, (SELECT sim FROM scored WHERE vec_id = r.cur)
-                ) ORDER BY sim DESC, nid LIMIT 1
-              ) n
-            WHERE r.step < 6),
-          e$level AS (SELECT cur FROM rec$level WHERE step = 6)"""
-        }.mkString(",")
-        s"""
-        WITH RECURSIVE layq AS MATERIALIZED (
-          SELECT vec_id, label, embedding, $layerCase AS lyr FROM (
-            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding,
-              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-            FROM embeddings)),
-        lay AS (SELECT * FROM layq WHERE vec_id <> 0),
-        scored AS (
-          SELECT l.vec_id, ${cos("l.embedding", "q.qemb")} AS sim
-          FROM lay l,
-            (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0) q),
-        ent AS (
-          SELECT lyr AS top_layer, vec_id AS entry FROM lay
-          ORDER BY lyr DESC, vec_id LIMIT 1),
-        $perLayer,
-        k0 AS (
-          SELECT a, b FROM (
-            SELECT x.vec_id AS a, y.vec_id AS b,
-              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                ${cos("CAST(x.embedding AS DOUBLE[])", "CAST(y.embedding AS DOUBLE[])")} DESC, y.vec_id) AS rk
-            FROM embeddings x JOIN embeddings y
-              ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= $MutualKnnK),
-        m0 AS (
-          SELECT k1.a, k1.b FROM k0 k1 JOIN k0 k2
-            ON k1.a = k2.b AND k1.b = k2.a
-          WHERE k1.a < k1.b AND k1.a <> 0 AND k1.b <> 0),
-        g0 AS (
-          SELECT a AS src, b AS dst FROM m0 UNION ALL SELECT b, a FROM m0),
-        $descent,
-        rec0 AS (
-          SELECT 0 AS step, [(SELECT cur FROM e1)] AS beam
-          UNION ALL
-          SELECT r.step + 1, n.nb FROM rec0 r,
-            LATERAL (
-              SELECT list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) AS nb FROM (
-                SELECT s.vec_id AS nid, s.sim FROM g0 g
-                  JOIN scored s ON s.vec_id = g.dst
-                WHERE list_contains(r.beam, g.src)
-                UNION
-                SELECT u.nid, s2.sim
-                FROM (SELECT unnest(r.beam) AS nid) u
-                  JOIN scored s2 ON s2.vec_id = u.nid
-              )
-            ) n
-          WHERE r.step < 6),
-        fin AS (SELECT beam[1] AS found FROM rec0 WHERE step = 6),
-        expected1 AS (
-          SELECT list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) AS nb FROM (
-            SELECT s.vec_id AS nid, s.sim AS sim FROM g0 g
-              JOIN scored s ON s.vec_id = g.dst
-            WHERE g.src = (SELECT cur FROM e1)
-            UNION
-            SELECT s2.vec_id, s2.sim FROM scored s2
-            WHERE s2.vec_id = (SELECT cur FROM e1))),
-        guard AS (
-          -- Structural guard (round-15 advice): the beam recursion's
-          -- step-1 state must equal a STATICALLY recomputed step 1 —
-          -- a lateral-correlation loss leaves the beam at its seed and
-          -- must error loudly, not return a plausible wrong answer.
-          SELECT CASE
-            WHEN (SELECT cur FROM e1) IS NULL THEN 1 -- degenerate: no walk
-            WHEN (SELECT beam FROM rec0 WHERE step = 1)
-              IS NOT DISTINCT FROM (SELECT nb FROM expected1)
-            THEN 1
-            ELSE CAST('walk-oracle guard: beam recursion step 1 diverged from its static recomputation (lateral correlation lost?)' AS INT)
-            END AS ok),
-        ex AS (
-          SELECT vec_id AS exact_id,
-            CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS exact_sim
-          FROM scored ORDER BY sim DESC, vec_id LIMIT 1)
-        SELECT
-          (SELECT CAST(top_layer AS INT) FROM ent) AS top_layer,
-          (SELECT CAST(COUNT(DISTINCT cur) AS BIGINT) FROM (
-            SELECT cur FROM rec4 UNION ALL SELECT cur FROM rec3
-            UNION ALL SELECT cur FROM rec2 UNION ALL SELECT cur FROM rec1)) AS descent_nodes,
-          (SELECT CAST(COUNT(DISTINCT nid) AS BIGINT) FROM
-            (SELECT unnest(beam) AS nid FROM rec0)) AS beam_nodes,
-          f.found AS found_id,
-          CAST(ROUND(CAST(CAST((SELECT sim FROM scored WHERE vec_id = f.found) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS found_sim,
-          ex.exact_id, ex.exact_sim,
-          (f.found = ex.exact_id) AS hit
-        FROM fin f, ex CROSS JOIN guard
-        WHERE guard.ok = 1
-        """.trim
-      }),
+      Some(hnswSearchOracleSql)),
+
+    // PERSISTED HNSW LAYERS — the graph-index half of the
+    // persisted-index lifecycle (vec_index_persist_reload covers IVF +
+    // simhash; this key closes the set: every trained artifact family
+    // now has a demonstrated write → reload → serve round-trip). The
+    // artifacts are exactly what a deployed navigable-graph index
+    // stores: the node table (vec_id, label, layer), the upper-layer
+    // edge lists (lvl, a, b) and the base-layer mutual edges — integer
+    // ids only, no floats (vectors stay in the corpus table; the serve
+    // path fetches them by id, the vectors-in-the-corpus layout). The
+    // serve session reads ONLY the reloaded sidecars + the corpus: the
+    // entry node and occupied levels come from the reloaded metadata,
+    // the walk frames are built from the reloaded edges, and the walk
+    // itself is [[hnswServeWalk]] — the SAME code vec_hnsw_search runs
+    // on the in-session caches, so the oracle is vec_hnsw_search's
+    // verbatim: the reloaded index must answer IDENTICALLY, which is
+    // the whole point of persisting it. EquivalenceSuite additionally
+    // pins row-equality between the two keys. At 100 TB: the layer
+    // tables are bucketed by src and maintained by vec_hnsw_insert's
+    // deltas; a serving fleet mounts them read-only and never re-runs
+    // the O(N²/label) kNN build.
+    Op("vec_hnsw_persist_search",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        val exactTop = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("sim", expr("vec_dot(embedding, qemb)")
+            / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
+          .orderBy(desc("sim"), asc("vec_id")).limit(1)
+        // PERSIST the in-session index artifacts (family-shared builds).
+        val root = Tables.tmpDir("graft_hnsw_persist")
+        hnswLayerAssign(s, dir).select("vec_id", "label", "lay")
+          .write.mode("overwrite").parquet(s"$root/hnsw_nodes")
+        hnswUpperEdges(s, dir)
+          .write.mode("overwrite").parquet(s"$root/hnsw_upper")
+        mutualKnnEdges(s, dir).select("a", "b")
+          .write.mode("overwrite").parquet(s"$root/hnsw_m0")
+        // RELOAD: fresh scans; entry + occupied levels from the sidecars.
+        val rNodes = s.read.parquet(s"$root/hnsw_nodes")
+        val rUpper = s.read.parquet(s"$root/hnsw_upper")
+        val rM0 = s.read.parquet(s"$root/hnsw_m0")
+        rNodes.filter(col("vec_id") =!= 0)
+          .orderBy(desc("lay"), asc("vec_id")).limit(1)
+          .select("lay", "vec_id").head(1).headOption match {
+          case None =>
+            exactTop.select(
+              lit(0).as("top_layer"), lit(0L).as("descent_nodes"),
+              lit(0L).as("beam_nodes"),
+              col("vec_id").as("found_id"),
+              (round(col("sim"), 3) + 0.0).as("found_sim"),
+              col("vec_id").as("exact_id"),
+              (round(col("sim"), 3) + 0.0).as("exact_sim"),
+              lit(true).as("hit"))
+          case Some(top) =>
+            val topLayer = top.getInt(0)
+            val entry = top.getLong(1)
+            val occupied = rUpper.groupBy("lvl").count()
+              .collect().map(_.getInt(0)).toSet
+            // Per-call fused walk frames over the RELOADED edges (the
+            // family caches are deliberately NOT consulted — the serve
+            // path must work in a session that never trained); released
+            // in a finally once the walk's scalars are out.
+            val levelEdges = walkLevelEdges(s, dir, rUpper, fused = true)
+            val sym0 = walkSym0(s, dir, rM0, fused = true)
+            val (descNodes, beamed, foundId, foundSim) =
+              try hnswServeWalk(s, dir, entry, occupied, levelEdges, sym0)
+              finally {
+                graft.Caches.releaseCheckpoint(levelEdges)
+                graft.Caches.releaseCheckpoint(sym0)
+              }
+            exactTop.select(
+              lit(topLayer).as("top_layer"),
+              lit(descNodes).as("descent_nodes"),
+              lit(beamed).as("beam_nodes"),
+              lit(foundId).as("found_id"),
+              (round(lit(foundSim), 3) + 0.0).as("found_sim"),
+              col("vec_id").as("exact_id"),
+              (round(col("sim"), 3) + 0.0).as("exact_sim"),
+              (lit(foundId) === col("vec_id")).as("hit"))
+        }
+      },
+      Some(hnswSearchOracleSql)),
 
     // BATCHED MULTI-LAYER HNSW DESCENT — the serving shape of the graph
     // family (round-14 verdict item 1): where vec_hnsw_search walks ONE

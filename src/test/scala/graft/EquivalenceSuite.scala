@@ -378,6 +378,16 @@ class EquivalenceSuite extends AnyFunSuite {
       s"recovered txn-log snapshot diverged from batch truth: got=$got want=$truth")
   }
 
+  test("vec_hnsw_persist_search serves the reloaded index identically to the in-session walk") {
+    // The persisted layer tables are exact (integer ids, deterministic
+    // md5 layers), so the reloaded walk must answer IDENTICALLY — same
+    // entry, same descent path cardinality, same beam, same verdict.
+    val reloaded = rows("vec_hnsw_persist_search").map(_.toSeq)
+    val inSession = rows("vec_hnsw_search").map(_.toSeq)
+    assert(reloaded.nonEmpty && reloaded == inSession,
+      s"reloaded-index serve diverged: reloaded=$reloaded inSession=$inSession")
+  }
+
   test("vec_hnsw_insert: per-layer delta report obeys the insert/repair structure") {
     val op = rows("vec_hnsw_insert")
     assert(op.size == 5, s"expected 5 layer rows, got ${op.size}")

@@ -265,7 +265,8 @@ class PlanSuite extends AnyFunSuite {
         // round 17: the converge loop's report joins, the insert/repair
         // joins, the reload serve, and the k-sweep flag join.
         "graph_pagerank_converge", "vec_hnsw_insert",
-        "vec_index_persist_reload", "text_dup_spans_sweep")) {
+        "vec_index_persist_reload", "text_dup_spans_sweep",
+        "vec_hnsw_persist_search")) {
       val p = plan(k)
       assert(!p.contains("CartesianProduct"), s"$k plan went cartesian")
     }
