@@ -727,6 +727,9 @@ class EquivalenceSuite extends AnyFunSuite {
     val merges = mt.collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
       .toSeq
+    // mt is a consolidated checkpoint since round 17 — release it once
+    // collected, as the op bodies do via Caches.track.
+    graft.Caches.releaseCheckpoint(mt)
     val p = "\u0001"
     val mByLang = merges.groupBy(_._1).map { case (l, ms) => l -> ms.sortBy(_._2) }
     val replayed = Tables.t(spark, sf0001, "documents")
@@ -765,6 +768,7 @@ class EquivalenceSuite extends AnyFunSuite {
       .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
         r.getLong(4), r.getLong(5)))
       .toSeq
+    graft.Caches.releaseCheckpoint(mt)
     val thrOf = rows.filter(_._2 == 1).map(t => t._1 -> ((t._5 + 3) / 4)).toMap
     rows.foreach { case (lang, rk, lft, rgt, cnt, thr) =>
       assert(thr == thrOf(lang), s"$lang rk=$rk carries thr=$thr, want ${thrOf(lang)}")
