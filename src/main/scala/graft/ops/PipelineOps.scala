@@ -1683,6 +1683,59 @@ object PipelineOps extends OpGroup {
       WHERE (SELECT ok FROM cc_guard) = 1)"""
   }
 
+  /** Damped PageRank iterated to an EXACT INTEGER fixpoint over an
+    * (src, dst) edge frame — graph_pagerank_converge's loop, extracted
+    * so UnitSuite can pin a hand-derived trace on an injected graph (the
+    * connectedComponents precedent). Precondition: every node has ≥1
+    * out-edge (the caller symmetrizes), so the per-round groupBy(dst)
+    * covers every node. Update rule, all BIGINT: r'(v) = (15·SCALE) DIV
+    * (100·N) + (85 · Σ_{u→v} r(u) DIV deg(u)) DIV 100 — integer
+    * division makes "converged" rank EQUALITY, not an epsilon. Stops at
+    * the first round whose ranks equal the previous round's, capped at
+    * `maxRounds`; a fixpoint of the deterministic map stays fixed, so
+    * the cap is exact-vs-oracle (an always-maxRounds unroll lands on
+    * the identical frame). Per round: one keyed join of ranks against
+    * the degree-annotated checkpointed edge frame, one
+    * partial-aggregating sum, one changed-row scalar to the driver;
+    * superseded checkpoints released as the next materializes. Returns
+    * (converged checkpointed (node, r) frame — CALLER releases it — and
+    * the data-dependent round count).
+    */
+  private[graft] def pagerankLoop(
+      edges: org.apache.spark.sql.DataFrame,
+      maxRounds: Int): (org.apache.spark.sql.DataFrame, Int) = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src").localCheckpoint(true)
+    // Every node has out-edges (precondition), so |deg| = N. One driver
+    // scalar; the teleport term is integer arithmetic on it.
+    val n = ed.select("src").distinct().count()
+    val scale = 1000000000000L
+    val teleport = (15L * scale) / (100L * n)
+    var r = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(scale / n).as("r"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val next = ed.join(r, ed("src") === r("node"))
+        .select(col("dst"), expr("r div deg").as("share"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("share").as("inflow"))
+        .select(col("node"),
+          (lit(teleport) + expr("(85 * inflow) div 100")).as("r"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(r.withColumnRenamed("r", "prev"), "node")
+        .filter(col("r") =!= col("prev")).count()
+      graft.Caches.releaseCheckpoint(r)
+      r = next
+      rounds += 1
+      if (changed == 0) converged = true
+    }
+    graft.Caches.releaseCheckpoint(ed)
+    (r, rounds)
+  }
+
   /** vec_hnsw_search's full oracle, factored to a val because
     * vec_hnsw_persist_search must pin the IDENTICAL result: the persist
     * key serves from reloaded layer tables, and the artifacts are exact
@@ -3935,36 +3988,14 @@ object PipelineOps extends OpGroup {
           .distinct()
         val ed0 = base.select(col("sn").as("src"), col("cn").as("dst"))
           .union(base.select(col("cn").as("src"), col("sn").as("dst")))
-        val deg = ed0.groupBy("src").agg(count(lit(1)).as("deg"))
-        val ed = ed0.join(deg, "src").localCheckpoint(true)
-        // Every node has out-edges (the graph is symmetric), so |deg| = N
-        // and the groupBy-dst below covers every node each round. One
-        // driver scalar; the teleport term is integer arithmetic on it.
-        val n = ed.select("src").distinct().count()
-        val scale = 1000000000000L
-        val teleport = (15L * scale) / (100L * n)
-        var r = ed.select(col("src").as("node")).distinct()
-          .select(col("node"), lit(scale / n).as("r"))
-          .localCheckpoint(true)
-        var rounds = 0
-        var converged = false
-        while (rounds < 8 && !converged) {
-          val next = ed.join(r, ed("src") === r("node"))
-            .select(col("dst"), expr("r div deg").as("share"))
-            .groupBy(col("dst").as("node"))
-            .agg(sum("share").as("inflow"))
-            .select(col("node"),
-              (lit(teleport) + expr("(85 * inflow) div 100")).as("r"))
-            .localCheckpoint(true)
-          val changed = next
-            .join(r.withColumnRenamed("r", "prev"), "node")
-            .filter(col("r") =!= col("prev")).count()
-          graft.Caches.releaseCheckpoint(r)
-          r = next
-          rounds += 1
-          if (changed == 0) converged = true
-        }
-        graft.Caches.releaseCheckpoint(ed)
+        val (r, rounds) = pagerankLoop(ed0, maxRounds = 8)
+        // The converged rank frame backs the returned (lazy) top-20 —
+        // release it once the key's action has run (the bpe merge-table
+        // pattern; the original inline loop left it pinned for the
+        // session).
+        graft.Caches.track(s, dir, "pagerank_ranks",
+          Set("graph_pagerank_converge"),
+          () => graft.Caches.releaseCheckpoint(r))
         r.orderBy(desc("r"), asc("node")).limit(20)
           .select(
             when(col("node") % 2 === 0, "customer")

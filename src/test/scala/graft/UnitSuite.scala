@@ -11,6 +11,40 @@ class UnitSuite extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("pagerankLoop: exact-integer fixpoint detection + a hand-derived 2-round trace") {
+    // (a) 2-node symmetric pair: the uniform ranking IS the exact
+    // integer fixpoint (T + (85·(SCALE DIV 2)) DIV 100 = 75e9 + 425e9 =
+    // SCALE DIV 2), so the loop must detect convergence in ONE round
+    // and return the unchanged uniform ranks.
+    val pair = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val (rp, roundsP) = ops.PipelineOps.pagerankLoop(pair, maxRounds = 8)
+    val gotP = rp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caches.releaseCheckpoint(rp)
+    assert(roundsP == 1, s"pair graph must converge in 1 round, got $roundsP")
+    assert(gotP == Map(1L -> 500000000000L, 2L -> 500000000000L), s"got $gotP")
+    // (b) 3-node symmetric path 1–2–3 (deg 1,2,1; N=3; T=5e10;
+    // r0 = ⌊1e12/3⌋ = 333,333,333,333): hand-derived rounds.
+    //   r1(1)=r1(3) = 5e10 + ⌊85·⌊r0/2⌋/100⌋ = 191,666,666,666
+    //   r1(2)       = 5e10 + ⌊85·(2·r0)/100⌋  = 616,666,666,666
+    //   r2(1)=r2(3) = 5e10 + ⌊85·⌊r1(2)/2⌋/100⌋ = 312,083,333,333
+    //   r2(2)       = 5e10 + ⌊85·(2·r1(1))/100⌋ = 375,833,333,332
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val (r1, n1) = ops.PipelineOps.pagerankLoop(path, maxRounds = 1)
+    val g1 = r1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caches.releaseCheckpoint(r1)
+    assert(n1 == 1 && g1 == Map(
+      1L -> 191666666666L, 2L -> 616666666666L, 3L -> 191666666666L),
+      s"round-1 trace diverged: $g1")
+    val (r2, n2) = ops.PipelineOps.pagerankLoop(path, maxRounds = 2)
+    val g2 = r2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caches.releaseCheckpoint(r2)
+    assert(n2 == 2 && g2 == Map(
+      1L -> 312083333333L, 2L -> 375833333332L, 3L -> 312083333333L),
+      s"round-2 trace diverged: $g2")
+    // (c) integer division only LOSES mass: Σr never exceeds SCALE.
+    assert(g2.values.sum <= 1000000000000L, s"rank mass grew: ${g2.values.sum}")
+  }
+
   test("ns→µs recipe: 1706657176220708106 → 2024-01-30T23:26:16.220708") {
     // miniEvents stores raw nanosecond longs exactly like the real table
     // does under nanosAsLong.
