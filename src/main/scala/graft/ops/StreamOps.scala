@@ -125,15 +125,22 @@ object StreamOps extends OpGroup {
     */
   @volatile private[graft] var sourceBatches: Int = 1
 
-  /** Data-carrying micro-batch count of the last stream run — the
-    * multi-batch tests assert >= sourceBatches so a wiring regression
-    * can't silently collapse them back to one batch. WRITE-ONLY inside op
-    * bodies (round-15, verdict item 7): each op threads its own local
-    * batch count and only publishes it here for the test to read after
-    * the run — no op ever reads this shared var back, so two
-    * concurrently-run stream ops in one session cannot cross-read.
+  /** Data-carrying micro-batch count of the last stream run, keyed by
+    * (session, sfDir) — the multi-batch tests assert >= sourceBatches so
+    * a wiring regression can't silently collapse them back to one batch.
+    * WRITE-ONLY inside op bodies (round-15, verdict item 7): each op
+    * threads its own local batch count and only publishes it here for
+    * the test to read after the run — no op ever reads the seam back.
+    * Keyed, not a lone @volatile (round-17 advice): interleaved or
+    * concurrent (session, dir) runs can no longer publish each other's
+    * values to a reader.
     */
-  @volatile private[graft] var lastRunBatches: Int = 0
+  private val runBatchSeam = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Int]
+  private[graft] def lastRunBatches(s: SparkSession, sfDir: String): Int =
+    runBatchSeam.getOrElse((s, sfDir), 0)
+  private def publishBatches(s: SparkSession, sfDir: String, n: Int): Unit =
+    runBatchSeam.put((s, sfDir), n)
 
   private val splitCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), String]
@@ -231,8 +238,8 @@ object StreamOps extends OpGroup {
   /** Run a streaming DataFrame to completion into a memory sink, return
     * the sink contents as a batch DataFrame.
     */
-  private def runToMemory(s: SparkSession, df: DataFrame, name: String,
-      mode: String): DataFrame = {
+  private def runToMemory(s: SparkSession, sfDir: String, df: DataFrame,
+      name: String, mode: String): DataFrame = {
     // One micro-batch into a memory sink doesn't need 32 state-store
     // partitions — cap the stateful shuffle for the streaming stage only
     // (the query pins the value at start; restore for batch ops after).
@@ -254,7 +261,7 @@ object StreamOps extends OpGroup {
         .start()
       q.awaitTermination()
       val nBatches = q.recentProgress.count(_.numInputRows > 0)
-      lastRunBatches = nBatches // test-seam publish only
+      publishBatches(s, sfDir, nBatches) // test-seam publish only
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
@@ -270,7 +277,7 @@ object StreamOps extends OpGroup {
           .agg(count(lit(1)).as("n"))
           .select(col("window.start").cast("timestamp_ntz").as("window_start"),
             col("event_type"), col("n"))
-        runToMemory(s, agg, "graft_stream_tumbling", "complete")
+        runToMemory(s, dir, agg, "graft_stream_tumbling", "complete")
           .orderBy("window_start", "event_type")
       },
       None),
@@ -288,7 +295,7 @@ object StreamOps extends OpGroup {
           .agg(count(lit(1)).as("n"))
           .select(col("window.start").cast("timestamp_ntz").as("window_start"),
             col("event_type"), col("n"))
-        runToMemory(s, agg, "graft_stream_sliding", "complete")
+        runToMemory(s, dir, agg, "graft_stream_sliding", "complete")
           .orderBy("window_start", "event_type")
       },
       None),
@@ -301,7 +308,7 @@ object StreamOps extends OpGroup {
           .dropDuplicatesWithinWatermark("event_id")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_unique"))
-        runToMemory(s, dedup, "graft_stream_dedup", "complete")
+        runToMemory(s, dir, dedup, "graft_stream_dedup", "complete")
           .orderBy("event_type")
       },
       None),
@@ -325,7 +332,7 @@ object StreamOps extends OpGroup {
               Iterator((user, total))
           }
           .toDF("user_id", "running_count")
-        runToMemory(s, counts, "graft_stream_custom_state", "append")
+        runToMemory(s, dir, counts, "graft_stream_custom_state", "append")
           .groupBy("user_id")
           .agg(max(col("running_count")).as("n_events"))
           .orderBy("user_id")
@@ -351,7 +358,7 @@ object StreamOps extends OpGroup {
           .withWatermark("ts2", "1 hour")
         val joined = clicks.join(purchases,
           expr("u1 = u2 AND ts2 > ts1 AND ts2 <= ts1 + INTERVAL 5 MINUTE"))
-        runToMemory(s, joined, "graft_stream_ssjoin", "append")
+        runToMemory(s, dir, joined, "graft_stream_ssjoin", "append")
           .groupBy(col("u1").as("user_id"))
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy("user_id")
@@ -385,7 +392,7 @@ object StreamOps extends OpGroup {
         val joined = clicks.join(purchases,
           expr("u1 = u2 AND ts2 > ts1 AND ts2 <= ts1 + INTERVAL 5 MINUTE"),
           "leftOuter")
-        runToMemory(s, joined, "graft_stream_ssojoin", "append")
+        runToMemory(s, dir, joined, "graft_stream_ssojoin", "append")
           .groupBy(col("u1").as("user_id"))
           .agg(sum(when(col("u2").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
             sum(when(col("u2").isNull, 1L).otherwise(0L)).as("n_abandoned"))
@@ -411,7 +418,7 @@ object StreamOps extends OpGroup {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        lastRunBatches = q.recentProgress.count(_.numInputRows > 0) // test-seam publish only
+        publishBatches(s, dir, q.recentProgress.count(_.numInputRows > 0)) // test-seam publish only
         s.read.parquet(s"$sink/b")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"))
@@ -489,7 +496,7 @@ object StreamOps extends OpGroup {
             .start()
           q.awaitTermination()
           val nBatches = q.recentProgress.count(_.numInputRows > 0)
-          lastRunBatches = nBatches // test-seam publish only
+          publishBatches(s, dir, nBatches) // test-seam publish only
           val drops = q.recentProgress
             .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
           (s.table("graft_stream_late_drop"), drops, nBatches.toLong)
@@ -512,7 +519,7 @@ object StreamOps extends OpGroup {
           .agg(count(lit(1)).as("n_events"))
         // Per-user session count happens in batch on the sink (a second
         // streaming agg after session_window would chain stateful ops).
-        runToMemory(s, sessions, "graft_stream_session", "complete")
+        runToMemory(s, dir, sessions, "graft_stream_session", "complete")
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_sessions"))
           .orderBy("user_id")
@@ -536,7 +543,7 @@ object StreamOps extends OpGroup {
         val enriched = eventStream(s, dir)
           .join(broadcast(cohorts), Seq("user_id"), "left")
           .select(col("event_type"), col("cohort").isNotNull.as("cohort_known"))
-        runToMemory(s, enriched, "graft_stream_static", "append")
+        runToMemory(s, dir, enriched, "graft_stream_static", "append")
           .groupBy("event_type", "cohort_known")
           .agg(count(lit(1)).as("n"))
           .orderBy("event_type", "cohort_known")
@@ -569,7 +576,7 @@ object StreamOps extends OpGroup {
             .transformWithState(new RunningCountProcessor, TimeMode.None(),
               OutputMode.Append())
             .toDF("user_id", "running_count")
-          runToMemory(s, counts, "graft_stream_tws", "append")
+          runToMemory(s, dir, counts, "graft_stream_tws", "append")
             .groupBy("user_id")
             .agg(max(col("running_count")).as("n_events"))
             .orderBy("user_id")
@@ -618,7 +625,7 @@ object StreamOps extends OpGroup {
             .transformWithState(new SessionTtlProcessor, TimeMode.EventTime(),
               OutputMode.Append())
             .toDF("user_id", "expired_events", "expiry_ms")
-          runToMemory(s, expiries, "graft_stream_ttl", "append")
+          runToMemory(s, dir, expiries, "graft_stream_ttl", "append")
             .groupBy("user_id")
             .agg(count(lit(1)).as("n_expiries"),
               sum("expired_events").as("expired_events"))
@@ -693,7 +700,7 @@ object StreamOps extends OpGroup {
               s"updates reached the $retention-entry retention — batch count " +
               "would undercount; raise the retention or count via a listener")
           val n = q2.recentProgress.count(_.numInputRows > 0)
-          lastRunBatches = n // test-seam publish only
+          publishBatches(s, dir, n) // test-seam publish only
           n.toLong
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
         // Exactly-once reconstruction: a key's truth is its LATEST
@@ -773,8 +780,17 @@ object StreamOps extends OpGroup {
           val commits = countIn(logDir)
           val q2 = start(bomb = false)
           q2.awaitTermination()
+          // Same retention guard as stream_restart_recovery (round-17
+          // advice): recentProgress is a bounded ring buffer; a grown
+          // source layout must fail loudly, not silently undercount.
+          val retention = s.conf
+            .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+          require(q2.recentProgress.length < retention,
+            s"stream_txn_log_sink: ${q2.recentProgress.length} progress " +
+              s"updates reached the $retention-entry retention — batch count " +
+              "would undercount; raise the retention or count via a listener")
           val n = q2.recentProgress.count(_.numInputRows > 0)
-          lastRunBatches = n // test-seam publish only
+          publishBatches(s, dir, n) // test-seam publish only
           (n.toLong, files, commits)
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
         // Snapshot replay over the committed log — the

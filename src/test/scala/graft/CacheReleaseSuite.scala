@@ -42,7 +42,8 @@ class CacheReleaseSuite extends AnyFunSuite {
     // block count below measures the sim family, not the kmeans cache's
     // legitimate residency.
     Seq("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk",
-      "vec_ivf_probe_sweep", "vec_pq_residual_topk", "vec_ivf_cell_stats")
+      "vec_ivf_probe_sweep", "vec_pq_residual_topk", "vec_ivf_cell_stats",
+      "vec_knn_graph_ivf")
       .foreach(Caches.keyDone(spark, dir, _))
     // Entry removal alone would pass even if the release closure stopped
     // unpersisting — assert the block-manager blocks actually went away.
@@ -63,7 +64,7 @@ class CacheReleaseSuite extends AnyFunSuite {
     val op = SparkEntry.queries("vec_index_persist_reload")(spark, dir).collect()
     assert(op.nonEmpty && op.forall(_.getBoolean(4)),
       "reload_matches_session must be true on every row")
-    val root = ops.PipelineOps.lastPersistRoot
+    val root = ops.PipelineOps.lastPersistRoot(spark, dir)
     Caches.releaseAll(spark, dir)
     val entriesBefore = Caches.activeEntries(spark, dir)
     val served = ops.PipelineOps.ivfProbeServe(spark, dir,

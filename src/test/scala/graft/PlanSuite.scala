@@ -266,7 +266,9 @@ class PlanSuite extends AnyFunSuite {
         // joins, the reload serve, and the k-sweep flag join.
         "graph_pagerank_converge", "vec_hnsw_insert",
         "vec_index_persist_reload", "text_dup_spans_sweep",
-        "vec_hnsw_persist_search")) {
+        "vec_hnsw_persist_search",
+        // round 18: the learned-partition graph's probe + candidate joins.
+        "vec_knn_graph_ivf")) {
       val p = plan(k)
       assert(!p.contains("CartesianProduct"), s"$k plan went cartesian")
     }
