@@ -574,8 +574,120 @@ object SourceOps extends OpGroup {
           CAST(3 AS BIGINT) AS ckpt_live, CAST(1 AS BIGINT) AS tail_commits,
           TRUE AS checkpoint_match
         FROM f ORDER BY path
-      """.trim))
+      """.trim)),
+
+    // MULTI-WRITER transaction-log commit (round-17 verdict item 4) —
+    // the optimistic-concurrency protocol that lets independent jobs
+    // write ONE lakehouse table with no lock service: a writer lands its
+    // data file (path unique per writer — data writes can never clash),
+    // then claims the next commit id by ATOMICALLY creating the log file
+    // (CREATE_NEW — the POSIX/object-store primitive Delta's
+    // put-if-absent commit builds on); the loser's create throws
+    // FileAlreadyExistsException, it re-lists the log and retries at the
+    // next id. This op stages the WORST interleaving deterministically:
+    // both writers read the log at the same point (both compute next=0),
+    // writer 0 wins commit 0, writer 1's attempt at 0 conflicts and
+    // lands at commit 1 — exactly one detected conflict, by
+    // construction. The final argmax replay must equal the serial truth
+    // (both files live, order irrelevant — committed APPENDS commute),
+    // asserted in-band by the serial_match flag (loud-guard stance) and
+    // pinned in EquivalenceSuite, which also races REAL threads through
+    // the same commitWithRetry. At 100 TB this is the property that lets
+    // N ingest pipelines share a table: conflicts cost one retry each,
+    // never a lost or duplicated commit, and the coordination state is
+    // the KB-sized log itself.
+    Op("src_txn_log_concurrent",
+      (s, dir) => {
+        val root = Tables.tmpDir("graft_txn_concurrent")
+        val logDir = java.nio.file.Paths.get(root, "log")
+        java.nio.file.Files.createDirectories(logDir)
+        val c = Tables.t(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        def writeFile(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+          df.coalesce(1).write.mode("overwrite").parquet(s"$root/data/$name")
+        writeFile("w0", c.filter(col("c_custkey") % 2 === 0))
+        writeFile("w1", c.filter(col("c_custkey") % 2 === 1))
+        // Both writers observed the log BEFORE either committed — the
+        // stale-read interleaving every OCC protocol must survive.
+        val staleNext = nextCommitId(logDir)
+        val (id0, n0) = commitWithRetry(logDir, staleNext,
+          id => s"""{"commit": $id, "action": "add", "path": "w0"}""")
+        val (id1, n1) = commitWithRetry(logDir, staleNext,
+          id => s"""{"commit": $id, "action": "add", "path": "w1"}""")
+        require(id0 == 0 && id1 == 1 && n0 == 0 && n1 == 1,
+          s"staged collision must land (0 clean, 1 after one conflict); " +
+            s"got w0=($id0,$n0 conflicts) w1=($id1,$n1)")
+        // Snapshot replay (the src_txn_log_snapshot argmax rule) vs the
+        // serial truth read straight off the base table.
+        val live = s.read
+          .schema("commit INT, action STRING, path STRING")
+          .json(s"$root/log")
+          .groupBy("path")
+          .agg(max(struct(col("commit"), col("action"))).as("last"))
+          .filter(col("last.action") === "add")
+          .select("path").collect().map(_.getString(0)).sorted
+        def agg(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")).as("bal_cents"))
+        val replayed = agg(
+          s.read.parquet(live.map(p => s"$root/data/$p").toIndexedSeq: _*))
+        def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+        val serialMatch = key(replayed) == key(agg(c))
+        replayed
+          .select(col("c_mktsegment"), col("n"), col("bal_cents"),
+            lit(2L).as("n_commits"), lit((n0 + n1).toLong).as("conflicts"),
+            lit(serialMatch).as("serial_match"))
+          .orderBy("c_mktsegment")
+      },
+      None)
   )
+
+  /** Next commit id = 1 + the highest id in the log (0 on an empty log)
+    * — what an optimistic writer computes from its snapshot read.
+    */
+  private[graft] def nextCommitId(logDir: java.nio.file.Path): Int = {
+    val ls = java.nio.file.Files.list(logDir)
+    try {
+      var mx = -1
+      ls.forEach { p =>
+        mx = math.max(mx, p.getFileName.toString.stripSuffix(".json").toInt)
+      }
+      mx + 1
+    } finally ls.close()
+  }
+
+  /** Optimistic-concurrency commit: atomically CREATE_NEW the attempt's
+    * log file; when another writer already owns that id
+    * (FileAlreadyExistsException — the atomic put-if-absent losing leg)
+    * re-list the log and retry at the fresh next id. Returns the id that
+    * finally landed plus the number of conflicts survived. Lock-free and
+    * wait-free modulo rivals committing (each retry means someone ELSE
+    * made progress). private[graft]: EquivalenceSuite races real threads
+    * through this exact code.
+    */
+  private[graft] def commitWithRetry(
+      logDir: java.nio.file.Path,
+      firstAttempt: Int,
+      record: Int => String): (Int, Int) = {
+    var id = firstAttempt
+    var conflicts = 0
+    while (true) {
+      try {
+        java.nio.file.Files.write(logDir.resolve(f"$id%03d.json"),
+          record(id).getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        return (id, conflicts)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          conflicts += 1
+          id = math.max(id + 1, nextCommitId(logDir))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Shared 3-commit transaction-log fixture over customer (built once
     * per (session, sfDir); released after both consumer keys run):

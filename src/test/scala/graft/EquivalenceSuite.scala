@@ -562,6 +562,61 @@ class EquivalenceSuite extends AnyFunSuite {
     assert(drifts.last <= 0.5, s"max drift = ${drifts.last}")
   }
 
+  test("src_txn_log_concurrent: staged collision resolves; replay equals serial truth") {
+    // The op stages the worst-case stale-read interleaving itself and
+    // carries the conflict count + serial_match flag in-band — here we
+    // pin the data: the replayed snapshot equals the batch aggregate of
+    // the full base table (a lost or doubled commit would show), exactly
+    // one conflict was survived, and the flag is true on every row.
+    val out = rows("src_txn_log_concurrent")
+    assert(out.nonEmpty, "empty snapshot — test is vacuous")
+    assert(out.forall(_.getLong(3) == 2L), "expected exactly 2 commits")
+    assert(out.forall(_.getLong(4) == 1L), "expected exactly 1 detected conflict")
+    assert(out.forall(_.getBoolean(5)), "serial_match must be true on every row")
+    val replayed = out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val serial = Tables.t(spark, sf0001, "customer")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")).as("bal_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(replayed == serial, "replayed snapshot diverged from the serial truth")
+  }
+
+  test("txn-log commit protocol: 8 real racing writers, no lost or duplicated commit") {
+    // The genuine-concurrency leg: 8 threads × 4 commits each race
+    // commitWithRetry against one log, every writer starting from the
+    // SAME stale next-id (maximum collision pressure). The protocol must
+    // land all 32 commits on DISTINCT consecutive ids (no lost update,
+    // no double-claim — CREATE_NEW's atomicity is the whole bet) and the
+    // log replay must contain every writer's every record exactly once.
+    val logDir = java.nio.file.Files.createTempDirectory("graft_txn_race")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]
+    val threads = (0 until 8).map { w =>
+      new Thread(() => {
+        for (b <- 0 until 4) {
+          val (id, _) = graft.ops.SourceOps.commitWithRetry(logDir, 0,
+            id => s"""{"commit": $id, "action": "add", "path": "w$w-b$b"}""")
+          results.add((s"w$w-b$b", id))
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val landed = results.asScala.toSeq
+    assert(landed.size == 32, s"expected 32 commits, got ${landed.size}")
+    assert(landed.map(_._2).sorted == (0 until 32),
+      s"commit ids must be exactly 0..31 with no gap or double-claim: ${landed.map(_._2).sorted}")
+    assert(landed.map(_._1).distinct.size == 32, "a writer's record was lost")
+    // Replay the log itself: every path present exactly once.
+    val replayPaths = (0 until 32).map { id =>
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        logDir.resolve(f"$id%03d.json")), "UTF-8")
+      txt.split("\"path\": \"")(1).split("\"")(0)
+    }
+    assert(replayPaths.distinct.size == 32, "log replay shows a duplicated path")
+  }
+
   test("simhash banding: cap-forced secondary refinement is output-equal to uncapped") {
     // cap=1 forces EVERY bucket down the secondary half-band path; the
     // hamming≤3 recall proof (simhashEdgesWithCap scaladoc) says the
