@@ -142,6 +142,25 @@ object Caches {
   private val completed = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Set[String]]
 
+  // Keys actually SCHEDULED for a (session, sfDir) pass. When present,
+  // track() intersects each cache's declared consumer set with it, so a
+  // RESTRICTED run (Verify/InvarianceSweep key subset, a single-key dev
+  // loop) releases a shared cache at its last *scheduled* consumer
+  // instead of pinning blocks forever waiting for keys that will never
+  // run (round-16 advice item 2). No entry = full consumer sets — a
+  // library user who never declares a schedule keeps the conservative
+  // behavior. Cleared by releaseAll and the stopped-session sweep.
+  private val scheduled = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[String]]
+
+  /** Declare the exact key set this pass will run for (session, sfDir).
+    * Subsequent track() registrations release at their last scheduled
+    * consumer. Call before the first key runs (a cache registered before
+    * the schedule keeps its full consumer set).
+    */
+  def schedule(s: SparkSession, dir: String, keys: Set[String]): Unit =
+    scheduled.put((s, dir), keys)
+
   /** Unpersist the block-manager blocks behind a `localCheckpoint(true)`
     * frame. The checkpointed Dataset's plan is a [[LogicalRDD]] leaf over
     * the internally cached RDD — unpersisting that RDD frees the blocks
@@ -169,6 +188,9 @@ object Caches {
     completed.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) completed.remove(k)
     }
+    scheduled.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) scheduled.remove(k)
+    }
     // Memo keys are tuples of ANY arity with the session in some slot
     // (2-tuples in the op caches, 3-tuples in Tables.t) — sweep by
     // scanning the product, not by a fixed-shape pattern, or the
@@ -192,11 +214,19 @@ object Caches {
         case _ => ()
       }
     }
-    val e = new Entry(consumers, release)
+    // Restricted consumer view: consumers outside the declared schedule
+    // will never report keyDone, so waiting on them pins blocks for the
+    // rest of the pass. The builder key itself is always scheduled when
+    // a schedule exists (the cache is being built from its run), so the
+    // intersection cannot go empty on a scheduled pass; the guard covers
+    // a direct library call made OUTSIDE the declared schedule.
+    val eff0 = scheduled.get((s, dir)).map(consumers.intersect).getOrElse(consumers)
+    val eff = if (eff0.isEmpty) consumers else eff0
+    val e = new Entry(eff, release)
     // Seed with consumers that already ran this pass (failure path: the
     // cache is being built by a LATER consumer). The builder itself can't
     // be in the seed — its keyDone fires only after its query fn returns.
-    e.done = consumers.intersect(completed.getOrElse((s, dir), Set.empty))
+    e.done = eff.intersect(completed.getOrElse((s, dir), Set.empty))
     entries.put((s, dir, name), e).foreach(_.release())
   }
 
@@ -253,5 +283,6 @@ object Caches {
       if (es == s && edir == dir) entries.remove(id).foreach(_.release())
     }
     completed.remove((s, dir))
+    scheduled.remove((s, dir))
   }
 }

@@ -41,6 +41,10 @@ object InvarianceSweep {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Restricted runs declare their key set so shared caches release at
+    // their last SCHEDULED consumer instead of pinning blocks for
+    // consumers that will never run (round-16 advice item 2).
+    if (only.nonEmpty) Caches.schedule(spark, sfDir, only)
     val conf = "spark.sql.shuffle.partitions"
     var bad = 0
     SparkEntry.queries.foreach { case (key, fn) =>

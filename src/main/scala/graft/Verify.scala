@@ -20,6 +20,10 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Restricted runs declare their key set so shared caches release at
+    // their last SCHEDULED consumer (round-16 advice item 2) instead of
+    // pinning blocks for consumers that will never run.
+    if (only.nonEmpty) Caches.schedule(spark, sfDir, only)
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
       else {

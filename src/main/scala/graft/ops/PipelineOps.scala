@@ -977,7 +977,8 @@ object PipelineOps extends OpGroup {
           "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
           "vec_graph_beam_search", "graph_louvain_step", "graph_louvain_converge",
           "graph_kcore_peel", "vec_hnsw_search", "vec_hnsw_build", "graph_bfs_hops",
-          "graph_modularity", "vec_hnsw_batch_search", "vec_hnsw_persist_search"),
+          "graph_modularity", "vec_hnsw_batch_search", "vec_hnsw_persist_search",
+          "graph_pagerank_persist_serve"),
         () => mutualEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       mutual
     })
@@ -1750,6 +1751,60 @@ object PipelineOps extends OpGroup {
       if (!ok) graft.Caches.releaseCheckpoint(r)
     }
     (r, rounds)
+  }
+
+  /** The graph SERVE plan of graph_pagerank_persist_serve, factored so
+    * the reloaded-artifact run and the in-session reload-equality run go
+    * through literally the same code (the ivfProbeServe pattern): keep
+    * nodes at/above the EXACT integer mean rank (sum div count — no
+    * float), restrict edges to high-high endpoints, BFS 3 hops from the
+    * single top-ranked node (ties to the lower id), and report per hop
+    * the node count and distinct CC labels reached. The per-round
+    * checkpoint discipline is graph_bfs_hops'; the ≤4-row report
+    * materializes BEFORE the walk state releases (the louvain rule — no
+    * reach-back into dropped checkpoints), so the returned frame holds
+    * no checkpoint at all.
+    */
+  private def rankFilteredBfs(
+      s: org.apache.spark.sql.SparkSession,
+      sym: org.apache.spark.sql.DataFrame,
+      ranks: org.apache.spark.sql.DataFrame,
+      comps: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val floor = ranks.agg(expr("sum(r) div count(1)").as("floor"))
+    val high = ranks.crossJoin(broadcast(floor))
+      .filter(col("r") >= col("floor")).select("node")
+    val he = sym
+      .join(high.select(col("node").as("src")), "src")
+      .join(high.select(col("node").as("dst")), "dst")
+      .select("src", "dst")
+    val seed = ranks.orderBy(desc("r"), asc("node")).limit(1).select("node")
+    var visited = seed.withColumn("hop", lit(0)).localCheckpoint(true)
+    var frontier = visited
+    var hop = 0
+    var emptied = false
+    try {
+      while (hop < 3 && !emptied) {
+        hop += 1
+        val next = he.join(frontier.select(col("node").as("src")), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "leftanti")
+          .withColumn("hop", lit(hop))
+        val nv = visited.union(next).localCheckpoint(true)
+        frontier = nv.filter(col("hop") === hop)
+        emptied = frontier.isEmpty
+        graft.Caches.releaseCheckpoint(visited)
+        visited = nv
+      }
+      val rep = visited.join(comps, "node")
+        .groupBy("hop")
+        .agg(count(lit(1)).as("n_nodes"),
+          countDistinct("label").as("n_comps"))
+        .orderBy("hop")
+        .collect() // ≤ 4 rows — bounded by the hop cap, never data-scale
+        .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSeq
+      import s.implicits._
+      rep.toDF("hop", "n_nodes", "n_comps")
+    } finally graft.Caches.releaseCheckpoint(visited)
   }
 
   /** vec_hnsw_search's full oracle, factored to a val because
@@ -4069,6 +4124,121 @@ object PipelineOps extends OpGroup {
             CAST(node // 2 AS BIGINT) AS key, r AS rank_scaled
           FROM r8 ORDER BY r DESC, node LIMIT 20)
         ORDER BY rank_scaled DESC, key, kind
+        """.trim
+      }),
+
+    // PERSISTED GRAPH ARTIFACTS (round-17 verdict item 6) — completes
+    // the lifecycle story for the third index family, exactly the
+    // vec_index_persist_reload contract applied to graphs: TRAIN
+    // in-session (pagerankLoop to the integer fixpoint over the
+    // symmetrized mutual-3NN graph + connectedComponents labels — the
+    // nightly jobs), PERSIST edges + converged ranks + CC labels as
+    // parquet sidecars, COLD-RELOAD them, and SERVE a rank-filtered BFS
+    // (graph_bfs_hops' frontier loop restricted to nodes at/above the
+    // exact integer mean rank, seeded at the top-ranked node) from the
+    // RELOADED artifacts only. The reload-equality guard reruns the
+    // identical serve on the in-session frames and compares typed rows +
+    // schema (the round-17-advice compare); a corrupted round-trip flips
+    // reload_matches_session false and the oracle hash goes red. At
+    // 100 TB this is the graph-index deployment contract: rank/community
+    // tables are computed nightly and every traversal until retrain runs
+    // against the persisted artifacts — the session that trained is
+    // never the session that serves.
+    Op("graph_pagerank_persist_serve",
+      (s, dir) => {
+        val m = mutualKnnEdges(s, dir).select("a", "b")
+        val sym = m.select(col("a").as("src"), col("b").as("dst"))
+          .union(m.select(col("b").as("src"), col("a").as("dst")))
+        val (r, _) = pagerankLoop(sym, maxRounds = 8)
+        val cc = connectedComponents(m)
+        val root = Tables.tmpDir("graft_graph_persist")
+        sym.write.mode("overwrite").parquet(s"$root/edges")
+        r.write.mode("overwrite").parquet(s"$root/ranks")
+        cc.write.mode("overwrite").parquet(s"$root/comps")
+        val served = rankFilteredBfs(s,
+          s.read.parquet(s"$root/edges"),
+          s.read.parquet(s"$root/ranks"),
+          s.read.parquet(s"$root/comps"))
+        val inSession = rankFilteredBfs(s, sym, r, cc)
+        def typedRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+          .sortBy(_._1).toSeq
+        val matches = served.schema == inSession.schema &&
+          typedRows(served) == typedRows(inSession)
+        graft.Caches.releaseCheckpoint(r)
+        graft.Caches.releaseCheckpoint(cc)
+        served.withColumn("reload_matches_session", lit(matches))
+          .orderBy("hop")
+      },
+      Some {
+        val prRounds = (1 to 8).map { k =>
+          val pv = k - 1
+          s"""
+        pr$k AS MATERIALIZED (
+          SELECT e.dst AS node,
+            CAST((SELECT t FROM tp) + (85 * SUM(p.r // e.deg)) // 100 AS BIGINT) AS r
+          FROM ed e JOIN pr$pv p ON e.src = p.node
+          GROUP BY e.dst)"""
+        }.mkString(",")
+        val bfsRounds = (1 to 3).map { i =>
+          s"""
+        bf$i AS MATERIALIZED (
+          SELECT DISTINCT g.dst AS node FROM he g
+          JOIN bv${i - 1} f ON g.src = f.node AND f.hop = ${i - 1}
+          WHERE g.dst NOT IN (SELECT node FROM bv${i - 1})),
+        bv$i AS MATERIALIZED (
+          SELECT node, hop FROM bv${i - 1}
+          UNION ALL SELECT node, $i AS hop FROM bf$i)"""
+        }.mkString(",")
+        s"""
+        WITH RECURSIVE knn AS MATERIALIZED (
+          SELECT a, b FROM (
+            SELECT x.vec_id AS a, y.vec_id AS b,
+              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
+                y.vec_id) AS rk
+            FROM embeddings x JOIN embeddings y
+              ON x.label = y.label AND x.vec_id <> y.vec_id
+          ) WHERE rk <= $MutualKnnK),
+        mutual AS MATERIALIZED (
+          SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
+            ON k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b),
+        sym AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM mutual
+          UNION ALL SELECT b, a FROM mutual),
+        degt AS MATERIALIZED (
+          SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+        ed AS MATERIALIZED (
+          SELECT e.src, e.dst, d.deg FROM sym e JOIN degt d USING (src)),
+        nn AS (SELECT COUNT(*) AS n FROM degt),
+        tp AS (SELECT CAST((15 * 1000000000000) // (100 * (SELECT n FROM nn)) AS BIGINT) AS t),
+        pr0 AS MATERIALIZED (
+          SELECT src AS node,
+            CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS r
+          FROM degt),$prRounds,
+        reach(v, rr) AS (
+          SELECT DISTINCT src, src FROM sym
+          UNION
+          SELECT reach.v, sym.dst FROM reach JOIN sym ON reach.rr = sym.src),
+        lab AS MATERIALIZED (SELECT v AS node, MIN(rr) AS label FROM reach GROUP BY 1),
+        fl AS (SELECT CAST(SUM(r) // COUNT(*) AS BIGINT) AS floor FROM pr8),
+        high AS MATERIALIZED (
+          SELECT node FROM pr8 WHERE r >= (SELECT floor FROM fl)),
+        he AS MATERIALIZED (
+          SELECT s.src, s.dst FROM sym s
+          JOIN high hs ON hs.node = s.src
+          JOIN high hd ON hd.node = s.dst),
+        bv0 AS MATERIALIZED (
+          SELECT node, 0 AS hop FROM (
+            SELECT node FROM pr8 ORDER BY r DESC, node LIMIT 1)),$bfsRounds
+        SELECT CAST(v.hop AS INT) AS hop, COUNT(*) AS n_nodes,
+          CAST(COUNT(DISTINCT l.label) AS BIGINT) AS n_comps,
+          TRUE AS reload_matches_session
+        FROM bv3 v JOIN lab l USING (node)
+        GROUP BY v.hop ORDER BY hop
         """.trim
       }),
 

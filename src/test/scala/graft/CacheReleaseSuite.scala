@@ -79,6 +79,27 @@ class CacheReleaseSuite extends AnyFunSuite {
     assert(got == want, s"cache-cold reload serve diverged: got=$got want=$want")
   }
 
+  test("restricted schedule: a single-key vec_graph_greedy_search run pins nothing") {
+    // Round-16 advice item 2 (closed round 18): a restricted pass
+    // (Verify/InvarianceSweep key subset, a dev loop) declares its
+    // schedule, so mutual_knn_edges — whose full consumer set names 15
+    // keys that will never run here — releases at THIS key's keyDone
+    // instead of pinning its blocks until session death.
+    Caches.releaseAll(spark, dir)
+    Caches.schedule(spark, dir, Set("vec_graph_greedy_search"))
+    try {
+      val pinnedBefore = Caches.pinnedRddCount(spark)
+      assert(SparkEntry.queries("vec_graph_greedy_search")(spark, dir).count() > 0)
+      Caches.keyDone(spark, dir, "vec_graph_greedy_search")
+      val live = Caches.activeEntries(spark, dir)
+      assert(live.isEmpty,
+        s"single-scheduled-key run left tracked caches pinned: $live")
+      val pinnedAfter = Caches.pinnedRddCount(spark)
+      assert(pinnedAfter <= pinnedBefore,
+        s"pinned RDDs grew across the single-key run: $pinnedBefore -> $pinnedAfter")
+    } finally Caches.releaseAll(spark, dir) // also clears the schedule
+  }
+
   test("ngram shingle checkpoint releases after its consumer key") {
     Caches.releaseAll(spark, dir)
     assert(SparkEntry.queries("text_ngram_jaccard")(spark, dir).count() >= 0)

@@ -267,8 +267,9 @@ class PlanSuite extends AnyFunSuite {
         "graph_pagerank_converge", "vec_hnsw_insert",
         "vec_index_persist_reload", "text_dup_spans_sweep",
         "vec_hnsw_persist_search",
-        // round 18: the learned-partition graph's probe + candidate joins.
-        "vec_knn_graph_ivf")) {
+        // round 18: the learned-partition graph's probe + candidate
+        // joins, and the persisted-graph serve's floor/semi joins.
+        "vec_knn_graph_ivf", "graph_pagerank_persist_serve")) {
       val p = plan(k)
       assert(!p.contains("CartesianProduct"), s"$k plan went cartesian")
     }
