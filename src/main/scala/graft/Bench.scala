@@ -211,6 +211,15 @@ object Bench {
     // "contention_suspect" — never mint a confident class from noisy
     // evidence.
     val iso = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Warm isolated rerun (round-18, the vec_pq_residual_topk misfire):
+    // the cache-cold iso time of a key riding a multi-consumer shared
+    // cache (kmeansTrained: 7 consumers) includes the cache REBUILD the
+    // in-pass run amortizes, so cold-iso alone can mint confirmed_hot
+    // from cache-build cost. The immediate second rerun reuses the caches
+    // the cold run just built (keyDone fires after both), so its figure
+    // is the key's OWN serve cost — the honest comparison against the
+    // in-pass warm best.
+    val isoWarm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var isoBudget = 120.0   // seconds of isolated reruns, soft cap
     var quietWaits = 15     // shared across the pass (~2 s each)
     def quiet(): Boolean = {
@@ -226,13 +235,16 @@ object Bench {
       Setups.warm(spark, sfDir, Set(name))
       val t = timeOnce(SparkEntry.queries(name))
       isoBudget -= t
+      val tw = timeOnce(SparkEntry.queries(name))
+      isoBudget -= tw
       Caches.keyDone(spark, sfDir, name)
       iso(name) = t
+      isoWarm(name) = tw
       breach(name) =
-        if (t < best * 0.7) "recovered"
+        if (math.min(t, tw) < best * 0.7) "recovered"
         else if (isQuiet) "confirmed_hot"
         else "contention_suspect"
-      results(name) = math.min(best, t)
+      results(name) = math.min(best, math.min(t, tw))
     }
     val stealDelta = if (steal0 >= 0 && stealJiffies >= 0) stealJiffies - steal0 else -1L
     val load1 = procLine("/proc/loadavg").split("\\s+").take(3).mkString(",")
@@ -261,8 +273,10 @@ object Bench {
       .mkString("\"breach\":{", ",", "}")
     val isoJson = iso.map { case (k, v) => s""""$k":${sec3(v)}""" }
       .mkString("\"iso\":{", ",", "}")
+    val isoWarmJson = isoWarm.map { case (k, v) => s""""$k":${sec3(v)}""" }
+      .mkString("\"iso_warm\":{", ",", "}")
     val json =
-      s"""{$envJson,$rerunsJson,$coldJson,$breachJson,$isoJson,"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${sec3(total)}}"""
+      s"""{$envJson,$rerunsJson,$coldJson,$breachJson,$isoJson,$isoWarmJson,"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${sec3(total)}}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
