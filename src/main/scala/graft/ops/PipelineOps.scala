@@ -787,7 +787,8 @@ object PipelineOps extends OpGroup {
       graft.Caches.track(s, dir, "kmeans_trained",
         Set("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk",
           "vec_ivf_probe_sweep", "vec_pq_residual_topk", "vec_ivf_cell_stats",
-          "vec_index_persist_reload", "vec_knn_graph_ivf"),
+          "vec_index_persist_reload", "vec_knn_graph_ivf",
+          "vec_semantic_dedup_ivf"),
         () => kmeansCache.remove((s, dir)).foreach { case (qf, af) =>
           graft.Caches.releaseCheckpoint(qf)
           graft.Caches.releaseCheckpoint(af)
@@ -3923,6 +3924,82 @@ object PipelineOps extends OpGroup {
                * sqrt(greatest(list_sum(list_transform(b.emb, v -> v * v)), 1e-300))) >= 0.30
         )
         SELECT r.vec_id, r.label, r.rk, (d.bid IS NULL) AS kept
+        FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.bid
+        ORDER BY r.vec_id
+      """.trim)),
+
+    // SemDeDup on the LEARNED partition (round 18 — the vec_knn_graph_ivf
+    // conversion applied to the dedup family): identical semantics to
+    // vec_semantic_dedup, but the blocking cell is the TRAINED IVF
+    // assignment (kmeansTrained's round-3 cell) instead of the supervised
+    // label column a real corpus doesn't have. Within each trained cell:
+    // rank members edge-first by exact-integer centroid similarity
+    // (qv·svec / √(qv·qv) — svec is the cell's exact BIGINT position-sum
+    // sidecar, unnormalized on purpose: same direction as the mean, zero
+    // float surface), then drop any member with cos ≥ 0.30 to a
+    // higher-ranked one IN ITS CELL. Work is cell-bounded (Σ|cell|²/2
+    // pairs — never all-pairs); at 100 TB cells come from the same
+    // nightly k ∝ √N training the ANN family serves from, so dedup and
+    // retrieval share one index artifact.
+    Op("vec_semantic_dedup_ivf",
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+        val (qv, assign) = kmeansTrained(s, dir)
+        val cells = trainedCellSums(qv, assign)
+        val q = qv.select("vec_id", "qv")
+          .join(assign, "vec_id")
+          .join(e.select("vec_id", "embedding"), "vec_id")
+        val ranked = q
+          .join(broadcast(cells.select(col("c").as("cc"), col("svec"))),
+            col("c") === col("cc"))
+          .withColumn("cnum", expr(
+            "aggregate(zip_with(qv, svec, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+          .withColumn("nq", expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+          .withColumn("cdist",
+            col("cnum") / sqrt(greatest(col("nq").cast("double"), lit(1e-300))))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("c").orderBy(asc("cdist"), asc("vec_id"))))
+          .select("vec_id", "c", "rk", "embedding")
+        val keepers = ranked.select(col("c").as("ca"),
+          col("rk").as("rka"), col("embedding").as("ea"))
+        val dropped = keepers
+          .join(ranked.select(col("c").as("cb"), col("vec_id").as("bid"),
+              col("rk").as("rkb"), col("embedding").as("eb")),
+            col("ca") === col("cb") && col("rka") < col("rkb"))
+          .withColumn("sim", expr("vec_dot(ea, eb)")
+            / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
+          .filter(col("sim") >= 0.30)
+          .select(col("bid")).distinct()
+        ranked.join(dropped, ranked("vec_id") === dropped("bid"), "left")
+          .select(col("vec_id"), col("c").as("cell"), col("rk"),
+            col("bid").isNull.as("kept"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH ${kmeansCtes()},
+        $trainedCellCtes,
+        qq2 AS (
+          SELECT q.vec_id, a.c, CAST(e.embedding AS DOUBLE[]) AS emb, q.qv
+          FROM q JOIN a3 a USING (vec_id)
+          JOIN embeddings e USING (vec_id)
+        ), ranked AS MATERIALIZED (
+          SELECT vec_id, c, emb,
+            CAST(ROW_NUMBER() OVER (PARTITION BY c ORDER BY cdist, vec_id) AS INT) AS rk
+          FROM (
+            SELECT x.vec_id, x.c, x.emb,
+              CAST(list_sum(list_transform(range(1, len(x.qv) + 1),
+                i -> x.qv[i] * c4.svec[i])) AS DOUBLE)
+                / sqrt(CAST(list_sum(list_transform(x.qv, v -> v * v)) AS DOUBLE)) AS cdist
+            FROM qq2 x JOIN c4 ON x.c = c4.clabel
+          )
+        ), dropped AS (
+          SELECT DISTINCT b.vec_id AS bid
+          FROM ranked a JOIN ranked b ON a.c = b.c AND a.rk < b.rk
+          WHERE list_dot_product(a.emb, b.emb)
+            / (sqrt(greatest(list_sum(list_transform(a.emb, v -> v * v)), 1e-300))
+               * sqrt(greatest(list_sum(list_transform(b.emb, v -> v * v)), 1e-300))) >= 0.30
+        )
+        SELECT r.vec_id, r.c AS cell, r.rk, (d.bid IS NULL) AS kept
         FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.bid
         ORDER BY r.vec_id
       """.trim)),

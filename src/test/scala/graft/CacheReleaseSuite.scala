@@ -43,7 +43,7 @@ class CacheReleaseSuite extends AnyFunSuite {
     // legitimate residency.
     Seq("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk",
       "vec_ivf_probe_sweep", "vec_pq_residual_topk", "vec_ivf_cell_stats",
-      "vec_knn_graph_ivf")
+      "vec_knn_graph_ivf", "vec_semantic_dedup_ivf")
       .foreach(Caches.keyDone(spark, dir, _))
     // Entry removal alone would pass even if the release closure stopped
     // unpersisting — assert the block-manager blocks actually went away.

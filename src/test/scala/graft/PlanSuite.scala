@@ -267,9 +267,10 @@ class PlanSuite extends AnyFunSuite {
         "graph_pagerank_converge", "vec_hnsw_insert",
         "vec_index_persist_reload", "text_dup_spans_sweep",
         "vec_hnsw_persist_search",
-        // round 18: the learned-partition graph's probe + candidate
-        // joins, and the persisted-graph serve's floor/semi joins.
-        "vec_knn_graph_ivf", "graph_pagerank_persist_serve")) {
+        // round 18: the learned-partition probe/candidate/dedup joins,
+        // and the persisted-graph serve's floor/semi joins.
+        "vec_knn_graph_ivf", "graph_pagerank_persist_serve",
+        "vec_semantic_dedup_ivf")) {
       val p = plan(k)
       assert(!p.contains("CartesianProduct"), s"$k plan went cartesian")
     }
