@@ -153,6 +153,24 @@ object Caches {
   private val scheduled = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Set[String]]
 
+  // Session-keyed SIDE maps (test seams: persistRootSeam, runBatchSeam)
+  // registered for the stopped-session sweep. Unlike entries/completed/
+  // scheduled these hold no blocks — but their keys carry SparkSessions,
+  // so without a purge path every stopped session's SessionState would be
+  // retained forever in a long-lived process (round-18 advice item 1).
+  // Purged in [[track]]'s sweep and per-(session, dir) in [[releaseAll]].
+  private val sweepables = new java.util.concurrent.CopyOnWriteArrayList[
+    scala.collection.concurrent.TrieMap[(SparkSession, String), _]]()
+
+  /** Register a session-keyed side map for the stopped-session sweep and
+    * return it — call at map creation: `Caches.sweepWith(TrieMap.empty)`.
+    */
+  def sweepWith[V](m: scala.collection.concurrent.TrieMap[(SparkSession, String), V])
+      : scala.collection.concurrent.TrieMap[(SparkSession, String), V] = {
+    sweepables.add(m)
+    m
+  }
+
   /** Declare the exact key set this pass will run for (session, sfDir).
     * Subsequent track() registrations release at their last scheduled
     * consumer. Call before the first key runs (a cache registered before
@@ -190,6 +208,11 @@ object Caches {
     }
     scheduled.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) scheduled.remove(k)
+    }
+    sweepables.forEach { m =>
+      m.keys.foreach { k =>
+        if (k._1.sparkContext.isStopped) m.remove(k)
+      }
     }
     // Memo keys are tuples of ANY arity with the session in some slot
     // (2-tuples in the op caches, 3-tuples in Tables.t) — sweep by
@@ -284,5 +307,6 @@ object Caches {
     }
     completed.remove((s, dir))
     scheduled.remove((s, dir))
+    sweepables.forEach(_.remove((s, dir)))
   }
 }

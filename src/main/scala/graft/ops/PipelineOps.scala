@@ -883,8 +883,9 @@ object PipelineOps extends OpGroup {
     * session. Keyed, not a lone @volatile (round-17 advice): concurrent
     * (session, dir) runs cannot publish each other's roots to a reader.
     */
-  private val persistRootSeam = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), String]
+  private val persistRootSeam = graft.Caches.sweepWith(
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), String])
   private[graft] def lastPersistRoot(
       s: org.apache.spark.sql.SparkSession, sfDir: String): String =
     persistRootSeam((s, sfDir))
@@ -3913,7 +3914,7 @@ object PipelineOps extends OpGroup {
             SELECT q.vec_id, q.label, q.emb,
               CAST(list_sum(list_transform(range(1, len(qv) + 1),
                 i -> qv[i] * svec[i])) AS DOUBLE)
-                / sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS cdist
+                / sqrt(greatest(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE), 1e-300)) AS cdist
             FROM q JOIN cent ON q.label = cent.clabel
           )
         ), dropped AS (
@@ -3989,7 +3990,7 @@ object PipelineOps extends OpGroup {
             SELECT x.vec_id, x.c, x.emb,
               CAST(list_sum(list_transform(range(1, len(x.qv) + 1),
                 i -> x.qv[i] * c4.svec[i])) AS DOUBLE)
-                / sqrt(CAST(list_sum(list_transform(x.qv, v -> v * v)) AS DOUBLE)) AS cdist
+                / sqrt(greatest(CAST(list_sum(list_transform(x.qv, v -> v * v)) AS DOUBLE), 1e-300)) AS cdist
             FROM qq2 x JOIN c4 ON x.c = c4.clabel
           )
         ), dropped AS (
@@ -4226,24 +4227,34 @@ object PipelineOps extends OpGroup {
         val m = mutualKnnEdges(s, dir).select("a", "b")
         val sym = m.select(col("a").as("src"), col("b").as("dst"))
           .union(m.select(col("b").as("src"), col("a").as("dst")))
+        // try/finally (round-18 advice): a failed sidecar write, BFS, or
+        // collect must not leak the fixpoint/CC checkpoints for the
+        // session — the same failure-path discipline pagerankLoop's own
+        // rounds apply.
         val (r, _) = pagerankLoop(sym, maxRounds = 8)
-        val cc = connectedComponents(m)
-        val root = Tables.tmpDir("graft_graph_persist")
-        sym.write.mode("overwrite").parquet(s"$root/edges")
-        r.write.mode("overwrite").parquet(s"$root/ranks")
-        cc.write.mode("overwrite").parquet(s"$root/comps")
-        val served = rankFilteredBfs(s,
-          s.read.parquet(s"$root/edges"),
-          s.read.parquet(s"$root/ranks"),
-          s.read.parquet(s"$root/comps"))
-        val inSession = rankFilteredBfs(s, sym, r, cc)
-        def typedRows(df: org.apache.spark.sql.DataFrame) = df.collect()
-          .map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
-          .sortBy(_._1).toSeq
-        val matches = served.schema == inSession.schema &&
-          typedRows(served) == typedRows(inSession)
-        graft.Caches.releaseCheckpoint(r)
-        graft.Caches.releaseCheckpoint(cc)
+        val cc =
+          try connectedComponents(m)
+          catch { case t: Throwable => graft.Caches.releaseCheckpoint(r); throw t }
+        val (served, matches) =
+          try {
+            val root = Tables.tmpDir("graft_graph_persist")
+            sym.write.mode("overwrite").parquet(s"$root/edges")
+            r.write.mode("overwrite").parquet(s"$root/ranks")
+            cc.write.mode("overwrite").parquet(s"$root/comps")
+            val served = rankFilteredBfs(s,
+              s.read.parquet(s"$root/edges"),
+              s.read.parquet(s"$root/ranks"),
+              s.read.parquet(s"$root/comps"))
+            val inSession = rankFilteredBfs(s, sym, r, cc)
+            def typedRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+              .map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+              .sortBy(_._1).toSeq
+            (served, served.schema == inSession.schema &&
+              typedRows(served) == typedRows(inSession))
+          } finally {
+            graft.Caches.releaseCheckpoint(r)
+            graft.Caches.releaseCheckpoint(cc)
+          }
         served.withColumn("reload_matches_session", lit(matches))
           .orderBy("hop")
       },
@@ -5449,12 +5460,12 @@ object PipelineOps extends OpGroup {
                 y.vec_id) AS rk
             FROM embeddings x JOIN embeddings y
               ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= 3)
+          ) WHERE rk <= $MutualKnnK)
         SELECT i.a, i.rk, i.b,
           CAST(ROUND(CAST(CAST(i.cos AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS cos_sim,
           (l.a IS NOT NULL) AS in_label_graph
         FROM ivf i LEFT JOIN lbl l ON l.a = i.a AND l.b = i.b
-        WHERE i.rk <= 3
+        WHERE i.rk <= $MutualKnnK
         ORDER BY i.a, i.rk
       """.trim)),
 

@@ -646,14 +646,21 @@ object SourceOps extends OpGroup {
   )
 
   /** Next commit id = 1 + the highest id in the log (0 on an empty log)
-    * — what an optimistic writer computes from its snapshot read.
+    * — what an optimistic writer computes from its snapshot read. Only
+    * `NNN.json` entries count: a stray non-log file in the dir (editor
+    * temp, partial upload, checksum sidecar) must not crash every
+    * subsequent commit with a NumberFormatException (round-18 advice).
     */
+  private val CommitFileName = """(\d+)\.json""".r
   private[graft] def nextCommitId(logDir: java.nio.file.Path): Int = {
     val ls = java.nio.file.Files.list(logDir)
     try {
       var mx = -1
       ls.forEach { p =>
-        mx = math.max(mx, p.getFileName.toString.stripSuffix(".json").toInt)
+        p.getFileName.toString match {
+          case CommitFileName(n) => mx = math.max(mx, n.toInt)
+          case _                 => ()
+        }
       }
       mx + 1
     } finally ls.close()
@@ -665,8 +672,12 @@ object SourceOps extends OpGroup {
     * re-list the log and retry at the fresh next id. Returns the id that
     * finally landed plus the number of conflicts survived. Lock-free and
     * wait-free modulo rivals committing (each retry means someone ELSE
-    * made progress). private[graft]: EquivalenceSuite races real threads
-    * through this exact code.
+    * made progress). Note CREATE_NEW-then-write is create THEN write: a
+    * concurrent lister can observe a created-but-empty log file. Benign
+    * here (readers consume the log only after all commits land); a real
+    * object-store txn log makes the content atomic too — write to a temp
+    * name, then put-if-absent via atomic rename. private[graft]:
+    * EquivalenceSuite races real threads through this exact code.
     */
   private[graft] def commitWithRetry(
       logDir: java.nio.file.Path,

@@ -135,8 +135,8 @@ object StreamOps extends OpGroup {
     * concurrent (session, dir) runs can no longer publish each other's
     * values to a reader.
     */
-  private val runBatchSeam = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Int]
+  private val runBatchSeam = graft.Caches.sweepWith(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int])
   private[graft] def lastRunBatches(s: SparkSession, sfDir: String): Int =
     runBatchSeam.getOrElse((s, sfDir), 0)
   private def publishBatches(s: SparkSession, sfDir: String, n: Int): Unit =
