@@ -671,10 +671,14 @@ object PipelineOps extends OpGroup {
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
   /** Mutual-3NN edge set over the embeddings (a↔b kept iff each is in the
-    * other's in-label cosine top-[[MutualKnnK]], stored once as a < b),
-    * checkpointed and shared by `graph_triangle_count` and
-    * `graph_connected_components` — the kNN build is the expensive stage
-    * (in-label pair join), so its cost is paid once per pass.
+    * other's IVF-blocked cosine top-[[MutualKnnK]], stored once as a < b),
+    * checkpointed and shared by the whole graph_* / walk family — the kNN
+    * build is the expensive stage (the blocked pair join), so its cost is
+    * paid once per pass. Since round 19 the candidate blocking is the
+    * TRAINED coarse quantizer ([[ivfProbes]], nprobe=2), not the
+    * supervised label column — a real corpus has no labels; the `l`
+    * column on each stored edge is the A-endpoint's label, carried for
+    * per-label rollups only.
     */
 
   /** k of the mutual-kNN graph. Degree is bounded by k, so every derived
@@ -683,6 +687,16 @@ object PipelineOps extends OpGroup {
     * silently zeroing the new degrees (round-9 advice).
     */
   private[graft] val MutualKnnK = 3
+
+  /** nprobe of the trained-IVF candidate blocking the kNN-graph fixture
+    * builds on (round-19: the fixture migration off supervised label
+    * blocking — vec_knn_graph_ivf proved the trained cells at this spill
+    * recover 5.3× the neighbors label blocking finds on this corpus).
+    * Probing a node's top-2 cells by the training metric recovers
+    * neighbors across its cell boundary; candidates stay ≈ 2·|V|/k per
+    * node, so the build is shuffle-bounded by the cell equi-join.
+    */
+  private[graft] val IvfNprobe = 2
 
   /** Adamic-Adar 1/ln(deg) weights in fixed-point micro units for every
     * degree reachable in the mutual-[[MutualKnnK]]NN graph (a common
@@ -785,10 +799,24 @@ object PipelineOps extends OpGroup {
       val q = quantCorpus(s, dir)
       val fin = kmeansLoop(q)
       graft.Caches.track(s, dir, "kmeans_trained",
+        // Since round 19 the trained quantizer also blocks the kNN-graph
+        // fixture builds (ivfProbes), so every mutualKnnEdges /
+        // hnswUpperEdges consumer is a transitive consumer here — listing
+        // them keeps the (tiny, k×dim-bounded) qv/assign checkpoints
+        // pinned until the LAST graph key, instead of releasing after the
+        // vec_ivf_* family and re-running 3 Lloyd rounds when a later
+        // graph key rebuilds its edge cache.
         Set("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk",
           "vec_ivf_probe_sweep", "vec_pq_residual_topk", "vec_ivf_cell_stats",
           "vec_index_persist_reload", "vec_knn_graph_ivf",
-          "vec_semantic_dedup_ivf"),
+          "vec_semantic_dedup_ivf",
+          "graph_triangle_count", "graph_connected_components",
+          "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
+          "vec_graph_beam_search", "graph_louvain_step", "graph_louvain_converge",
+          "graph_louvain_multilevel", "graph_kcore_peel", "vec_hnsw_search",
+          "vec_hnsw_build", "graph_bfs_hops", "graph_modularity",
+          "vec_hnsw_batch_search", "vec_hnsw_persist_search",
+          "graph_pagerank_persist_serve"),
         () => kmeansCache.remove((s, dir)).foreach { case (qf, af) =>
           graft.Caches.releaseCheckpoint(qf)
           graft.Caches.releaseCheckpoint(af)
@@ -890,6 +918,27 @@ object PipelineOps extends OpGroup {
       s: org.apache.spark.sql.SparkSession, sfDir: String): String =
     persistRootSeam((s, sfDir))
 
+  /** Per-node nprobe=[[IvfNprobe]] routing over the TRAINED cells:
+    * (vec_id, pc) — each corpus vector as a QUERY ranked against the
+    * k-row broadcast centroid-sum table by the exact-integer L2 the
+    * training rounds use, keeping its top-2 cells. The candidate-blocking
+    * stage every kNN-graph fixture build starts with since the round-19
+    * migration (mutualKnnEdges, hnswUpperEdges, vec_knn_graph_ivf): at
+    * any scale this is |V|·k distance evaluations against a broadcast
+    * routing table — never a pair join.
+    */
+  private def ivfProbes(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val (qv, assign) = kmeansTrained(s, dir)
+    val cells = trainedCellSums(qv, assign)
+    val pw = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("pc"))
+    qv.crossJoin(broadcast(cells.select(col("c").as("pc"), col("svec"), col("n"))))
+      .withColumn("dist", expr("vec_l2q_dist(qv, svec, n)"))
+      .withColumn("prk", row_number().over(pw))
+      .filter(col("prk") <= IvfNprobe)
+      .select(col("vec_id"), col("pc"))
+  }
+
   private def trainedCellRoute(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
@@ -921,36 +970,50 @@ object PipelineOps extends OpGroup {
   private val hnswEdgeCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
 
-  /** Upper-layer HNSW edges: one (lvl 1..4, a, b) frame of label-blocked
-    * mutual-3NN graphs over the nodes of height ≥ lvl, query node INCLUDED
-    * in the kNN build (the mutualKnnEdges convention — consumers filter
+  /** Upper-layer HNSW edges: one (lvl 1..4, a, b) frame of mutual-3NN
+    * graphs over the nodes of height ≥ lvl, query node INCLUDED in the
+    * kNN build (the mutualKnnEdges convention — consumers filter
     * query-touching edges as needed; layer 0 of the same index IS
-    * mutualKnnEdges). Built once per (session, sfDir), checkpointed, and
-    * shared by vec_hnsw_build (per-layer edge counts) and vec_hnsw_search
-    * (the descent's express lanes) — Σ layer populations shrink 4× per
-    * level, so the whole frame costs ≈ 1/3 of one base-layer build.
+    * mutualKnnEdges). Candidate blocking is the TRAINED IVF routing
+    * ([[ivfProbes]], nprobe=2) since round 19 — the supervised label
+    * equi-join is gone; a node's per-level candidates are the probed
+    * cells' assigned members at that height. All four levels come out of
+    * ONE blocked pair join: both sides pre-filtered to height ≥ 1 (1/16
+    * of base pairs), each pair exploded to levels 1..min(height) and
+    * ranked per (lvl, a) — one shuffle + one window instead of four of
+    * each. Built once per (session, sfDir), checkpointed, and shared by
+    * vec_hnsw_build (per-layer edge counts) and the search keys (the
+    * descent's express lanes).
     */
   private def hnswUpperEdges(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.Caches.memo(hnswEdgeCache, (s, dir), {
-      val lay = hnswLayerAssign(s, dir)
-      val w = Window.partitionBy("a").orderBy(desc("sim"), asc("b"))
-      val upper = (1 to 4).map { level =>
-        val nodes = lay.filter(col("lay") >= level)
-        val l = nodes.select(col("label").as("la"), col("vec_id").as("a"),
-          col("embedding").as("ea"))
-        val r = nodes.select(col("label").as("lb"), col("vec_id").as("b"),
-          col("embedding").as("eb"))
-        val knn = l.join(r, col("la") === col("lb") && col("a") =!= col("b"))
-          .withColumn("sim", expr("vec_dot(ea, eb)")
-            / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= MutualKnnK)
-          .select("a", "b")
-        knn.filter(col("a") < col("b"))
-          .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "leftsemi")
-          .select(lit(level).as("lvl"), col("a"), col("b"))
-      }.reduce(_.union(_)).localCheckpoint(true)
+      val lay = hnswLayerAssign(s, dir).filter(col("lay") >= 1)
+      val probes = ivfProbes(s, dir)
+      val (_, assign) = kmeansTrained(s, dir)
+      val qa = probes
+        .join(lay.select(col("vec_id"), col("embedding").as("ea"),
+          col("lay").as("laya")), "vec_id")
+        .select(col("vec_id").as("a"), col("ea"), col("laya"), col("pc"))
+      val cand = assign
+        .join(lay.select(col("vec_id"), col("embedding").as("eb"),
+          col("lay").as("layb")), "vec_id")
+        .select(col("c").as("pc"), col("vec_id").as("b"), col("eb"), col("layb"))
+      val w = Window.partitionBy("lvl", "a").orderBy(desc("sim"), asc("b"))
+      val knn = qa.join(cand, Seq("pc"))
+        .filter(col("a") =!= col("b"))
+        .withColumn("sim", expr("vec_dot(ea, eb)")
+          / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
+        .select(col("a"), col("b"), col("sim"),
+          explode(expr("sequence(1, least(laya, layb))")).as("lvl"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= MutualKnnK)
+        .select("lvl", "a", "b")
+      val upper = knn.filter(col("a") < col("b"))
+        .join(knn.select(col("lvl"), col("b").as("a"), col("a").as("b")),
+          Seq("lvl", "a", "b"), "leftsemi")
+        .select("lvl", "a", "b")
+        .localCheckpoint(true)
       graft.Caches.track(s, dir, "hnsw_layer_edges",
         Set("vec_hnsw_build", "vec_hnsw_search", "vec_hnsw_batch_search",
           "vec_hnsw_persist_search"),
@@ -958,19 +1021,51 @@ object PipelineOps extends OpGroup {
       upper
     })
 
+  private val mutualCcCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  /** Connected-component labels of [[mutualKnnEdges]], computed ONCE per
+    * (session, sfDir) and shared by graph_connected_components and
+    * graph_pagerank_persist_serve (round-19 verdict item 2a,
+    * adjudicated: the two pagerank fixpoints live on DIFFERENT graphs —
+    * graph_pagerank_converge on the customer–supplier bipartite graph
+    * from lineitem⋈orders, persist_serve on this mutual-kNN graph — so
+    * the shareable computation between the two expensive graph keys is
+    * the CC label frame, not the pagerank loop; measurements in
+    * PERF_NOTES). The returned frame is connectedComponents' own
+    * checkpoint; Caches releases it once both consumers have run.
+    */
+  private def mutualCcLabels(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.memo(mutualCcCache, (s, dir), {
+      val labels = connectedComponents(mutualKnnEdges(s, dir).select("a", "b"))
+      graft.Caches.track(s, dir, "mutual_cc_labels",
+        Set("graph_connected_components", "graph_pagerank_persist_serve"),
+        () => mutualCcCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
+      labels
+    })
+
   private def mutualKnnEdges(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     graft.Caches.memo(mutualEdgeCache, (s, dir), {
       val e = Tables.t(s, dir, "embeddings")
-      val l = e.select(col("label").as("la"), col("vec_id").as("a"), col("embedding").as("ea"))
-      val r = e.select(col("label").as("lb"), col("vec_id").as("b"), col("embedding").as("eb"))
+      val probes = ivfProbes(s, dir)
+      val (_, assign) = kmeansTrained(s, dir)
+      val qa = probes
+        .join(e.select(col("vec_id"), col("label").as("l"),
+          col("embedding").as("ea")), "vec_id")
+        .select(col("l"), col("vec_id").as("a"), col("ea"), col("pc"))
+      val cand = assign
+        .join(e.select(col("vec_id"), col("embedding").as("eb")), "vec_id")
+        .select(col("c").as("pc"), col("vec_id").as("b"), col("eb"))
       val w = Window.partitionBy("a").orderBy(desc("sim"), asc("b"))
-      val knn = l.join(r, col("la") === col("lb") && col("a") =!= col("b"))
+      val knn = qa.join(cand, Seq("pc"))
+        .filter(col("a") =!= col("b"))
         .withColumn("sim", expr("vec_dot(ea, eb)")
           / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= MutualKnnK)
-        .select(col("la").as("l"), col("a"), col("b"))
+        .select(col("l"), col("a"), col("b"))
       val mutual = knn.filter(col("a") < col("b"))
         .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "leftsemi")
         .localCheckpoint(true)
@@ -978,8 +1073,9 @@ object PipelineOps extends OpGroup {
         Set("graph_triangle_count", "graph_connected_components",
           "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
           "vec_graph_beam_search", "graph_louvain_step", "graph_louvain_converge",
-          "graph_kcore_peel", "vec_hnsw_search", "vec_hnsw_build", "graph_bfs_hops",
-          "graph_modularity", "vec_hnsw_batch_search", "vec_hnsw_persist_search",
+          "graph_louvain_multilevel", "graph_kcore_peel", "vec_hnsw_search",
+          "vec_hnsw_build", "graph_bfs_hops", "graph_modularity",
+          "vec_hnsw_batch_search", "vec_hnsw_persist_search",
           "graph_pagerank_persist_serve"),
         () => mutualEdgeCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       mutual
@@ -1512,74 +1608,42 @@ object PipelineOps extends OpGroup {
     * shared by vec_kmeans_train, vec_ivf_trained_topk and
     * vec_index_upsert exactly as the Spark side shares the training
     * code. `where` restricts the trained population (vec_index_upsert
-    * trains on the pre-batch corpus only).
+    * trains on the pre-batch corpus only); `p` prefixes every CTE name
+    * so one statement can train several independent quantizers
+    * (vec_ivf_merge_shards trains one per shard plus the full-retrain
+    * audit's unprefixed chain).
     */
-  private def kmeansCtes(where: String = "TRUE") = s"""q AS (
+  private def kmeansCtes(where: String = "TRUE", p: String = ""): String = {
+    val rounds = (1 to 3).map { i =>
+      s"""
+        ${p}c$i AS (
+          SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT a.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
+                unnest(q.qv) AS v
+              FROM ${p}q q JOIN ${p}a${i - 1} a USING (vec_id)
+            ) GROUP BY clabel, pos
+          ) GROUP BY clabel),
+        ${p}a$i AS (
+          SELECT vec_id, clabel AS c FROM (
+            SELECT vec_id, clabel,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
+            FROM (
+              SELECT q.vec_id, c.clabel,
+                list_sum(list_transform(range(1, len(qv) + 1), i ->
+                  (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n)
+                    * (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n))) AS dist
+              FROM ${p}q q, ${p}c$i c
+            )
+          ) WHERE rk = 1)"""
+    }.mkString(",")
+    s"""${p}q AS (
           SELECT vec_id, label,
             list_transform(CAST(embedding AS DOUBLE[]),
               x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS qv
           FROM embeddings WHERE $where),
-        a0 AS (SELECT vec_id, label AS c FROM q),
-        c1 AS (
-          SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
-            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
-              SELECT a.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
-                unnest(q.qv) AS v
-              FROM q JOIN a0 a USING (vec_id)
-            ) GROUP BY clabel, pos
-          ) GROUP BY clabel),
-        a1 AS (
-          SELECT vec_id, clabel AS c FROM (
-            SELECT vec_id, clabel,
-              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
-            FROM (
-              SELECT q.vec_id, c1.clabel,
-                list_sum(list_transform(range(1, len(qv) + 1), i ->
-                  (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n)
-                    * (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n))) AS dist
-              FROM q, c1
-            )
-          ) WHERE rk = 1),
-        c2 AS (
-          SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
-            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
-              SELECT a.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
-                unnest(q.qv) AS v
-              FROM q JOIN a1 a USING (vec_id)
-            ) GROUP BY clabel, pos
-          ) GROUP BY clabel),
-        a2 AS (
-          SELECT vec_id, clabel AS c FROM (
-            SELECT vec_id, clabel,
-              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
-            FROM (
-              SELECT q.vec_id, c2.clabel,
-                list_sum(list_transform(range(1, len(qv) + 1), i ->
-                  (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n)
-                    * (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n))) AS dist
-              FROM q, c2
-            )
-          ) WHERE rk = 1),
-        c3 AS (
-          SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
-            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
-              SELECT a.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
-                unnest(q.qv) AS v
-              FROM q JOIN a2 a USING (vec_id)
-            ) GROUP BY clabel, pos
-          ) GROUP BY clabel),
-        a3 AS (
-          SELECT vec_id, clabel AS c FROM (
-            SELECT vec_id, clabel,
-              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
-            FROM (
-              SELECT q.vec_id, c3.clabel,
-                list_sum(list_transform(range(1, len(qv) + 1), i ->
-                  (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n)
-                    * (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n))) AS dist
-              FROM q, c3
-            )
-          ) WHERE rk = 1)"""
+        ${p}a0 AS (SELECT vec_id, label AS c FROM ${p}q),$rounds"""
+  }
 
   /** Oracle CTEs for the TRAINED-cell routing stage (DuckDB), appended
     * after [[kmeansCtes]]: c4 = per-trained-cell exact integer sums,
@@ -1608,6 +1672,83 @@ object PipelineOps extends OpGroup {
                    * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS csim
             FROM cent, qq
           ) ORDER BY csim DESC, c LIMIT 3)"""
+
+  /** Oracle CTEs for the TRAINED-IVF candidate blocking every kNN-graph
+    * fixture build uses since the round-19 migration (DuckDB), appended
+    * after [[kmeansCtes]] — the SQL mirror of [[ivfProbes]]: `ksum` =
+    * per-trained-cell exact integer sums, `kprobes` = each node's top-
+    * [[IvfNprobe]] cells by the training L2, and `knn` = the blocked
+    * cosine top-[[MutualKnnK]] per node with `l` = the A-endpoint's label
+    * (carried for per-label rollups, no longer a blocking key) — exactly
+    * [[mutualKnnEdges]]'s pre-mutual frame. Consumers keep their own
+    * `mutual` CTE over `knn` unchanged.
+    */
+  private def ivfKnnCtes: String = s"""${kmeansCtes()},
+        ksum AS (
+          SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT a.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
+                unnest(q.qv) AS v
+              FROM q JOIN a3 a USING (vec_id)
+            ) GROUP BY clabel, pos
+          ) GROUP BY clabel),
+        kprobes AS MATERIALIZED (
+          SELECT vec_id AS a, clabel AS pc FROM (
+            SELECT vec_id, clabel,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS prk
+            FROM (
+              SELECT q.vec_id, k.clabel,
+                list_sum(list_transform(range(1, len(qv) + 1), i ->
+                  (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n)
+                    * (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n))) AS dist
+              FROM q, ksum k
+            )
+          ) WHERE prk <= $IvfNprobe),
+        knn AS MATERIALIZED (
+          SELECT l, a, b, cos FROM (
+            SELECT l, a, b, cos,
+              ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rk
+            FROM (
+              SELECT x.label AS l, p.a, y.vec_id AS b,
+                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) AS cos
+              FROM kprobes p
+              JOIN embeddings x ON x.vec_id = p.a
+              JOIN a3 ON a3.c = p.pc
+              JOIN embeddings y ON y.vec_id = a3.vec_id AND y.vec_id <> p.a
+            )
+          ) WHERE rk <= $MutualKnnK)"""
+
+  /** Upper-layer companion to [[ivfKnnCtes]] (appended after it): the SQL
+    * mirror of [[hnswUpperEdges]]'s single-join build. `layCte` must
+    * expose (vec_id, lyr); `hknn` holds the per-level blocked cosine
+    * top-K for levels 1..4 (pair exploded to 1..min(height), ranked per
+    * (lvl, a)), and `k1`..`k4` re-expose the per-level slices under the
+    * names the HNSW oracles' mutual/sym CTEs already consume.
+    */
+  private def ivfUpperKnnCtes(layCte: String): String = {
+    val slices = (1 to 4).map { level =>
+      s"k$level AS (SELECT a, b FROM hknn WHERE lvl = $level)"
+    }.mkString(",\n        ")
+    s"""hknn AS MATERIALIZED (
+          SELECT lvl, a, b, cos FROM (
+            SELECT lvl, a, b, cos,
+              ROW_NUMBER() OVER (PARTITION BY lvl, a ORDER BY cos DESC, b) AS rk
+            FROM (
+              SELECT unnest(range(1, least(x.lyr, y.lyr) + 1)) AS lvl,
+                p.a, y.vec_id AS b,
+                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
+                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) AS cos
+              FROM kprobes p
+              JOIN $layCte x ON x.vec_id = p.a AND x.lyr >= 1
+              JOIN a3 ON a3.c = p.pc
+              JOIN $layCte y ON y.vec_id = a3.vec_id AND y.vec_id <> p.a AND y.lyr >= 1
+            )
+          ) WHERE rk <= $MutualKnnK),
+        $slices"""
+  }
 
   /** Oracle CTE bodies matching [[simhashSigs]]/[[simhashEdges]] (DuckDB).
     *
@@ -1828,18 +1969,11 @@ object PipelineOps extends OpGroup {
              * sqrt(greatest(list_sum(list_transform($y, v -> v * v)), 1e-300)))"""
     // Upper-layer kNN builds INCLUDE the query node (the shared-index
     // convention, = layer 0's mutualKnnEdges); query-touching edges
-    // are filtered from the mutual set exactly as at layer 0.
+    // are filtered from the mutual set exactly as at layer 0. Since
+    // round 19 the per-level candidates come from the TRAINED IVF
+    // routing (ivfUpperKnnCtes' hknn → k1..k4), not the label column.
     val perLayer = (1 to 4).map { level =>
       s"""
-      n$level AS (SELECT vec_id, label, embedding FROM layq WHERE lyr >= $level),
-      k$level AS MATERIALIZED (
-        SELECT a, b FROM (
-          SELECT x.vec_id AS a, y.vec_id AS b,
-            ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-              ${cos("x.embedding", "y.embedding")} DESC, y.vec_id) AS rk
-          FROM n$level x JOIN n$level y
-            ON x.label = y.label AND x.vec_id <> y.vec_id
-        ) WHERE rk <= $MutualKnnK),
       s$level AS MATERIALIZED (
         SELECT k1.a, k1.b FROM k$level k1 JOIN k$level k2
           ON k1.a = k2.b AND k1.b = k2.a
@@ -1848,64 +1982,77 @@ object PipelineOps extends OpGroup {
         SELECT a AS src, b AS dst FROM s$level
         UNION ALL SELECT b, a FROM s$level)"""
     }.mkString(",")
-    // Greedy per-layer descent 4→1: each recL's seed is the previous
+    // Greedy per-layer descent 4→1: each level's seed is the previous
     // layer's fixed-6-step endpoint (idempotent ⇒ ≡ the early-stopped
-    // Spark walk), then the ef=4 beam at layer 0 seeded from e1.
-    // Materialization split (refined round 15 for the sf1 sweep):
-    // CTEs referenced from the recursion's LATERAL (scored, g*, rec*)
-    // MUST stay plain — DuckDB 1.0 loses the lateral correlation
-    // through the beam recursion's UNION when THEY are materialized
-    // (candidate set comes back empty, the beam silently never
-    // leaves its seed — found at sf0.1, round 14; the failure is
-    // scale-dependent, surfacing only at larger cardinalities). The
-    // expensive UNCORRELATED upstream (layq, k*, s*, k0, m0) is
-    // safely MATERIALIZED — verified output-equal at all three SFs —
-    // which stops the |V|²-per-block kNN build re-inlining under
-    // every lateral reference (the single-query oracle went
-    // 31 s → 1.3 s at sf0.1; at sf1 it was the difference between
-    // minutes and hours).
+    // Spark walk), then the ef=4 beam at layer 0 seeded from d1_6.
+    // UNROLLED into plain CTE chains (round 19): the recursive-LATERAL
+    // formulation (rounds 14-15) depended on DuckDB 1.0 keeping the
+    // lateral correlation through the recursion — a property that turned
+    // out to be PLAN-dependent, not just materialization-dependent:
+    // adding the trained-IVF blocking chain upstream flipped the planner
+    // into shapes where the correlation silently drops (observed at
+    // sf0.1: descent visiting 6 nodes in one invocation, 3 in the next,
+    // over identical data). The walk is a fixed-6-step contract, so the
+    // unroll is exact — and with no recursion and no LATERAL there is no
+    // correlation to lose, which also retires the round-15 step-1 guard
+    // (every unrolled step is an ordinary uncorrelated scalar-subquery
+    // join). The expensive upstream (layq, hknn, s*) stays MATERIALIZED
+    // so the per-step 1-row CTEs never re-inline the kNN builds.
     val descent = (4 to 1 by -1).map { level =>
       val seed = if (level == 4) "(SELECT entry FROM ent)"
-        else s"(SELECT cur FROM e${level + 1})"
+        else s"(SELECT cur FROM d${level + 1}_6)"
+      val steps = (1 to 6).map { st =>
+        s"""
+      d${level}_$st AS MATERIALIZED (
+        SELECT nid AS cur FROM (
+          SELECT s.vec_id AS nid, s.sim FROM g$level g
+            JOIN scored s ON s.vec_id = g.dst
+          WHERE g.src = (SELECT cur FROM d${level}_${st - 1})
+          UNION ALL
+          SELECT (SELECT cur FROM d${level}_${st - 1}),
+            (SELECT sim FROM scored WHERE vec_id = (SELECT cur FROM d${level}_${st - 1}))
+        ) ORDER BY sim DESC, nid LIMIT 1)"""
+      }.mkString(",")
       s"""
-      rec$level AS (
-        SELECT 0 AS step, $seed AS cur
-        UNION ALL
-        SELECT r.step + 1, n.nid FROM rec$level r,
-          LATERAL (
-            SELECT nid FROM (
-              SELECT s.vec_id AS nid, s.sim FROM g$level g
-                JOIN scored s ON s.vec_id = g.dst
-              WHERE g.src = r.cur
-              UNION ALL SELECT r.cur, (SELECT sim FROM scored WHERE vec_id = r.cur)
-            ) ORDER BY sim DESC, nid LIMIT 1
-          ) n
-        WHERE r.step < 6),
-      e$level AS (SELECT cur FROM rec$level WHERE step = 6)"""
+      d${level}_0 AS (SELECT $seed AS cur),$steps"""
     }.mkString(",")
+    val beamSteps = (1 to 6).map { i =>
+      s"""
+      bm$i AS MATERIALIZED (
+        SELECT COALESCE((
+          SELECT list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) FROM (
+            SELECT s.vec_id AS nid, s.sim FROM g0 g
+              JOIN scored s ON s.vec_id = g.dst
+            WHERE list_contains((SELECT beam FROM bm${i - 1}), g.src)
+            UNION
+            SELECT u.nid, s2.sim
+            FROM (SELECT unnest((SELECT beam FROM bm${i - 1})) AS nid) u
+              JOIN scored s2 ON s2.vec_id = u.nid
+          )), (SELECT beam FROM bm${i - 1})) AS beam)"""
+    }.mkString(",")
+    val descentUnion = (4 to 1 by -1).flatMap { level =>
+      (0 to 6).map(st => s"SELECT cur FROM d${level}_$st")
+    }.mkString(" UNION ALL ")
+    val beamUnion = (0 to 6)
+      .map(i => s"SELECT unnest(beam) AS nid FROM bm$i").mkString(" UNION ALL ")
     s"""
-    WITH RECURSIVE layq AS MATERIALIZED (
+    WITH layq AS MATERIALIZED (
       SELECT vec_id, label, embedding, $layerCase AS lyr FROM (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding,
           CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         FROM embeddings)),
     lay AS (SELECT * FROM layq WHERE vec_id <> 0),
     scored AS (
-      SELECT l.vec_id, ${cos("l.embedding", "q.qemb")} AS sim
+      SELECT l.vec_id, ${cos("l.embedding", "qx.qemb")} AS sim
       FROM lay l,
-        (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0) q),
+        (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0) qx),
     ent AS (
       SELECT lyr AS top_layer, vec_id AS entry FROM lay
       ORDER BY lyr DESC, vec_id LIMIT 1),
+    $ivfKnnCtes,
+    ${ivfUpperKnnCtes("layq")},
     $perLayer,
-    k0 AS (
-      SELECT a, b FROM (
-        SELECT x.vec_id AS a, y.vec_id AS b,
-          ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-            ${cos("CAST(x.embedding AS DOUBLE[])", "CAST(y.embedding AS DOUBLE[])")} DESC, y.vec_id) AS rk
-        FROM embeddings x JOIN embeddings y
-          ON x.label = y.label AND x.vec_id <> y.vec_id
-      ) WHERE rk <= $MutualKnnK),
+    k0 AS (SELECT a, b FROM knn),
     m0 AS (
       SELECT k1.a, k1.b FROM k0 k1 JOIN k0 k2
         ON k1.a = k2.b AND k1.b = k2.a
@@ -1913,43 +2060,9 @@ object PipelineOps extends OpGroup {
     g0 AS (
       SELECT a AS src, b AS dst FROM m0 UNION ALL SELECT b, a FROM m0),
     $descent,
-    rec0 AS (
-      SELECT 0 AS step, [(SELECT cur FROM e1)] AS beam
-      UNION ALL
-      SELECT r.step + 1, n.nb FROM rec0 r,
-        LATERAL (
-          SELECT list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) AS nb FROM (
-            SELECT s.vec_id AS nid, s.sim FROM g0 g
-              JOIN scored s ON s.vec_id = g.dst
-            WHERE list_contains(r.beam, g.src)
-            UNION
-            SELECT u.nid, s2.sim
-            FROM (SELECT unnest(r.beam) AS nid) u
-              JOIN scored s2 ON s2.vec_id = u.nid
-          )
-        ) n
-      WHERE r.step < 6),
-    fin AS (SELECT beam[1] AS found FROM rec0 WHERE step = 6),
-    expected1 AS (
-      SELECT list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) AS nb FROM (
-        SELECT s.vec_id AS nid, s.sim AS sim FROM g0 g
-          JOIN scored s ON s.vec_id = g.dst
-        WHERE g.src = (SELECT cur FROM e1)
-        UNION
-        SELECT s2.vec_id, s2.sim FROM scored s2
-        WHERE s2.vec_id = (SELECT cur FROM e1))),
-    guard AS (
-      -- Structural guard (round-15 advice): the beam recursion's
-      -- step-1 state must equal a STATICALLY recomputed step 1 —
-      -- a lateral-correlation loss leaves the beam at its seed and
-      -- must error loudly, not return a plausible wrong answer.
-      SELECT CASE
-        WHEN (SELECT cur FROM e1) IS NULL THEN 1 -- degenerate: no walk
-        WHEN (SELECT beam FROM rec0 WHERE step = 1)
-          IS NOT DISTINCT FROM (SELECT nb FROM expected1)
-        THEN 1
-        ELSE CAST('walk-oracle guard: beam recursion step 1 diverged from its static recomputation (lateral correlation lost?)' AS INT)
-        END AS ok),
+    bm0 AS (SELECT [(SELECT cur FROM d1_6)] AS beam),
+    $beamSteps,
+    fin AS (SELECT beam[1] AS found FROM bm6),
     ex AS (
       SELECT vec_id AS exact_id,
         CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS exact_sim
@@ -1957,16 +2070,14 @@ object PipelineOps extends OpGroup {
     SELECT
       (SELECT CAST(top_layer AS INT) FROM ent) AS top_layer,
       (SELECT CAST(COUNT(DISTINCT cur) AS BIGINT) FROM (
-        SELECT cur FROM rec4 UNION ALL SELECT cur FROM rec3
-        UNION ALL SELECT cur FROM rec2 UNION ALL SELECT cur FROM rec1)) AS descent_nodes,
+        $descentUnion)) AS descent_nodes,
       (SELECT CAST(COUNT(DISTINCT nid) AS BIGINT) FROM
-        (SELECT unnest(beam) AS nid FROM rec0)) AS beam_nodes,
+        ($beamUnion)) AS beam_nodes,
       f.found AS found_id,
       CAST(ROUND(CAST(CAST((SELECT sim FROM scored WHERE vec_id = f.found) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS found_sim,
       ex.exact_id, ex.exact_sim,
       (f.found = ex.exact_id) AS hit
-    FROM fin f, ex CROSS JOIN guard
-    WHERE guard.ok = 1
+    FROM fin f, ex
     """.trim
   }
 
@@ -2606,6 +2717,156 @@ object PipelineOps extends OpGroup {
           ) ORDER BY sim DESC, vec_id LIMIT 10
         ) ORDER BY cos_sim DESC, vec_id
       """.trim)),
+
+    // IVF SHARD MERGE (round-18 verdict item 5) — the operation a
+    // distributed index build ends with: two shards of the corpus
+    // (vec_id % 3 — shard A holds 2/3, shard B 1/3) each train their own
+    // coarse quantizer INDEPENDENTLY (the embarrassingly-parallel nightly
+    // shape: no cross-shard traffic during training), then merge into ONE
+    // servable index without a full retrain: the centroid tables UNION
+    // (shard-disjoint cell ids via c*2 / c*2+1), shard A's assignment is
+    // kept verbatim, and ONLY the smaller shard B re-assigns — each B
+    // vector re-ranked against the UNION centroid set by the training L2
+    // (bounded movement: at most |B| vectors touch the index; A's
+    // petabytes never move — the property that makes shard-merge cheaper
+    // than retrain). Serve = the standard trained-IVF route
+    // ([[ivfProbeServe]]) over the merged artifacts; the output carries
+    // its own audit — each merged top-10 hit flagged against the
+    // FULL-RETRAIN index's top-10 ([[kmeansTrained]]) plus the moved-
+    // vector count and recall-vs-retrain. At 100 TB: training
+    // parallelizes per shard, the merge is one k-row centroid union +
+    // one |smallest shard| re-rank against a broadcast routing table,
+    // and the audit is two point queries.
+    Op("vec_ivf_merge_shards",
+      (s, dir) => {
+        val qc = quantCorpus(s, dir)
+        val qA = qc.filter(col("vec_id") % 3 =!= 0)
+        val qB = qc.filter(col("vec_id") % 3 === 0)
+        val aAssign = kmeansLoop(qA)
+        val bAssign =
+          try kmeansLoop(qB)
+          catch { case t: Throwable =>
+            graft.Caches.releaseCheckpoint(aAssign); throw t }
+        graft.Caches.track(s, dir, "ivf_shard_quant", Set("vec_ivf_merge_shards"),
+          () => { graft.Caches.releaseCheckpoint(aAssign)
+                  graft.Caches.releaseCheckpoint(bAssign) })
+        val aCells = trainedCellSums(qA, aAssign)
+          .select((col("c") * 2).as("c"), col("svec"), col("n"))
+        val bCells = trainedCellSums(qB, bAssign)
+          .select((col("c") * 2 + 1).as("c"), col("svec"), col("n"))
+        val allCells = aCells.union(bCells)
+        // Smaller shard re-assigns over the union; ties → lowest cell id.
+        val rw = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("c"))
+        val reB = qB.crossJoin(broadcast(
+            allCells.select(col("c"), col("svec"), col("n"))))
+          .withColumn("dist", expr("vec_l2q_dist(qv, svec, n)"))
+          .withColumn("rk", row_number().over(rw))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("c"))
+        val nMoved = reB
+          .join(bAssign.select(col("vec_id"), (col("c") * 2 + 1).as("oldc")), "vec_id")
+          .filter(col("c") =!= col("oldc")).count()
+        val mAssign = aAssign.select(col("vec_id"), (col("c") * 2).as("c"))
+          .union(reB)
+        val merged = ivfProbeServe(s, dir, mAssign, centroidsFromSums(allCells))
+        val (qvF, fAssign) = kmeansTrained(s, dir)
+        val retr = ivfProbeServe(s, dir, fAssign,
+            centroidsFromSums(trainedCellSums(qvF, fAssign)))
+          .select(col("vec_id"), lit(true).as("hit"))
+        val flagged = merged.join(retr, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster"), col("cos_sim"),
+            coalesce(col("hit"), lit(false)).as("in_retrain_topk"))
+        val hits = flagged.filter(col("in_retrain_topk")).count()
+        flagged
+          .withColumn("n_moved", lit(nMoved))
+          .withColumn("recall_vs_retrain", lit(hits / 10.0))
+          .orderBy(desc("cos_sim"), asc("vec_id"))
+      },
+      Some {
+        val l2 = """list_sum(list_transform(range(1, len(qv) + 1), i ->
+                  (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n)
+                    * (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n)))"""
+        val cosQ = (x: String) =>
+          s"""list_dot_product(CAST($x AS DOUBLE[]), qemb)
+              / (sqrt(greatest(list_sum(list_transform(CAST($x AS DOUBLE[]), v -> v * v)), 1e-300))
+                 * sqrt(greatest(list_sum(list_transform(qemb, v -> v * v)), 1e-300)))"""
+        s"""
+        WITH ${kmeansCtes("vec_id % 3 <> 0", "sa")},
+        ${kmeansCtes("vec_id % 3 = 0", "sb")},
+        ${kmeansCtes()},
+        $trainedCellCtes,
+        acells AS (
+          SELECT clabel * 2 AS c, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT a.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
+                unnest(q.qv) AS v
+              FROM saq q JOIN saa3 a USING (vec_id)
+            ) GROUP BY clabel, pos
+          ) GROUP BY clabel),
+        bcells AS (
+          SELECT clabel * 2 + 1 AS c, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT a.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
+                unnest(q.qv) AS v
+              FROM sbq q JOIN sba3 a USING (vec_id)
+            ) GROUP BY clabel, pos
+          ) GROUP BY clabel),
+        allcells AS (SELECT * FROM acells UNION ALL SELECT * FROM bcells),
+        reb AS MATERIALIZED (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
+            FROM (
+              SELECT q.vec_id, a.c, $l2 AS dist
+              FROM sbq q, allcells a
+            )
+          ) WHERE rk = 1),
+        massign AS (
+          SELECT vec_id, c * 2 AS c FROM saa3
+          UNION ALL SELECT vec_id, c FROM reb),
+        mcent AS (
+          SELECT c, list_transform(svec, x -> CAST(x AS DOUBLE) / n) AS cemb
+          FROM allcells),
+        mcells AS (
+          SELECT c FROM (
+            SELECT c,
+              list_dot_product(cemb, qemb)
+                / (sqrt(greatest(list_sum(list_transform(cemb, x -> x * x)), 1e-300))
+                   * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS csim
+            FROM mcent, qq
+          ) ORDER BY csim DESC, c LIMIT 3),
+        mtop AS (
+          SELECT vec_id, cluster, sim FROM (
+            SELECT e.vec_id, m.c AS cluster, ${cosQ("e.embedding")} AS sim
+            FROM embeddings e
+              JOIN massign m ON m.vec_id = e.vec_id
+              JOIN mcells mc ON m.c = mc.c, qq
+            WHERE e.vec_id <> 0
+          ) ORDER BY sim DESC, vec_id LIMIT 10),
+        rtop AS (
+          SELECT vec_id FROM (
+            SELECT e.vec_id, ${cosQ("e.embedding")} AS sim
+            FROM embeddings e
+              JOIN a3 a USING (vec_id)
+              JOIN cells ce ON a.c = ce.c, qq
+            WHERE e.vec_id <> 0
+          ) ORDER BY sim DESC, vec_id LIMIT 10),
+        mv AS (
+          SELECT COUNT(*) AS n_moved FROM reb r
+          JOIN sba3 o ON o.vec_id = r.vec_id
+          WHERE r.c <> o.c * 2 + 1),
+        rc AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) / 10 AS recall FROM mtop
+          WHERE vec_id IN (SELECT vec_id FROM rtop))
+        SELECT t.vec_id, t.cluster,
+          CAST(ROUND(CAST(CAST(t.sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS cos_sim,
+          (t.vec_id IN (SELECT vec_id FROM rtop)) AS in_retrain_topk,
+          (SELECT CAST(n_moved AS BIGINT) FROM mv) AS n_moved,
+          (SELECT recall FROM rc) AS recall_vs_retrain
+        FROM mtop t
+        ORDER BY cos_sim DESC, vec_id
+        """.trim
+      }),
 
     // MMR (maximal marginal relevance) RE-RANKING — the diversification
     // step between retrieval and the context window in a RAG pipeline:
@@ -4228,13 +4489,13 @@ object PipelineOps extends OpGroup {
         val sym = m.select(col("a").as("src"), col("b").as("dst"))
           .union(m.select(col("b").as("src"), col("a").as("dst")))
         // try/finally (round-18 advice): a failed sidecar write, BFS, or
-        // collect must not leak the fixpoint/CC checkpoints for the
-        // session — the same failure-path discipline pagerankLoop's own
-        // rounds apply.
+        // collect must not leak the fixpoint checkpoint for the session —
+        // the same failure-path discipline pagerankLoop's own rounds
+        // apply. The CC labels are the SHARED [[mutualCcLabels]] cache
+        // (round-19 item 2a — one CC build serves this key and
+        // graph_connected_components); Caches releases them, not us.
+        val cc = mutualCcLabels(s, dir)
         val (r, _) = pagerankLoop(sym, maxRounds = 8)
-        val cc =
-          try connectedComponents(m)
-          catch { case t: Throwable => graft.Caches.releaseCheckpoint(r); throw t }
         val (served, matches) =
           try {
             val root = Tables.tmpDir("graft_graph_persist")
@@ -4251,10 +4512,7 @@ object PipelineOps extends OpGroup {
               .sortBy(_._1).toSeq
             (served, served.schema == inSession.schema &&
               typedRows(served) == typedRows(inSession))
-          } finally {
-            graft.Caches.releaseCheckpoint(r)
-            graft.Caches.releaseCheckpoint(cc)
-          }
+          } finally graft.Caches.releaseCheckpoint(r)
         served.withColumn("reload_matches_session", lit(matches))
           .orderBy("hop")
       },
@@ -4279,17 +4537,7 @@ object PipelineOps extends OpGroup {
           UNION ALL SELECT node, $i AS hop FROM bf$i)"""
         }.mkString(",")
         s"""
-        WITH RECURSIVE knn AS MATERIALIZED (
-          SELECT a, b FROM (
-            SELECT x.vec_id AS a, y.vec_id AS b,
-              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
-                y.vec_id) AS rk
-            FROM embeddings x JOIN embeddings y
-              ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= $MutualKnnK),
+        WITH RECURSIVE $ivfKnnCtes,
         mutual AS MATERIALIZED (
           SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -5384,16 +5632,8 @@ object PipelineOps extends OpGroup {
     Op("vec_knn_graph_ivf",
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")
-        val (qv, assign) = kmeansTrained(s, dir)
-        val cells = trainedCellSums(qv, assign)
-        val pw = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("pc"))
-        val probes = qv.crossJoin(broadcast(cells.select(
-            col("c").as("pc"), col("svec"), col("n"))))
-          .withColumn("dist", expr("vec_l2q_dist(qv, svec, n)"))
-          .withColumn("prk", row_number().over(pw))
-          .filter(col("prk") <= 2)
-          .select(col("vec_id").as("a"), col("pc"))
-        val qa = probes.join(
+        val (_, assign) = kmeansTrained(s, dir)
+        val qa = ivfProbes(s, dir).withColumnRenamed("vec_id", "a").join(
           e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
         val cand = assign.join(e, "vec_id")
           .select(col("c").as("pc"), col("vec_id").as("b"),
@@ -5938,17 +6178,7 @@ object PipelineOps extends OpGroup {
           .orderBy("label")
       },
       Some(s"""
-        WITH knn AS MATERIALIZED (
-          SELECT l, a, b FROM (
-            SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
-              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
-                y.vec_id) AS rk
-            FROM embeddings x JOIN embeddings y
-              ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= $MutualKnnK),
+        WITH $ivfKnnCtes,
         mutual AS MATERIALIZED (
           SELECT k1.l, k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -6238,8 +6468,7 @@ object PipelineOps extends OpGroup {
     // formulation that survives real scale (closure is |component|²).
     Op("graph_connected_components",
       (s, dir) => {
-        val edges = mutualKnnEdges(s, dir).select("a", "b")
-        val labels = connectedComponents(edges)
+        val labels = mutualCcLabels(s, dir)
         val verts = Tables.t(s, dir, "embeddings").select(col("vec_id").as("node"))
         verts.join(labels.withColumnRenamed("label", "sub"), Seq("node"), "left")
           .select(col("node").as("vec_id"),
@@ -6249,17 +6478,7 @@ object PipelineOps extends OpGroup {
           .orderBy("vec_id")
       },
       Some(s"""
-        WITH RECURSIVE knn AS MATERIALIZED (
-          SELECT a, b FROM (
-            SELECT x.vec_id AS a, y.vec_id AS b,
-              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
-                y.vec_id) AS rk
-            FROM embeddings x JOIN embeddings y
-              ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= $MutualKnnK),
+        WITH RECURSIVE $ivfKnnCtes,
         mutual AS MATERIALIZED (
           SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -6308,17 +6527,7 @@ object PipelineOps extends OpGroup {
           .orderBy("label")
       },
       Some(s"""
-        WITH knn AS MATERIALIZED (
-          SELECT l, a, b FROM (
-            SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
-              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
-                y.vec_id) AS rk
-            FROM embeddings x JOIN embeddings y
-              ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= $MutualKnnK),
+        WITH $ivfKnnCtes,
         mutual AS MATERIALIZED (
           SELECT k1.l, k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -6886,17 +7095,7 @@ object PipelineOps extends OpGroup {
           .orderBy(desc("aa_micro"), asc("a"), asc("b"))
       },
       Some(s"""
-        WITH knn AS MATERIALIZED (
-          SELECT a, b FROM (
-            SELECT x.vec_id AS a, y.vec_id AS b,
-              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
-                y.vec_id) AS rk
-            FROM embeddings x JOIN embeddings y
-              ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= $MutualKnnK),
+        WITH $ivfKnnCtes,
         mutual AS MATERIALIZED (
           SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -7007,17 +7206,7 @@ object PipelineOps extends OpGroup {
               AND EXISTS (SELECT 1 FROM k$i y WHERE y.n = e.b))"""
         }.mkString(",")
         s"""
-        WITH knn AS MATERIALIZED (
-          SELECT l, a, b FROM (
-            SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
-              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
-                y.vec_id) AS rk
-            FROM embeddings x JOIN embeddings y
-              ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= $MutualKnnK),
+        WITH $ivfKnnCtes,
         mutual AS MATERIALIZED (
           SELECT k1.l, k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -7081,17 +7270,7 @@ object PipelineOps extends OpGroup {
           .orderBy(desc("n_members"), asc("comm"))
       },
       Some(s"""
-        WITH knn AS MATERIALIZED (
-          SELECT a, b FROM (
-            SELECT x.vec_id AS a, y.vec_id AS b,
-              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
-                y.vec_id) AS rk
-            FROM embeddings x JOIN embeddings y
-              ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= $MutualKnnK),
+        WITH $ivfKnnCtes,
         mutual AS MATERIALIZED (
           SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -7271,17 +7450,19 @@ object PipelineOps extends OpGroup {
           .orderBy(desc("n_base"), asc("comm"))
       },
       Some {
+        // Round CTEs are lv0..lv4 (not c0..c4): the IVF blocking chain's
+        // kmeans rounds own c1..c3 in this statement's namespace.
         val rounds = (1 to 4).map { r =>
           val p = r - 1
           s"""
-          cs$r AS MATERIALIZED (SELECT c, COUNT(*) AS cs FROM c$p GROUP BY c),
+          cs$r AS MATERIALIZED (SELECT c, COUNT(*) AS cs FROM lv$p GROUP BY c),
           sm$r AS MATERIALIZED (
-            SELECT c, MIN(n) AS member FROM c$p GROUP BY c HAVING COUNT(*) = 1),
+            SELECT c, MIN(n) AS member FROM lv$p GROUP BY c HAVING COUNT(*) = 1),
           tot$r AS MATERIALIZED (
-            SELECT x.c, SUM(d.dz) AS tot FROM c$p x JOIN deg d ON d.z = x.n GROUP BY x.c),
+            SELECT x.c, SUM(d.dz) AS tot FROM lv$p x JOIN deg d ON d.z = x.n GROUP BY x.c),
           kic$r AS MATERIALIZED (
             SELECT s.a, cb.c AS cc, COUNT(*) AS kic
-            FROM sym s JOIN c$p cb ON cb.n = s.b GROUP BY s.a, cb.c),
+            FROM sym s JOIN lv$p cb ON cb.n = s.b GROUP BY s.a, cb.c),
           mv$r AS MATERIALIZED (
             SELECT a, ca, tc FROM (
               SELECT g.a, g.ca, g.cc AS tc, g.dq,
@@ -7291,7 +7472,7 @@ object PipelineOps extends OpGroup {
                   2 * mm.m * (k.kic - COALESCE(ka.kic, 0))
                     - d.dz * (tc.tot - ta.tot + d.dz) AS dq
                 FROM kic$r k
-                JOIN c$p o ON o.n = k.a
+                JOIN lv$p o ON o.n = k.a
                 JOIN deg d ON d.z = k.a
                 JOIN tot$r tc ON tc.c = k.cc
                 JOIN tot$r ta ON ta.c = o.c
@@ -7308,25 +7489,15 @@ object PipelineOps extends OpGroup {
             WHERE NOT COALESCE(
               s.cs = 1 AND t.member IS NOT NULL AND m2.tc = m.ca AND m.a > t.member,
               FALSE)),
-          c$r AS MATERIALIZED (
+          lv$r AS MATERIALIZED (
             SELECT b.n, COALESCE(g.tc, b.c) AS c
-            FROM c$p b LEFT JOIN grd$r g ON g.a = b.n),
+            FROM lv$p b LEFT JOIN grd$r g ON g.a = b.n),
           mvd$r AS MATERIALIZED (
-            SELECT COUNT(*) AS mvd FROM c$r x JOIN c$p y ON x.n = y.n
+            SELECT COUNT(*) AS mvd FROM lv$r x JOIN lv$p y ON x.n = y.n
             WHERE x.c <> y.c)"""
         }.mkString(",")
         s"""
-        WITH knn AS MATERIALIZED (
-          SELECT a, b FROM (
-            SELECT x.vec_id AS a, y.vec_id AS b,
-              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
-                y.vec_id) AS rk
-            FROM embeddings x JOIN embeddings y
-              ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= $MutualKnnK),
+        WITH $ivfKnnCtes,
         mutual AS MATERIALIZED (
           SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -7335,16 +7506,16 @@ object PipelineOps extends OpGroup {
           SELECT a, b FROM mutual UNION ALL SELECT b AS a, a AS b FROM mutual),
         deg AS MATERIALIZED (SELECT a AS z, COUNT(*) AS dz FROM sym GROUP BY 1),
         mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM mutual),
-        c0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS c FROM sym),
+        lv0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS c FROM sym),
         $rounds,
         ce AS MATERIALIZED (
           SELECT LEAST(x.c, y.c) AS ca, GREATEST(x.c, y.c) AS cb
-          FROM mutual m JOIN c4 x ON x.n = m.a JOIN c4 y ON y.n = m.b),
+          FROM mutual m JOIN lv4 x ON x.n = m.a JOIN lv4 y ON y.n = m.b),
         wE AS MATERIALIZED (
           SELECT ca, cb, COUNT(*) AS w FROM ce WHERE ca <> cb GROUP BY ca, cb),
         selfw AS MATERIALIZED (
           SELECT ca AS c, COUNT(*) AS sw FROM ce WHERE ca = cb GROUP BY ca),
-        supers AS MATERIALIZED (SELECT DISTINCT c FROM c4),
+        supers AS MATERIALIZED (SELECT DISTINCT c FROM lv4),
         kw AS MATERIALIZED (
           SELECT s.c, COALESCE(wd.wsum, 0) + 2 * COALESCE(sf.sw, 0) AS kw
           FROM supers s
@@ -7371,7 +7542,7 @@ object PipelineOps extends OpGroup {
           SELECT s.c AS super, COALESCE(g.tj, s.c) AS fc
           FROM supers s LEFT JOIN cmvg g ON g.i = s.c),
         basefin AS MATERIALIZED (
-          SELECT x.n, f.fc FROM c4 x JOIN cfin f ON f.super = x.c),
+          SELECT x.n, f.fc FROM lv4 x JOIN cfin f ON f.super = x.c),
         internal AS MATERIALIZED (
           SELECT fa.fc, COUNT(*) AS internal_edges
           FROM mutual m
@@ -7562,17 +7733,7 @@ object PipelineOps extends OpGroup {
           FROM kw$r k, mm"""
         }.mkString(" UNION ALL ")
         s"""
-        WITH knn AS MATERIALIZED (
-          SELECT a, b FROM (
-            SELECT x.vec_id AS a, y.vec_id AS b,
-              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
-                y.vec_id) AS rk
-            FROM embeddings x JOIN embeddings y
-              ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= $MutualKnnK),
+        WITH $ivfKnnCtes,
         mutual AS MATERIALIZED (
           SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -7655,17 +7816,7 @@ object PipelineOps extends OpGroup {
           .orderBy("scheme")
       },
       Some(s"""
-        WITH knn AS MATERIALIZED (
-          SELECT l, a, b FROM (
-            SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
-              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
-                y.vec_id) AS rk
-            FROM embeddings x JOIN embeddings y
-              ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= $MutualKnnK),
+        WITH $ivfKnnCtes,
         mutual AS MATERIALIZED (
           SELECT k1.l, k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -7769,17 +7920,7 @@ object PipelineOps extends OpGroup {
             UNION ALL SELECT n, $i AS hop FROM f$i)"""
         }.mkString(",")
         s"""
-        WITH knn AS MATERIALIZED (
-          SELECT l, a, b FROM (
-            SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
-              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
-                y.vec_id) AS rk
-            FROM embeddings x JOIN embeddings y
-              ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= $MutualKnnK),
+        WITH $ivfKnnCtes,
         mutual AS MATERIALIZED (
           SELECT k1.l, k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -7850,18 +7991,7 @@ object PipelineOps extends OpGroup {
                   ELSE 4 END"""
         val perLayer = (0 to 4).map { level =>
           s"""
-          n$level AS (SELECT vec_id, label, embedding FROM lay WHERE lyr >= $level),
-          k$level AS (
-            SELECT a, b FROM (
-              SELECT x.vec_id AS a, y.vec_id AS b,
-                ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                  list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                    / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                       * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
-                  y.vec_id) AS rk
-              FROM n$level x JOIN n$level y
-                ON x.label = y.label AND x.vec_id <> y.vec_id
-            ) WHERE rk <= $MutualKnnK),
+          n$level AS (SELECT vec_id FROM lay WHERE lyr >= $level),
           m$level AS (
             SELECT k1.a, k1.b FROM k$level k1 JOIN k$level k2
               ON k1.a = k2.b AND k1.b = k2.a
@@ -7873,11 +8003,14 @@ object PipelineOps extends OpGroup {
               (SELECT MIN(vec_id) FROM n$level) AS entry_node)"""
         }.mkString(",")
         s"""
-        WITH lay AS (
+        WITH lay AS MATERIALIZED (
           SELECT vec_id, label, embedding, $layerCase AS lyr FROM (
             SELECT vec_id, label, embedding,
               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
             FROM embeddings)),
+        $ivfKnnCtes,
+        ${ivfUpperKnnCtes("lay")},
+        k0 AS (SELECT a, b FROM knn),
         $perLayer
         SELECT layer, n_nodes, n_edges, entry_node FROM (
           SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
@@ -7892,26 +8025,31 @@ object PipelineOps extends OpGroup {
     // signature index, vec_index_upsert for IVF, now the graph index):
     // today's batch (vec_id % 10 = 0) is inserted into layers built on
     // the PRE-BATCH corpus ONLY (no leakage — the batch never shapes the
-    // graph it joins), with each new node's layer drawn from the SAME
-    // md5 geometric rule as the build op, so pre and post describe one
-    // index. Per occupied layer l ≤ lay(q): (1) candidates = ALL
-    // same-label pre-nodes of height ≥ l (the label block IS the
-    // candidate neighborhood); q links FORWARD to its top-M (M=3) by
-    // cosine — which provably contains q's exact in-label NN at that
-    // layer; (2) REVERSE links p→q arrive at the candidates; (3) EDGE
-    // REPAIR, bounded by the batch's candidate neighborhoods: only
-    // pre-nodes that RECEIVED an arrival re-rank their combined
-    // adjacency (old mutual links + arrivals) by cosine and keep the
-    // top-Mmax (=M+1) — the HNSW shrink step; untouched nodes are never
-    // read. Counts are over DIRECTED adjacency lists (n_pre_links = 2×
-    // the build op's mutual pair count). Output: per-layer index delta —
-    // the nightly report a graph-index maintainer alerts on (a pruned
-    // flood or a zero-insert layer both surface here). At 100 TB: the
-    // forward top-M is a label-blocked batch⋈corpus join (never
-    // all-pairs), repair touches O(|batch|·M) pre-nodes, and the layer
-    // tables are the persisted artifact vec_index_persist_reload
-    // round-trips. EquivalenceSuite pins the NN guarantee (every
-    // inserted node's exact in-label NN is in its forward list) and the
+    // graph it joins, and since round 19 the coarse quantizer that
+    // blocks candidates is ALSO trained on the pre-batch corpus only,
+    // the vec_index_upsert discipline: the standing index's routing
+    // structure predates the batch), with each new node's layer drawn
+    // from the SAME md5 geometric rule as the build op, so pre and post
+    // describe one index. Per occupied layer l ≤ lay(q): (1) candidates
+    // = the pre-nodes of height ≥ l ASSIGNED to q's top-2 probed trained
+    // cells (round 19 — the supervised label block is gone); q links
+    // FORWARD to its top-M (M=3) by cosine — which contains q's exact
+    // pre-NN within its probed cells; (2) REVERSE links p→q arrive at
+    // the candidates; (3) EDGE REPAIR, bounded by the batch's candidate
+    // neighborhoods: only pre-nodes that RECEIVED an arrival re-rank
+    // their combined adjacency (old mutual links + arrivals) by cosine
+    // and keep the top-Mmax (=M+1) — the HNSW shrink step; untouched
+    // nodes are never read. All 5 levels come out of ONE blocked pair
+    // join each for the graph and the forward links (round-19 verdict
+    // item 2b — the pair exploded to levels 0..min(height), ranked per
+    // (lvl, node), replacing 5 per-level joins + windows). Counts are
+    // over DIRECTED adjacency lists (n_pre_links = 2× mutual pairs).
+    // Output: per-layer index delta — the nightly report a graph-index
+    // maintainer alerts on. At 100 TB: the forward top-M is a
+    // cell-blocked batch⋈corpus join (never all-pairs), repair touches
+    // O(|batch|·M) pre-nodes, and the layer tables are the persisted
+    // artifact vec_index_persist_reload round-trips. EquivalenceSuite
+    // pins the layer nesting, the probed-cell NN guarantee and the
     // repair bound (only arrival-touched nodes prune).
     Op("vec_hnsw_insert",
       (s, dir) => {
@@ -7921,60 +8059,99 @@ object PipelineOps extends OpGroup {
         val mmax = MutualKnnK + 1
         val cosSim = expr("vec_dot(ea, eb)") /
           (Tables.safeNorm("ea") * Tables.safeNorm("eb"))
-        val perLevel = (0 to 4).map { level =>
-          val p = pre.filter(col("lay") >= level)
-          val b = bat.filter(col("lay") >= level)
-          val l = p.select(col("label").as("la"), col("vec_id").as("a"),
-            col("embedding").as("ea"))
-          val rr = p.select(col("label").as("lb"), col("vec_id").as("b"),
-            col("embedding").as("eb"))
-          val knn = l.join(rr, col("la") === col("lb") && col("a") =!= col("b"))
-            .withColumn("sim", cosSim)
-            .withColumn("rk", row_number().over(
-              Window.partitionBy("a").orderBy(desc("sim"), asc("b"))))
-            .filter(col("rk") <= MutualKnnK)
-            .select("a", "b")
-          val mutual = knn.filter(col("a") < col("b"))
-            .join(knn.select(col("b").as("a"), col("a").as("b")),
-              Seq("a", "b"), "leftsemi")
-          val sym = mutual.select(col("a").as("src"), col("b").as("dst"))
-            .union(mutual.select(col("b").as("src"), col("a").as("dst")))
-          // Forward links: each batch node's top-M same-label pre-nodes.
-          val ins = b.select(col("label").as("la"), col("vec_id").as("q"),
-              col("embedding").as("ea"))
-            .join(rr, col("la") === col("lb"))
-            .withColumn("sim", cosSim)
-            .withColumn("rk", row_number().over(
-              Window.partitionBy("q").orderBy(desc("sim"), asc("b"))))
-            .filter(col("rk") <= MutualKnnK)
-            .select(col("q"), col("b").as("p"))
-          // Repair: arrival-touched pre-nodes re-rank (old ∪ arrivals),
-          // keep top-Mmax by cosine to themselves.
-          val arrivals = ins.select(col("p").as("src"), col("q").as("dst"),
-            lit(1).as("isnew"))
-          val touched = arrivals.select("src").distinct()
-          val es = lay.select(col("vec_id").as("src"), col("embedding").as("ea"))
-          val edd = lay.select(col("vec_id").as("dst"), col("embedding").as("eb"))
-          val ranked = sym.join(touched, Seq("src"), "leftsemi")
-            .select(col("src"), col("dst"), lit(0).as("isnew"))
-            .union(arrivals)
-            .join(es, "src").join(edd, "dst")
-            .withColumn("sim", cosSim)
-            .withColumn("rk", row_number().over(
-              Window.partitionBy("src").orderBy(desc("sim"), asc("dst"))))
-          p.agg(count(lit(1)).as("n_pre_nodes"))
-            .crossJoin(sym.agg(count(lit(1)).as("n_pre_links")))
-            .crossJoin(b.agg(count(lit(1)).as("n_inserted")))
-            .crossJoin(ins.agg(count(lit(1)).as("n_fwd_links")))
-            .crossJoin(ranked.filter(col("rk") <= mmax && col("isnew") === 1)
-              .agg(count(lit(1)).as("n_rev_links_kept")))
-            .crossJoin(ranked.filter(col("rk") > mmax && col("isnew") === 0)
-              .agg(count(lit(1)).as("n_pruned_links")))
-            .select(lit(level).as("layer"), col("n_pre_nodes"),
-              col("n_pre_links"), col("n_inserted"), col("n_fwd_links"),
-              col("n_rev_links_kept"), col("n_pruned_links"))
-        }
-        perLevel.reduce(_.union(_)).orderBy("layer")
+        // Pre-batch-trained quantizer (3 Lloyd rounds over pre rows
+        // only); the returned assignment checkpoint is released once
+        // this key's action has run (the pagerank_ranks pattern).
+        val qAll = quantCorpus(s, dir)
+        val qpre = qAll.filter(col("vec_id") % 10 =!= 0)
+        val assign = kmeansLoop(qpre)
+        graft.Caches.track(s, dir, "hnsw_insert_quant", Set("vec_hnsw_insert"),
+          () => graft.Caches.releaseCheckpoint(assign))
+        val cellsB = broadcast(trainedCellSums(qpre, assign)
+          .select(col("c").as("pc"), col("svec"), col("n")))
+        val pw = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("pc"))
+        def probes(qv: org.apache.spark.sql.DataFrame) = qv.crossJoin(cellsB)
+          .withColumn("dist", expr("vec_l2q_dist(qv, svec, n)"))
+          .withColumn("prk", row_number().over(pw))
+          .filter(col("prk") <= IvfNprobe)
+          .select(col("vec_id"), col("pc"))
+        // Probed-cell candidates: pre members with layer + embedding.
+        val cand = assign
+          .join(pre.select(col("vec_id"), col("embedding").as("eb"),
+            col("lay").as("layb")), "vec_id")
+          .select(col("c").as("pc"), col("vec_id").as("b"), col("eb"), col("layb"))
+        // Pre-graph, ONE blocked join for all 5 levels.
+        val qa = probes(qpre)
+          .join(pre.select(col("vec_id"), col("embedding").as("ea"),
+            col("lay").as("laya")), "vec_id")
+          .select(col("vec_id").as("a"), col("ea"), col("laya"), col("pc"))
+        val w = Window.partitionBy("lvl", "a").orderBy(desc("sim"), asc("b"))
+        val knn = qa.join(cand, Seq("pc"))
+          .filter(col("a") =!= col("b"))
+          .withColumn("sim", cosSim)
+          .select(col("a"), col("b"), col("sim"),
+            explode(expr("sequence(0, least(laya, layb))")).as("lvl"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= MutualKnnK)
+          .select("lvl", "a", "b")
+        val mutual = knn.filter(col("a") < col("b"))
+          .join(knn.select(col("lvl"), col("b").as("a"), col("a").as("b")),
+            Seq("lvl", "a", "b"), "leftsemi")
+        val sym = mutual.select(col("lvl"), col("a").as("src"), col("b").as("dst"))
+          .union(mutual.select(col("lvl"), col("b").as("src"), col("a").as("dst")))
+        // Forward links: ONE blocked batch⋈candidates join, exploded.
+        val qbat = qAll.filter(col("vec_id") % 10 === 0)
+        val fw = Window.partitionBy("lvl", "q").orderBy(desc("sim"), asc("b"))
+        val ins = probes(qbat)
+          .join(bat.select(col("vec_id"), col("embedding").as("ea"),
+            col("lay").as("laya")), "vec_id")
+          .select(col("vec_id").as("q"), col("ea"), col("laya"), col("pc"))
+          .join(cand, Seq("pc"))
+          .withColumn("sim", cosSim)
+          .select(col("q"), col("b"), col("sim"),
+            explode(expr("sequence(0, least(laya, layb))")).as("lvl"))
+          .withColumn("rk", row_number().over(fw))
+          .filter(col("rk") <= MutualKnnK)
+          .select(col("lvl"), col("q"), col("b").as("p"))
+        // Repair: arrival-touched pre-nodes re-rank (old ∪ arrivals),
+        // keep top-Mmax by cosine to themselves.
+        val arrivals = ins.select(col("lvl"), col("p").as("src"),
+          col("q").as("dst"), lit(1).as("isnew"))
+        val touched = arrivals.select("lvl", "src").distinct()
+        val es = lay.select(col("vec_id").as("src"), col("embedding").as("ea"))
+        val edd = lay.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+        val rw = Window.partitionBy("lvl", "src").orderBy(desc("sim"), asc("dst"))
+        val ranked = sym.join(touched, Seq("lvl", "src"), "leftsemi")
+          .select(col("lvl"), col("src"), col("dst"), lit(0).as("isnew"))
+          .union(arrivals)
+          .join(es, "src").join(edd, "dst")
+          .withColumn("sim", cosSim)
+          .withColumn("rk", row_number().over(rw))
+        // Per-layer stats over an explicit 0..4 frame (levels with no
+        // links report 0, exactly the old per-level aggregate behavior).
+        val lvls = s.range(0, 5).select(col("id").cast("int").as("lvl"))
+        def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.groupBy("lvl").agg(count(lit(1)).as(name))
+        val preN = cnt(pre.select(explode(expr("sequence(0, lay)")).as("lvl")),
+          "n_pre_nodes")
+        val batN = cnt(bat.select(explode(expr("sequence(0, lay)")).as("lvl")),
+          "n_inserted")
+        lvls.join(preN, Seq("lvl"), "left")
+          .join(cnt(sym, "n_pre_links"), Seq("lvl"), "left")
+          .join(batN, Seq("lvl"), "left")
+          .join(cnt(ins, "n_fwd_links"), Seq("lvl"), "left")
+          .join(cnt(ranked.filter(col("rk") <= mmax && col("isnew") === 1),
+            "n_rev_links_kept"), Seq("lvl"), "left")
+          .join(cnt(ranked.filter(col("rk") > mmax && col("isnew") === 0),
+            "n_pruned_links"), Seq("lvl"), "left")
+          .select(col("lvl").as("layer"),
+            coalesce(col("n_pre_nodes"), lit(0L)).as("n_pre_nodes"),
+            coalesce(col("n_pre_links"), lit(0L)).as("n_pre_links"),
+            coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
+            coalesce(col("n_fwd_links"), lit(0L)).as("n_fwd_links"),
+            coalesce(col("n_rev_links_kept"), lit(0L)).as("n_rev_links_kept"),
+            coalesce(col("n_pruned_links"), lit(0L)).as("n_pruned_links"))
+          .orderBy("layer")
       },
       Some {
         val layerCase =
@@ -7987,54 +8164,6 @@ object PipelineOps extends OpGroup {
           s"""list_dot_product($x, $y)
               / (sqrt(greatest(list_sum(list_transform($x, v -> v * v)), 1e-300))
                  * sqrt(greatest(list_sum(list_transform($y, v -> v * v)), 1e-300)))"""
-        val perLayer = (0 to 4).map { level =>
-          s"""
-          p$level AS (SELECT * FROM lay WHERE lyr >= $level AND vec_id % 10 <> 0),
-          b$level AS (SELECT * FROM lay WHERE lyr >= $level AND vec_id % 10 = 0),
-          k$level AS MATERIALIZED (
-            SELECT a, b FROM (
-              SELECT x.vec_id AS a, y.vec_id AS b,
-                ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                  ${cos("x.embedding", "y.embedding")} DESC, y.vec_id) AS rk
-              FROM p$level x JOIN p$level y
-                ON x.label = y.label AND x.vec_id <> y.vec_id
-            ) WHERE rk <= $MutualKnnK),
-          m$level AS MATERIALIZED (
-            SELECT k1.a, k1.b FROM k$level k1 JOIN k$level k2
-              ON k1.a = k2.b AND k1.b = k2.a
-            WHERE k1.a < k1.b),
-          sym$level AS (
-            SELECT a AS src, b AS dst FROM m$level
-            UNION ALL SELECT b, a FROM m$level),
-          ins$level AS MATERIALIZED (
-            SELECT q, p FROM (
-              SELECT x.vec_id AS q, y.vec_id AS p,
-                ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                  ${cos("x.embedding", "y.embedding")} DESC, y.vec_id) AS rk
-              FROM b$level x JOIN p$level y ON x.label = y.label
-            ) WHERE rk <= $MutualKnnK),
-          rk$level AS MATERIALIZED (
-            SELECT isnew, ROW_NUMBER() OVER (PARTITION BY src
-              ORDER BY sim DESC, dst) AS rk FROM (
-              SELECT t.src, t.dst, t.isnew,
-                ${cos("se.embedding", "de.embedding")} AS sim
-              FROM (
-                SELECT src, dst, 0 AS isnew FROM sym$level
-                WHERE src IN (SELECT p FROM ins$level)
-                UNION ALL SELECT p, q, 1 FROM ins$level) t
-              JOIN lay se ON se.vec_id = t.src
-              JOIN lay de ON de.vec_id = t.dst)),
-          st$level AS (
-            SELECT $level AS layer,
-              (SELECT COUNT(*) FROM p$level) AS n_pre_nodes,
-              (SELECT COUNT(*) FROM sym$level) AS n_pre_links,
-              (SELECT COUNT(*) FROM b$level) AS n_inserted,
-              (SELECT COUNT(*) FROM ins$level) AS n_fwd_links,
-              (SELECT COUNT(*) FROM rk$level
-               WHERE rk <= ${MutualKnnK + 1} AND isnew = 1) AS n_rev_links_kept,
-              (SELECT COUNT(*) FROM rk$level
-               WHERE rk > ${MutualKnnK + 1} AND isnew = 0) AS n_pruned_links)"""
-        }.mkString(",")
         s"""
         WITH lay AS MATERIALIZED (
           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding,
@@ -8042,18 +8171,113 @@ object PipelineOps extends OpGroup {
             SELECT vec_id, label, embedding,
               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
             FROM embeddings)),
-        $perLayer
-        SELECT CAST(layer AS INT) AS layer,
-          CAST(n_pre_nodes AS BIGINT) AS n_pre_nodes,
-          CAST(n_pre_links AS BIGINT) AS n_pre_links,
-          CAST(n_inserted AS BIGINT) AS n_inserted,
-          CAST(n_fwd_links AS BIGINT) AS n_fwd_links,
-          CAST(n_rev_links_kept AS BIGINT) AS n_rev_links_kept,
-          CAST(n_pruned_links AS BIGINT) AS n_pruned_links
-        FROM (
-          SELECT * FROM st0 UNION ALL SELECT * FROM st1
-          UNION ALL SELECT * FROM st2 UNION ALL SELECT * FROM st3
-          UNION ALL SELECT * FROM st4)
+        ${kmeansCtes("vec_id % 10 <> 0")},
+        ksum AS (
+          SELECT clabel, list(sv ORDER BY pos) AS svec, MAX(n) AS n FROM (
+            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM (
+              SELECT a.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
+                unnest(q.qv) AS v
+              FROM q JOIN a3 a USING (vec_id)
+            ) GROUP BY clabel, pos
+          ) GROUP BY clabel),
+        bq AS (
+          SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS qv
+          FROM embeddings WHERE vec_id % 10 = 0),
+        pprobes AS MATERIALIZED (
+          SELECT vec_id AS a, clabel AS pc FROM (
+            SELECT vec_id, clabel,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS prk
+            FROM (
+              SELECT q.vec_id, k.clabel,
+                list_sum(list_transform(range(1, len(qv) + 1), i ->
+                  (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n)
+                    * (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n))) AS dist
+              FROM q, ksum k
+            )
+          ) WHERE prk <= $IvfNprobe),
+        bprobes AS MATERIALIZED (
+          SELECT vec_id AS a, clabel AS pc FROM (
+            SELECT vec_id, clabel,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS prk
+            FROM (
+              SELECT bq.vec_id, k.clabel,
+                list_sum(list_transform(range(1, len(qv) + 1), i ->
+                  (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n)
+                    * (CAST(qv[i] AS DOUBLE) - CAST(svec[i] AS DOUBLE) / n))) AS dist
+              FROM bq, ksum k
+            )
+          ) WHERE prk <= $IvfNprobe),
+        pknn AS MATERIALIZED (
+          SELECT lvl, a, b FROM (
+            SELECT lvl, a, b,
+              ROW_NUMBER() OVER (PARTITION BY lvl, a ORDER BY cos DESC, b) AS rk
+            FROM (
+              SELECT unnest(range(0, least(x.lyr, y.lyr) + 1)) AS lvl,
+                p.a, y.vec_id AS b,
+                ${cos("x.embedding", "y.embedding")} AS cos
+              FROM pprobes p
+              JOIN lay x ON x.vec_id = p.a
+              JOIN a3 ON a3.c = p.pc
+              JOIN lay y ON y.vec_id = a3.vec_id AND y.vec_id <> p.a
+            )
+          ) WHERE rk <= $MutualKnnK),
+        pmut AS MATERIALIZED (
+          SELECT k1.lvl, k1.a, k1.b FROM pknn k1 JOIN pknn k2
+            ON k1.lvl = k2.lvl AND k1.a = k2.b AND k1.b = k2.a
+          WHERE k1.a < k1.b),
+        psym AS MATERIALIZED (
+          SELECT lvl, a AS src, b AS dst FROM pmut
+          UNION ALL SELECT lvl, b, a FROM pmut),
+        fwd AS MATERIALIZED (
+          SELECT lvl, qn, p FROM (
+            SELECT lvl, qn, p,
+              ROW_NUMBER() OVER (PARTITION BY lvl, qn ORDER BY cos DESC, p) AS rk
+            FROM (
+              SELECT unnest(range(0, least(x.lyr, y.lyr) + 1)) AS lvl,
+                bp.a AS qn, y.vec_id AS p,
+                ${cos("x.embedding", "y.embedding")} AS cos
+              FROM bprobes bp
+              JOIN lay x ON x.vec_id = bp.a
+              JOIN a3 ON a3.c = bp.pc
+              JOIN lay y ON y.vec_id = a3.vec_id
+            )
+          ) WHERE rk <= $MutualKnnK),
+        rkt AS MATERIALIZED (
+          SELECT lvl, isnew, ROW_NUMBER() OVER (PARTITION BY lvl, src
+            ORDER BY sim DESC, dst) AS rk FROM (
+            SELECT t.lvl, t.src, t.dst, t.isnew,
+              ${cos("se.embedding", "de.embedding")} AS sim
+            FROM (
+              SELECT s.lvl, s.src, s.dst, 0 AS isnew FROM psym s
+              WHERE EXISTS (SELECT 1 FROM fwd f WHERE f.lvl = s.lvl AND f.p = s.src)
+              UNION ALL SELECT lvl, p, qn, 1 FROM fwd) t
+            JOIN lay se ON se.vec_id = t.src
+            JOIN lay de ON de.vec_id = t.dst)),
+        lvls AS (SELECT unnest(range(0, 5)) AS lvl),
+        pcnt AS (
+          SELECT l.lvl, COUNT(*) AS n_pre_nodes FROM lvls l
+          JOIN lay x ON x.lyr >= l.lvl AND x.vec_id % 10 <> 0 GROUP BY l.lvl),
+        bcnt AS (
+          SELECT l.lvl, COUNT(*) AS n_inserted FROM lvls l
+          JOIN lay x ON x.lyr >= l.lvl AND x.vec_id % 10 = 0 GROUP BY l.lvl),
+        ecnt AS (SELECT lvl, COUNT(*) AS n_pre_links FROM psym GROUP BY lvl),
+        fcnt AS (SELECT lvl, COUNT(*) AS n_fwd_links FROM fwd GROUP BY lvl),
+        kcnt AS (SELECT lvl, COUNT(*) AS n_rev FROM rkt
+          WHERE rk <= ${MutualKnnK + 1} AND isnew = 1 GROUP BY lvl),
+        prcnt AS (SELECT lvl, COUNT(*) AS n_prn FROM rkt
+          WHERE rk > ${MutualKnnK + 1} AND isnew = 0 GROUP BY lvl)
+        SELECT CAST(l.lvl AS INT) AS layer,
+          CAST(COALESCE(pc.n_pre_nodes, 0) AS BIGINT) AS n_pre_nodes,
+          CAST(COALESCE(ec.n_pre_links, 0) AS BIGINT) AS n_pre_links,
+          CAST(COALESCE(bc.n_inserted, 0) AS BIGINT) AS n_inserted,
+          CAST(COALESCE(fc.n_fwd_links, 0) AS BIGINT) AS n_fwd_links,
+          CAST(COALESCE(kc.n_rev, 0) AS BIGINT) AS n_rev_links_kept,
+          CAST(COALESCE(pr.n_prn, 0) AS BIGINT) AS n_pruned_links
+        FROM lvls l
+        LEFT JOIN pcnt pc USING (lvl) LEFT JOIN ecnt ec USING (lvl)
+        LEFT JOIN bcnt bc USING (lvl) LEFT JOIN fcnt fc USING (lvl)
+        LEFT JOIN kcnt kc USING (lvl) LEFT JOIN prcnt pr USING (lvl)
         ORDER BY layer
         """.trim
       }),
@@ -8125,17 +8349,7 @@ object PipelineOps extends OpGroup {
         }
       },
       Some(s"""
-        WITH RECURSIVE knn AS MATERIALIZED (
-          SELECT l, a, b FROM (
-            SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
-              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
-                y.vec_id) AS rk
-            FROM embeddings x JOIN embeddings y
-              ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= $MutualKnnK),
+        WITH RECURSIVE $ivfKnnCtes,
         mutual AS MATERIALIZED (
           SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -8145,11 +8359,11 @@ object PipelineOps extends OpGroup {
           UNION ALL SELECT b, a FROM mutual),
         scored AS (
           SELECT e.vec_id,
-            list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qemb)
+            list_dot_product(CAST(e.embedding AS DOUBLE[]), qx.qemb)
               / (sqrt(greatest(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                 * sqrt(greatest(list_sum(list_transform(q.qemb, v -> v * v)), 1e-300))) AS sim
+                 * sqrt(greatest(list_sum(list_transform(qx.qemb, v -> v * v)), 1e-300))) AS sim
           FROM embeddings e,
-            (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0) q
+            (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0) qx
           WHERE e.vec_id <> 0),
         rec AS (
           SELECT 0 AS step, (SELECT MIN(src) FROM sym) AS cur
@@ -8286,17 +8500,7 @@ object PipelineOps extends OpGroup {
         }
       },
       Some(s"""
-        WITH RECURSIVE knn AS MATERIALIZED (
-          SELECT l, a, b FROM (
-            SELECT x.label AS l, x.vec_id AS a, y.vec_id AS b,
-              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-                  / (sqrt(greatest(list_sum(list_transform(CAST(x.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                     * sqrt(greatest(list_sum(list_transform(CAST(y.embedding AS DOUBLE[]), v -> v * v)), 1e-300))) DESC,
-                y.vec_id) AS rk
-            FROM embeddings x JOIN embeddings y
-              ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= $MutualKnnK),
+        WITH RECURSIVE $ivfKnnCtes,
         mutual AS MATERIALIZED (
           SELECT k1.a, k1.b FROM knn k1 JOIN knn k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -8306,11 +8510,11 @@ object PipelineOps extends OpGroup {
           UNION ALL SELECT b, a FROM mutual),
         scored AS (
           SELECT e.vec_id,
-            list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qemb)
+            list_dot_product(CAST(e.embedding AS DOUBLE[]), qx.qemb)
               / (sqrt(greatest(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), v -> v * v)), 1e-300))
-                 * sqrt(greatest(list_sum(list_transform(q.qemb, v -> v * v)), 1e-300))) AS sim
+                 * sqrt(greatest(list_sum(list_transform(qx.qemb, v -> v * v)), 1e-300))) AS sim
           FROM embeddings e,
-            (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0) q
+            (SELECT CAST(embedding AS DOUBLE[]) AS qemb FROM embeddings WHERE vec_id = 0) qx
           WHERE e.vec_id <> 0),
         rec AS (
           SELECT 0 AS step, [(SELECT MIN(src) FROM sym)] AS beam
@@ -8581,18 +8785,12 @@ object PipelineOps extends OpGroup {
               / (sqrt(greatest(list_sum(list_transform($x, v -> v * v)), 1e-300))
                  * sqrt(greatest(list_sum(list_transform($y, v -> v * v)), 1e-300)))"""
         // Per-level graphs over ALL nodes (the shared-index convention —
-        // no vec_id exclusions; queries are corpus members here).
+        // no vec_id exclusions; queries are corpus members here). The
+        // per-level kNNs come from the TRAINED-IVF chain (round 19):
+        // ivfUpperKnnCtes' hknn → k1..k4; the batch-query CTE is named qb
+        // because the blocking chain owns `q` in this namespace.
         val perLayer = (1 to 4).map { level =>
           s"""
-          n$level AS (SELECT vec_id, label, embedding FROM layq WHERE lyr >= $level),
-          k$level AS MATERIALIZED (
-            SELECT a, b FROM (
-              SELECT x.vec_id AS a, y.vec_id AS b,
-                ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                  ${cos("x.embedding", "y.embedding")} DESC, y.vec_id) AS rk
-              FROM n$level x JOIN n$level y
-                ON x.label = y.label AND x.vec_id <> y.vec_id
-            ) WHERE rk <= $MutualKnnK),
           s$level AS MATERIALIZED (
             SELECT k1.a, k1.b FROM k$level k1 JOIN k$level k2
               ON k1.a = k2.b AND k1.b = k2.a
@@ -8601,61 +8799,75 @@ object PipelineOps extends OpGroup {
             SELECT a AS src, b AS dst FROM s$level
             UNION ALL SELECT b, a FROM s$level)"""
         }.mkString(",")
-        // Batched greedy descent 4→1: the recursion rows carry qid — all
-        // queries advance together, one recursive step per hop.
-        // Lateral-referenced CTEs (scored, g*) stay PLAIN (the round-14
-        // correlation-loss finding); the uncorrelated upstream kNN
-        // builds are MATERIALIZED (round-15 split, output-equal at all
-        // SFs — see vec_hnsw_search's oracle note).
+        // Batched greedy descent 4→1: the state rows carry qid — all
+        // queries advance together, one step per hop. UNROLLED into
+        // plain windowed CTEs (round 19): the recursive-LATERAL
+        // formulation's correlation proved plan-dependent once the IVF
+        // blocking chain joined the statement (see vec_hnsw_search's
+        // oracle note) — each unrolled step is an ordinary per-qid
+        // rank over an uncorrelated join, so there is no correlation
+        // to lose and the round-15 step-1 guard is retired.
         val descent = (4 to 1 by -1).map { level =>
-          val seed = if (level == 4) "SELECT 0 AS step, qid, cur FROM st0"
-            else s"SELECT 0 AS step, qid, cur FROM e${level + 1}"
+          val seed = if (level == 4) "SELECT qid, cur FROM st0"
+            else s"SELECT qid, cur FROM b${level + 1}_6"
+          val steps = (1 to 6).map { st =>
+            s"""
+          b${level}_$st AS MATERIALIZED (
+            SELECT qid, nid AS cur FROM (
+              SELECT qid, nid,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+              FROM (
+                SELECT p.qid, s.vec_id AS nid, s.sim
+                FROM b${level}_${st - 1} p
+                JOIN g$level g ON g.src = p.cur
+                JOIN scored s ON s.vec_id = g.dst AND s.qid = p.qid
+                UNION ALL
+                SELECT p.qid, p.cur, s.sim
+                FROM b${level}_${st - 1} p
+                JOIN scored s ON s.vec_id = p.cur AND s.qid = p.qid
+              )) WHERE rk = 1)"""
+          }.mkString(",")
           s"""
-          rec$level AS (
-            $seed
-            UNION ALL
-            SELECT r.step + 1, r.qid, n.nid FROM rec$level r,
-              LATERAL (
-                SELECT nid FROM (
-                  SELECT s.vec_id AS nid, s.sim FROM g$level g
-                    JOIN scored s ON s.vec_id = g.dst
-                  WHERE g.src = r.cur AND s.qid = r.qid
-                  UNION ALL SELECT r.cur,
-                    (SELECT sim FROM scored WHERE vec_id = r.cur AND qid = r.qid)
-                ) ORDER BY sim DESC, nid LIMIT 1
-              ) n
-            WHERE r.step < 6),
-          e$level AS (SELECT qid, cur FROM rec$level WHERE step = 6)"""
+          b${level}_0 AS ($seed),$steps"""
+        }.mkString(",")
+        val beamSteps = (1 to 6).map { i =>
+          s"""
+          bm$i AS MATERIALIZED (
+            SELECT qid, list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) AS beam FROM (
+              SELECT p.qid, s.vec_id AS nid, s.sim
+              FROM (SELECT qid, unnest(beam) AS cur FROM bm${i - 1}) p
+              JOIN g0 g ON g.src = p.cur
+              JOIN scored s ON s.vec_id = g.dst AND s.qid = p.qid
+              UNION
+              SELECT p.qid, p.cur, s.sim
+              FROM (SELECT qid, unnest(beam) AS cur FROM bm${i - 1}) p
+              JOIN scored s ON s.vec_id = p.cur AND s.qid = p.qid
+            ) GROUP BY qid)"""
         }.mkString(",")
         s"""
-        WITH RECURSIVE layq AS MATERIALIZED (
+        WITH layq AS MATERIALIZED (
           SELECT vec_id, label, embedding, $layerCase AS lyr FROM (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding,
               CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
             FROM embeddings)),
-        q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qemb
+        qb AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qemb
               FROM embeddings WHERE vec_id % 97 = 0),
         scored AS (
-          SELECT q.qid, l.vec_id, ${cos("l.embedding", "q.qemb")} AS sim
-          FROM layq l, q WHERE l.vec_id <> q.qid),
+          SELECT qb.qid, l.vec_id, ${cos("l.embedding", "qb.qemb")} AS sim
+          FROM layq l, qb WHERE l.vec_id <> qb.qid),
         ent AS (
           SELECT vec_id, erk FROM (
             SELECT vec_id, ROW_NUMBER() OVER (ORDER BY lyr DESC, vec_id) AS erk
             FROM layq) WHERE erk <= 2),
         st0 AS (
           SELECT qid, vec_id AS cur FROM (
-            SELECT q.qid, e.vec_id,
-              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY e.erk) AS rk
-            FROM q JOIN ent e ON e.vec_id <> q.qid) WHERE rk = 1),
+            SELECT qb.qid, e.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY qb.qid ORDER BY e.erk) AS rk
+            FROM qb JOIN ent e ON e.vec_id <> qb.qid) WHERE rk = 1),
+        $ivfKnnCtes,
+        ${ivfUpperKnnCtes("layq")},
         $perLayer,
-        k0 AS MATERIALIZED (
-          SELECT a, b FROM (
-            SELECT x.vec_id AS a, y.vec_id AS b,
-              ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-                ${cos("CAST(x.embedding AS DOUBLE[])", "CAST(y.embedding AS DOUBLE[])")} DESC, y.vec_id) AS rk
-            FROM embeddings x JOIN embeddings y
-              ON x.label = y.label AND x.vec_id <> y.vec_id
-          ) WHERE rk <= $MutualKnnK),
+        k0 AS MATERIALIZED (SELECT a, b FROM knn),
         m0 AS MATERIALIZED (
           SELECT k1.a, k1.b FROM k0 k1 JOIN k0 k2
             ON k1.a = k2.b AND k1.b = k2.a
@@ -8663,47 +8875,9 @@ object PipelineOps extends OpGroup {
         g0 AS (
           SELECT a AS src, b AS dst FROM m0 UNION ALL SELECT b, a FROM m0),
         $descent,
-        rec0 AS (
-          SELECT 0 AS step, qid, [cur] AS beam FROM e1
-          UNION ALL
-          SELECT r.step + 1, r.qid, n.nb FROM rec0 r,
-            LATERAL (
-              SELECT list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) AS nb FROM (
-                SELECT s.vec_id AS nid, s.sim FROM g0 g
-                  JOIN scored s ON s.vec_id = g.dst
-                WHERE list_contains(r.beam, g.src) AND s.qid = r.qid
-                UNION
-                SELECT u.nid, s2.sim
-                FROM (SELECT unnest(r.beam) AS nid) u
-                  JOIN scored s2 ON s2.vec_id = u.nid AND s2.qid = r.qid
-              )
-            ) n
-          WHERE r.step < 6),
-        fin AS (SELECT qid, beam[1] AS found FROM rec0 WHERE step = 6),
-        expected1 AS (
-          SELECT qid, list_slice(list(nid ORDER BY sim DESC, nid), 1, 4) AS nb FROM (
-            SELECT e1.qid AS qid, s.vec_id AS nid, s.sim AS sim
-            FROM e1 JOIN g0 g ON g.src = e1.cur
-              JOIN scored s ON s.vec_id = g.dst AND s.qid = e1.qid
-            UNION
-            SELECT e1.qid, s2.vec_id, s2.sim
-            FROM e1 JOIN scored s2 ON s2.vec_id = e1.cur AND s2.qid = e1.qid
-          ) GROUP BY qid),
-        guard AS (
-          -- Structural guard (round-15 advice): the beam recursion's
-          -- step-1 state must equal a STATICALLY recomputed step 1 (a
-          -- plain non-recursive join, immune to the DuckDB lateral-
-          -- correlation loss this guards against). A silent correlation
-          -- loss leaves every beam at its seed — this errors LOUDLY
-          -- instead of producing a plausible wrong answer.
-          SELECT CASE WHEN
-              (SELECT COUNT(*) FROM rec0 r JOIN expected1 x ON r.qid = x.qid
-               WHERE r.step = 1 AND r.beam IS DISTINCT FROM x.nb) = 0
-              AND (SELECT COUNT(*) FROM rec0 WHERE step = 1)
-                  = (SELECT COUNT(*) FROM expected1)
-            THEN 1
-            ELSE CAST('walk-oracle guard: beam recursion step 1 diverged from its static recomputation (lateral correlation lost?)' AS INT)
-            END AS ok),
+        bm0 AS (SELECT qid, [cur] AS beam FROM b1_6),
+        $beamSteps,
+        fin AS (SELECT qid, beam[1] AS found FROM bm6),
         ex AS (
           SELECT qid, vec_id AS exact_id,
             CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS exact_sim
@@ -8716,8 +8890,7 @@ object PipelineOps extends OpGroup {
             WHERE vec_id = f.found AND qid = f.qid) AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0 AS found_sim,
           ex.exact_id, ex.exact_sim,
           (f.found = ex.exact_id) AS hit
-        FROM fin f JOIN ex ON f.qid = ex.qid CROSS JOIN guard
-        WHERE guard.ok = 1
+        FROM fin f JOIN ex ON f.qid = ex.qid
         ORDER BY f.qid
         """.trim
       }),

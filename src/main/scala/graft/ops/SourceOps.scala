@@ -642,8 +642,120 @@ object SourceOps extends OpGroup {
             lit(serialMatch).as("serial_match"))
           .orderBy("c_mktsegment")
       },
-      None)
+      None),
+
+    // SCHEMA EVOLUTION through the transaction log (round-18 verdict
+    // item 4) — the lakehouse answer to "the table's shape changed but
+    // petabytes of old files must stay readable": commit 0 declares
+    // schema v0 (bal_cents INT) and adds f0 written under it; commit 1
+    // is a pure `"action":"schema"` record declaring v1 — bal_cents
+    // WIDENED int→bigint plus a NEW c_nationkey column — touching no
+    // data file; commit 2 adds f1 written under v1. A snapshot read
+    // serves the LATEST schema: files are grouped by the schema_id their
+    // add action recorded (groups are bounded by |schema versions|,
+    // never |files| — the at-scale property; no per-file driver loop),
+    // each group is read under its own physical schema and ALIGNED to
+    // the table schema — missing columns NULL-backfilled, narrower
+    // integers cast up; a time-travel read with ceiling 0 serves v0's
+    // 3 columns untouched (old readers see the old shape — in-band
+    // v1_cols/v1_rows columns prove it). parquet mergeSchema cannot do
+    // this (INT vs BIGINT conflict fails the merge) — the log's schema
+    // actions are the authority, exactly Delta/Iceberg's metadata
+    // action. The multi-writer race with a schema-action commit in
+    // flight is pinned in EquivalenceSuite (commitWithRetry resolves it
+    // like any other commit — schema changes are just commits).
+    Op("src_txn_log_schema_evolution",
+      (s, dir) => {
+        val root = Tables.tmpDir("graft_txn_schema")
+        val logDir = java.nio.file.Paths.get(root, "log")
+        java.nio.file.Files.createDirectories(logDir)
+        val c = Tables.t(s, dir, "customer")
+        c.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            expr("CAST(round(c_acctbal * 100, 0) AS INT)").as("bal_cents"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/data/f0")
+        c.filter(col("c_custkey") % 2 === 1)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("bal_cents"),
+            col("c_nationkey"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/data/f1")
+        val v0 = "c_custkey BIGINT, c_mktsegment STRING, bal_cents INT"
+        val v1 = "c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT, c_nationkey INT"
+        def put(id: Int, lines: String*): Unit =
+          java.nio.file.Files.write(logDir.resolve(f"$id%03d.json"),
+            lines.mkString("\n").getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+        put(0,
+          s"""{"commit": 0, "action": "schema", "schema_id": 0, "schema": "$v0"}""",
+          s"""{"commit": 0, "action": "add", "path": "f0", "schema_id": 0}""")
+        put(1,
+          s"""{"commit": 1, "action": "schema", "schema_id": 1, "schema": "$v1"}""")
+        put(2,
+          s"""{"commit": 2, "action": "add", "path": "f1", "schema_id": 1}""")
+        val snapshot = schemaEvolvedRead(s, root, asOf = Int.MaxValue)
+        val asOf0 = schemaEvolvedRead(s, root, asOf = 0)
+        snapshot.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum("bal_cents").as("bal_cents"),
+            sum(when(col("c_nationkey").isNull, 1L).otherwise(0L))
+              .as("n_backfilled"),
+            sum(coalesce(col("c_nationkey").cast("long"), lit(0L)))
+              .as("nation_sum"))
+          .withColumn("v1_cols", lit(asOf0.schema.size))
+          .withColumn("v1_rows", lit(asOf0.count()))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n,
+          CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents,
+          CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled,
+          CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN c_nationkey ELSE 0 END) AS BIGINT) AS nation_sum,
+          CAST(3 AS INT) AS v1_cols,
+          (SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 0) AS v1_rows
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """.trim))
   )
+
+  /** Replay `root`'s transaction log up to `asOf` and serve the live
+    * files under the latest schema action's shape: live paths are
+    * grouped by the schema_id their add action recorded, each group read
+    * under its own physical schema (from the log's schema records — the
+    * log, not the files, is the authority) and aligned to the target —
+    * absent columns NULL-backfilled, present columns cast to the target
+    * type (the widening path). Group count is bounded by the number of
+    * schema versions ever declared, so the per-group loop is metadata-
+    * sized at any corpus scale. private[graft]: EquivalenceSuite replays
+    * a log written by racing writers through this exact reader.
+    */
+  private[graft] def schemaEvolvedRead(
+      s: org.apache.spark.sql.SparkSession, root: String,
+      asOf: Int): org.apache.spark.sql.DataFrame = {
+    val log = s.read
+      .schema("commit INT, action STRING, path STRING, schema_id INT, schema STRING")
+      .json(s"$root/log")
+      .filter(col("commit") <= asOf)
+    val schemas = log.filter(col("action") === "schema")
+      .select("schema_id", "schema").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val target = org.apache.spark.sql.types.StructType
+      .fromDDL(schemas(schemas.keys.max))
+    val liveRows = log.filter(col("action").isin("add", "remove"))
+      .groupBy("path")
+      .agg(max(struct(col("commit"), col("action"))).as("last"),
+        max(when(col("action") === "add", col("schema_id"))).as("sid"))
+      .filter(col("last.action") === "add")
+      .select("path", "sid").collect()
+    liveRows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (sid, rows) =>
+      val df = s.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(schemas(sid)))
+        .parquet(rows.map(r => s"$root/data/${r.getString(0)}").toIndexedSeq: _*)
+      val have = df.columns.toSet
+      df.select(target.fields.toIndexedSeq.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }.reduce(_.unionAll(_))
+  }
 
   /** Next commit id = 1 + the highest id in the log (0 on an empty log)
     * — what an optimistic writer computes from its snapshot read. Only

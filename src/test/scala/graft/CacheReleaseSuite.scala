@@ -40,10 +40,19 @@ class CacheReleaseSuite extends AnyFunSuite {
     // pair, whose OTHER consumers don't run in this test — report them
     // done (bookkeeping only, as a full Bench/Verify pass would) so the
     // block count below measures the sim family, not the kmeans cache's
-    // legitimate residency.
+    // legitimate residency. Round 19: the set includes the whole
+    // graph/walk family (the trained quantizer now blocks the kNN-graph
+    // fixture builds).
     Seq("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk",
       "vec_ivf_probe_sweep", "vec_pq_residual_topk", "vec_ivf_cell_stats",
-      "vec_knn_graph_ivf", "vec_semantic_dedup_ivf")
+      "vec_knn_graph_ivf", "vec_semantic_dedup_ivf",
+      "graph_triangle_count", "graph_connected_components",
+      "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
+      "vec_graph_beam_search", "graph_louvain_step", "graph_louvain_converge",
+      "graph_louvain_multilevel", "graph_kcore_peel", "vec_hnsw_search",
+      "vec_hnsw_build", "graph_bfs_hops", "graph_modularity",
+      "vec_hnsw_batch_search", "vec_hnsw_persist_search",
+      "graph_pagerank_persist_serve")
       .foreach(Caches.keyDone(spark, dir, _))
     // Entry removal alone would pass even if the release closure stopped
     // unpersisting — assert the block-manager blocks actually went away.
@@ -82,9 +91,10 @@ class CacheReleaseSuite extends AnyFunSuite {
   test("restricted schedule: a single-key vec_graph_greedy_search run pins nothing") {
     // Round-16 advice item 2 (closed round 18): a restricted pass
     // (Verify/InvarianceSweep key subset, a dev loop) declares its
-    // schedule, so mutual_knn_edges — whose full consumer set names 15
-    // keys that will never run here — releases at THIS key's keyDone
-    // instead of pinning its blocks until session death.
+    // schedule, so mutual_knn_edges (and, since round 19, the
+    // kmeans_trained pair its build routes through) — whose full
+    // consumer sets name 16+ keys that will never run here — release at
+    // THIS key's keyDone instead of pinning blocks until session death.
     Caches.releaseAll(spark, dir)
     Caches.schedule(spark, dir, Set("vec_graph_greedy_search"))
     try {

@@ -617,6 +617,90 @@ class EquivalenceSuite extends AnyFunSuite {
     assert(replayPaths.distinct.size == 32, "log replay shows a duplicated path")
   }
 
+  test("vec_ivf_merge_shards: bounded movement + measured-feasible recall vs full retrain") {
+    // Round-18 verdict item 5. Bound adjudicated BEFORE pinning (the
+    // r18 isotropy precedent): measured recall-vs-retrain of the merged
+    // index's top-10 is 0.8 at sf0.001, 0.7 at sf0.01, 0.6 at sf0.1 —
+    // the merged index routes nprobe=3 over ~2k shard cells vs the
+    // retrain's k cells on an ISOTROPIC corpus, so disagreements are
+    // genuine route divergence, not a bug; a 0.9 bar would pin noise.
+    // Pin ≥ 0.5 (comfortably above the ~0.27 a random 10-of-top-37
+    // overlap would give) plus the structural merge contract: only the
+    // smaller shard's vectors ever move, and some genuinely do.
+    val out = rows("vec_ivf_merge_shards")
+    assert(out.size == 10, s"expected a top-10, got ${out.size}")
+    val recall = out.head.getDouble(5)
+    assert(recall >= 0.5, s"merged-index recall vs retrain $recall < 0.5")
+    val moved = out.head.getLong(4)
+    val bSize = Tables.t(spark, sf0001, "embeddings")
+      .filter(col("vec_id") % 3 === 0).count()
+    assert(moved > 0 && moved <= bSize,
+      s"moved=$moved must be in (0, |B|=$bSize] — only the smaller shard re-assigns")
+  }
+
+  test("txn-log schema evolution: the race resolves with a schema-action commit in flight") {
+    // Round-18 verdict item 4, concurrent leg: 8 threads × 4 commits
+    // race commitWithRetry from the same stale next-id, but writer 0's
+    // FIRST commit is a pure `"action":"schema"` record (widen + add
+    // column — the src_txn_log_schema_evolution v1 shape) instead of an
+    // add. Schema changes are just commits, so the protocol must treat
+    // it like any other: all 32 land on distinct consecutive ids, the
+    // replay's live set is exactly the 31 adds, and the schema action is
+    // visible at whatever id it landed — schemaEvolvedRead then serves
+    // all adds NULL-backfilled under the evolved shape, whichever
+    // interleaving won.
+    val root = java.nio.file.Files.createTempDirectory("graft_txn_schema_race")
+    val logDir = root.resolve("log")
+    java.nio.file.Files.createDirectories(logDir)
+    val v0 = "k BIGINT, v INT"
+    val v1 = "k BIGINT, v BIGINT, extra INT"
+    // Seed commit: schema v0 + one add, so the racers evolve a real table.
+    java.nio.file.Files.write(logDir.resolve("000.json"),
+      (s"""{"commit": 0, "action": "schema", "schema_id": 0, "schema": "$v0"}""" +
+        "\n" + s"""{"commit": 0, "action": "add", "path": "seed", "schema_id": 0}""")
+        .getBytes("UTF-8"))
+    spark.range(3).selectExpr("id AS k", "CAST(id AS INT) AS v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/data/seed")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]
+    val threads = (0 until 8).map { w =>
+      new Thread(() => {
+        for (b <- 0 until 4) {
+          val record: Int => String =
+            if (w == 0 && b == 0)
+              id => s"""{"commit": $id, "action": "schema", "schema_id": 1, "schema": "$v1"}"""
+            else
+              id => s"""{"commit": $id, "action": "add", "path": "w$w-b$b", "schema_id": 1}"""
+          val (id, _) = graft.ops.SourceOps.commitWithRetry(logDir, 1, record)
+          results.add((s"w$w-b$b", id))
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val landed = results.asScala.toSeq
+    assert(landed.size == 32, s"expected 32 commits, got ${landed.size}")
+    assert(landed.map(_._2).sorted == (1 to 32),
+      s"commit ids must be exactly 1..32: ${landed.map(_._2).sorted}")
+    // Write the racers' data files under v1, then replay through the
+    // production reader: every add live, seed NULL-backfilled + widened.
+    val adds = (0 until 8).flatMap(w => (0 until 4).map(b => s"w$w-b$b"))
+      .filterNot(_ == "w0-b0")
+    adds.foreach { p =>
+      spark.range(2).selectExpr("id AS k", "id AS v", "CAST(1 AS INT) AS extra")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/data/$p")
+    }
+    val served = graft.ops.SourceOps.schemaEvolvedRead(spark, root.toString,
+      asOf = Int.MaxValue)
+    assert(served.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("k", "bigint"), ("v", "bigint"), ("extra", "int")),
+      s"evolved read must serve the v1 shape: ${served.schema.simpleString}")
+    val (n, nullExtra) = (served.count(),
+      served.filter(col("extra").isNull).count())
+    assert(n == 3 + 31 * 2, s"live rows: expected ${3 + 62}, got $n")
+    assert(nullExtra == 3, s"only the seed's 3 rows backfill NULL, got $nullExtra")
+  }
+
   test("simhash banding: cap-forced secondary refinement is output-equal to uncapped") {
     // cap=1 forces EVERY bucket down the secondary half-band path; the
     // hamming≤3 recall proof (simhashEdgesWithCap scaladoc) says the

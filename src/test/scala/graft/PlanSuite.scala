@@ -270,7 +270,10 @@ class PlanSuite extends AnyFunSuite {
         // round 18: the learned-partition probe/candidate/dedup joins,
         // and the persisted-graph serve's floor/semi joins.
         "vec_knn_graph_ivf", "graph_pagerank_persist_serve",
-        "vec_semantic_dedup_ivf")) {
+        "vec_semantic_dedup_ivf",
+        // round 19: the shard-merge union/reassign/serve joins and the
+        // evolved-log reader's per-schema-group aligned union.
+        "vec_ivf_merge_shards", "src_txn_log_schema_evolution")) {
       val p = plan(k)
       assert(!p.contains("CartesianProduct"), s"$k plan went cartesian")
     }
