@@ -153,7 +153,7 @@ object PipelineOps extends OpGroup {
   private val SimConsumers = Set(
     "text_simhash", "text_simhash_neardup", "text_dedup_clusters", "text_dedup_keep_best",
     "text_dedup_incremental", "text_simhash_radius_sweep", "corpus_prep_pipeline_v2",
-    "vec_index_persist_reload")
+    "corpus_prep_pipeline_v3", "vec_index_persist_reload")
 
   private def simhashSigs(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.Caches.memo(sigCache, (s, dir), {
@@ -662,7 +662,8 @@ object PipelineOps extends OpGroup {
         .localCheckpoint(true)
       graft.Caches.releaseCheckpoint(labels)
       graft.Caches.track(s, dir, "cluster_labels",
-        Set("text_dedup_clusters", "text_dedup_keep_best", "corpus_prep_pipeline_v2"),
+        Set("text_dedup_clusters", "text_dedup_keep_best", "corpus_prep_pipeline_v2",
+          "corpus_prep_pipeline_v3"),
         () => labelCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       out
     })
@@ -740,7 +741,7 @@ object PipelineOps extends OpGroup {
     * determinism argument). The caller owns releasing the RETURNED
     * frame's checkpoint.
     */
-  private def kmeansLoop(
+  private[graft] def kmeansLoop(
       q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     var assign = q.select(col("vec_id"), col("label").as("c"))
     var prev: Option[org.apache.spark.sql.DataFrame] = None
@@ -809,7 +810,7 @@ object PipelineOps extends OpGroup {
         Set("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk",
           "vec_ivf_probe_sweep", "vec_pq_residual_topk", "vec_ivf_cell_stats",
           "vec_index_persist_reload", "vec_knn_graph_ivf",
-          "vec_semantic_dedup_ivf",
+          "vec_semantic_dedup_ivf", "corpus_prep_pipeline_v3",
           "graph_triangle_count", "graph_connected_components",
           "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
           "vec_graph_beam_search", "graph_louvain_step", "graph_louvain_converge",
@@ -837,7 +838,7 @@ object PipelineOps extends OpGroup {
     * derived from it by one division ([[centroidsFromSums]]), so the
     * persisted artifact carries no float at all.
     */
-  private def trainedCellSums(
+  private[graft] def trainedCellSums(
       qv: org.apache.spark.sql.DataFrame,
       assign: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     qv.join(assign, "vec_id")
@@ -5350,6 +5351,243 @@ object PipelineOps extends OpGroup {
           CAST(COALESCE(ps.sampled_tokens, 0) AS BIGINT) AS sampled_tokens,
           CAST(COALESCE(ps.n_seqs, 0) AS BIGINT) AS n_seqs
         FROM base b
+          LEFT JOIN probs p USING (lang)
+          LEFT JOIN pstats ps USING (lang)
+        ORDER BY b.lang
+      """.trim)),
+
+    // CAPSTONE v3 (round-18 verdict item 7) — v2's corpus build with the
+    // two stages a modern training-data pipeline adds between near-dup
+    // and sampling, so the flagship key exercises the LEARNED-INDEX path
+    // end to end: (1) near-dup keep-best (v2 stage 1 — shared
+    // clusterLabels + quality argmax); (2) DECONTAMINATION — survivors
+    // that are eval docs (doc_id % 50 = 0, the corpus_contamination
+    // fixture) or share any verbatim word-8-gram with one are dropped
+    // (the eval side's distinct shingles broadcast; one map-side
+    // semi-join pass, no corpus-shingle shuffle); (3) SEMANTIC DEDUP ON
+    // TRAINED CELLS — vec_semantic_dedup_ivf's exact rule applied to the
+    // surviving docs that carry embeddings: rank surviving cell-mates
+    // edge-first by exact-integer similarity to their TRAINED cell's
+    // BIGINT sum sidecar ([[kmeansTrained]] — the standing IVF index, no
+    // label column anywhere), drop any with cos ≥ 0.30 to a
+    // higher-ranked surviving cell-mate; docs without embeddings pass
+    // through; (4) temperature sampling (α = 0.5) re-based on the
+    // post-semantic survivors + sequence packing (v2 stages verbatim).
+    // Report adds dropped_contaminated / dropped_semantic to v2's
+    // per-lang yield columns. v2 stays registered for continuity. At
+    // 100 TB: the added stages are one broadcast semi-join and one
+    // cell-bounded pair join against the nightly index artifact — the
+    // pipeline's cost profile is unchanged in shape.
+    Op("corpus_prep_pipeline_v3",
+      (s, dir) => {
+        val d = Tables.t(s, dir, "documents")
+        val labels = clusterLabels(s, dir)
+        val q = d
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("int"))
+          .withColumn("n_distinct",
+            size(expr("array_distinct(split(text, ' '))")).cast("int"))
+          .withColumn("quality",
+            least(lit(1.0), col("n_tokens").cast("double") / 50.0)
+              * (col("n_distinct").cast("double") / col("n_tokens")))
+          .select(col("doc_id"), col("lang"), col("text"), col("quality"))
+        val wq = Window.partitionBy("label").orderBy(desc("quality"), asc("doc_id"))
+        val surv = labels.join(q, labels("node") === q("doc_id"))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") === 1)
+          .select("doc_id", "lang", "text")
+        // (2) decontamination: eval docs out, 8-gram hits out.
+        val w8 = d.withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 8)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))"))).as("g"))
+        val evalG = w8.filter(col("doc_id") % 50 === 0).select("g").distinct()
+        val contam = w8.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(evalG), Seq("g")).select("doc_id").distinct()
+        val decon = surv.filter(col("doc_id") % 50 =!= 0)
+          .join(contam, Seq("doc_id"), "left_anti")
+        // (3) semantic dedup on the TRAINED cells, among survivors only.
+        val (qv, assign) = kmeansTrained(s, dir)
+        val cells = trainedCellSums(qv, assign)
+        val rw = Window.partitionBy("c").orderBy(asc("cdist"), asc("vec_id"))
+        val ranked = qv.join(assign, "vec_id")
+          .join(decon.select(col("doc_id").as("vec_id")), "vec_id")
+          .join(broadcast(cells), "c")
+          .withColumn("cnum", expr(
+            "aggregate(zip_with(qv, svec, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+          .withColumn("nq", expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+          .withColumn("cdist",
+            col("cnum") / sqrt(greatest(col("nq").cast("double"), lit(1e-300))))
+          .withColumn("rk", row_number().over(rw))
+          .join(Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+            "vec_id")
+          .select("vec_id", "c", "rk", "embedding")
+        val dropped = ranked.select(col("c").as("ca"), col("rk").as("rka"),
+            col("embedding").as("ea"))
+          .join(ranked.select(col("c").as("cb"), col("vec_id").as("bid"),
+              col("rk").as("rkb"), col("embedding").as("eb")),
+            col("ca") === col("cb") && col("rka") < col("rkb"))
+          .withColumn("sim", expr("vec_dot(ea, eb)")
+            / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
+          .filter(col("sim") >= 0.30)
+          .select(col("bid").as("doc_id")).distinct()
+        val fsurv = decon.join(dropped, Seq("doc_id"), "left_anti")
+        // (4) temperature sampling + packing over the final survivors.
+        val counts = fsurv.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(
+          expr("""aggregate(
+              transform(array_sort(collect_list(struct(lang, cnt))),
+                s -> sqrt(CAST(s.cnt AS DOUBLE))),
+              CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("sw"),
+          sum("cnt").as("n"))
+        val probs = counts.crossJoin(broadcast(tot))
+          .withColumn("keep_per_million", expr(
+            """CAST(floor(least(CAST(1.0 AS DOUBLE),
+               CAST(n DIV 2 AS DOUBLE) * (sqrt(CAST(cnt AS DOUBLE)) / sw)
+                 / CAST(cnt AS DOUBLE)) * 1000000.0D) AS BIGINT)"""))
+          .select(col("lang"), col("cnt").as("final_survivors"), col("keep_per_million"))
+        val sampled = fsurv.join(broadcast(probs.select("lang", "keep_per_million")), Seq("lang"))
+          .filter(expr(
+            """CAST(conv(substring(md5(concat('ts_', doc_id)), 1, 15), 16, 10) AS BIGINT)
+               % 1000000 < keep_per_million"""))
+        val wp = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        val seqs = sampled
+          .select(col("doc_id"), col("lang"),
+            pmod(col("doc_id"), lit(16)).cast("int").as("shard"),
+            expr("CAST(aggregate(split(text, ' '), 0, (a, x) -> a + greatest(1, CAST(ceil(length(x) / 4.0) AS INT))) AS BIGINT)")
+              .as("tok"))
+          .withColumn("cum", sum("tok").over(wp))
+          .withColumn("seq_id", ((col("cum") - col("tok")) / 2048).cast("long"))
+          .groupBy("lang", "shard", "seq_id")
+          .agg(count(lit(1)).as("nd"), sum("tok").as("toksum"))
+        val packStats = seqs.groupBy("lang")
+          .agg(sum("nd").as("sampled_docs"), sum("toksum").as("sampled_tokens"),
+            count(lit(1)).as("n_seqs"))
+        val survC = surv.groupBy("lang").agg(count(lit(1)).as("nd_survivors"))
+        val deconC = decon.groupBy("lang").agg(count(lit(1)).as("n_decon"))
+        d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .join(survC, Seq("lang"), "left")
+          .join(deconC, Seq("lang"), "left")
+          .join(probs, Seq("lang"), "left")
+          .join(packStats, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"),
+            coalesce(col("nd_survivors"), lit(0L)).as("nd_survivors"),
+            (coalesce(col("nd_survivors"), lit(0L))
+              - coalesce(col("n_decon"), lit(0L))).as("dropped_contaminated"),
+            (coalesce(col("n_decon"), lit(0L))
+              - coalesce(col("final_survivors"), lit(0L))).as("dropped_semantic"),
+            coalesce(col("final_survivors"), lit(0L)).as("final_survivors"),
+            coalesce(col("keep_per_million"), lit(0L)).as("keep_per_million"),
+            coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+            coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"),
+            coalesce(col("n_seqs"), lit(0L)).as("n_seqs"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH $simsSql, $ccSql, ${kmeansCtes()},
+        $trainedCellCtes,
+        qual AS (
+          SELECT doc_id,
+            least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+              * (CAST(n_distinct AS DOUBLE) / n_tokens) AS quality
+          FROM (
+            SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+              CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+            FROM documents
+          )
+        ), surv AS MATERIALIZED (
+          SELECT doc_id, lang, text FROM (
+            SELECT d.doc_id, d.lang, d.text,
+              ROW_NUMBER() OVER (PARTITION BY c.cluster
+                ORDER BY qual.quality DESC, d.doc_id) AS rk
+            FROM clusters c JOIN qual ON c.doc_id = qual.doc_id
+              JOIN documents d ON c.doc_id = d.doc_id
+          ) WHERE rk = 1
+        ), sh8 AS MATERIALIZED (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(string_split(text, ' ')) - 7),
+            i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS g
+          FROM documents WHERE len(string_split(text, ' ')) >= 8),
+        contam AS (
+          SELECT DISTINCT t.doc_id FROM sh8 t
+          JOIN sh8 e ON t.g = e.g AND e.doc_id % 50 = 0
+          WHERE t.doc_id % 50 <> 0),
+        decon AS MATERIALIZED (
+          SELECT s.doc_id, s.lang, s.text FROM surv s
+          WHERE s.doc_id % 50 <> 0
+            AND s.doc_id NOT IN (SELECT doc_id FROM contam)),
+        ranked3 AS MATERIALIZED (
+          SELECT vec_id, c, emb,
+            CAST(ROW_NUMBER() OVER (PARTITION BY c ORDER BY cdist, vec_id) AS INT) AS rk
+          FROM (
+            SELECT x.vec_id, x.c, x.emb,
+              CAST(list_sum(list_transform(range(1, len(x.qv) + 1),
+                i -> x.qv[i] * c4.svec[i])) AS DOUBLE)
+                / sqrt(greatest(CAST(list_sum(list_transform(x.qv, v -> v * v)) AS DOUBLE), 1e-300)) AS cdist
+            FROM (
+              SELECT q.vec_id, a.c, CAST(e.embedding AS DOUBLE[]) AS emb, q.qv
+              FROM q JOIN a3 a USING (vec_id)
+              JOIN embeddings e USING (vec_id)
+              WHERE q.vec_id IN (SELECT doc_id FROM decon)
+            ) x JOIN c4 ON x.c = c4.clabel
+          )),
+        dropped3 AS (
+          SELECT DISTINCT b.vec_id AS doc_id
+          FROM ranked3 a JOIN ranked3 b ON a.c = b.c AND a.rk < b.rk
+          WHERE list_dot_product(a.emb, b.emb)
+            / (sqrt(greatest(list_sum(list_transform(a.emb, v -> v * v)), 1e-300))
+               * sqrt(greatest(list_sum(list_transform(b.emb, v -> v * v)), 1e-300))) >= 0.30),
+        fsurv AS MATERIALIZED (
+          SELECT * FROM decon
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropped3)),
+        counts AS (SELECT lang, COUNT(*) AS cnt FROM fsurv GROUP BY lang),
+        tot AS (
+          SELECT list_sum(list_transform(list(CAST(cnt AS DOUBLE) ORDER BY lang), x -> sqrt(x))) AS sw,
+            CAST(SUM(cnt) AS BIGINT) AS n
+          FROM counts),
+        probs AS (
+          SELECT lang, CAST(cnt AS BIGINT) AS final_survivors,
+            CAST(floor(least(CAST(1.0 AS DOUBLE),
+              CAST(n // 2 AS DOUBLE) * (sqrt(CAST(cnt AS DOUBLE)) / sw)
+                / CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS keep_per_million
+          FROM counts, tot),
+        sampled AS (
+          SELECT s.doc_id, s.lang, s.text FROM fsurv s JOIN probs p USING (lang)
+          WHERE CAST(('0x' || substr(md5('ts_' || s.doc_id), 1, 15)) AS BIGINT)
+            % 1000000 < p.keep_per_million),
+        toks AS (
+          SELECT doc_id, lang, CAST(doc_id % 16 AS INT) AS shard,
+            CAST(list_sum(list_transform(string_split(text, ' '),
+              x -> greatest(1, CAST(ceil(len(x) / 4.0) AS INT)))) AS BIGINT) AS tok
+          FROM sampled),
+        seqs AS (
+          SELECT lang, shard, CAST(FLOOR((cum - tok) / 2048) AS BIGINT) AS seq_id,
+            COUNT(*) AS nd, CAST(SUM(tok) AS BIGINT) AS toksum
+          FROM (
+            SELECT doc_id, lang, shard, tok,
+              CAST(SUM(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS BIGINT) AS cum
+            FROM toks)
+          GROUP BY 1, 2, 3),
+        pstats AS (
+          SELECT lang, CAST(SUM(nd) AS BIGINT) AS sampled_docs,
+            CAST(SUM(toksum) AS BIGINT) AS sampled_tokens,
+            CAST(COUNT(*) AS BIGINT) AS n_seqs
+          FROM seqs GROUP BY lang),
+        survc AS (SELECT lang, COUNT(*) AS nd_survivors FROM surv GROUP BY lang),
+        deconc AS (SELECT lang, COUNT(*) AS n_decon FROM decon GROUP BY lang),
+        base AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+        SELECT b.lang, b.n_docs,
+          CAST(COALESCE(sc.nd_survivors, 0) AS BIGINT) AS nd_survivors,
+          CAST(COALESCE(sc.nd_survivors, 0) - COALESCE(dc.n_decon, 0) AS BIGINT) AS dropped_contaminated,
+          CAST(COALESCE(dc.n_decon, 0) - COALESCE(p.final_survivors, 0) AS BIGINT) AS dropped_semantic,
+          CAST(COALESCE(p.final_survivors, 0) AS BIGINT) AS final_survivors,
+          CAST(COALESCE(p.keep_per_million, 0) AS BIGINT) AS keep_per_million,
+          CAST(COALESCE(ps.sampled_docs, 0) AS BIGINT) AS sampled_docs,
+          CAST(COALESCE(ps.sampled_tokens, 0) AS BIGINT) AS sampled_tokens,
+          CAST(COALESCE(ps.n_seqs, 0) AS BIGINT) AS n_seqs
+        FROM base b
+          LEFT JOIN survc sc USING (lang)
+          LEFT JOIN deconc dc USING (lang)
           LEFT JOIN probs p USING (lang)
           LEFT JOIN pstats ps USING (lang)
         ORDER BY b.lang

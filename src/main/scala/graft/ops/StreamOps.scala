@@ -811,8 +811,186 @@ object StreamOps extends OpGroup {
             lit(crashCommits).as("crash_commits"))
           .orderBy("event_type")
       },
+      None),
+
+    // STREAMING INDEX UPSERT (round-18 verdict item 6) — composes the
+    // streaming ingest endpoint (stream_txn_log_sink's idempotent
+    // batchId-keyed transactions) with vec_index_upsert's merge path:
+    // the standing IVF index is trained on the pre-batch corpus
+    // (vec_id % 10 <> 0), today's new vectors arrive as THREE embedding
+    // micro-batches, and each micro-batch (1) assigns its vectors to the
+    // nearest standing cell by the training L2 against the BASE centroid
+    // sums (assignment depends only on the base index, so redelivery and
+    // batch order cannot change the final state), (2) writes its
+    // assigned rows to a batchId-pure path (redelivery overwrites its
+    // own file — idempotence), (3) commits an `add` record to the txn
+    // log LAST (a replay never sees a half-written transaction). Run 1
+    // is killed at the worst point (batch 1's data written, commit
+    // missing); the restart redelivers from the Spark checkpoint and
+    // completes. The final index = base sums + the log's LIVE deltas,
+    // served through the standard [[graft.ops.PipelineOps.ivfProbeServe]]
+    // route; the output carries the crash audit AND a
+    // matches_batch_index flag — the served top-10 must equal the index
+    // built by ONE-SHOT upsert of the full batch table (streaming
+    // invisible in the final artifact; EquivalenceSuite pins it plus the
+    // poison-pill audit). At 100 TB/day this IS continuous index
+    // maintenance: exactly-once ingest into the assignment table with
+    // coordination state = the checkpoint dir + the KB-sized log, and a
+    // nightly retrain only when the accumulated centroid drift says so.
+    Op("stream_index_upsert",
+      (s, dir) => {
+        Tables.conf(s)
+        val root = Tables.tmpDir("graft_stream_upsert")
+        val ckpt = Tables.tmpDir("graft_stream_upsert_ckpt")
+        val logDir = java.nio.file.Paths.get(root, "log")
+        java.nio.file.Files.createDirectories(logDir)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(root, "delta"))
+        val quantExpr =
+          "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+        val e = Tables.t(s, dir, "embeddings")
+        val exist = e.filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id"), col("label"), expr(quantExpr).as("qv"))
+          .localCheckpoint(false)
+        val assign = PipelineOps.kmeansLoop(exist)
+        graft.Caches.track(s, dir, "stream_upsert_state",
+          Set("stream_index_upsert"),
+          () => { graft.Caches.releaseCheckpoint(exist)
+                  graft.Caches.releaseCheckpoint(assign) })
+        val cOld = PipelineOps.trainedCellSums(exist, assign)
+          .localCheckpoint(true)
+        try {
+          // Nearest standing cell by the training L2 (ties → lowest cell)
+          // — the SAME rule for every micro-batch and for the one-shot
+          // truth, so the final state is order- and delivery-independent.
+          def assignToBase(batch: DataFrame): DataFrame = {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id").orderBy(asc("dist"), asc("c"))
+            batch.crossJoin(broadcast(cOld))
+              .withColumn("dist", expr("vec_l2q_dist(qv, svec, n)"))
+              .withColumn("rk", row_number().over(w))
+              .filter(col("rk") === 1)
+              .select(col("vec_id"), col("c"), col("qv"))
+          }
+          def src = s.readStream
+            .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(embBatchSplitDir(s, dir))
+            .select(col("vec_id"), expr(quantExpr).as("qv"))
+          val prev = s.conf.get("spark.sql.shuffle.partitions")
+          s.conf.set("spark.sql.shuffle.partitions", "2")
+          val (recoveryBatches, crashFiles, crashCommits) = try {
+            def start(bomb: Boolean) = src.writeStream
+              .foreachBatch { (b: DataFrame, id: Long) =>
+                assignToBase(b).write.mode("overwrite")
+                  .parquet(s"$root/delta/b$id")
+                if (bomb && id == 1)
+                  throw new RuntimeException(
+                    "poison pill: crash after the delta write, before the log commit")
+                java.nio.file.Files.write(logDir.resolve(f"$id%03d.json"),
+                  s"""{"commit": $id, "action": "add", "path": "b$id"}"""
+                    .getBytes("UTF-8"))
+                ()
+              }
+              .option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            val q1 = start(bomb = true)
+            try { q1.awaitTermination(); sys.error("poison pill must kill run 1") }
+            catch {
+              case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+            }
+            def countIn(p: java.nio.file.Path): Long = {
+              val ls = java.nio.file.Files.list(p)
+              try ls.count() finally ls.close()
+            }
+            val files = countIn(java.nio.file.Paths.get(root, "delta"))
+            val commits = countIn(logDir)
+            val q2 = start(bomb = false)
+            q2.awaitTermination()
+            val retention = s.conf
+              .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+            require(q2.recentProgress.length < retention,
+              s"stream_index_upsert: ${q2.recentProgress.length} progress " +
+                s"updates reached the $retention-entry retention")
+            val n = q2.recentProgress.count(_.numInputRows > 0)
+            publishBatches(s, dir, n) // test-seam publish only
+            (n.toLong, files, commits)
+          } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+          // Snapshot replay → live deltas → the merged served index.
+          val live = s.read
+            .schema("commit INT, action STRING, path STRING")
+            .json(s"$root/log")
+            .groupBy("path")
+            .agg(max(struct(col("commit"), col("action"))).as("last"))
+            .filter(col("last.action") === "add")
+            .select("path").collect().map(_.getString(0)).sorted
+          val delta = s.read
+            .schema("vec_id BIGINT, c INT, qv ARRAY<BIGINT>")
+            .parquet(live.map(p => s"$root/delta/$p").toIndexedSeq: _*)
+          def cellSums(rows: DataFrame) = rows
+            .select(col("c"), posexplode(col("qv")).as(Seq("pos", "v")))
+            .groupBy("c", "pos")
+            .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+            .groupBy("c")
+            .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), s -> s.sv)")
+              .as("svec"), max("n").as("n"))
+          val baseRows = exist.join(assign, "vec_id").select("c", "qv")
+          val served = PipelineOps.ivfProbeServe(s, dir,
+            assign.union(delta.select("vec_id", "c")),
+            PipelineOps.centroidsFromSums(
+              cellSums(baseRows.union(delta.select("c", "qv")))))
+          // One-shot truth: the whole batch upserted in one pass.
+          val oneShot = assignToBase(e.filter(col("vec_id") % 10 === 0)
+            .select(col("vec_id"), expr(quantExpr).as("qv")))
+          val truth = PipelineOps.ivfProbeServe(s, dir,
+            assign.union(oneShot.select("vec_id", "c")),
+            PipelineOps.centroidsFromSums(
+              cellSums(baseRows.union(oneShot.select("c", "qv")))))
+          def typedRows(df: DataFrame) = df.collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+            .sortBy(t => (t._1, t._2)).toSeq
+          val matches = served.schema == truth.schema &&
+            typedRows(served) == typedRows(truth)
+          served.select(col("vec_id"), col("cluster"), col("cos_sim"),
+            lit(recoveryBatches).as("recovery_batches"),
+            lit(crashFiles).as("crash_delta_files"),
+            lit(crashCommits).as("crash_commits"),
+            lit(matches).as("matches_batch_index"))
+        } finally graft.Caches.releaseCheckpoint(cOld)
+      },
       None)
   )
+
+  private val embSplitCache = graft.Caches.sweepWith(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String])
+
+  /** Today's embedding batch (vec_id % 10 = 0) laid out as THREE
+    * mtime-ordered parquet files — the incremental source
+    * stream_index_upsert replays (vec_id % 30 thirds, deterministic).
+    */
+  private def embBatchSplitDir(s: SparkSession, sfDir: String): String =
+    graft.Caches.memo(embSplitCache, (s, sfDir), {
+      val root = Tables.tmpDir("graft_emb_split")
+      val b = Tables.t(s, sfDir, "embeddings")
+        .filter(col("vec_id") % 10 === 0)
+        .withColumn("p", (pmod(col("vec_id"), lit(30)) / 10).cast("int"))
+      for (i <- 0 until 3) {
+        val stage = Tables.tmpDir("graft_emb_split_stage")
+        b.filter(col("p") === i).drop("p")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        val part = try listing
+          .filter(f => f.getFileName.toString.startsWith("part-")
+            && f.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
+        val dst = java.nio.file.Paths.get(root, s"b$i.parquet")
+        java.nio.file.Files.copy(part, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 10000L)
+      }
+      root
+    })
 
   /** The recovery op's fixed 3-batch source: [[eventStreamSplit]]
     * independent of the [[sourceBatches]] test seam (recovery is only

@@ -22,6 +22,7 @@ class CacheReleaseSuite extends AnyFunSuite {
     "text_simhash", "text_simhash_neardup", "text_simhash_radius_sweep",
     "text_dedup_clusters", "text_dedup_keep_best", "text_dedup_incremental",
     "corpus_prep_pipeline_v2", // round 16: the capstone v2 rides the same caches
+    "corpus_prep_pipeline_v3", // round 19: v3 adds decontamination + IVF SemDeDup
     "vec_index_persist_reload") // round 17: persists the signature table
 
   test("simhash-family caches release after their last consumer key") {

@@ -378,6 +378,26 @@ class EquivalenceSuite extends AnyFunSuite {
       s"recovered txn-log snapshot diverged from batch truth: got=$got want=$truth")
   }
 
+  test("stream_index_upsert: crashed-and-recovered stream equals the one-shot batch upsert") {
+    // Round-18 verdict item 6: the streaming index maintenance must be
+    // invisible in the final artifact. The op plants the txn-sink poison
+    // pill (batch 1's delta written, commit missing → 2 files / 1 commit
+    // at crash), restarts from its own checkpoint (redelivered batch 1 +
+    // batch 2 = exactly 2 data batches), and serves the merged index —
+    // which must match the ONE-SHOT upsert of the full batch table row
+    // for row (the in-band matches_batch_index flag, asserted here so a
+    // silent false can't ship).
+    val op = rows("stream_index_upsert")
+    assert(op.size == 10, s"expected a served top-10, got ${op.size}")
+    assert(op.forall(_.getLong(3) == 2L),
+      s"restart must process exactly 2 data batches, got ${op.head.getLong(3)}")
+    assert(op.forall(r => r.getLong(4) == 2L && r.getLong(5) == 1L),
+      s"crash audit must see 2 delta files / 1 commit, got " +
+        s"${op.head.getLong(4)}/${op.head.getLong(5)}")
+    assert(op.forall(_.getBoolean(6)),
+      "served index diverged from the one-shot batch upsert")
+  }
+
   test("vec_hnsw_persist_search serves the reloaded index identically to the in-session walk") {
     // The persisted layer tables are exact (integer ids, deterministic
     // md5 layers), so the reloaded walk must answer IDENTICALLY — same

@@ -36,7 +36,17 @@ class PropertySuite extends AnyFunSuite {
       (7L, "the the the the", "en", "src0", 15L),                    // all-stopword repeat
       (8L, "word", "en", "src2", 4L))                                // exact dup of 2
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val dir = miniDir("documents" -> docs)
+    // corpus_prep_pipeline_v3's semantic stage reads embeddings for the
+    // surviving doc_ids — give the adversarial corpus an equally
+    // adversarial embedding side (zero vectors + exact duplicates) so
+    // the whole family stays runnable on the fixture.
+    def ev(pos: Int): Array[Float] = {
+      val a = Array.fill(64)(0f); if (pos >= 0) a(pos) = 1f; a
+    }
+    val emb = Seq((1L, ev(-1), 0), (2L, ev(0), 0), (3L, ev(0), 1),
+      (4L, ev(1), 1), (5L, ev(-1), 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = miniDir("documents" -> docs, "embeddings" -> emb)
     val keys = SparkEntry.queries.keySet.toSeq.sorted
       .filter(k => k.startsWith("text_") || k.startsWith("corpus_"))
     assert(keys.size >= 30, s"text/corpus family shrank? found ${keys.size}")
