@@ -147,7 +147,7 @@ object Tables {
       }
     }))
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = try {
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = try {
     val walk = java.nio.file.Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(f => java.nio.file.Files.deleteIfExists(f))

@@ -699,6 +699,18 @@ object PipelineOps extends OpGroup {
     */
   private[graft] val IvfNprobe = 2
 
+  /** vec_index_delete's compaction trigger: a trained cell whose
+    * tombstoned fraction reaches this many permille gets its exact-integer
+    * sidecar rewritten (sums minus the tombstones' sums); cells below it
+    * keep serving with the lazy tombstone filter. The %7 tombstone rule
+    * averages ≈143‰, so the threshold deliberately STRADDLES the
+    * per-cell distribution — some cells compact, some stay lazy — and
+    * both serve paths are exercised by the one key. Interpolated into the
+    * oracle (never hardcoded there — the round-18 vec_knn_graph_ivf
+    * advice).
+    */
+  private[graft] val DeleteCompactPermille = 150
+
   /** Adamic-Adar 1/ln(deg) weights in fixed-point micro units for every
     * degree reachable in the mutual-[[MutualKnnK]]NN graph (a common
     * neighbor has deg ≥ 2 by construction; deg ≤ k by the kNN cap), with
@@ -809,7 +821,7 @@ object PipelineOps extends OpGroup {
         // graph key rebuilds its edge cache.
         Set("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk",
           "vec_ivf_probe_sweep", "vec_pq_residual_topk", "vec_ivf_cell_stats",
-          "vec_index_persist_reload", "vec_knn_graph_ivf",
+          "vec_index_persist_reload", "vec_index_delete", "vec_knn_graph_ivf",
           "vec_semantic_dedup_ivf", "corpus_prep_pipeline_v3",
           "graph_triangle_count", "graph_connected_components",
           "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
@@ -3635,6 +3647,158 @@ object PipelineOps extends OpGroup {
             WHERE e.vec_id <> 0
           ) ORDER BY sim DESC, vec_id LIMIT 10
         ) ORDER BY cos_sim DESC, vec_id
+      """.trim)),
+
+    // TOMBSTONE DELETE + CELL COMPACTION — the missing CRUD leg of the
+    // index lifecycle (train → upsert → persist/reload → merge-shards →
+    // now DELETE): a delete set (vec_id % 7 = 3, ≈143‰ of the corpus)
+    // arrives against the standing trained index. Deletions are LAZY by
+    // default — tombstones filter candidates at serve time, the sidecar
+    // is untouched — because rewriting the index for every delete is the
+    // write-amplification a 100 TB index cannot afford. Cells where the
+    // tombstoned fraction reaches [[DeleteCompactPermille]] are COMPACTED:
+    // their exact-integer sidecar is rewritten by SUBTRACTING the
+    // tombstones' position sums (the inverse of vec_index_upsert's
+    // addition — the same (Σqv, n) arithmetic, so compaction is integer-
+    // exact and never re-reads the full cell), and the report carries the
+    // centroid displacement the rewrite caused (a routing-drift monitor).
+    // Both serve paths run in-band: the LAZY serve (old centroids route,
+    // tombstones filtered) and the EAGER serve (compacted centroids
+    // route, same live candidates); lazy_matches_eager records whether
+    // routing drift changed the top-10 — the go/no-go a production
+    // compactor checks before swapping readers over. At 100 TB: the
+    // tombstone set is a broadcast/bloom-sized anti-join at serve; the
+    // compaction touches only cells past the threshold (bounded by the
+    // delete distribution, never the corpus); the report joins k-row
+    // frames.
+    Op("vec_index_delete",
+      (s, dir) => {
+        val (qv, assign) = kmeansTrained(s, dir)
+        val sums = trainedCellSums(qv, assign)
+        val tombs = assign.filter(col("vec_id") % 7 === 3)
+        val dSums = qv.join(tombs, "vec_id")
+          .select(col("c"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("c", "pos")
+          .agg(sum("v").as("dv"), count(lit(1)).as("dn"))
+          .groupBy("c")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, dv))), s -> s.dv)").as("dvec"),
+            max("dn").as("dn"))
+        val dd = "(CAST(o - d AS DOUBLE) / CAST(n - n_deleted AS DOUBLE)" +
+          " - CAST(o AS DOUBLE) / CAST(n AS DOUBLE))"
+        val rep = sums.join(dSums, Seq("c"), "left")
+          .withColumn("n_deleted", coalesce(col("dn"), lit(0L)))
+          .withColumn("del_permille", expr("n_deleted * 1000 DIV n"))
+          .withColumn("compacted",
+            col("del_permille") >= DeleteCompactPermille &&
+              col("n_deleted") < col("n"))
+          .withColumn("shift", when(col("compacted"), expr(
+            s"""sqrt(aggregate(
+                zip_with(svec, coalesce(dvec, transform(svec, x -> CAST(0 AS BIGINT))),
+                  (o, d) -> $dd * $dd),
+                CAST(0 AS DOUBLE), (a, x) -> a + x))""")).otherwise(lit(0.0)))
+        val cent2 = rep.select(col("c"),
+          when(col("compacted"), expr(
+            """zip_with(svec, coalesce(dvec, transform(svec, x -> CAST(0 AS BIGINT))),
+               (o, d) -> CAST(o - d AS DOUBLE) / CAST(n - n_deleted AS DOUBLE))"""))
+            .otherwise(expr("transform(svec, x -> CAST(x AS DOUBLE) / n)"))
+            .as("cemb"))
+        val liveAssign = assign
+          .join(tombs.select("vec_id"), Seq("vec_id"), "left_anti")
+        val lazyServe = ivfProbeServe(s, dir, liveAssign, centroidsFromSums(sums))
+        val eagerRows = ivfProbeServe(s, dir, liveAssign, cent2).collect()
+        val matchFlag =
+          lazyServe.collect().map(_.getLong(0)).toSet ==
+            eagerRows.map(_.getLong(0)).toSet
+        val top1 = eagerRows.head.getLong(0)
+        rep.select(col("c").as("cluster"), col("n").as("n_before"),
+            col("n_deleted"), col("del_permille"), col("compacted"),
+            (round(col("shift"), 3) + 0.0).as("centroid_shift"))
+          .withColumn("served_top1", lit(top1))
+          .withColumn("lazy_matches_eager", lit(matchFlag))
+          .orderBy("cluster")
+      },
+      Some(s"""
+        WITH ${kmeansCtes()},
+        $trainedCellCtes,
+        tomb AS (SELECT vec_id, c FROM a3 WHERE vec_id % 7 = 3),
+        dsum AS (
+          SELECT clabel, list(dv ORDER BY pos) AS dvec, MAX(dn) AS dn FROM (
+            SELECT clabel, pos, CAST(SUM(v) AS BIGINT) AS dv, COUNT(*) AS dn FROM (
+              SELECT t.c AS clabel, generate_subscripts(q.qv, 1) - 1 AS pos,
+                unnest(q.qv) AS v
+              FROM q JOIN tomb t USING (vec_id)
+            ) GROUP BY clabel, pos
+          ) GROUP BY clabel),
+        rep AS (
+          SELECT c4.clabel AS cluster, c4.n AS n_before,
+            CAST(COALESCE(d.dn, 0) AS BIGINT) AS n_deleted,
+            CAST(COALESCE(d.dn, 0) * 1000 // c4.n AS BIGINT) AS del_permille,
+            (COALESCE(d.dn, 0) * 1000 // c4.n >= $DeleteCompactPermille
+              AND COALESCE(d.dn, 0) < c4.n) AS compacted,
+            c4.svec AS svec,
+            COALESCE(d.dvec, list_transform(c4.svec, x -> CAST(0 AS BIGINT))) AS dvec
+          FROM c4 LEFT JOIN dsum d ON c4.clabel = d.clabel),
+        cent2 AS (
+          SELECT cluster AS c, CASE WHEN compacted
+            THEN list_transform(range(1, len(svec) + 1), i ->
+              CAST(svec[i] - dvec[i] AS DOUBLE) / CAST(n_before - n_deleted AS DOUBLE))
+            ELSE list_transform(svec, x -> CAST(x AS DOUBLE) / n_before) END AS cemb
+          FROM rep),
+        cells2 AS (
+          SELECT c FROM (
+            SELECT c,
+              list_dot_product(cemb, qemb)
+                / (sqrt(greatest(list_sum(list_transform(cemb, x -> x * x)), 1e-300))
+                   * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS csim
+            FROM cent2, qq
+          ) ORDER BY csim DESC, c LIMIT 3),
+        livecand AS (SELECT vec_id, c FROM a3 WHERE vec_id % 7 <> 3),
+        lazy10 AS (
+          SELECT vec_id FROM (
+            SELECT e.vec_id,
+              list_dot_product(CAST(e.embedding AS DOUBLE[]), qemb)
+                / (sqrt(greatest(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+                   * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS sim
+            FROM embeddings e
+              JOIN livecand a USING (vec_id)
+              JOIN cells ce ON a.c = ce.c, qq
+            WHERE e.vec_id <> 0
+          ) ORDER BY sim DESC, vec_id LIMIT 10),
+        eager10 AS (
+          SELECT vec_id, sim FROM (
+            SELECT e.vec_id,
+              list_dot_product(CAST(e.embedding AS DOUBLE[]), qemb)
+                / (sqrt(greatest(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)), 1e-300))
+                   * sqrt(greatest(list_sum(list_transform(qemb, x -> x * x)), 1e-300))) AS sim
+            FROM embeddings e
+              JOIN livecand a USING (vec_id)
+              JOIN cells2 ce ON a.c = ce.c, qq
+            WHERE e.vec_id <> 0
+          ) ORDER BY sim DESC, vec_id LIMIT 10),
+        flags AS (
+          SELECT
+            (SELECT COUNT(*) FROM (
+              (SELECT vec_id FROM lazy10 EXCEPT SELECT vec_id FROM eager10)
+              UNION ALL
+              (SELECT vec_id FROM eager10 EXCEPT SELECT vec_id FROM lazy10))) = 0 AS ok,
+            -- rounded-then-id ordering, mirroring ivfProbeServe's final sort
+            (SELECT vec_id FROM (
+               SELECT vec_id,
+                 CAST(ROUND(CAST(CAST(sim AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) AS rsim
+               FROM eager10) ORDER BY rsim DESC, vec_id LIMIT 1) AS top1)
+        SELECT cluster, n_before, n_deleted, del_permille, compacted,
+          CASE WHEN compacted THEN
+            CAST(ROUND(CAST(CAST(
+              sqrt(list_sum(list_transform(range(1, len(svec) + 1), i ->
+                (CAST(svec[i] - dvec[i] AS DOUBLE) / CAST(n_before - n_deleted AS DOUBLE)
+                 - CAST(svec[i] AS DOUBLE) / CAST(n_before AS DOUBLE))
+                * (CAST(svec[i] - dvec[i] AS DOUBLE) / CAST(n_before - n_deleted AS DOUBLE)
+                 - CAST(svec[i] AS DOUBLE) / CAST(n_before AS DOUBLE)))))
+              AS VARCHAR) AS DECIMAL(38,15)), 3) AS DOUBLE) + 0.0
+          ELSE 0.0 END AS centroid_shift,
+          CAST(top1 AS BIGINT) AS served_top1,
+          ok AS lazy_matches_eager
+        FROM rep, flags ORDER BY cluster
       """.trim)),
 
     // LSH-bucketed ANN (the second scale path next to vec_ivf_topk):

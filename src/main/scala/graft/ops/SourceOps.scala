@@ -713,6 +713,155 @@ object SourceOps extends OpGroup {
           CAST(3 AS INT) AS v1_cols,
           (SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 0) AS v1_rows
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """.trim)),
+
+    // VACUUM — the DELETE that src_txn_log_compact's audit deliberately
+    // withholds (its fixture is shared): physically reclaim data files
+    // whose LAST log action is `remove` at or before the retention
+    // horizon, then PROVE the three contracts a production vacuum must
+    // keep, all in-band: (1) the snapshot is untouched — the post-delete
+    // argmax replay re-aggregates BIT-IDENTICAL to the serial truth off
+    // the base table (snapshot_match; a vacuum that ate a live file
+    // flips it and the hash goes red — the loud-guard stance); (2) time
+    // travel BEFORE the horizon is genuinely gone — the asOf=1 replay's
+    // required file set now intersects the deleted set
+    // (tt_pre_horizon_readable=false), which is the documented price of
+    // reclamation, not a bug (Delta's VACUUM carries the same warning);
+    // (3) the reclaimed bytes are exactly the audit's ledger — the
+    // per-file rows (computed from ONE pre-delete scan of the data dir,
+    // input_file_name-grouped, never a per-file driver loop) restate
+    // against the oracle's customer predicates. The horizon here is a
+    // commit id; at 100 TB it is a timestamp mapped through the log's
+    // commit metadata, and the orphan listing join (log argmax ⋈ file
+    // listing) is DataFrame-sized for millions of files — the only
+    // driver-side state is the ≤|files| ledger this 4-file fixture
+    // collects for the report.
+    Op("src_txn_log_vacuum",
+      (s, dir) => {
+        import s.implicits._
+        val root = Tables.tmpDir("graft_txn_vacuum")
+        vacuumRootSeam.put((s, dir), root) // test-seam publish only (EquivalenceSuite)
+        val c = Tables.t(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        def writeFile(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+          df.coalesce(1).write.mode("overwrite").parquet(s"$root/data/$name")
+        writeFile("f0", c.filter(col("c_custkey") % 3 === 0))
+        writeFile("f1", c.filter(col("c_custkey") % 3 === 1))
+        writeFile("f2", c.filter(col("c_custkey") % 3 === 2))
+        writeFile("f3", c.filter(col("c_custkey") % 3 === 1)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0))
+        val logDir = java.nio.file.Paths.get(root, "log")
+        java.nio.file.Files.createDirectories(logDir)
+        def commit(id: Int, actions: Seq[(String, String)]): Unit =
+          java.nio.file.Files.write(logDir.resolve(f"$id%03d.json"),
+            actions.map { case (act, path) =>
+              s"""{"commit": $id, "action": "$act", "path": "$path"}"""
+            }.mkString("\n").getBytes("UTF-8"))
+        commit(0, Seq("add" -> "f0", "add" -> "f1"))
+        commit(1, Seq("add" -> "f2"))
+        commit(2, Seq("remove" -> "f1", "add" -> "f3"))
+        val log = s.read
+          .schema("commit INT, action STRING, path STRING")
+          .json(s"$root/log")
+        // Pre-delete ledger: ONE recursive scan of the data dir joined to
+        // the log's argmax action (the src_txn_log_compact audit shape).
+        val status = log.groupBy("path")
+          .agg(max(col("commit")).as("last_commit"),
+            max(struct(col("commit"), col("action"))).as("last"))
+          .select(col("path"), col("last_commit"),
+            (col("last.action") === "add").as("live"))
+        val ledger = s.read.option("recursiveFileLookup", "true")
+          .parquet(s"$root/data")
+          .withColumn("path",
+            regexp_extract(input_file_name(), "/data/([^/]+)/", 1))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")).as("bal_cents"))
+          .join(status, "path")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getInt(3), r.getBoolean(4)))
+          .sortBy(_._1).toSeq
+        // VACUUM: delete every orphan whose remove landed at or before
+        // the horizon (= current head here — retention 0).
+        val horizon = 2
+        val vacuumed = ledger.collect {
+          case (p, _, _, lastC, false) if lastC <= horizon => p
+        }.toSet
+        vacuumed.foreach(p => Tables.deleteRecursively(
+          java.nio.file.Paths.get(root, "data", p)))
+        // Contract 1: post-delete snapshot replay == serial truth.
+        val liveNow = log
+          .groupBy("path")
+          .agg(max(struct(col("commit"), col("action"))).as("last"))
+          .filter(col("last.action") === "add")
+          .select("path").collect().map(_.getString(0)).sorted
+        def agg(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")).as("bal_cents"))
+        def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+        val snapAfter = agg(
+          s.read.parquet(liveNow.map(p => s"$root/data/$p").toIndexedSeq: _*))
+        val truth = agg(c.withColumn("c_acctbal",
+          when(col("c_custkey") % 3 === 1, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal"))))
+        val snapshotMatch = key(snapAfter) == key(truth)
+        // Contract 2: the asOf=1 replay's required files intersect the
+        // deleted set — pre-horizon time travel is gone by construction.
+        val neededAt1 = log.filter(col("commit") <= 1)
+          .groupBy("path")
+          .agg(max(struct(col("commit"), col("action"))).as("last"))
+          .filter(col("last.action") === "add")
+          .select("path").collect().map(_.getString(0)).toSet
+        val ttReadable = neededAt1.forall(p =>
+          java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "data", p)))
+        val reclaimedRows = ledger.collect {
+          case (p, n, _, _, _) if vacuumed(p) => n }.sum
+        val reclaimedCents = ledger.collect {
+          case (p, _, cents, _, _) if vacuumed(p) => cents }.sum
+        ledger.map { case (p, n, cents, lastC, _) =>
+          (p, lastC, if (vacuumed(p)) "vacuumed" else "live", n, cents)
+        }.toDF("path", "last_commit", "status", "n_rows", "bal_cents")
+          .withColumn("vacuumed_files", lit(vacuumed.size.toLong))
+          .withColumn("reclaimed_rows", lit(reclaimedRows))
+          .withColumn("reclaimed_cents", lit(reclaimedCents))
+          .withColumn("snapshot_match", lit(snapshotMatch))
+          .withColumn("tt_pre_horizon_readable", lit(ttReadable))
+          .orderBy("path")
+      },
+      Some("""
+        WITH f AS (
+          SELECT 'f0' AS path, 0 AS last_commit, 'live' AS status,
+            (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 0) AS n_rows,
+            (SELECT CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             FROM customer WHERE c_custkey % 3 = 0) AS bal_cents
+          UNION ALL
+          SELECT 'f1', 2, 'vacuumed',
+            (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 1),
+            (SELECT CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             FROM customer WHERE c_custkey % 3 = 1)
+          UNION ALL
+          SELECT 'f2', 1, 'live',
+            (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 2),
+            (SELECT CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             FROM customer WHERE c_custkey % 3 = 2)
+          UNION ALL
+          SELECT 'f3', 2, 'live',
+            (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 1),
+            (SELECT CAST(SUM(CAST(round((c_acctbal + 100.0) * 100, 0) AS BIGINT)) AS BIGINT)
+             FROM customer WHERE c_custkey % 3 = 1))
+        SELECT path, CAST(last_commit AS INT) AS last_commit, status,
+          n_rows, bal_cents,
+          CAST(1 AS BIGINT) AS vacuumed_files,
+          (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 1) AS reclaimed_rows,
+          (SELECT CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+           FROM customer WHERE c_custkey % 3 = 1) AS reclaimed_cents,
+          TRUE AS snapshot_match,
+          FALSE AS tt_pre_horizon_readable
+        FROM f ORDER BY path
       """.trim))
   )
 
@@ -756,6 +905,20 @@ object SourceOps extends OpGroup {
       }: _*)
     }.reduce(_.unionAll(_))
   }
+
+  /** Fixture root of the last src_txn_log_vacuum invocation, keyed by
+    * (session, sfDir) — WRITE-ONLY in the op body; EquivalenceSuite reads
+    * it to assert the physical delete actually happened (f1 gone,
+    * f0/f2/f3 intact). Registered with the stopped-session sweep so a
+    * long-lived process can't retain dead SessionStates (round-18
+    * advice pattern).
+    */
+  private val vacuumRootSeam = graft.Caches.sweepWith(
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), String])
+  private[graft] def lastVacuumRoot(
+      s: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    vacuumRootSeam((s, sfDir))
 
   /** Next commit id = 1 + the highest id in the log (0 on an empty log)
     * — what an optimistic writer computes from its snapshot read. Only

@@ -1071,4 +1071,56 @@ class EquivalenceSuite extends AnyFunSuite {
         s"qid ${r.getLong(0)}: hit flag inconsistent with ids")
     }
   }
+
+  test("src_txn_log_vacuum: the delete is physical — orphan dir gone, live dirs intact") {
+    // The oracle hash pins the ledger and the in-band flags; the one
+    // thing it CANNOT see is the filesystem — a vacuum that reported
+    // correctly but deleted nothing (or the wrong file) would still
+    // hash green. Read the fixture root through the test seam and
+    // assert the physical effect: f1's directory is gone, the three
+    // live files remain, and the flags agree (snapshot intact,
+    // pre-horizon time travel genuinely lost).
+    val out = rows("src_txn_log_vacuum")
+    assert(out.size == 4, s"expected the 4-file ledger, got ${out.size}")
+    assert(out.forall(_.getBoolean(8)), "snapshot_match must be true on every row")
+    assert(out.forall(!_.getBoolean(9)),
+      "tt_pre_horizon_readable must be false — f1 was required by asOf=1")
+    val byPath = out.map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(byPath == Map("f0" -> "live", "f1" -> "vacuumed",
+      "f2" -> "live", "f3" -> "live"), s"ledger statuses wrong: $byPath")
+    val root = graft.ops.SourceOps.lastVacuumRoot(spark, sf0001)
+    def dataDir(p: String) = java.nio.file.Paths.get(root, "data", p)
+    assert(!java.nio.file.Files.exists(dataDir("f1")),
+      "f1 still on disk — the vacuum was not physical")
+    Seq("f0", "f2", "f3").foreach(p =>
+      assert(java.nio.file.Files.isDirectory(dataDir(p)),
+        s"live file $p was deleted — vacuum ate live data"))
+  }
+
+  test("vec_index_delete: threshold straddles the cells; lazy and eager serves both live-only") {
+    // The oracle hash pins the report; pin here the PROPERTIES that make
+    // the key meaningful: (a) the %7 tombstone rate genuinely straddles
+    // the 150-permille compaction threshold — at least one cell compacts
+    // AND at least one stays lazy, so both serve paths are exercised in
+    // the same run (a fixture drift that pushed every cell to one side
+    // would make half the op vacuous without failing the oracle);
+    // (b) compacted cells carry a strictly positive centroid shift and
+    // lazy cells exactly 0.0; (c) the served top-1 is a live vector —
+    // a tombstone leaking through the anti-join would surface here.
+    val out = rows("vec_index_delete")
+    assert(out.nonEmpty, "empty report — pin is vacuous")
+    val compacted = out.filter(_.getBoolean(4))
+    val lazyCells = out.filterNot(_.getBoolean(4))
+    assert(compacted.nonEmpty, "no cell compacted — threshold never crossed")
+    assert(lazyCells.nonEmpty, "every cell compacted — lazy path unexercised")
+    compacted.foreach(r => assert(r.getDouble(5) > 0.0,
+      s"compacted cell ${r.get(0)} reports zero centroid shift"))
+    lazyCells.foreach(r => assert(r.getDouble(5) == 0.0,
+      s"lazy cell ${r.get(0)} reports a nonzero shift ${r.getDouble(5)}"))
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)),
+      "a cell reports more deletions than members")
+    val top1 = out.head.getLong(6)
+    assert(top1 % 7 != 3, s"served top-1 $top1 is a tombstoned vector")
+    assert(top1 != 0L, "served top-1 is the query itself")
+  }
 }
