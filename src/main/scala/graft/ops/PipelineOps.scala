@@ -635,6 +635,141 @@ object PipelineOps extends OpGroup {
       }
   }
 
+  /** STRONGLY connected components of a directed integer-id edge list —
+    * the forward-backward COLORING algorithm (the distributed-SCC family
+    * of Orzan / FW-BW-with-trimming), peeling one generation of SCCs per
+    * outer round:
+    *
+    *   1. forward MIN-label propagation to fixpoint over the remaining
+    *      subgraph: F(v) = min{id(u) : u reaches v} (F is constant on
+    *      each SCC — mutual reachability means identical reacher sets);
+    *   2. every v with F(v) = v is a color ROOT, and SCC(root r) =
+    *      {v : F(v) = r ∧ v reaches r through vertices of color r}.
+    *      The color restriction is LOSSLESS: on any v→r path with
+    *      F(v) = F(r) = r, every intermediate w has F(w) = r (r reaches
+    *      w through v's reacher path, and F(w) < r would force
+    *      F(r) < r through w→r) — so the backward reachability runs on
+    *      the color-filtered edge frame only;
+    *   3. peel the identified SCCs, repeat on the remainder (a node
+    *      whose F is a smaller id OUTSIDE its own SCC peels in a later
+    *      round, after that id's component is removed).
+    *
+    * The naive single-pass "(F, B) pair equality" shortcut is WRONG
+    * (nodes 5, 6 of 1→5, 1→6, 5→2, 6→2 share (F, B) = (1, 2) but are
+    * separate singletons) — EquivalenceSuite pins exactly that graph.
+    * Labels are deterministic: each SCC's label is its MINIMUM member id
+    * (F(r) = r forces r = min of its component). Per inner sub-step: one
+    * edges⋈labels join + a partial-agg min — never a pair join; the
+    * edge frame is coalesced to partitions sized like the CC loop's so
+    * tail-graph rounds don't pay 32-task scheduling. Convergence is
+    * fixpoint-exact (label sums are partition-order-invariant), so the
+    * peel count is partition-invariant too. Returns ((node, scc), peels).
+    */
+  private[graft] def stronglyConnectedComponents(
+      edgesIn: org.apache.spark.sql.DataFrame,
+      maxPeels: Int = 40): (org.apache.spark.sql.DataFrame, Int) = {
+    Seq("a", "b").foreach { c =>
+      val dt = edgesIn.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType
+          || dt == org.apache.spark.sql.types.IntegerType
+          || dt == org.apache.spark.sql.types.ShortType
+          || dt == org.apache.spark.sql.types.ByteType,
+        s"stronglyConnectedComponents needs integral ids; column '$c' is $dt")
+    }
+    val proper = edgesIn
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val edgeN = proper.count()
+    val parts = math.max(1L, math.min(
+      proper.rdd.getNumPartitions.toLong, edgeN / 2000000L + 1L)).toInt
+    var remEdges = proper.coalesce(parts).localCheckpoint(true)
+    var remNodes = remEdges.select(col("a").as("node"))
+      .union(remEdges.select(col("b").as("node")))
+      .distinct().localCheckpoint(true)
+    var remCount = remNodes.count()
+    var peels = 0
+    val done = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    while (remCount > 0 && peels < maxPeels) {
+      peels += 1
+      // 1. forward min fixpoint (two sub-steps per checkpoint round, the
+      // CC loop's cadence; the label sum strictly decreases until fixed).
+      def step(cur: org.apache.spark.sql.DataFrame) = remEdges
+        .join(cur.select(col("node").as("a"), col("f").as("fa")), "a")
+        .select(col("b").as("node"), col("fa").as("f"))
+        .union(cur)
+        .groupBy("node").agg(min("f").as("f"))
+      var f = remNodes.select(col("node"), col("node").as("f"))
+        .localCheckpoint(true)
+      def fsum(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum("f")).head().getLong(0)
+      var prevSum = -1L
+      var curSum = fsum(f)
+      var iter = 0
+      while (curSum != prevSum && iter < 40) {
+        val next = step(step(f)).localCheckpoint(true)
+        graft.Caches.releaseCheckpoint(f)
+        f = next
+        prevSum = curSum
+        curSum = fsum(f)
+        iter += 1
+      }
+      if (curSum != prevSum) throw new IllegalStateException(
+        s"SCC forward propagation did not converge in $iter rounds")
+      // 2. backward reachability to the color root, within color only.
+      val ce = remEdges
+        .join(f.select(col("node").as("a"), col("f").as("fa")), "a")
+        .join(f.select(col("node").as("b"), col("f").as("fb")), "b")
+        .filter(col("fa") === col("fb"))
+        .select(col("a"), col("b"), col("fa").as("c"))
+        .localCheckpoint(true)
+      var reached = f.filter(col("node") === col("f"))
+        .select(col("node"), col("f").as("c")).localCheckpoint(true)
+      var reachedN = reached.count()
+      var prevN = -1L
+      var biter = 0
+      while (reachedN != prevN && biter < 40) {
+        val next = ce
+          .join(reached.select(col("node").as("b"), col("c")), Seq("b", "c"))
+          .select(col("a").as("node"), col("c"))
+          .union(reached).distinct()
+          .localCheckpoint(true)
+        graft.Caches.releaseCheckpoint(reached)
+        reached = next
+        prevN = reachedN
+        reachedN = reached.count()
+        biter += 1
+      }
+      if (reachedN != prevN) throw new IllegalStateException(
+        s"SCC backward propagation did not converge in $biter rounds")
+      graft.Caches.releaseCheckpoint(ce)
+      graft.Caches.releaseCheckpoint(f)
+      done += reached.select(col("node"), col("c").as("scc"))
+      // 3. peel: the remainder keeps only unassigned nodes + their edges.
+      val rest = remNodes
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      val restEdges = remEdges
+        .join(rest.select(col("node").as("a")), Seq("a"), "leftsemi")
+        .join(rest.select(col("node").as("b")), Seq("b"), "leftsemi")
+        .localCheckpoint(true)
+      graft.Caches.releaseCheckpoint(remNodes)
+      graft.Caches.releaseCheckpoint(remEdges)
+      remNodes = rest
+      remEdges = restEdges
+      remCount = remNodes.count()
+    }
+    graft.Caches.releaseCheckpoint(remNodes)
+    graft.Caches.releaseCheckpoint(remEdges)
+    if (remCount > 0) throw new IllegalStateException(
+      s"SCC did not converge in $maxPeels peel rounds — refusing partial labels")
+    if (done.isEmpty)
+      return (proper.select(col("a").as("node"), col("b").as("scc")).limit(0), 0)
+    val out = done.reduce(_.union(_)).localCheckpoint(true)
+    done.foreach(graft.Caches.releaseCheckpoint)
+    (out, peels)
+  }
+
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.Caches.memo(labelCache, (s, dir), {
       // The COLLAPSED graph (rep↔rep pairs + member→rep stars), not the
@@ -663,7 +798,7 @@ object PipelineOps extends OpGroup {
       graft.Caches.releaseCheckpoint(labels)
       graft.Caches.track(s, dir, "cluster_labels",
         Set("text_dedup_clusters", "text_dedup_keep_best", "corpus_prep_pipeline_v2",
-          "corpus_prep_pipeline_v3"),
+          "corpus_prep_pipeline_v3", "corpus_dedup_weighted"),
         () => labelCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
       out
     })
@@ -822,7 +957,7 @@ object PipelineOps extends OpGroup {
         Set("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk",
           "vec_ivf_probe_sweep", "vec_pq_residual_topk", "vec_ivf_cell_stats",
           "vec_index_persist_reload", "vec_index_delete", "vec_knn_graph_ivf",
-          "vec_semantic_dedup_ivf", "corpus_prep_pipeline_v3",
+          "vec_semantic_dedup_ivf", "corpus_prep_pipeline_v3", "graph_scc",
           "graph_triangle_count", "graph_connected_components",
           "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
           "vec_graph_beam_search", "graph_louvain_step", "graph_louvain_converge",
@@ -1058,9 +1193,22 @@ object PipelineOps extends OpGroup {
       labels
     })
 
-  private def mutualKnnEdges(
+  private val directedKnnCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  /** DIRECTED top-[[MutualKnnK]] kNN edges (l, a, b): a → b iff b is in
+    * a's IVF-blocked cosine top-k (a ≠ b; `l` is a's label, carried for
+    * rollups). The expensive blocked pair join is paid HERE, once —
+    * [[mutualKnnEdges]] derives the undirected mutual graph from this
+    * frame by intersecting it with its own transpose (a 60 k-row semi
+    * join, not a second corpus join), and `graph_scc` consumes the
+    * directed frame as-is: direction is the whole point there (b being
+    * a's neighbor does NOT make a b's — the asymmetry is what gives the
+    * digraph nontrivial strongly-connected structure).
+    */
+  private[graft] def directedKnnEdges(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    graft.Caches.memo(mutualEdgeCache, (s, dir), {
+    graft.Caches.memo(directedKnnCache, (s, dir), {
       val e = Tables.t(s, dir, "embeddings")
       val probes = ivfProbes(s, dir)
       val (_, assign) = kmeansTrained(s, dir)
@@ -1079,6 +1227,43 @@ object PipelineOps extends OpGroup {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= MutualKnnK)
         .select(col("l"), col("a"), col("b"))
+        .localCheckpoint(true)
+      graft.Caches.track(s, dir, "directed_knn_edges",
+        Set("graph_scc", "graph_triangle_count", "graph_connected_components",
+          "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
+          "vec_graph_beam_search", "graph_louvain_step", "graph_louvain_converge",
+          "graph_louvain_multilevel", "graph_kcore_peel", "vec_hnsw_search",
+          "vec_hnsw_build", "graph_bfs_hops", "graph_modularity",
+          "vec_hnsw_batch_search", "vec_hnsw_persist_search",
+          "graph_pagerank_persist_serve"),
+        () => directedKnnCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
+      knn
+    })
+
+  private val sccCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (org.apache.spark.sql.DataFrame, Int)]
+
+  /** graph_scc's converged (node, scc) labels + peel count over
+    * [[directedKnnEdges]], memoized per (session, sfDir) so bench iso
+    * reruns don't redo the peeling loop; released once the consumer runs.
+    */
+  private def sccLabels(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Int) =
+    graft.Caches.memo(sccCache, (s, dir), {
+      val pair = stronglyConnectedComponents(
+        directedKnnEdges(s, dir).select("a", "b"))
+      graft.Caches.track(s, dir, "scc_labels", Set("graph_scc"),
+        () => sccCache.remove((s, dir))
+          .foreach(p => graft.Caches.releaseCheckpoint(p._1)))
+      pair
+    })
+
+  private def mutualKnnEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.memo(mutualEdgeCache, (s, dir), {
+      val knn = directedKnnEdges(s, dir)
       val mutual = knn.filter(col("a") < col("b"))
         .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "leftsemi")
         .localCheckpoint(true)
@@ -4193,6 +4378,63 @@ object PipelineOps extends OpGroup {
         ORDER BY p.lang
       """.trim)),
 
+    // Duplicate-aware UPWEIGHTING — the soft-dedup alternative to
+    // hard-dropping near-dup cohorts (the published recipe behind
+    // "dedup then upweight": repetition carries signal, so the kept
+    // representative inherits a SUBLINEAR function of its cohort size
+    // instead of cohort-size-many epochs of exposure). Each converged
+    // near-dup cluster (the shared simhash-CC labels every dedup key
+    // reuses) keeps one representative (lowest doc_id) with weight
+    // min(√size, 2.0) — √ damps boilerplate cohorts, the cap bounds any
+    // single cohort's exposure at 2× a unique doc. Weights are quantized
+    // to exact integer MILLI-units at the cluster level (floor(w·1000);
+    // IEEE sqrt is correctly rounded, so the integer is engine-identical)
+    // and every downstream sum is integer — no float-summation-order
+    // surface anywhere in the dumped frame (the corpus_temperature_sample
+    // discipline, taken further: nothing to order-fix because nothing
+    // float is ever summed). Report is the per-lang mixture audit a
+    // sampler consumes: raw docs, clusters, dup cohorts, weight mass and
+    // the weighted char budget. At 100 TB: the cluster labels are the
+    // amortized fixture; on top of them this is two hash aggregations
+    // (cluster rollup, lang rollup) — no new scan of the text.
+    Op("corpus_dedup_weighted",
+      (s, dir) => {
+        val labels = clusterLabels(s, dir)
+        val d = Tables.t(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        val clusters = labels.join(d, labels("node") === d("doc_id"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_members"),
+            min_by(col("lang"), col("doc_id")).as("lang"),
+            min_by(col("n_chars"), col("doc_id")).as("rep_chars"))
+          .withColumn("w_milli", expr(
+            "CAST(floor(least(sqrt(CAST(n_members AS DOUBLE)), CAST(2.0 AS DOUBLE)) * 1000.0D) AS BIGINT)"))
+        clusters.groupBy("lang")
+          .agg(sum("n_members").as("n_docs_raw"),
+            count(lit(1)).as("n_clusters"),
+            sum(when(col("n_members") > 1, 1L).otherwise(0L)).as("n_dup_clusters"),
+            sum("w_milli").as("weight_milli"),
+            sum(col("w_milli") * col("rep_chars")).as("eff_chars_milli"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH $simsSql, $ccSql, mem AS (
+          SELECT c.cluster, d.doc_id, d.lang, d.n_chars
+          FROM clusters c JOIN documents d USING (doc_id)
+        ), cl AS (
+          SELECT cluster, COUNT(*) AS n_members,
+            arg_min(lang, doc_id) AS lang,
+            arg_min(n_chars, doc_id) AS rep_chars,
+            CAST(floor(least(sqrt(CAST(COUNT(*) AS DOUBLE)), 2.0) * 1000.0) AS BIGINT) AS w_milli
+          FROM mem GROUP BY cluster)
+        SELECT lang, CAST(SUM(n_members) AS BIGINT) AS n_docs_raw,
+          COUNT(*) AS n_clusters,
+          CAST(SUM(CASE WHEN n_members > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_clusters,
+          CAST(SUM(w_milli) AS BIGINT) AS weight_milli,
+          CAST(SUM(w_milli * rep_chars) AS BIGINT) AS eff_chars_milli
+        FROM cl GROUP BY lang ORDER BY lang
+      """.trim)),
+
     // One Lloyd (k-means) assignment step over the quantized embeddings:
     // centroids = per-label mean of the 1e-3-quantized integer
     // components (exact integer sums — no float-sum-order risk in the
@@ -6868,6 +7110,38 @@ object PipelineOps extends OpGroup {
     // the same labels by recursive transitive closure — feasible at
     // verification SFs precisely because the distributed loop is the only
     // formulation that survives real scale (closure is |component|²).
+    // STRONGLY connected components over the DIRECTED kNN graph — the
+    // directed sibling of graph_connected_components, and the first key
+    // where edge DIRECTION carries the semantics: a → b (b in a's top-3)
+    // does not imply b → a, and an SCC is a set of nodes that can all
+    // reach each other following arrows — the structure retrieval-graph
+    // diagnostics (sink/source hubs, condensation DAGs, walk-trap
+    // communities) are built on. Algorithm: [[stronglyConnectedComponents]]
+    // (forward-backward coloring with peeling — provably exact, labels =
+    // min member id; the scaladoc there has the correctness argument and
+    // the counterexample that kills the naive (F,B)-pair shortcut).
+    // Non-oracle: the DuckDB closure over DIRECTED edges is unbounded by
+    // component size (directed reachability spans far beyond the SCCs),
+    // so instead PropertySuite pins the algorithm against a reference
+    // Tarjan on seeded random digraphs and EquivalenceSuite pins the
+    // hand-computed counterexample graph + the mutual-edge invariant on
+    // the real corpus. At 100 TB: every inner sub-step is one
+    // edges⋈labels join + a partial-agg min over a degree-bounded edge
+    // list — work scales with |E| × (fixpoint depth), never pairs.
+    Op("graph_scc",
+      (s, dir) => {
+        val (labels, peels) = sccLabels(s, dir)
+        val verts = Tables.t(s, dir, "embeddings").select(col("vec_id").as("node"))
+        verts.join(labels, Seq("node"), "left")
+          .select(col("node").as("vec_id"),
+            coalesce(col("scc"), col("node")).as("scc"))
+          .withColumn("scc_size",
+            count(lit(1)).over(Window.partitionBy("scc")).cast("int"))
+          .withColumn("peel_rounds", lit(peels))
+          .orderBy("vec_id")
+      },
+      None),
+
     Op("graph_connected_components",
       (s, dir) => {
         val labels = mutualCcLabels(s, dir)

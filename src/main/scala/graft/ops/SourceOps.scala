@@ -862,6 +862,99 @@ object SourceOps extends OpGroup {
           TRUE AS snapshot_match,
           FALSE AS tt_pre_horizon_readable
         FROM f ORDER BY path
+      """.trim)),
+
+    // RESTORE — roll the table BACK to an earlier version as a NEW
+    // forward commit (Delta's RESTORE TABLE ... VERSION AS OF): diff the
+    // two live sets (current head vs the as-of target), then commit
+    // remove(head∖target) + add(target∖head) through the SAME optimistic
+    // commitWithRetry path every writer uses — restore is an ordinary
+    // commit racing rivals, not a log rewrite. The inverse of vacuum on
+    // the history axis: vacuum destroys pre-horizon time travel to
+    // reclaim bytes; restore moves the HEAD while destroying nothing —
+    // every data file stays, and the pre-restore head remains readable
+    // as-of its commit (prerestore_tt_match proves it in-band: the asOf=2
+    // replay still re-aggregates to the REWRITTEN truth after the restore
+    // lands). The restore itself is one KB-sized log append; no data file
+    // is copied or deleted — at 100 TB rolling back a bad compaction or a
+    // poisoned ingest is a metadata operation, which is the whole reason
+    // the log-of-file-actions design wins over rewrite-in-place. The diff
+    // legs are log-replay aggregates (KB-sized); the oracle restates the
+    // post-restore snapshot from customer directly — a restore that
+    // missed either diff leg serves f3's rewritten balances (or drops f1)
+    // and the hash goes red.
+    Op("src_txn_log_restore",
+      (s, dir) => {
+        val root = Tables.tmpDir("graft_txn_restore")
+        val c = Tables.t(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        def writeFile(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+          df.coalesce(1).write.mode("overwrite").parquet(s"$root/data/$name")
+        writeFile("f0", c.filter(col("c_custkey") % 3 === 0))
+        writeFile("f1", c.filter(col("c_custkey") % 3 === 1))
+        writeFile("f2", c.filter(col("c_custkey") % 3 === 2))
+        writeFile("f3", c.filter(col("c_custkey") % 3 === 1)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0))
+        val logDir = java.nio.file.Paths.get(root, "log")
+        java.nio.file.Files.createDirectories(logDir)
+        def commit(id: Int, actions: Seq[(String, String)]): Unit =
+          java.nio.file.Files.write(logDir.resolve(f"$id%03d.json"),
+            actions.map { case (act, path) =>
+              s"""{"commit": $id, "action": "$act", "path": "$path"}"""
+            }.mkString("\n").getBytes("UTF-8"))
+        commit(0, Seq("add" -> "f0", "add" -> "f1"))
+        commit(1, Seq("add" -> "f2"))
+        commit(2, Seq("remove" -> "f1", "add" -> "f3"))
+        def liveAsOf(asOf: Int): Seq[String] = s.read
+          .schema("commit INT, action STRING, path STRING")
+          .json(s"$root/log")
+          .filter(col("commit") <= asOf)
+          .groupBy("path")
+          .agg(max(struct(col("commit"), col("action"))).as("last"))
+          .filter(col("last.action") === "add")
+          .select("path").collect().map(_.getString(0)).sorted.toSeq
+        val target = 1
+        val headLive = liveAsOf(Int.MaxValue).toSet
+        val targetLive = liveAsOf(target).toSet
+        val toRemove = (headLive -- targetLive).toSeq.sorted
+        val toAdd = (targetLive -- headLive).toSeq.sorted
+        val (restoreCommit, _) = commitWithRetry(logDir, nextCommitId(logDir),
+          id => (toRemove.map(p =>
+              s"""{"commit": $id, "action": "remove", "path": "$p"}""")
+            ++ toAdd.map(p =>
+              s"""{"commit": $id, "action": "add", "path": "$p"}"""))
+            .mkString("\n"))
+        def agg(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")).as("bal_cents"))
+        def replay(paths: Seq[String]) = agg(
+          s.read.parquet(paths.map(p => s"$root/data/$p").toIndexedSeq: _*))
+        def digest(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+        // History preserved: the PRE-restore head (asOf=2) still serves
+        // the rewritten balances even though the new head rolled back.
+        val rewrittenTruth = agg(c.withColumn("c_acctbal",
+          when(col("c_custkey") % 3 === 1, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal"))))
+        val prerestoreMatch =
+          digest(replay(liveAsOf(2))) == digest(rewrittenTruth)
+        replay(liveAsOf(Int.MaxValue))
+          .withColumn("restore_commit", lit(restoreCommit))
+          .withColumn("files_removed", lit(toRemove.size.toLong))
+          .withColumn("files_added", lit(toAdd.size.toLong))
+          .withColumn("prerestore_tt_match", lit(prerestoreMatch))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n,
+          CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents,
+          CAST(3 AS INT) AS restore_commit,
+          CAST(1 AS BIGINT) AS files_removed,
+          CAST(1 AS BIGINT) AS files_added,
+          TRUE AS prerestore_tt_match
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
       """.trim))
   )
 

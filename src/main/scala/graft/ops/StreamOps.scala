@@ -959,6 +959,145 @@ object StreamOps extends OpGroup {
             lit(matches).as("matches_batch_index"))
         } finally graft.Caches.releaseCheckpoint(cOld)
       },
+      None),
+
+    // STREAMING CDC APPLY — the missing leg between stream_txn_log_sink
+    // (append-only streamed commits) and etl_cdc_apply (batch
+    // upsert/delete merge): a change-data-capture stream of I/U/D records
+    // applied continuously into a served table. The change set is
+    // IDENTICAL to etl_cdc_apply's (U@ver1 on %5 repriced 1.10, U@ver2 on
+    // %10 repriced 1.20, D@ver3 on %13), delivered as three micro-batches
+    // in a DELIBERATELY out-of-order schedule (ver 2 arrives first, then
+    // ver 1, then the deletes) — correctness must come from the merge
+    // rule (latest-by-ver wins, deletes drop), never from arrival order.
+    // Each micro-batch writes its raw change rows to a batchId-pure delta
+    // path (redelivery overwrites its own file — idempotent) and commits
+    // an `add` to the txn log LAST; run 1 is killed at the worst point
+    // (batch 1's delta written, commit missing — the orphan is invisible
+    // to replay), the restart redelivers from the checkpoint and
+    // completes. Final state: log replay → live delta union → ONE
+    // argmax-by-ver per key → full-outer merge with the base — and the
+    // matches_batch_apply flag proves the served aggregate equals the
+    // one-shot batch merge of the full change set (streaming invisible in
+    // the final artifact; EquivalenceSuite additionally pins the first
+    // three columns equal to the oracle-checked etl_cdc_apply and the
+    // crash audit). At 100 TB this IS the continuous MERGE INTO a silver
+    // table: exactly-once application with coordination state = the
+    // checkpoint dir + the KB-sized log, delete capability included —
+    // the GDPR/compaction path append-only sinks can't express.
+    Op("stream_cdc_apply",
+      (s, dir) => {
+        Tables.conf(s)
+        val root = Tables.tmpDir("graft_cdc")
+        val ckpt = Tables.tmpDir("graft_cdc_ckpt")
+        val logDir = java.nio.file.Paths.get(root, "log")
+        java.nio.file.Files.createDirectories(logDir)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(root, "delta"))
+        val base = Tables.t(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1996)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        def reprice(f: Double) = round(col("price")
+          * lit(BigDecimal(f.toString)).cast(DecimalType(3, 2)), 2)
+          .cast(DecimalType(18, 2))
+        // The full CDC change set — etl_cdc_apply's, verbatim (the D
+        // sentinel 0.00 is never read; see that op's max_by note).
+        val changes = base.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), lit(1).as("ver"), lit("U").as("op"),
+            reprice(1.10).as("new_price"))
+          .unionByName(base.filter(col("o_orderkey") % 10 === 0)
+            .select(col("o_orderkey"), lit(2).as("ver"), lit("U").as("op"),
+              reprice(1.20).as("new_price")))
+          .unionByName(base.filter(col("o_orderkey") % 13 === 0)
+            .select(col("o_orderkey"), lit(3).as("ver"), lit("D").as("op"),
+              lit(BigDecimal(0).setScale(2)).cast(DecimalType(18, 2)).as("new_price")))
+          .localCheckpoint(true)
+        try {
+          val changeSchema =
+            "o_orderkey BIGINT, ver INT, op STRING, new_price DECIMAL(18,2)"
+          def latestWins(c: DataFrame) = c.groupBy("o_orderkey")
+            .agg(max_by(col("op"), col("ver")).as("op"),
+              max_by(col("new_price"), col("ver")).as("new_price"))
+          def applyAgg(latest: DataFrame) = base
+            .join(latest, Seq("o_orderkey"), "full")
+            .filter(col("op").isNull || col("op") =!= "D")
+            .select(col("o_orderstatus"),
+              coalesce(col("new_price"), col("price")).as("p"),
+              col("op").isNotNull.as("changed"))
+            .groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed"),
+              sum(col("p")).cast(DecimalType(18, 2)).cast("double").as("price_mass"))
+          def src = s.readStream
+            .schema(changeSchema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(cdcSplitDir(s, dir, changes))
+          val prev = s.conf.get("spark.sql.shuffle.partitions")
+          s.conf.set("spark.sql.shuffle.partitions", "2")
+          val (recoveryBatches, crashFiles, crashCommits) = try {
+            def start(bomb: Boolean) = src.writeStream
+              .foreachBatch { (b: DataFrame, id: Long) =>
+                b.write.mode("overwrite").parquet(s"$root/delta/b$id")
+                if (bomb && id == 1)
+                  throw new RuntimeException(
+                    "poison pill: crash after the delta write, before the log commit")
+                java.nio.file.Files.write(logDir.resolve(f"$id%03d.json"),
+                  s"""{"commit": $id, "action": "add", "path": "b$id"}"""
+                    .getBytes("UTF-8"))
+                ()
+              }
+              .option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            val q1 = start(bomb = true)
+            try { q1.awaitTermination(); sys.error("poison pill must kill run 1") }
+            catch {
+              case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+            }
+            def countIn(p: java.nio.file.Path): Long = {
+              val ls = java.nio.file.Files.list(p)
+              try ls.count() finally ls.close()
+            }
+            val files = countIn(java.nio.file.Paths.get(root, "delta"))
+            val commits = countIn(logDir)
+            val q2 = start(bomb = false)
+            q2.awaitTermination()
+            val retention = s.conf
+              .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+            require(q2.recentProgress.length < retention,
+              s"stream_cdc_apply: ${q2.recentProgress.length} progress " +
+                s"updates reached the $retention-entry retention")
+            val n = q2.recentProgress.count(_.numInputRows > 0)
+            publishBatches(s, dir, n) // test-seam publish only
+            (n.toLong, files, commits)
+          } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+          // Log replay → live deltas → latest-wins merge → served table.
+          val live = s.read
+            .schema("commit INT, action STRING, path STRING")
+            .json(s"$root/log")
+            .groupBy("path")
+            .agg(max(struct(col("commit"), col("action"))).as("last"))
+            .filter(col("last.action") === "add")
+            .select("path").collect().map(_.getString(0)).sorted
+          val streamed = s.read.schema(changeSchema)
+            .parquet(live.map(p => s"$root/delta/$p").toIndexedSeq: _*)
+          val served = applyAgg(latestWins(streamed))
+          val truth = applyAgg(latestWins(changes))
+          def typedRows(df: DataFrame) = df.collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+            .sortBy(_._1).toSeq
+          val matches = served.schema == truth.schema &&
+            typedRows(served) == typedRows(truth)
+          served.select(col("o_orderstatus"), col("n_rows"), col("n_changed"),
+            col("price_mass"),
+            lit(recoveryBatches).as("recovery_batches"),
+            lit(crashFiles).as("crash_delta_files"),
+            lit(crashCommits).as("crash_commits"),
+            lit(matches).as("matches_batch_apply"))
+            .orderBy("o_orderstatus")
+        } finally graft.Caches.releaseCheckpoint(changes)
+      },
       None)
   )
 
@@ -978,6 +1117,35 @@ object StreamOps extends OpGroup {
       for (i <- 0 until 3) {
         val stage = Tables.tmpDir("graft_emb_split_stage")
         b.filter(col("p") === i).drop("p")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        val part = try listing
+          .filter(f => f.getFileName.toString.startsWith("part-")
+            && f.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
+        val dst = java.nio.file.Paths.get(root, s"b$i.parquet")
+        java.nio.file.Files.copy(part, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 10000L)
+      }
+      root
+    })
+
+  private val cdcSplitCache = graft.Caches.sweepWith(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String])
+
+  /** stream_cdc_apply's on-disk source: the change set sliced by ver into
+    * three single-file parquets whose mtimes deliver them OUT OF ORDER
+    * (ver 2 first, then ver 1, then the ver-3 deletes) — the merge rule,
+    * not arrival order, must decide the final state.
+    */
+  private def cdcSplitDir(
+      s: SparkSession, sfDir: String, changes: DataFrame): String =
+    graft.Caches.memo(cdcSplitCache, (s, sfDir), {
+      val root = Tables.tmpDir("graft_cdc_split")
+      Seq(2, 1, 3).zipWithIndex.foreach { case (v, i) =>
+        val stage = Tables.tmpDir("graft_cdc_split_stage")
+        changes.filter(col("ver") === v)
           .coalesce(1).write.mode("overwrite").parquet(stage)
         val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
         val part = try listing

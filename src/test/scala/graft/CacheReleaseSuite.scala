@@ -23,6 +23,7 @@ class CacheReleaseSuite extends AnyFunSuite {
     "text_dedup_clusters", "text_dedup_keep_best", "text_dedup_incremental",
     "corpus_prep_pipeline_v2", // round 16: the capstone v2 rides the same caches
     "corpus_prep_pipeline_v3", // round 19: v3 adds decontamination + IVF SemDeDup
+    "corpus_dedup_weighted", // round 19: soft-dedup upweighting off the labels
     "vec_index_persist_reload") // round 17: persists the signature table
 
   test("simhash-family caches release after their last consumer key") {
@@ -47,7 +48,7 @@ class CacheReleaseSuite extends AnyFunSuite {
     Seq("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk",
       "vec_ivf_probe_sweep", "vec_pq_residual_topk", "vec_ivf_cell_stats",
       "vec_index_delete", "vec_knn_graph_ivf", "vec_semantic_dedup_ivf",
-      "graph_triangle_count", "graph_connected_components",
+      "graph_scc", "graph_triangle_count", "graph_connected_components",
       "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
       "vec_graph_beam_search", "graph_louvain_step", "graph_louvain_converge",
       "graph_louvain_multilevel", "graph_kcore_peel", "vec_hnsw_search",

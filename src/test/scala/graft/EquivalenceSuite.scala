@@ -398,6 +398,69 @@ class EquivalenceSuite extends AnyFunSuite {
       "served index diverged from the one-shot batch upsert")
   }
 
+  test("stream_cdc_apply: out-of-order crashed CDC stream equals the oracle-checked batch merge") {
+    // The CDC stream delivers ver 2, then ver 1, then the ver-3 deletes
+    // (deliberately out of order), crashes after batch 1's delta write
+    // (2 files / 1 commit at crash), recovers, and serves the merged
+    // table. Latest-by-ver wins regardless of arrival order, so the
+    // served aggregate must equal BOTH the in-band one-shot truth
+    // (matches_batch_apply) and the independently computed, ORACLE-
+    // CHECKED etl_cdc_apply output — the streaming key inherits the
+    // batch key's DuckDB-verified semantics.
+    val op = rows("stream_cdc_apply")
+    assert(op.nonEmpty, "cdc apply returned no rows — test is vacuous")
+    assert(op.forall(_.getLong(4) == 2L),
+      s"restart must process exactly 2 data batches, got ${op.head.getLong(4)}")
+    assert(op.forall(r => r.getLong(5) == 2L && r.getLong(6) == 1L),
+      s"crash audit must see 2 delta files / 1 commit, got " +
+        s"${op.head.getLong(5)}/${op.head.getLong(6)}")
+    assert(op.forall(_.getBoolean(7)),
+      "served table diverged from the in-band one-shot batch merge")
+    val got = op.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val truth = rows("etl_cdc_apply").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == truth,
+      s"cdc stream diverged from the oracle-checked batch merge: got=$got want=$truth")
+  }
+
+  test("graph_scc: the (F,B)-pair counterexample, crafted cycles, and the mutual-edge invariant") {
+    import spark.implicits._
+    def scc(es: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val (df, _) = ops.PipelineOps.stronglyConnectedComponents(es.toDF("a", "b"))
+      val out = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      Caches.releaseCheckpoint(df)
+      out
+    }
+    // The diamond that breaks the naive single-pass "(forward-min,
+    // backward-min) pair equality" shortcut: 5 and 6 share F=1 and B=2
+    // yet are NOT strongly connected — every node is a singleton.
+    assert(scc(Seq((1L, 5L), (1L, 6L), (5L, 2L), (6L, 2L)))
+      == Seq((1L, 1L), (2L, 2L), (5L, 5L), (6L, 6L)))
+    // Two 2-cycles bridged by a one-way edge stay separate SCCs.
+    assert(scc(Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (2L, 3L)))
+      == Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)))
+    // A directed 4-ring is one SCC labeled by its min member.
+    assert(scc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+      == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    // Real corpus: a mutual kNN pair is a 2-cycle in the directed graph,
+    // so its endpoints MUST share an SCC — the cheapest real-data truth
+    // the labels cannot violate.
+    val op = rows("graph_scc")
+    assert(op.nonEmpty, "graph_scc returned no rows — test is vacuous")
+    val lab = op.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val knn = ops.PipelineOps.directedKnnEdges(spark, sf0001).select("a", "b")
+    val mutual = knn.intersect(
+        knn.select(col("b").as("a"), col("a").as("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    Caches.keyDone(spark, sf0001, "graph_scc")
+    assert(mutual.nonEmpty, "no mutual pairs — invariant is vacuous")
+    mutual.foreach { case (a, b) =>
+      assert(lab(a) == lab(b),
+        s"mutual pair ($a, $b) split across SCCs ${lab(a)} / ${lab(b)}")
+    }
+  }
+
   test("vec_hnsw_persist_search serves the reloaded index identically to the in-session walk") {
     // The persisted layer tables are exact (integer ids, deterministic
     // md5 layers), so the reloaded walk must answer IDENTICALLY — same

@@ -283,6 +283,59 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("FW-BW coloring SCC == reference Tarjan on random digraphs") {
+    // The peeling loop (PipelineOps.stronglyConnectedComponents) is the
+    // engine's second custom iterative algorithm; there is no DuckDB
+    // oracle (directed reachability closures are unbounded by component
+    // size), so pin it against a textbook Tarjan over random digraphs —
+    // plus a directed chain (all singletons: reachability without mutual
+    // reachability) and a directed ring (one cycle = one SCC), the two
+    // shapes where a wrong peel or a leaky color restriction diverges.
+    val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    val chain = (0L to 20L).sliding(2).map(s => (s.head, s.last)).toList
+    val cases = (0 until 6).flatMap(i =>
+      edgeGen(Gen.Parameters.default.withSize(30), Seed(2000L + i))) :+
+      chain :+ (chain :+ (20L -> 0L))
+    cases.map(_.filter { case (a, b) => a != b }.distinct)
+      .filter(_.nonEmpty).foreach { es =>
+        // Reference: recursive Tarjan, components canonicalized to the
+        // min-member label the distributed algorithm guarantees.
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+        var idx = 0
+        val index = scala.collection.mutable.Map.empty[Long, Int]
+        val low = scala.collection.mutable.Map.empty[Long, Int]
+        val onStack = scala.collection.mutable.Set.empty[Long]
+        val stack = scala.collection.mutable.Stack.empty[Long]
+        val comps = scala.collection.mutable.ArrayBuffer.empty[List[Long]]
+        def strongconnect(v: Long): Unit = {
+          index(v) = idx; low(v) = idx; idx += 1
+          stack.push(v); onStack += v
+          adj.getOrElse(v, Nil).foreach { w =>
+            if (!index.contains(w)) {
+              strongconnect(w); low(v) = math.min(low(v), low(w))
+            } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+          }
+          if (low(v) == index(v)) {
+            val buf = scala.collection.mutable.ListBuffer.empty[Long]
+            var w = -1L
+            while ({ w = stack.pop(); onStack -= w; buf += w; w != v }) ()
+            comps += buf.toList
+          }
+        }
+        nodes.foreach(v => if (!index.contains(v)) strongconnect(v))
+        val expected = comps.flatMap { c =>
+          val m = c.min; c.map(_ -> m)
+        }.toMap
+        val (got, peels) =
+          ops.PipelineOps.stronglyConnectedComponents(es.toDF("a", "b"))
+        val gm = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        Caches.releaseCheckpoint(got)
+        assert(gm == expected,
+          s"SCC mismatch on ${es.size} edges (peels=$peels): got=$gm want=$expected")
+      }
+  }
+
   test("connected components label self-loop-only nodes as their own singletons") {
     // The documented contract is a label for EVERY edge-incident node; a
     // self-loop carries no connectivity but its node is edge-incident.
