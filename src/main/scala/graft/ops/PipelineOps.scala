@@ -635,39 +635,146 @@ object PipelineOps extends OpGroup {
       }
   }
 
+  /** Iterative Tarjan over an edge iterator → one (member, min member)
+    * star per NON-trivial strongly connected component. Explicit work
+    * stack of (node, next child index) — no recursion, safe at any depth;
+    * only the stack top can push, so a node is initialized the moment it
+    * surfaces and can never be pushed twice. Memory O(nodes in the
+    * iterator). Shared by [[stronglyConnectedComponents]]'s per-partition
+    * contraction (executors) and its driver-side condensation solve —
+    * one implementation, both tiers.
+    */
+  private[graft] def tarjanStars(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    it.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty)
+    }
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    val low = scala.collection.mutable.LongMap.empty[Int]
+    val on = scala.collection.mutable.LongMap.empty[Boolean]
+    val st = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var counter = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val work = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val empty = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def strongconnect(v0: Long): Unit = {
+      work += ((v0, 0))
+      while (work.nonEmpty) {
+        val (v, ci) = work(work.length - 1)
+        if (ci == 0) {
+          idx(v) = counter; low(v) = counter; counter += 1
+          st += v; on(v) = true
+        }
+        val nbrs = adj.getOrElse(v, empty)
+        var i = ci
+        var pushed = false
+        while (i < nbrs.length && !pushed) {
+          val w = nbrs(i)
+          if (!idx.contains(w)) {
+            work(work.length - 1) = (v, i + 1)
+            work += ((w, 0))
+            pushed = true
+          } else {
+            if (on.getOrElse(w, false)) low(v) = math.min(low(v), idx(w))
+            i += 1
+          }
+        }
+        if (!pushed) {
+          work.remove(work.length - 1)
+          if (work.nonEmpty) {
+            val p = work(work.length - 1)._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == idx(v)) {
+            val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var w = 0L
+            while ({ w = st.remove(st.length - 1); on(w) = false
+                     members += w; w != v }) ()
+            if (members.length > 1) {
+              val m = members.min
+              members.foreach(x => if (x != m) out += ((x, m)))
+            }
+          }
+        }
+      }
+    }
+    adj.keysIterator.foreach(v => if (!idx.contains(v)) strongconnect(v))
+    out.iterator
+  }
+
   /** STRONGLY connected components of a directed integer-id edge list —
-    * the forward-backward COLORING algorithm (the distributed-SCC family
-    * of Orzan / FW-BW-with-trimming), peeling one generation of SCCs per
-    * outer round:
+    * the two-stage architecture of [[connectedComponents]], adapted to
+    * direction:
     *
-    *   1. forward MIN-label propagation to fixpoint over the remaining
-    *      subgraph: F(v) = min{id(u) : u reaches v} (F is constant on
-    *      each SCC — mutual reachability means identical reacher sets);
-    *   2. every v with F(v) = v is a color ROOT, and SCC(root r) =
-    *      {v : F(v) = r ∧ v reaches r through vertices of color r}.
-    *      The color restriction is LOSSLESS: on any v→r path with
-    *      F(v) = F(r) = r, every intermediate w has F(w) = r (r reaches
-    *      w through v's reacher path, and F(w) < r would force
-    *      F(r) < r through w→r) — so the backward reachability runs on
-    *      the color-filtered edge frame only;
-    *   3. peel the identified SCCs, repeat on the remainder (a node
-    *      whose F is a smaller id OUTSIDE its own SCC peels in a later
-    *      round, after that id's component is removed).
+    * STAGE 1 — per-partition ITERATIVE TARJAN contraction: each partition
+    * runs Tarjan over the edges it holds (explicit work stack — no
+    * recursion, executor-safe at any depth; memory O(nodes per
+    * partition), same bound as the CC union-find) and emits a star
+    * (member → min member) per non-trivial LOCAL component. A local SCC
+    * on a subset of edges is always a subset of a true SCC (every local
+    * cycle is a global cycle), so contraction is sound; local components
+    * from different partitions sharing a node belong to one true SCC, so
+    * the stars are consolidated by [[connectedComponents]] (skipped when
+    * one partition holds everything — single-partition roots are already
+    * global minima of their components).
     *
-    * The naive single-pass "(F, B) pair equality" shortcut is WRONG
+    * STAGE 2 — (F, B) LABEL-PAIR REFINEMENT on the CONDENSATION
+    * (supernode edges between distinct contracted roots), the
+    * Pregel-style coloring-SCC family: per round, restrict edges to
+    * same-class endpoints, recompute forward/backward min-label
+    * fixpoints within classes, re-class by the (F, B) pair, stop when no
+    * label moves. Refinement never splits an SCC (members share reacher
+    * and reachable sets inside any class containing it), and a STABLE
+    * class IS an SCC: with class-constant F = c and B = m, c is the
+    * class minimum (F(w) ≤ w kills a smaller member) and B(c) ≤ c since
+    * c reaches itself — so stability forces c = m, i.e. every member
+    * both reaches and is reached by c. The naive SINGLE-pass "(F, B)
+    * equality" shortcut — this loop's first round — is famously wrong
     * (nodes 5, 6 of 1→5, 1→6, 5→2, 6→2 share (F, B) = (1, 2) but are
-    * separate singletons) — EquivalenceSuite pins exactly that graph.
-    * Labels are deterministic: each SCC's label is its MINIMUM member id
-    * (F(r) = r forces r = min of its component). Per inner sub-step: one
-    * edges⋈labels join + a partial-agg min — never a pair join; the
-    * edge frame is coalesced to partitions sized like the CC loop's so
-    * tail-graph rounds don't pay 32-task scheduling. Convergence is
-    * fixpoint-exact (label sums are partition-order-invariant), so the
-    * peel count is partition-invariant too. Returns ((node, scc), peels).
+    * separate singletons); the refinement IS the fix: round 2 recomputes
+    * F inside class {5, 6}, which has no internal edges, and the class
+    * splits. EquivalenceSuite pins exactly that graph.
+    *
+    * Each fixpoint sub-step is an edges⋈labels hop join plus the
+    * pointer-doubling jump F(v) ← F(F(v)) (sound: F(v)=m means m reaches
+    * v, F(m)=m′ means m′ reaches m), collapsing depth-D paths in
+    * O(log D) rounds — never a pair join. localCheckpoint truncates
+    * LINEAGE but keeps the original plan's STATISTICS (LogicalRDD
+    * originStats, Spark 3.4+), and the jump is a self-join, so
+    * sizeInBytes would SQUARE through every round's checkpoint —
+    * double-exponential BigInt growth that first turns the planner's
+    * cost arithmetic into bignum multiplications and then overflows
+    * BigInteger outright (measured on a 21-node ring: round times 80 s →
+    * 230 s → ArithmeticException). Every checkpoint is therefore rebuilt
+    * via createDataFrame(rdd, schema) — a stats firewall the public API
+    * can express; the conversion cost is linear in the (condensation-
+    * sized) frames. At 100 TB: stage 1 is one scan with per-partition
+    * state, the global loop touches only the cross-partition
+    * condensation — the CC scaladoc's scale argument, directed. Labels
+    * are deterministic (each SCC ends at its minimum member id); at
+    * verification scales the edge frame coalesces to one partition, so
+    * the returned round count is partition-invariant too. Returns
+    * ((node, scc), refinement rounds).
     */
   private[graft] def stronglyConnectedComponents(
       edgesIn: org.apache.spark.sql.DataFrame,
-      maxPeels: Int = 40): (org.apache.spark.sql.DataFrame, Int) = {
+      maxRounds: Int = 40,
+      // Tests inject a tiny value to FORCE multi-partition local Tarjan +
+      // star consolidation + a real condensation loop (the CC suite's
+      // ufRowsPerPartition pattern); the default keeps each Tarjan state
+      // map comfortably in executor memory.
+      tarjanRowsPerPartition: Long = 2000000L,
+      // Condensations at or below this many edges are collected and
+      // solved by the SAME iterative Tarjan on the driver (metadata-sized
+      // state, ≤ tens of MB — the bounded-driver-state stance every
+      // ledger/centroid table in the engine already takes) instead of
+      // paying ~0.3 s of job overhead per refinement sub-step; tests pass
+      // 0 to force the distributed loop.
+      condenseDriverCap: Long = 1000000L)
+      : (org.apache.spark.sql.DataFrame, Int) = {
     Seq("a", "b").foreach { c =>
       val dt = edgesIn.schema(c).dataType
       require(dt == org.apache.spark.sql.types.LongType
@@ -680,95 +787,188 @@ object PipelineOps extends OpGroup {
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
     val edgeN = proper.count()
-    val parts = math.max(1L, math.min(
-      proper.rdd.getNumPartitions.toLong, edgeN / 2000000L + 1L)).toInt
-    var remEdges = proper.coalesce(parts).localCheckpoint(true)
-    var remNodes = remEdges.select(col("a").as("node"))
-      .union(remEdges.select(col("b").as("node")))
-      .distinct().localCheckpoint(true)
-    var remCount = remNodes.count()
-    var peels = 0
-    val done = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.sql.DataFrame]
-    while (remCount > 0 && peels < maxPeels) {
-      peels += 1
-      // 1. forward min fixpoint (two sub-steps per checkpoint round, the
-      // CC loop's cadence; the label sum strictly decreases until fixed).
-      def step(cur: org.apache.spark.sql.DataFrame) = remEdges
-        .join(cur.select(col("node").as("a"), col("f").as("fa")), "a")
-        .select(col("b").as("node"), col("fa").as("f"))
-        .union(cur)
-        .groupBy("node").agg(min("f").as("f"))
-      var f = remNodes.select(col("node"), col("node").as("f"))
-        .localCheckpoint(true)
-      def fsum(df: org.apache.spark.sql.DataFrame): Long =
-        df.agg(sum("f")).head().getLong(0)
-      var prevSum = -1L
-      var curSum = fsum(f)
-      var iter = 0
-      while (curSum != prevSum && iter < 40) {
-        val next = step(step(f)).localCheckpoint(true)
-        graft.Caches.releaseCheckpoint(f)
-        f = next
-        prevSum = curSum
-        curSum = fsum(f)
-        iter += 1
-      }
-      if (curSum != prevSum) throw new IllegalStateException(
-        s"SCC forward propagation did not converge in $iter rounds")
-      // 2. backward reachability to the color root, within color only.
-      val ce = remEdges
-        .join(f.select(col("node").as("a"), col("f").as("fa")), "a")
-        .join(f.select(col("node").as("b"), col("f").as("fb")), "b")
-        .filter(col("fa") === col("fb"))
-        .select(col("a"), col("b"), col("fa").as("c"))
-        .localCheckpoint(true)
-      var reached = f.filter(col("node") === col("f"))
-        .select(col("node"), col("f").as("c")).localCheckpoint(true)
-      var reachedN = reached.count()
-      var prevN = -1L
-      var biter = 0
-      while (reachedN != prevN && biter < 40) {
-        val next = ce
-          .join(reached.select(col("node").as("b"), col("c")), Seq("b", "c"))
-          .select(col("a").as("node"), col("c"))
-          .union(reached).distinct()
-          .localCheckpoint(true)
-        graft.Caches.releaseCheckpoint(reached)
-        reached = next
-        prevN = reachedN
-        reachedN = reached.count()
-        biter += 1
-      }
-      if (reachedN != prevN) throw new IllegalStateException(
-        s"SCC backward propagation did not converge in $biter rounds")
-      graft.Caches.releaseCheckpoint(ce)
-      graft.Caches.releaseCheckpoint(f)
-      done += reached.select(col("node"), col("c").as("scc"))
-      // 3. peel: the remainder keeps only unassigned nodes + their edges.
-      val rest = remNodes
-        .join(reached.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(true)
-      val restEdges = remEdges
-        .join(rest.select(col("node").as("a")), Seq("a"), "leftsemi")
-        .join(rest.select(col("node").as("b")), Seq("b"), "leftsemi")
-        .localCheckpoint(true)
-      graft.Caches.releaseCheckpoint(remNodes)
-      graft.Caches.releaseCheckpoint(remEdges)
-      remNodes = rest
-      remEdges = restEdges
-      remCount = remNodes.count()
-    }
-    graft.Caches.releaseCheckpoint(remNodes)
-    graft.Caches.releaseCheckpoint(remEdges)
-    if (remCount > 0) throw new IllegalStateException(
-      s"SCC did not converge in $maxPeels peel rounds — refusing partial labels")
-    if (done.isEmpty)
+    if (edgeN == 0)
       return (proper.select(col("a").as("node"), col("b").as("scc")).limit(0), 0)
-    val out = done.reduce(_.union(_)).localCheckpoint(true)
-    done.foreach(graft.Caches.releaseCheckpoint)
-    (out, peels)
+    val parts = math.max(1L, math.min(
+      proper.rdd.getNumPartitions.toLong, edgeN / tarjanRowsPerPartition + 1L)).toInt
+    def fresh(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    // (fresh view, checkpoint handle): compute on the view, release the
+    // handle — a released handle invalidates the view (lineage is
+    // truncated), so every release happens strictly after the last
+    // consumer of its view has materialized.
+    def ckptFresh(df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val c = df.localCheckpoint(true)
+      (fresh(c), c)
+    }
+    val (edges, edgesC) = ckptFresh(proper.coalesce(parts))
+    val tupleEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    // STAGE 1: per-partition iterative Tarjan → (member, localRoot) stars.
+    val starsRaw = edges.as[(Long, Long)](tupleEnc)
+      .mapPartitions(it => tarjanStars(it))(tupleEnc)
+      .toDF("node", "root")
+    // Consolidate overlapping local components across partitions (one
+    // partition → roots are already the global component minima).
+    val (mapping, mappingC) =
+      if (parts == 1) ckptFresh(starsRaw)
+      else {
+        val (stars, starsC) = ckptFresh(starsRaw)
+        val cc = connectedComponents(
+          stars.select(col("node").as("a"), col("root").as("b")))
+        val pair = ckptFresh(cc.select(col("node"), col("label").as("root"))
+          .filter(col("node") =!= col("root")))
+        graft.Caches.releaseCheckpoint(cc)
+        graft.Caches.releaseCheckpoint(starsC)
+        pair
+      }
+    // Condensation: supernode edges between distinct contracted roots.
+    val ea = edges
+      .join(mapping.select(col("node").as("a"), col("root").as("ra")), Seq("a"), "left")
+      .join(mapping.select(col("node").as("b"), col("root").as("rb")), Seq("b"), "left")
+      .select(coalesce(col("ra"), col("a")).as("a"),
+        coalesce(col("rb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
+    val dbgT0 = System.nanoTime()
+    def dbgMark(what: String): Unit = if (debug) System.err.println(
+      f"[scc] $what: ${(System.nanoTime() - dbgT0) / 1e9}%.2f s cumulative")
+    dbgMark(s"edge count ($edgeN)")
+    val (cond, condC) = ckptFresh(ea.coalesce(parts))
+    val condN = cond.count()
+    dbgMark(s"tarjan + condensation ($condN edges)")
+    // STAGE 2: refinement over the condensation.
+    var rounds = 0
+    val refined: org.apache.spark.sql.DataFrame = if (condN == 0) {
+      cond.select(col("a").as("node"), col("b").as("scc")).limit(0)
+        .localCheckpoint(true)
+    } else if (condN <= condenseDriverCap) {
+      // The condensation is metadata-sized: solve it on the driver with
+      // the same Tarjan the partitions ran. (Supernode ids are component
+      // minima, so star roots here are global SCC minima directly.)
+      val condEdges = cond.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val stars = tarjanStars(condEdges.iterator).toSeq
+      dbgMark(s"driver condensation solve (${stars.size} stars)")
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      cond.sparkSession.createDataFrame(
+        cond.sparkSession.sparkContext.parallelize(
+          stars.map(s => org.apache.spark.sql.Row(s._1, s._2)), 1),
+        StructType(Seq(StructField("node", LongType), StructField("scc", LongType))))
+        .localCheckpoint(true)
+    } else {
+      val nodes = cond.select(col("a").as("node"))
+        .union(cond.select(col("b").as("node"))).distinct()
+      var (lab, labC) = ckptFresh(
+        nodes.select(col("node"), lit(0L).as("cf"), lit(0L).as("cb")))
+      val nodeN = lab.count()
+      def lb(df: org.apache.spark.sql.DataFrame) =
+        if (nodeN <= BroadcastLabelCap) broadcast(df) else df
+      // Min-label fixpoint along (src, dst); the caller owns the handle.
+      def minFix(
+          fixEdges: org.apache.spark.sql.DataFrame,
+          what: String)
+          : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+        def step(cur: org.apache.spark.sql.DataFrame) = {
+          val hop = fixEdges
+            .join(lb(cur.select(col("node").as("src"), col("f").as("fs"))), "src")
+            .select(col("dst").as("node"), col("fs").as("f"))
+          val jump = cur
+            .join(lb(cur.select(col("node").as("f"), col("f").as("ff"))), "f")
+            .select(col("node"), col("ff").as("f"))
+          cur.union(hop).union(jump).groupBy("node").agg(min("f").as("f"))
+        }
+        var (f, fCkpt) = ckptFresh(lab.select(col("node"), col("node").as("f")))
+        def fsum(df: org.apache.spark.sql.DataFrame): Long =
+          df.agg(sum("f")).head().getLong(0)
+        var prevSum = -1L
+        var curSum = fsum(f)
+        var iter = 0
+        while (curSum != prevSum && iter < 64) {
+          // Two sub-steps per driver-blocking checkpoint round (the CC
+          // cadence): one round quadruples the collapsed path length.
+          val (nf, nc) = ckptFresh(step(step(f)))
+          graft.Caches.releaseCheckpoint(fCkpt)
+          f = nf
+          fCkpt = nc
+          prevSum = curSum
+          curSum = fsum(f)
+          iter += 1
+        }
+        if (curSum != prevSum) throw new IllegalStateException(
+          s"SCC $what propagation did not converge in $iter rounds")
+        if (debug) System.err.println(s"[scc] $what fixpoint: $iter rounds")
+        (f, fCkpt)
+      }
+      // Within smaller classes both F and B can only INCREASE (fewer
+      // reachers / reachable), so sum(F) + sum(B) is a monotone
+      // convergence scalar — equality means no label moved.
+      var prevScalar = -1L
+      var curScalar = 0L
+      while (curScalar != prevScalar && rounds < maxRounds) {
+        rounds += 1
+        val (re, reC) = ckptFresh(cond
+          .join(lb(lab.select(col("node").as("a"),
+            col("cf").as("cfa"), col("cb").as("cba"))), "a")
+          .join(lb(lab.select(col("node").as("b"),
+            col("cf").as("cfb"), col("cb").as("cbb"))), "b")
+          .filter(col("cfa") === col("cfb") && col("cba") === col("cbb"))
+          .select(col("a"), col("b")))
+        val (f, fC) = minFix(
+          re.select(col("a").as("src"), col("b").as("dst")), "forward")
+        val (b, bC) = minFix(
+          re.select(col("b").as("src"), col("a").as("dst")), "backward")
+        val (next, nextC) = ckptFresh(
+          f.withColumnRenamed("f", "cf")
+            .join(b.withColumnRenamed("f", "cb"), "node")
+            .select(col("node"), col("cf"), col("cb")))
+        graft.Caches.releaseCheckpoint(reC)
+        graft.Caches.releaseCheckpoint(fC)
+        graft.Caches.releaseCheckpoint(bC)
+        graft.Caches.releaseCheckpoint(labC)
+        lab = next
+        labC = nextC
+        prevScalar = curScalar
+        curScalar = lab.agg(sum(col("cf") + col("cb"))).head().getLong(0)
+        if (debug) System.err.println(
+          s"[scc] refinement round $rounds: scalar $curScalar")
+      }
+      if (curScalar != prevScalar) {
+        graft.Caches.releaseCheckpoint(labC)
+        throw new IllegalStateException(
+          s"SCC refinement did not converge in $maxRounds rounds — refusing partial labels")
+      }
+      // Stability forces F = B on every class (scaladoc proof); anything
+      // else is a bug that must never ship silently.
+      val bad = lab.filter(col("cf") =!= col("cb")).count()
+      if (bad > 0) {
+        graft.Caches.releaseCheckpoint(labC)
+        throw new IllegalStateException(
+          s"SCC refinement stabilized with $bad split (F, B) pairs — algorithm invariant broken")
+      }
+      val r = lab.select(col("node"), col("cf").as("scc")).localCheckpoint(true)
+      graft.Caches.releaseCheckpoint(labC)
+      r
+    }
+    // Expand supernode labels back to members: root from the contraction
+    // (identity when uncontracted), scc from the refinement (identity
+    // when the supernode sits outside the condensation).
+    val allNodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+    val out = allNodes
+      .join(mapping, Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("super"))
+      .join(refined.select(col("node").as("super"), col("scc")), Seq("super"), "left")
+      .select(col("node"), coalesce(col("scc"), col("super")).as("scc"))
+      .localCheckpoint(true)
+    graft.Caches.releaseCheckpoint(refined)
+    graft.Caches.releaseCheckpoint(mappingC)
+    graft.Caches.releaseCheckpoint(condC)
+    graft.Caches.releaseCheckpoint(edgesC)
+    dbgMark("expansion done")
+    (out, rounds)
   }
+
 
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.Caches.memo(labelCache, (s, dir), {
@@ -7100,16 +7300,6 @@ object PipelineOps extends OpGroup {
         FROM h GROUP BY 1 ORDER BY 1
       """.trim)),
 
-    // General connected components over the mutual-3NN graph (shared
-    // cached edge set with graph_triangle_count): every vector labeled
-    // with the min vec_id of its component, singletons included. Runs the
-    // same cluster-contraction loop as text_dedup_clusters —
-    // O(log diameter) rounds, per-round cost proportional to the
-    // edge-incident subgraph, one convergence scalar to the driver per
-    // round, lineage truncated by localCheckpoint. The oracle computes
-    // the same labels by recursive transitive closure — feasible at
-    // verification SFs precisely because the distributed loop is the only
-    // formulation that survives real scale (closure is |component|²).
     // STRONGLY connected components over the DIRECTED kNN graph — the
     // directed sibling of graph_connected_components, and the first key
     // where edge DIRECTION carries the semantics: a → b (b in a's top-3)
@@ -7117,9 +7307,9 @@ object PipelineOps extends OpGroup {
     // reach each other following arrows — the structure retrieval-graph
     // diagnostics (sink/source hubs, condensation DAGs, walk-trap
     // communities) are built on. Algorithm: [[stronglyConnectedComponents]]
-    // (forward-backward coloring with peeling — provably exact, labels =
-    // min member id; the scaladoc there has the correctness argument and
-    // the counterexample that kills the naive (F,B)-pair shortcut).
+    // ((F, B) label-pair refinement — provably exact, labels = min member
+    // id; the scaladoc there has the stable-class-is-an-SCC argument and
+    // the counterexample that kills the naive single-pass shortcut).
     // Non-oracle: the DuckDB closure over DIRECTED edges is unbounded by
     // component size (directed reachability spans far beyond the SCCs),
     // so instead PropertySuite pins the algorithm against a reference
@@ -7130,18 +7320,28 @@ object PipelineOps extends OpGroup {
     // list — work scales with |E| × (fixpoint depth), never pairs.
     Op("graph_scc",
       (s, dir) => {
-        val (labels, peels) = sccLabels(s, dir)
+        val (labels, rounds) = sccLabels(s, dir)
         val verts = Tables.t(s, dir, "embeddings").select(col("vec_id").as("node"))
         verts.join(labels, Seq("node"), "left")
           .select(col("node").as("vec_id"),
             coalesce(col("scc"), col("node")).as("scc"))
           .withColumn("scc_size",
             count(lit(1)).over(Window.partitionBy("scc")).cast("int"))
-          .withColumn("peel_rounds", lit(peels))
+          .withColumn("refine_rounds", lit(rounds))
           .orderBy("vec_id")
       },
       None),
 
+    // General connected components over the mutual-3NN graph (shared
+    // cached edge set with graph_triangle_count): every vector labeled
+    // with the min vec_id of its component, singletons included. Runs the
+    // same cluster-contraction loop as text_dedup_clusters —
+    // O(log diameter) rounds, per-round cost proportional to the
+    // edge-incident subgraph, one convergence scalar to the driver per
+    // round, lineage truncated by localCheckpoint. The oracle computes
+    // the same labels by recursive transitive closure — feasible at
+    // verification SFs precisely because the distributed loop is the only
+    // formulation that survives real scale (closure is |component|²).
     Op("graph_connected_components",
       (s, dir) => {
         val labels = mutualCcLabels(s, dir)

@@ -283,14 +283,14 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
-  test("FW-BW coloring SCC == reference Tarjan on random digraphs") {
-    // The peeling loop (PipelineOps.stronglyConnectedComponents) is the
+  test("(F,B) label-pair refinement SCC == reference Tarjan on random digraphs") {
+    // The refinement loop (PipelineOps.stronglyConnectedComponents) is the
     // engine's second custom iterative algorithm; there is no DuckDB
     // oracle (directed reachability closures are unbounded by component
     // size), so pin it against a textbook Tarjan over random digraphs —
     // plus a directed chain (all singletons: reachability without mutual
     // reachability) and a directed ring (one cycle = one SCC), the two
-    // shapes where a wrong peel or a leaky color restriction diverges.
+    // shapes where a premature stop or a leaky class restriction diverges.
     val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
     val chain = (0L to 20L).sliding(2).map(s => (s.head, s.last)).toList
     val cases = (0 until 6).flatMap(i =>
@@ -327,12 +327,26 @@ class PropertySuite extends AnyFunSuite {
         val expected = comps.flatMap { c =>
           val m = c.min; c.map(_ -> m)
         }.toMap
-        val (got, peels) =
+        val (got, rounds) =
           ops.PipelineOps.stronglyConnectedComponents(es.toDF("a", "b"))
         val gm = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         Caches.releaseCheckpoint(got)
         assert(gm == expected,
-          s"SCC mismatch on ${es.size} edges (peels=$peels): got=$gm want=$expected")
+          s"SCC mismatch on ${es.size} edges (rounds=$rounds): got=$gm want=$expected")
+        // Same graph FORCED multi-partition AND forced past the driver
+        // cap: a tiny rows-per-partition target makes each local Tarjan
+        // see only fragments, and condenseDriverCap = 0 pushes the
+        // condensation into the DISTRIBUTED refinement loop — so the star
+        // consolidation and the (F, B) refinement both do the real
+        // cross-partition work (at test sizes everything coalesces to one
+        // partition otherwise and the local pass alone would solve it).
+        val (gotMulti, _) = ops.PipelineOps.stronglyConnectedComponents(
+          es.toDF("a", "b").repartition(5), tarjanRowsPerPartition = 2L,
+          condenseDriverCap = 0L)
+        val gmm = gotMulti.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        Caches.releaseCheckpoint(gotMulti)
+        assert(gmm == expected,
+          s"multi-partition SCC mismatch on ${es.size} edges: got=$gmm want=$expected")
       }
   }
 
