@@ -2249,49 +2249,97 @@ object PipelineOps extends OpGroup {
     * (converged checkpointed (node, r) frame — CALLER releases it — and
     * the data-dependent round count).
     */
+  /** Build-side row cap for the pagerank fixpoint's per-round joins: the
+    * rank/degree tables (|V| rows, ~24 B each) are BROADCAST while the
+    * node count is at/below this, turning every round into one map-side
+    * hash join over the checkpointed edge blocks + one partial-aggregating
+    * exchange of rank mass (guide §3.1/§2.4 — round 19 measured the old
+    * shape: SortMergeJoin with BOTH sides exchanged+sorted every round,
+    * plans/r19/graph_pagerank_round1_inner_before.txt). 4M nodes ≈
+    * ~100-200 MB framed — inside the "few hundred MB is fine" broadcast
+    * band and far under the 8 GB/512M-row hard cap. Above the cap the
+    * join falls back to the pre-round-19 shuffled shape (identical
+    * integer results either way — the cap is a pure strategy knob), so a
+    * 100 TB graph whose rank vector outgrows executors still runs.
+    */
+  private def pagerankBroadcastCap(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption("spark.graft.pagerank.broadcastNodeCap")
+      .map(_.toLong).getOrElse(4000000L)
+
   private[graft] def pagerankLoop(
       edges: org.apache.spark.sql.DataFrame,
       maxRounds: Int): (org.apache.spark.sql.DataFrame, Int) = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "src").localCheckpoint(true)
-    // Every node has out-edges (precondition), so |deg| = N. One driver
-    // scalar; the teleport term is integer arithmetic on it.
-    val n = ed.select("src").distinct().count()
-    val scale = 1000000000000L
-    val teleport = (15L * scale) / (100L * n)
-    var r = ed.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(scale / n).as("r"))
-      .localCheckpoint(true)
+    // Round-19 loop shape (guide §1.2 step 1 — fix the distributed
+    // algorithm before per-task work): the edge frame is checkpointed
+    // ONCE as the bare (src, dst) pairs, the degree table is derived from
+    // it and checkpointed separately (|V| rows), and the per-round join
+    // attaches BOTH the current ranks and the static degrees from the
+    // small side. The old shape checkpointed edges pre-joined with deg
+    // (so r0/n each paid a second full-edge dedup: measured 0.45 s +
+    // 0.31 s at sf0.1) and ran every round as a two-sided
+    // exchange+sort SortMergeJoin of 1.17M edge rows against the 16k-row
+    // rank table (measured 0.59 s/round; 8 rounds). Now: n and r0 are
+    // free projections of the degree checkpoint, and each round is a
+    // broadcast hash join (size-gated, see [[pagerankBroadcastCap]]) —
+    // no exchange or sort ever touches the edge blocks again.
+    val e0 = edges.localCheckpoint(true)
+    var r: org.apache.spark.sql.DataFrame = null
     var rounds = 0
-    var converged = false
-    // On a failure mid-round, release the edge checkpoint AND the
-    // in-flight rank checkpoint (same discipline as hnswServeWalk /
-    // the beam walks); the success path returns `r` for the CALLER to
+    // On a failure mid-round, release the edge/degree checkpoints AND the
+    // in-flight rank checkpoint (same discipline as hnswServeWalk / the
+    // beam walks); the success path returns `r` for the CALLER to
     // release, so only the throw leg drops it here.
     var ok = false
     try {
-      while (rounds < maxRounds && !converged) {
-        val next = ed.join(r, ed("src") === r("node"))
-          .select(col("dst"), expr("r div deg").as("share"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum("share").as("inflow"))
-          .select(col("node"),
-            (lit(teleport) + expr("(85 * inflow) div 100")).as("r"))
+      val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      try {
+        // Every node has out-edges (precondition), so |deg| = N. One
+        // driver scalar; the teleport term is integer arithmetic on it.
+        val n = deg.count()
+        val cap = pagerankBroadcastCap(e0.sparkSession)
+        def small(df: org.apache.spark.sql.DataFrame) =
+          if (n <= cap) broadcast(df) else df
+        val scale = 1000000000000L
+        val teleport = (15L * scale) / (100L * n)
+        // Rank state carries the node's static out-degree so the round
+        // join touches ONE small side, not two.
+        r = deg.select(col("src").as("node"), lit(scale / n).as("r"),
+            col("deg"))
           .localCheckpoint(true)
-        val changed = next
-          .join(r.withColumnRenamed("r", "prev"), "node")
-          .filter(col("r") =!= col("prev")).count()
-        graft.Caches.releaseCheckpoint(r)
-        r = next
-        rounds += 1
-        if (changed == 0) converged = true
-      }
-      ok = true
+        var converged = false
+        while (rounds < maxRounds && !converged) {
+          // The previous rank rides the checkpoint as `prev` (attached by
+          // the same single small-side join that re-attaches deg), so the
+          // convergence scalar is a bare filter-count over the fresh
+          // checkpoint's |V| rows — the old shape ran a second join job
+          // per round just to compare rank frames (measured 0.27-0.43 s
+          // of the 0.59 s round).
+          val next = e0.join(small(r), e0("src") === col("node"))
+            .select(col("dst"), expr("r div deg").as("share"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum("share").as("inflow"))
+            .select(col("node"),
+              (lit(teleport) + expr("(85 * inflow) div 100")).as("r"))
+            .join(small(r.select(col("node"), col("r").as("prev"),
+              col("deg"))), "node")
+            .localCheckpoint(true)
+          val changed = next.filter(col("r") =!= col("prev")).count()
+          graft.Caches.releaseCheckpoint(r)
+          r = next
+          rounds += 1
+          if (changed == 0) converged = true
+        }
+        ok = true
+      } finally graft.Caches.releaseCheckpoint(deg)
     } finally {
-      graft.Caches.releaseCheckpoint(ed)
-      if (!ok) graft.Caches.releaseCheckpoint(r)
+      graft.Caches.releaseCheckpoint(e0)
+      if (!ok && r != null) graft.Caches.releaseCheckpoint(r)
     }
-    (r, rounds)
+    // Drop the carried deg column: callers see the original (node, r)
+    // contract (the projection sits above the checkpoint, so
+    // releaseCheckpoint still finds the LogicalRDD underneath).
+    (r.select("node", "r"), rounds)
   }
 
   /** The graph SERVE plan of graph_pagerank_persist_serve, factored so
