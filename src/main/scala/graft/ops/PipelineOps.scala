@@ -2266,6 +2266,26 @@ object PipelineOps extends OpGroup {
     s.conf.getOption("spark.graft.pagerank.broadcastNodeCap")
       .map(_.toLong).getOrElse(4000000L)
 
+  /** Shared size gate for the graph family's per-round small-side joins
+    * (louvain sweeps/contraction, coarsening levels): the per-node /
+    * per-community state frames (|V| or |C| rows, a few tens of bytes
+    * each) are BROADCAST while the mutual-edge count is at/below this
+    * cap, collapsing each round's SortMergeJoin chain over the edge frame
+    * into map-side hash joins (guide §3.1) — the edge set is then never
+    * exchanged or sorted inside a round; the only shuffles left are the
+    * partial-aggregating ones the algorithm fundamentally needs (k_i→C,
+    * argmax-per-node, contraction sums — guide §2.3 "aggregate before
+    * you shuffle"). |E| ≤ 4M bounds every broadcast side well inside the
+    * few-hundred-MB band (|V| ≤ 2|E|; the k_i→C frame is ≤ |E| rows).
+    * Above the cap every join falls back to the pre-round-19 shuffled
+    * shape — identical integer results, so the knob
+    * (`spark.graft.graph.broadcastNodeCap`) only picks the strategy; a
+    * 100 TB graph whose per-node state outgrows executors still runs.
+    */
+  private def graphBroadcastCap(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption("spark.graft.graph.broadcastNodeCap")
+      .map(_.toLong).getOrElse(4000000L)
+
   private[graft] def pagerankLoop(
       edges: org.apache.spark.sql.DataFrame,
       maxRounds: Int): (org.apache.spark.sql.DataFrame, Int) = {
@@ -8255,23 +8275,29 @@ object PipelineOps extends OpGroup {
         val sym = mutual.union(mutual.select(col("b").as("a"), col("a").as("b")))
         val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("dz"))
         val mVal = mutual.count()
+        // All per-node/per-community state frames below are |V|- or
+        // |C|-bounded — size-gated broadcast ([[graphBroadcastCap]]; the
+        // round-19 sweep plans had every one of these joins as a
+        // SortMergeJoin exchanging+sorting BOTH sides each sweep).
+        val small: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          if (mVal <= graphBroadcastCap(s)) broadcast _ else identity _
         val nodes = sym.select(col("a").as("n")).distinct()
         var comm = nodes.withColumn("c", col("n")).localCheckpoint(true)
         var moves = Vector.empty[Long]
         var converged = false
         for (_ <- 1 to 4 if !converged) {
-          val tot = comm.join(deg, col("n") === col("z"))
+          val tot = comm.join(small(deg), col("n") === col("z"))
             .groupBy("c").agg(sum("dz").as("tot"))
           val kic = sym
-            .join(comm.select(col("n").as("b"), col("c").as("cc")), "b")
+            .join(small(comm.select(col("n").as("b"), col("c").as("cc"))), "b")
             .groupBy("a", "cc").agg(count(lit(1)).as("kic"))
           val own = comm.select(col("n").as("a"), col("c").as("ca"))
-          val gains = kic.join(own, "a")
+          val gains = kic.join(small(own), "a")
             .filter(col("cc") =!= col("ca"))
-            .join(deg.select(col("z").as("a"), col("dz").as("ki")), "a")
-            .join(tot.select(col("c").as("cc"), col("tot").as("tot_c")), "cc")
-            .join(tot.select(col("c").as("ca"), col("tot").as("tot_a")), "ca")
-            .join(kic.select(col("a"), col("cc").as("ca"), col("kic").as("kia")),
+            .join(small(deg.select(col("z").as("a"), col("dz").as("ki"))), "a")
+            .join(small(tot.select(col("c").as("cc"), col("tot").as("tot_c"))), "cc")
+            .join(small(tot.select(col("c").as("ca"), col("tot").as("tot_a"))), "ca")
+            .join(small(kic.select(col("a"), col("cc").as("ca"), col("kic").as("kia"))),
               Seq("a", "ca"), "left")
             .withColumn("dq",
               lit(2L * mVal) * (col("kic") - coalesce(col("kia"), lit(0L)))
@@ -8284,12 +8310,12 @@ object PipelineOps extends OpGroup {
           // singleton, whose TARGET is a singleton {j}, and whose j
           // reciprocally targets them, cancel on the larger id.
           val csize = comm.groupBy("c").agg(count(lit(1)).as("cs"))
-          val singleMember = comm.join(csize.filter(col("cs") === 1), "c")
+          val singleMember = comm.join(small(csize.filter(col("cs") === 1)), "c")
             .select(col("c").as("tc"), col("n").as("tmember"))
           val grd = mv
-            .join(csize.select(col("c").as("ca"), col("cs").as("ca_size")), "ca")
-            .join(singleMember, Seq("tc"), "left")
-            .join(mv.select(col("a").as("tmember"), col("tc").as("ttc")),
+            .join(small(csize.select(col("c").as("ca"), col("cs").as("ca_size"))), "ca")
+            .join(small(singleMember), Seq("tc"), "left")
+            .join(small(mv.select(col("a").as("tmember"), col("tc").as("ttc"))),
               Seq("tmember"), "left")
             .filter(!coalesce(
               col("ca_size") === 1 && col("tmember").isNotNull
@@ -8300,7 +8326,7 @@ object PipelineOps extends OpGroup {
           // filtered upstream), so the moved flag rides the checkpoint and
           // the convergence scalar reads checkpointed blocks — no second
           // execution of the round's gain plan just to count moves.
-          val next = comm.join(grd, Seq("n"), "left")
+          val next = comm.join(small(grd), Seq("n"), "left")
             .select(col("n"), coalesce(col("mvc"), col("c")).as("c"),
               col("mvc").isNotNull.as("moved"))
             .localCheckpoint(true)
@@ -8317,8 +8343,8 @@ object PipelineOps extends OpGroup {
         // by edge count; intra edges become self-loop weight (counted
         // twice in the coarse degree).
         val ce = mutual
-          .join(cB.select(col("n").as("a"), col("c").as("xca")), "a")
-          .join(cB.select(col("n").as("b"), col("c").as("xcb")), "b")
+          .join(small(cB.select(col("n").as("a"), col("c").as("xca"))), "a")
+          .join(small(cB.select(col("n").as("b"), col("c").as("xcb"))), "b")
           .select(least(col("xca"), col("xcb")).as("ca"),
             greatest(col("xca"), col("xcb")).as("cb"))
         val wE = ce.filter(col("ca") =!= col("cb"))
@@ -8329,15 +8355,16 @@ object PipelineOps extends OpGroup {
         val wdeg = wE.select(col("ca").as("c"), col("w"))
           .union(wE.select(col("cb").as("c"), col("w")))
           .groupBy("c").agg(sum("w").as("wsum"))
-        val kw = supers.join(wdeg, Seq("c"), "left").join(selfw, Seq("c"), "left")
+        val kw = supers.join(small(wdeg), Seq("c"), "left")
+          .join(small(selfw), Seq("c"), "left")
           .select(col("c"),
             (coalesce(col("wsum"), lit(0L)) + lit(2L) * coalesce(col("sw"), lit(0L)))
               .as("kw"))
         val wsym = wE.select(col("ca").as("i"), col("cb").as("j"), col("w"))
           .union(wE.select(col("cb").as("i"), col("ca").as("j"), col("w")))
         val cmv = wsym
-          .join(kw.select(col("c").as("i"), col("kw").as("kwi")), "i")
-          .join(kw.select(col("c").as("j"), col("kw").as("kwj")), "j")
+          .join(small(kw.select(col("c").as("i"), col("kw").as("kwi"))), "i")
+          .join(small(kw.select(col("c").as("j"), col("kw").as("kwj"))), "j")
           .withColumn("dq", lit(2L * mVal) * col("w") - col("kwi") * col("kwj"))
           .filter(col("dq") > 0)
           .groupBy("i")
@@ -8346,19 +8373,21 @@ object PipelineOps extends OpGroup {
         // Coarse swap guard: every super is a singleton community, so a
         // mutual target pair cancels its larger id directly.
         val cmvG = cmv
-          .join(cmv.select(col("i").as("tj"), col("tj").as("their")), Seq("tj"), "left")
+          .join(small(cmv.select(col("i").as("tj"), col("tj").as("their"))),
+            Seq("tj"), "left")
           .filter(!coalesce(col("their") === col("i") && col("i") > col("tj"), lit(false)))
           .select(col("i").as("c"), col("tj").as("fc0"))
-        val cfin = supers.join(cmvG, Seq("c"), "left")
+        val cfin = supers.join(small(cmvG), Seq("c"), "left")
           .select(col("c").as("super"), coalesce(col("fc0"), col("c")).as("fc"))
           .localCheckpoint(true)
         graft.Caches.track(s, dir, "louvain_cfin", Set("graph_louvain_converge"),
           () => graft.Caches.releaseCheckpoint(cfin))
         val coarseMoves = cfin.filter(col("super") =!= col("fc")).count()
-        val baseFin = cB.join(cfin, col("c") === col("super")).select(col("n"), col("fc"))
+        val baseFin = cB.join(small(cfin), col("c") === col("super"))
+          .select(col("n"), col("fc"))
         val internal = mutual
-          .join(baseFin.select(col("n").as("a"), col("fc").as("fa")), "a")
-          .join(baseFin.select(col("n").as("b"), col("fc").as("fb")), "b")
+          .join(small(baseFin.select(col("n").as("a"), col("fc").as("fa"))), "a")
+          .join(small(baseFin.select(col("n").as("b"), col("fc").as("fb"))), "b")
           .filter(col("fa") === col("fb"))
           .groupBy(col("fa").as("fc")).agg(count(lit(1)).as("internal_edges"))
         cfin.groupBy(col("fc")).agg(count(lit(1)).as("n_super"))
@@ -8524,6 +8553,11 @@ object PipelineOps extends OpGroup {
       (s, dir) => {
         val mutual = mutualKnnEdges(s, dir).select("a", "b")
         val mVal = mutual.count()
+        // Per-level state frames are |C|-bounded and SHRINK level over
+        // level — size-gated broadcast, the louvain-converge treatment
+        // ([[graphBroadcastCap]]).
+        val small: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          if (mVal <= graphBroadcastCap(s)) broadcast _ else identity _
         val nodes = mutual.select(col("a").as("n"))
           .union(mutual.select(col("b").as("n"))).distinct()
         var edges = mutual.withColumn("w", lit(1L)).localCheckpoint(true)
@@ -8534,7 +8568,7 @@ object PipelineOps extends OpGroup {
           val wdeg = e.select(col("a").as("c"), col("w"))
             .union(e.select(col("b").as("c"), col("w")))
             .groupBy("c").agg(sum("w").as("wsum"))
-          sf.join(wdeg, Seq("c"), "left")
+          sf.join(small(wdeg), Seq("c"), "left")
             .select(col("c"),
               (coalesce(col("wsum"), lit(0L)) + lit(2L) * col("sw")).as("kw"),
               col("sw"))
@@ -8557,15 +8591,15 @@ object PipelineOps extends OpGroup {
           val wsym = edges.select(col("a").as("i"), col("b").as("j"), col("w"))
             .union(edges.select(col("b").as("i"), col("a").as("j"), col("w")))
           val bt = wsym
-            .join(kw.select(col("c").as("i"), col("kw").as("kwi")), "i")
-            .join(kw.select(col("c").as("j"), col("kw").as("kwj")), "j")
+            .join(small(kw.select(col("c").as("i"), col("kw").as("kwi"))), "i")
+            .join(small(kw.select(col("c").as("j"), col("kw").as("kwj"))), "j")
             .withColumn("dq", lit(2L * mVal) * col("w") - col("kwi") * col("kwj"))
             .filter(col("dq") > 0)
             .groupBy("i")
             .agg(min(struct((-col("dq")).as("nd"), col("j").as("tj"))).as("mm"))
             .select(col("i"), col("mm.tj").as("tj"))
           val mg = bt
-            .join(bt.select(col("i").as("i2"), col("tj").as("back")),
+            .join(small(bt.select(col("i").as("i2"), col("tj").as("back"))),
               col("tj") === col("i2") && col("back") === col("i"))
             .filter(col("i") < col("tj"))
             .select(col("i").as("keep"), col("tj").as("gone"))
@@ -8575,17 +8609,17 @@ object PipelineOps extends OpGroup {
             .select(col("c"), coalesce(col("keep"), col("c")).as("nc"))
             .localCheckpoint(true)
           val e2 = edges
-            .join(mp.select(col("c").as("a"), col("nc").as("na")), "a")
-            .join(mp.select(col("c").as("b"), col("nc").as("nb")), "b")
+            .join(small(mp.select(col("c").as("a"), col("nc").as("na"))), "a")
+            .join(small(mp.select(col("c").as("b"), col("nc").as("nb"))), "b")
           val inter = e2.filter(col("na") =!= col("nb"))
             .select(least(col("na"), col("nb")).as("a"),
               greatest(col("na"), col("nb")).as("b"), col("w"))
             .groupBy("a", "b").agg(sum("w").as("w"))
           val intra = e2.filter(col("na") === col("nb"))
             .groupBy(col("na").as("c")).agg(sum("w").as("iw"))
-          val self2 = self.join(mp, "c")
+          val self2 = self.join(small(mp), "c")
             .groupBy(col("nc").as("c")).agg(sum("sw").as("sw0"))
-            .join(intra, Seq("c"), "left")
+            .join(small(intra), Seq("c"), "left")
             .select(col("c"), (col("sw0") + coalesce(col("iw"), lit(0L))).as("sw"))
           val eN = inter.localCheckpoint(true)
           val sN = self2.localCheckpoint(true)
