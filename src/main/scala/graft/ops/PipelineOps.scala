@@ -74,11 +74,19 @@ object PipelineOps extends OpGroup {
         .filter(col("pr.l") =!= " " && col("pr.r") =!= " ")
         .groupBy(col("lang"), col("pr.l").as("lft"), col("pr.r").as("rgt"))
         .agg(count(lit(1)).as("cnt"))
-      val top0 = pc.withColumn("rk0", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("lang")
-            .orderBy(col("cnt").desc, col("lft"), col("rgt"))))
-        .filter(col("rk0") === 1)
-        .select(col("lang"), lit(r).as("rk"), col("lft"), col("rgt"), col("cnt"))
+      // Per-language top pair as a partial-aggregating min-of-struct
+      // (cnt DESC, lft, rgt ≡ min of (-cnt, lft, rgt) — the same
+      // deterministic tie-break): the round-18 window shape exchanged +
+      // sorted the ENTIRE live pair vocabulary by lang every round; the
+      // agg reduces each map partition to ≤|langs| rows before the
+      // exchange (guide §2.3 "aggregate before you shuffle"). Local
+      // timing is parity (the sf0.1 vocabulary is small) — the win is
+      // the removed per-round full-vocabulary exchange+sort, which at
+      // corpus scale grows with the live pair vocabulary.
+      val top0 = pc.groupBy("lang")
+        .agg(min(struct((-col("cnt")).as("nc"), col("lft"), col("rgt"))).as("mm"))
+        .select(col("lang"), lit(r).as("rk"), col("mm.lft").as("lft"),
+          col("mm.rgt").as("rgt"), (-col("mm.nc")).as("cnt"))
       val top = thrDen match {
         case None => top0.localCheckpoint(true)
         case Some(den) if r == 1 =>
