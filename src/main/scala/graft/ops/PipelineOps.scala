@@ -1165,6 +1165,7 @@ object PipelineOps extends OpGroup {
         Set("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk",
           "vec_ivf_probe_sweep", "vec_pq_residual_topk", "vec_ivf_cell_stats",
           "vec_index_persist_reload", "vec_index_delete", "vec_knn_graph_ivf",
+          "vec_ivf_merge_shards",
           "vec_semantic_dedup_ivf", "corpus_prep_pipeline_v3", "graph_scc",
           "graph_triangle_count", "graph_connected_components",
           "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
@@ -3216,11 +3217,39 @@ object PipelineOps extends OpGroup {
         val qc = quantCorpus(s, dir)
         val qA = qc.filter(col("vec_id") % 3 =!= 0)
         val qB = qc.filter(col("vec_id") % 3 === 0)
-        val aAssign = kmeansLoop(qA)
-        val bAssign =
-          try kmeansLoop(qB)
-          catch { case t: Throwable =>
-            graft.Caches.releaseCheckpoint(aAssign); throw t }
+        // The two shard trainings are INDEPENDENT Lloyd loops over
+        // disjoint corpus slices whose per-round jobs underfill the
+        // executor (1/3 and 2/3 of the corpus) — submit them from two
+        // driver threads so each loop's jobs back-fill the other's idle
+        // capacity (guide §2.6 "overlap independent jobs"; actions were
+        // only sequential because the driver called them sequentially).
+        // Results are unchanged: each loop is deterministic integer
+        // arithmetic regardless of job interleaving.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val (aAssign, bAssign) =
+          try {
+            val fa = pool.submit(new java.util.concurrent.Callable[
+              org.apache.spark.sql.DataFrame] {
+              def call() = kmeansLoop(qA)
+            })
+            val fb = pool.submit(new java.util.concurrent.Callable[
+              org.apache.spark.sql.DataFrame] {
+              def call() = kmeansLoop(qB)
+            })
+            val ra =
+              try fa.get()
+              catch { case t: Throwable =>
+                // a's loop failed: drain b and release its checkpoint
+                try graft.Caches.releaseCheckpoint(fb.get())
+                catch { case _: Throwable => () }
+                throw t
+              }
+            val rb =
+              try fb.get()
+              catch { case t: Throwable =>
+                graft.Caches.releaseCheckpoint(ra); throw t }
+            (ra, rb)
+          } finally pool.shutdown()
         graft.Caches.track(s, dir, "ivf_shard_quant", Set("vec_ivf_merge_shards"),
           () => { graft.Caches.releaseCheckpoint(aAssign)
                   graft.Caches.releaseCheckpoint(bAssign) })
