@@ -2295,6 +2295,24 @@ object PipelineOps extends OpGroup {
     s.conf.getOption("spark.graft.graph.broadcastNodeCap")
       .map(_.toLong).getOrElse(4000000L)
 
+  /** Artifact writer for the persist/reload keys with output-file sizing
+    * (guide §6): the sidecar frames inherit 32 post-shuffle/checkpoint
+    * partitions, so each KB-to-MB artifact was written as up to 32 tiny
+    * part files — paying 32 task launches + per-file commit renames on
+    * the write AND 32 file opens on every reload scan. Coalesce to
+    * `spark.graft.persist.outFiles` (default 1 — right for these
+    * KB/MB-scale artifacts; a production table retargets the conf so
+    * files land in the 128 MB-1 GB band, or replaces the coalesce with a
+    * rebalance-on-write). Row content and reload semantics are
+    * unchanged — parquet reads are order-free sets here (every consumer
+    * sorts or aggregates).
+    */
+  private def writeSidecar(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val n = df.sparkSession.conf.getOption("spark.graft.persist.outFiles")
+      .map(_.toInt).getOrElse(1)
+    df.coalesce(n).write.mode("overwrite").parquet(path)
+  }
+
   private[graft] def pagerankLoop(
       edges: org.apache.spark.sql.DataFrame,
       maxRounds: Int): (org.apache.spark.sql.DataFrame, Int) = {
@@ -4073,10 +4091,9 @@ object PipelineOps extends OpGroup {
         val sums = trainedCellSums(qv, assign)
         val root = Tables.tmpDir("graft_index_persist")
         persistRootSeam.put((s, dir), root) // test-seam publish only (CacheReleaseSuite)
-        assign.write.mode("overwrite").parquet(s"$root/ivf_assign")
-        sums.write.mode("overwrite").parquet(s"$root/ivf_cell_sums")
-        simhashSigs(s, dir).write.mode("overwrite")
-          .parquet(s"$root/simhash_sigs")
+        writeSidecar(assign, s"$root/ivf_assign")
+        writeSidecar(sums, s"$root/ivf_cell_sums")
+        writeSidecar(simhashSigs(s, dir), s"$root/simhash_sigs")
         // Reload: fresh scans of the sidecars — no Tables/Caches path.
         val rAssign = s.read.parquet(s"$root/ivf_assign")
         val rSums = s.read.parquet(s"$root/ivf_cell_sums")
@@ -5211,9 +5228,9 @@ object PipelineOps extends OpGroup {
         val (served, matches) =
           try {
             val root = Tables.tmpDir("graft_graph_persist")
-            sym.write.mode("overwrite").parquet(s"$root/edges")
-            r.write.mode("overwrite").parquet(s"$root/ranks")
-            cc.write.mode("overwrite").parquet(s"$root/comps")
+            writeSidecar(sym, s"$root/edges")
+            writeSidecar(r, s"$root/ranks")
+            writeSidecar(cc, s"$root/comps")
             val served = rankFilteredBfs(s,
               s.read.parquet(s"$root/edges"),
               s.read.parquet(s"$root/ranks"),
@@ -9687,12 +9704,10 @@ object PipelineOps extends OpGroup {
           .orderBy(desc("sim"), asc("vec_id")).limit(1)
         // PERSIST the in-session index artifacts (family-shared builds).
         val root = Tables.tmpDir("graft_hnsw_persist")
-        hnswLayerAssign(s, dir).select("vec_id", "label", "lay")
-          .write.mode("overwrite").parquet(s"$root/hnsw_nodes")
-        hnswUpperEdges(s, dir)
-          .write.mode("overwrite").parquet(s"$root/hnsw_upper")
-        mutualKnnEdges(s, dir).select("a", "b")
-          .write.mode("overwrite").parquet(s"$root/hnsw_m0")
+        writeSidecar(hnswLayerAssign(s, dir).select("vec_id", "label", "lay"),
+          s"$root/hnsw_nodes")
+        writeSidecar(hnswUpperEdges(s, dir), s"$root/hnsw_upper")
+        writeSidecar(mutualKnnEdges(s, dir).select("a", "b"), s"$root/hnsw_m0")
         // RELOAD: fresh scans; entry + occupied levels from the sidecars.
         val rNodes = s.read.parquet(s"$root/hnsw_nodes")
         val rUpper = s.read.parquet(s"$root/hnsw_upper")

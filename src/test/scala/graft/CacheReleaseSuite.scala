@@ -47,7 +47,8 @@ class CacheReleaseSuite extends AnyFunSuite {
     // fixture builds).
     Seq("vec_kmeans_train", "vec_ivf_trained_topk", "vec_ivf_pq_topk",
       "vec_ivf_probe_sweep", "vec_pq_residual_topk", "vec_ivf_cell_stats",
-      "vec_index_delete", "vec_knn_graph_ivf", "vec_semantic_dedup_ivf",
+      "vec_index_delete", "vec_knn_graph_ivf", "vec_ivf_merge_shards",
+      "vec_semantic_dedup_ivf",
       "graph_scc", "graph_triangle_count", "graph_connected_components",
       "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
       "vec_graph_beam_search", "graph_louvain_step", "graph_louvain_converge",
