@@ -2407,11 +2407,15 @@ object PipelineOps extends OpGroup {
       ranks: org.apache.spark.sql.DataFrame,
       comps: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val floor = ranks.agg(expr("sum(r) div count(1)").as("floor"))
+    // The high-rank node set, frontier, and visited set are |V|-bounded —
+    // size-gated broadcast ([[graphBroadcastCap]]), same as the walk keys.
+    val small: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (ranks.count() <= graphBroadcastCap(s)) broadcast _ else identity _
     val high = ranks.crossJoin(broadcast(floor))
       .filter(col("r") >= col("floor")).select("node")
     val he = sym
-      .join(high.select(col("node").as("src")), "src")
-      .join(high.select(col("node").as("dst")), "dst")
+      .join(small(high.select(col("node").as("src"))), "src")
+      .join(small(high.select(col("node").as("dst"))), "dst")
       .select("src", "dst")
     val seed = ranks.orderBy(desc("r"), asc("node")).limit(1).select("node")
     var visited = seed.withColumn("hop", lit(0)).localCheckpoint(true)
@@ -2421,9 +2425,9 @@ object PipelineOps extends OpGroup {
     try {
       while (hop < 3 && !emptied) {
         hop += 1
-        val next = he.join(frontier.select(col("node").as("src")), "src")
+        val next = he.join(small(frontier.select(col("node").as("src"))), "src")
           .select(col("dst").as("node")).distinct()
-          .join(visited.select("node"), Seq("node"), "leftanti")
+          .join(small(visited.select("node")), Seq("node"), "leftanti")
           .withColumn("hop", lit(hop))
         val nv = visited.union(next).localCheckpoint(true)
         frontier = nv.filter(col("hop") === hop)
@@ -8139,6 +8143,11 @@ object PipelineOps extends OpGroup {
         val labels = mutual.select(col("l"), col("a").as("n"))
           .union(mutual.select(col("l"), col("b").as("n"))).distinct()
         val edges0 = mutual.select("a", "b")
+        // Survivor sets are |V|-bounded — size-gated broadcast for the
+        // per-round leftsemi joins ([[graphBroadcastCap]]; shuffled
+        // fallback above the cap).
+        val small: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          if (edges0.count() <= graphBroadcastCap(s)) broadcast _ else identity _
         // edges0 is NOT a checkpoint of this op — its plan leaf is the
         // SHARED mutual-kNN cache, and releaseCheckpoint walks every
         // LogicalRDD leaf, so releasing it would unpersist the whole
@@ -8161,8 +8170,8 @@ object PipelineOps extends OpGroup {
           Option(keep).foreach(graft.Caches.releaseCheckpoint)
           keep = nk
           val ne = edges
-            .join(keep.select(col("n").as("a")), Seq("a"), "leftsemi")
-            .join(keep.select(col("n").as("b")), Seq("b"), "leftsemi")
+            .join(small(keep.select(col("n").as("a"))), Seq("a"), "leftsemi")
+            .join(small(keep.select(col("n").as("b"))), Seq("b"), "leftsemi")
             .localCheckpoint(true)
           Option(prevEdges).filter(_ ne edges0)
             .foreach(graft.Caches.releaseCheckpoint)
@@ -8895,15 +8904,19 @@ object PipelineOps extends OpGroup {
         val seeds = m.select(col("l"), col("a").as("n"))
           .union(m.select(col("l"), col("b").as("n")))
           .groupBy("l").agg(min("n").as("n")).select("n").distinct()
+        // Frontier/visited are |V|-bounded — size-gated broadcast for the
+        // per-hop expand + dedup joins ([[graphBroadcastCap]]).
+        val small: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          if (m.count() <= graphBroadcastCap(s)) broadcast _ else identity _
         var visited = seeds.withColumn("hop", lit(0)).localCheckpoint(true)
         var frontier = visited
         var hop = 0
         var emptied = false
         while (hop < 6 && !emptied) {
           hop += 1
-          val next = sym.join(frontier.select(col("n").as("src")), "src")
+          val next = sym.join(small(frontier.select(col("n").as("src"))), "src")
             .select(col("dst").as("n")).distinct()
-            .join(visited.select("n"), Seq("n"), "leftanti")
+            .join(small(visited.select("n")), Seq("n"), "leftanti")
             .withColumn("hop", lit(hop))
           val nv = visited.union(next).localCheckpoint(true)
           frontier = nv.filter(col("hop") === hop)

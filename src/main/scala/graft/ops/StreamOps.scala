@@ -245,9 +245,13 @@ object StreamOps extends OpGroup {
     // (the query pins the value at start; restore for batch ops after).
     // 2, not 4: every partition is a state-store instance with its own
     // snapshot/commit per batch, and the single-file AvailableNow source
-    // can't use more parallelism than the data has anyway.
+    // can't use more parallelism than the data has anyway. Round 19:
+    // conf-exposed (spark.graft.stream.statePartitions) so the
+    // state-store-count/parallelism trade can be measured per host and
+    // retargeted on a real cluster without a code change.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("2"))
     try {
       val q = df.writeStream
         .outputMode(mode)
