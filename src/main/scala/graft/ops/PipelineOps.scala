@@ -1429,16 +1429,21 @@ object PipelineOps extends OpGroup {
         .join(e.select(col("vec_id"), col("embedding").as("eb")), "vec_id")
         .select(col("c").as("pc"), col("vec_id").as("b"), col("eb"))
       val w = Window.partitionBy("a").orderBy(desc("sim"), asc("b"))
+      // rk/sim ride the checkpoint (round 19): vec_knn_graph_ivf's output
+      // IS this frame plus its audit flag, so the key reuses the fixture
+      // instead of re-running the identical IVF-blocked pair join; the
+      // graph consumers project (l, a, b) and never read the extras.
       val knn = qa.join(cand, Seq("pc"))
         .filter(col("a") =!= col("b"))
         .withColumn("sim", expr("vec_dot(ea, eb)")
           / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= MutualKnnK)
-        .select(col("l"), col("a"), col("b"))
+        .select(col("l"), col("a"), col("rk"), col("b"), col("sim"))
         .localCheckpoint(true)
       graft.Caches.track(s, dir, "directed_knn_edges",
-        Set("graph_scc", "graph_triangle_count", "graph_connected_components",
+        Set("vec_knn_graph_ivf",
+          "graph_scc", "graph_triangle_count", "graph_connected_components",
           "graph_label_prop_step", "graph_adamic_adar", "vec_graph_greedy_search",
           "vec_graph_beam_search", "graph_louvain_step", "graph_louvain_converge",
           "graph_louvain_multilevel", "graph_kcore_peel", "vec_hnsw_search",
@@ -1467,6 +1472,37 @@ object PipelineOps extends OpGroup {
         () => sccCache.remove((s, dir))
           .foreach(p => graft.Caches.releaseCheckpoint(p._1)))
       pair
+    })
+
+  private val labelKnnCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  /** Label-blocked cosine top-[[MutualKnnK]] (a, rk, b, sim) — the
+    * supervised comparison graph. Built once per (session, sfDir)
+    * (round 19): vec_knn_graph serves it directly and
+    * vec_knn_graph_ivf's in-band recall audit flags against it; the two
+    * keys used to run the identical |V|²/|labels| pair join twice.
+    */
+  private def labelKnnEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.memo(labelKnnCache, (s, dir), {
+      val e = Tables.t(s, dir, "embeddings")
+      val la = e.select(col("label").as("la"), col("vec_id").as("a"),
+        col("embedding").as("ea"))
+      val lb = e.select(col("label").as("lb"), col("vec_id").as("b"),
+        col("embedding").as("eb"))
+      val w = Window.partitionBy("a").orderBy(desc("sim"), asc("b"))
+      val knn = la.join(lb, col("la") === col("lb") && col("a") =!= col("b"))
+        .withColumn("sim", expr("vec_dot(ea, eb)")
+          / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= MutualKnnK)
+        .select(col("a"), col("rk"), col("b"), col("sim"))
+        .localCheckpoint(true)
+      graft.Caches.track(s, dir, "label_knn_edges",
+        Set("vec_knn_graph", "vec_knn_graph_ivf"),
+        () => labelKnnCache.remove((s, dir)).foreach(graft.Caches.releaseCheckpoint))
+      knn
     })
 
   private def mutualKnnEdges(
@@ -6553,15 +6589,7 @@ object PipelineOps extends OpGroup {
     // cells from a trained coarse quantizer.
     Op("vec_knn_graph",
       (s, dir) => {
-        val e = Tables.t(s, dir, "embeddings")
-        val a = e.select(col("label").as("la"), col("vec_id").as("a"), col("embedding").as("ea"))
-        val b = e.select(col("label").as("lb"), col("vec_id").as("b"), col("embedding").as("eb"))
-        val w = Window.partitionBy("a").orderBy(desc("sim"), asc("b"))
-        a.join(b, col("la") === col("lb") && col("a") =!= col("b"))
-          .withColumn("sim", expr("vec_dot(ea, eb)")
-            / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
+        labelKnnEdges(s, dir)
           .select(col("a"), col("rk"), col("b"),
             (round(col("sim"), 3) + 0.0).as("cos_sim"))
           .orderBy("a", "rk")
@@ -6601,30 +6629,11 @@ object PipelineOps extends OpGroup {
     // shuffle-bounded, never cartesian.
     Op("vec_knn_graph_ivf",
       (s, dir) => {
-        val e = Tables.t(s, dir, "embeddings")
-        val (_, assign) = kmeansTrained(s, dir)
-        val qa = ivfProbes(s, dir).withColumnRenamed("vec_id", "a").join(
-          e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
-        val cand = assign.join(e, "vec_id")
-          .select(col("c").as("pc"), col("vec_id").as("b"),
-            col("embedding").as("eb"))
-        val w = Window.partitionBy("a").orderBy(desc("sim"), asc("b"))
-        val ivf = qa.join(cand, Seq("pc"))
-          .filter(col("a") =!= col("b"))
-          .withColumn("sim", expr("vec_dot(ea, eb)")
-            / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= MutualKnnK)
-          .select("a", "rk", "b", "sim")
-        val la = e.select(col("label").as("la"), col("vec_id").as("a"),
-          col("embedding").as("ea"))
-        val lb = e.select(col("label").as("lb"), col("vec_id").as("b"),
-          col("embedding").as("eb"))
-        val lbl = la.join(lb, col("la") === col("lb") && col("a") =!= col("b"))
-          .withColumn("sim", expr("vec_dot(ea, eb)")
-            / (Tables.safeNorm("ea") * Tables.safeNorm("eb")))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= MutualKnnK)
+        // Both halves are the shared fixtures (round 19): the IVF-blocked
+        // kNN IS directedKnnEdges (now carrying rk/sim), the audit graph
+        // IS labelKnnEdges — this key no longer re-runs either pair join.
+        val ivf = directedKnnEdges(s, dir).select("a", "rk", "b", "sim")
+        val lbl = labelKnnEdges(s, dir)
           .select(col("a"), col("b"), lit(true).as("hit"))
         ivf.join(lbl, Seq("a", "b"), "left")
           .select(col("a"), col("rk"), col("b"),
