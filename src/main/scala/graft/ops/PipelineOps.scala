@@ -5271,11 +5271,27 @@ object PipelineOps extends OpGroup {
             writeSidecar(sym, s"$root/edges")
             writeSidecar(r, s"$root/ranks")
             writeSidecar(cc, s"$root/comps")
-            val served = rankFilteredBfs(s,
-              s.read.parquet(s"$root/edges"),
-              s.read.parquet(s"$root/ranks"),
-              s.read.parquet(s"$root/comps"))
-            val inSession = rankFilteredBfs(s, sym, r, cc)
+            // The reloaded serve and the in-session reload-equality serve
+            // are independent BFS loops whose driver-blocking micro-jobs
+            // underfill the executor — run them from two driver threads so
+            // each loop's steps back-fill the other's idle capacity (guide
+            // §2.6; same results, the loops share no mutable state).
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+            val (served, inSession) =
+              try {
+                val fr = pool.submit(new java.util.concurrent.Callable[
+                  org.apache.spark.sql.DataFrame] {
+                  def call() = rankFilteredBfs(s,
+                    s.read.parquet(s"$root/edges"),
+                    s.read.parquet(s"$root/ranks"),
+                    s.read.parquet(s"$root/comps"))
+                })
+                val fi = pool.submit(new java.util.concurrent.Callable[
+                  org.apache.spark.sql.DataFrame] {
+                  def call() = rankFilteredBfs(s, sym, r, cc)
+                })
+                (fr.get(), fi.get())
+              } finally pool.shutdown()
             def typedRows(df: org.apache.spark.sql.DataFrame) = df.collect()
               .map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
               .sortBy(_._1).toSeq

@@ -954,8 +954,17 @@ object StreamOps extends OpGroup {
           def typedRows(df: DataFrame) = df.collect()
             .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
             .sortBy(t => (t._1, t._2)).toSeq
-          val matches = served.schema == truth.schema &&
-            typedRows(served) == typedRows(truth)
+          // The served/truth collects are independent jobs over shared
+          // cached inputs — overlap them (guide §2.6), same results.
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+          val matches =
+            try {
+              val fs = pool.submit(new java.util.concurrent.Callable[
+                Seq[(Long, Int, Double)]] { def call() = typedRows(served) })
+              val ft = pool.submit(new java.util.concurrent.Callable[
+                Seq[(Long, Int, Double)]] { def call() = typedRows(truth) })
+              served.schema == truth.schema && fs.get() == ft.get()
+            } finally pool.shutdown()
           served.select(col("vec_id"), col("cluster"), col("cos_sim"),
             lit(recoveryBatches).as("recovery_batches"),
             lit(crashFiles).as("crash_delta_files"),
