@@ -26,6 +26,14 @@ object PlanDump {
     Tables.scratchLocalDir.foreach(d => builder.config("spark.local.dir", d))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional session confs, "k=v;k=v" — lets a dump pin the conf-gated
+    // fallback plan (e.g. broadcastNodeCap=0 reproduces the pre-round-19
+    // shuffled shape for the graph-family loops).
+    sys.env.get("SPARK_GRAFT_PLAN_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     for (key <- args) {
       Setups.warm(spark, sfDir, Set(key))
