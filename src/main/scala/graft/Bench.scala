@@ -15,9 +15,13 @@ object Bench {
     * sf0.1 numbers — pin to exactly the contract dir (normalized, so a
     * trailing slash or a ./ segment doesn't dodge the pin), and require
     * repo-root cwd so a scratch run elsewhere can't clobber it either.
+    * Round-19 verdict item 6: the driver's 8-core SCALING run met both of
+    * those conditions and overwrote the committed 32-core map — pin the
+    * core count to the contract value too.
     */
-  private[graft] def benchLocalEligible(sfDir: String, cwdHasBuild: Boolean): Boolean =
-    cwdHasBuild &&
+  private[graft] def benchLocalEligible(
+      sfDir: String, cwdHasBuild: Boolean, cpus: String): Boolean =
+    cwdHasBuild && cpus == "32" &&
       java.nio.file.Paths.get(sfDir).normalize().toString == "/root/testdata/sf0.1"
 
   /** Adjudicate a per-key rerun outcome (round-10 verdict blind spot: host
@@ -153,6 +157,9 @@ object Bench {
     var rerunBudget = 240.0
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Payer attribution for shared-cache builds (round-19 verdict item
+      // 9): any cache registered while this key runs was paid by it.
+      Caches.noteRunningKey(spark, sfDir, name)
       val kSteal0 = stealJiffies
       val first = timeOnce(fn)
       var best = first
@@ -228,6 +235,7 @@ object Bench {
       stealJiffies == s0 && load1m >= 0 && load1m <= cpus.toDouble
     }
     for ((name, cls) <- breach.toSeq if cls != "recovered" && isoBudget > 0) {
+      Caches.noteRunningKey(spark, sfDir, name)
       val best = results(name)
       var isQuiet = false
       while ({ isQuiet = quiet(); !isQuiet } && quietWaits > 0) quietWaits -= 1
@@ -275,8 +283,16 @@ object Bench {
       .mkString("\"iso\":{", ",", "}")
     val isoWarmJson = isoWarm.map { case (k, v) => s""""$k":${sec3(v)}""" }
       .mkString("\"iso_warm\":{", ",", "}")
+    // Which key PAID each shared-cache cold build (round-19 verdict item
+    // 9): lets the next round's per-key diff separate attribution drift
+    // (a cache build migrating to a different first consumer) from a real
+    // regression at a glance. Advisory, like env/reruns — placed before
+    // "queries" so "value" stays last in the driver's bounded tail.
+    val payerJson = Caches.cachePayers(spark, sfDir)
+      .map { case (n, k) => s""""$n":"$k"""" }
+      .mkString("\"cache_payer\":{", ",", "}")
     val json =
-      s"""{$envJson,$rerunsJson,$coldJson,$breachJson,$isoJson,$isoWarmJson,"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${sec3(total)}}"""
+      s"""{$envJson,$rerunsJson,$coldJson,$breachJson,$isoJson,$isoWarmJson,$payerJson,"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":${sec3(total)}}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
@@ -288,7 +304,7 @@ object Bench {
     // ANOTHER SCALE FACTOR, a different cwd) can never clobber the
     // committed sf0.1 artifact — see [[benchLocalEligible]].
     if (benchLocalEligible(sfDir,
-        java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt"))))
+        java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")), cpus))
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), json.getBytes("UTF-8"))
     println(json)

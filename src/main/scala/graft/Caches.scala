@@ -179,6 +179,38 @@ object Caches {
   def schedule(s: SparkSession, dir: String, keys: Set[String]): Unit =
     scheduled.put((s, dir), keys)
 
+  // Which bench key PAID each shared-cache build (round-19 verdict item
+  // 9): shared-cache cold builds land on whichever consumer runs first,
+  // so when the key registry grows the build migrates to a different key
+  // and cross-round per-key diffs read as regressions (r19:
+  // text_hashing_tfidf 0.55→1.36 s was the tokenTf build moving — family
+  // total flat). Bench marks the running key around each timed rep;
+  // track() stamps the FIRST registration of each cache name with it, and
+  // Bench emits the map as "cache_payer" in the artifact. Advisory
+  // telemetry only — no query path reads it. NOT registered with
+  // sweepWith: releaseAll clears every sweepable for (session, dir), and
+  // Bench's isolated-rerun pass calls releaseAll per breach key — the
+  // attribution of the MAIN pass must survive that. Stopped sessions are
+  // purged explicitly in [[track]]'s sweep instead.
+  private val runningKey = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private val payers = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      scala.collection.mutable.LinkedHashMap[String, String]]
+
+  /** Mark `key` as the currently running bench key for (session, sfDir) —
+    * cache builds it triggers (on any thread) are attributed to it.
+    */
+  def noteRunningKey(s: SparkSession, dir: String, key: String): Unit =
+    runningKey.put((s, dir), key)
+
+  /** First-build payer per cache name for (session, sfDir), registration
+    * order. First-wins: an isolated-rerun rebuild must not overwrite the
+    * main pass's cold-build attribution.
+    */
+  def cachePayers(s: SparkSession, dir: String): Seq[(String, String)] =
+    payers.get((s, dir)).map(m => m.synchronized(m.toSeq)).getOrElse(Nil)
+
   /** Unpersist the block-manager blocks behind a `localCheckpoint(true)`
     * frame. The checkpointed Dataset's plan is a [[LogicalRDD]] leaf over
     * the internally cached RDD — unpersisting that RDD frees the blocks
@@ -208,6 +240,12 @@ object Caches {
     }
     scheduled.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) scheduled.remove(k)
+    }
+    runningKey.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) runningKey.remove(k)
+    }
+    payers.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) payers.remove(k)
     }
     sweepables.forEach { m =>
       m.keys.foreach { k =>
@@ -250,6 +288,12 @@ object Caches {
     // cache is being built by a LATER consumer). The builder itself can't
     // be in the seed — its keyDone fires only after its query fn returns.
     e.done = eff.intersect(completed.getOrElse((s, dir), Set.empty))
+    // Payer attribution (first build wins — see [[cachePayers]]).
+    runningKey.get((s, dir)).foreach { k =>
+      val m = payers.getOrElseUpdate((s, dir),
+        scala.collection.mutable.LinkedHashMap.empty[String, String])
+      m.synchronized { if (!m.contains(name)) m(name) = k }
+    }
     entries.put((s, dir, name), e).foreach(_.release())
   }
 

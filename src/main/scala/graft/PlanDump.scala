@@ -31,13 +31,20 @@ object PlanDump {
     // shuffled shape for the graph-family loops).
     sys.env.get("SPARK_GRAFT_PLAN_CONF").foreach(_.split(';').filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_PLAN_CONF entry '$kv' is not of the form k=v")
+        }
       })
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     for (key <- args) {
       Setups.warm(spark, sfDir, Set(key))
-      val df = SparkEntry.queries(key)(spark, sfDir)
+      // Loop-family INNER-round probes (round-19 verdict item 2) live in
+      // a side registry — the declared keys' dumps explain only the final
+      // frame, hiding the per-round joins behind localCheckpoints.
+      val fn = SparkEntry.queries.getOrElse(key, ops.PipelineOps.innerProbes(key))
+      val df = fn(spark, sfDir)
       val txt =
         try df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)

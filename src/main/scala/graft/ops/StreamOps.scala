@@ -248,10 +248,19 @@ object StreamOps extends OpGroup {
     // can't use more parallelism than the data has anyway. Round 19:
     // conf-exposed (spark.graft.stream.statePartitions) so the
     // state-store-count/parallelism trade can be measured per host and
-    // retargeted on a real cluster without a code change.
+    // retargeted on a real cluster without a code change. Validated at
+    // read time (a malformed value otherwise fails deep inside Spark),
+    // and note the value only takes effect for queries starting a FRESH
+    // checkpoint: on restart Spark pins the stateful shuffle partition
+    // count from the checkpoint's offsets log, so retargeting the conf
+    // mid-checkpoint is a silent no-op for recovery paths (round-19
+    // advice item 3).
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("2"))
+    val stateParts = s.conf.getOption("spark.graft.stream.statePartitions")
+      .getOrElse("2")
+    require(scala.util.Try(stateParts.trim.toInt).toOption.exists(_ > 0),
+      s"spark.graft.stream.statePartitions must be a positive integer, got '$stateParts'")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts.trim)
     try {
       val q = df.writeStream
         .outputMode(mode)
@@ -956,7 +965,7 @@ object StreamOps extends OpGroup {
             .sortBy(t => (t._1, t._2)).toSeq
           // The served/truth collects are independent jobs over shared
           // cached inputs — overlap them (guide §2.6), same results.
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+          val pool = DriverPool(2)
           val matches =
             try {
               val fs = pool.submit(new java.util.concurrent.Callable[
@@ -964,7 +973,7 @@ object StreamOps extends OpGroup {
               val ft = pool.submit(new java.util.concurrent.Callable[
                 Seq[(Long, Int, Double)]] { def call() = typedRows(truth) })
               served.schema == truth.schema && fs.get() == ft.get()
-            } finally pool.shutdown()
+            } finally pool.shutdownNow()
           served.select(col("vec_id"), col("cluster"), col("cos_sim"),
             lit(recoveryBatches).as("recovery_batches"),
             lit(crashFiles).as("crash_delta_files"),

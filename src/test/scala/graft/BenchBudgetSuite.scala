@@ -15,15 +15,20 @@ class BenchBudgetSuite extends AnyFunSuite {
   test("BENCH_LOCAL eligibility is pinned to the exact sf0.1 contract dir") {
     // Round-11 advice: the old startsWith("/root/testdata/") guard let a
     // run at ANY scale factor overwrite the committed sf0.1 artifact.
-    assert(Bench.benchLocalEligible("/root/testdata/sf0.1", cwdHasBuild = true))
+    assert(Bench.benchLocalEligible("/root/testdata/sf0.1", cwdHasBuild = true, cpus = "32"))
     // Path-normal variants of the contract dir still qualify…
-    assert(Bench.benchLocalEligible("/root/testdata/sf0.1/", cwdHasBuild = true))
-    assert(Bench.benchLocalEligible("/root/testdata/./sf0.1", cwdHasBuild = true))
+    assert(Bench.benchLocalEligible("/root/testdata/sf0.1/", cwdHasBuild = true, cpus = "32"))
+    assert(Bench.benchLocalEligible("/root/testdata/./sf0.1", cwdHasBuild = true, cpus = "32"))
     // …but other scale factors, scratch dirs, and non-repo cwds never do.
-    assert(!Bench.benchLocalEligible("/root/testdata/sf0.01", cwdHasBuild = true))
-    assert(!Bench.benchLocalEligible("/root/testdata/sf0.001", cwdHasBuild = true))
-    assert(!Bench.benchLocalEligible("/tmp/graft_mini123", cwdHasBuild = true))
-    assert(!Bench.benchLocalEligible("/root/testdata/sf0.1", cwdHasBuild = false))
+    assert(!Bench.benchLocalEligible("/root/testdata/sf0.01", cwdHasBuild = true, cpus = "32"))
+    assert(!Bench.benchLocalEligible("/root/testdata/sf0.001", cwdHasBuild = true, cpus = "32"))
+    assert(!Bench.benchLocalEligible("/tmp/graft_mini123", cwdHasBuild = true, cpus = "32"))
+    assert(!Bench.benchLocalEligible("/root/testdata/sf0.1", cwdHasBuild = false, cpus = "32"))
+    // Round-19 verdict item 6: the driver's 8-core scaling run clobbered
+    // the committed 32-core per-key map — non-contract core counts never
+    // qualify.
+    assert(!Bench.benchLocalEligible("/root/testdata/sf0.1", cwdHasBuild = true, cpus = "8"))
+    assert(!Bench.benchLocalEligible("/root/testdata/sf0.1", cwdHasBuild = true, cpus = "4"))
   }
 
   test("breach adjudication: consistent reruns under a noisy host are not confirmed hot") {
