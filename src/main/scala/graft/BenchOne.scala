@@ -20,6 +20,14 @@ object BenchOne {
     Tables.scratchLocalDir.foreach(d => builder.config("spark.local.dir", d))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional session confs for A/B runs, "k=v;k=v" (the PlanDump seam).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
+        }
+      })
     try SparkEntry.queries.head._2(spark, sfDir).count()
     catch { case _: Throwable => () }
     // The warm-up key may have registered a shared checkpoint cache;

@@ -41,96 +41,328 @@ object PipelineOps extends OpGroup {
     * state are unchanged). The thresholds are |langs| driver scalars
     * (the occupied-levels pattern), never data.
     */
+  /** Full pair count of a wrapped-token corpus state: every adjacent
+    * (non-space) token pair, counted per language. Round 1 of the trainer
+    * pays this once; later rounds maintain the frame incrementally
+    * ([[bpePairDelta]]).
+    */
+  private[graft] def bpeFullPairCount(
+      st: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = 1.toChar.toString // the U+0001 token delimiter
+    st.select(col("lang"),
+        expr(s"split(substring(merged, 2, length(merged) - 2), '$p$p')").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS l, element_at(tk, i + 1) AS r))")).as("pr"))
+      .filter(col("pr.l") =!= " " && col("pr.r") =!= " ")
+      .groupBy(col("lang"), col("pr.l").as("lft"), col("pr.r").as("rgt"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Signed pair-count delta of applying `top`'s per-language merge
+    * (lft, rgt) -> lft||rgt to corpus state `st` (round-19 verdict item
+    * 1: the trainer loop used to RECOUNT the full corpus every round —
+    * guide §2.3/§2.4, the delta touches only merge-site neighborhoods).
+    *
+    * Exactness argument: `replace` (the apply step) and a regex `split`
+    * on the Pattern.quote'd pair both enumerate the SAME leftmost
+    * non-overlapping occurrence set, so the segments between matches
+    * identify every merge site and its neighbor tokens. Per occurrence i
+    * (segments seg_i, seg_i+1 around it; M = lft||rgt):
+    *   destroyed: (lft,rgt) always; (last(seg_i), lft) when seg_i is
+    *     nonempty (when seg_i = '' the junction pair was occurrence
+    *     i-1's right pair — counted once); (rgt, first(seg_i+1)) when
+    *     seg_i+1 is nonempty, else (rgt, lft) when another occurrence
+    *     follows immediately, else nothing (row end).
+    *   created: the same positions with lft/rgt replaced by M —
+    *     (last(seg_i), M), (M, first(seg_i+1)) / (M, M).
+    * Pairs touching the space token are filtered exactly as in the full
+    * count (they are never counted, so never maintained). EquivalenceSuite pins
+    * maintained == recounted after every round on real data.
+    */
+  private[graft] def bpeApplyWithDelta(
+      st: org.apache.spark.sql.DataFrame,
+      lftMap: Map[String, String], rgtMap: Map[String, String],
+      withDelta: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val p = 1.toChar.toString
+    // Pattern.quote(pat), as an expression: \Q pat \E with any literal
+    // \E inside pat re-escaped — tokens come from corpus text and may
+    // contain regex metacharacters.
+    val pat = concat(lit(p), col("lft"), lit(p + p), col("rgt"), lit(p))
+    val qpat = concat(lit("\\Q"),
+      replace(pat, lit("\\E"), lit("\\E\\\\E\\Q")), lit("\\E"))
+    // First/last token of each (nonempty) segment, ONE cheap char scan
+    // per segment each (substring_index; no per-site re-split of the
+    // whole segment): a nonempty segment is a complete wrapped token
+    // list "<p>tok<p><p>tok<p>", so first = before the 2nd delimiter
+    // minus the leading one, last = after the last delimiter once the
+    // trailing one is stripped.
+    val firsts =
+      s"transform(segs, g -> IF(g = '', NULL, substring(substring_index(g, '$p', 2), 2)))"
+    val lasts =
+      s"""transform(segs, g -> IF(g = '', NULL,
+           substring_index(substring(g, 1, length(g) - 1), '$p', -1)))"""
+    // The delta flag is a CONSTANT, so the false branch folds away (the
+    // final round's frame carries a null pd at zero per-row cost).
+    val emit = s"""
+      IF($withDelta,
+      filter(
+        flatten(transform(sequence(1, size(segs) - 1), i ->
+          array(
+            struct(lft AS l, rgt AS r, CAST(-1 AS BIGINT) AS d),
+            IF(element_at(segs, i) != '',
+              struct(element_at(lasts, i) AS l, lft AS r, CAST(-1 AS BIGINT) AS d),
+              NULL),
+            IF(element_at(segs, i + 1) != '',
+              struct(rgt AS l, element_at(firsts, i + 1) AS r, CAST(-1 AS BIGINT) AS d),
+              IF(i < size(segs) - 1,
+                struct(rgt AS l, lft AS r, CAST(-1 AS BIGINT) AS d),
+                NULL)),
+            IF(element_at(segs, i) != '',
+              struct(element_at(lasts, i) AS l, concat(lft, rgt) AS r, CAST(1 AS BIGINT) AS d),
+              NULL),
+            IF(element_at(segs, i + 1) != '',
+              struct(concat(lft, rgt) AS l, element_at(firsts, i + 1) AS r, CAST(1 AS BIGINT) AS d),
+              IF(i < size(segs) - 1,
+                struct(concat(lft, rgt) AS l, concat(lft, rgt) AS r, CAST(1 AS BIGINT) AS d),
+                NULL))))),
+        x -> x IS NOT NULL AND x.l != ' ' AND x.r != ' '),
+      NULL)"""
+    // The per-language merge rides in as |langs|-bounded literal maps
+    // (the thrMap / occupied-levels pattern): a map lookup per row, no
+    // broadcast build job and no join node in the per-round plan.
+    st.withColumn("lft", element_at(typedLit(lftMap), col("lang")))
+      .withColumn("rgt", element_at(typedLit(rgtMap), col("lang")))
+      // A stopped language (budget mode) has no map entry; a row without
+      // the pattern has no merge sites — both keep merged as-is with a
+      // null delta. The cheap literal contains prefilter keeps the
+      // per-row regex split off untouched rows.
+      .withColumn("segs",
+        when(col("lft").isNotNull && expr(
+            s"contains(merged, concat('$p', lft, '$p$p', rgt, '$p'))"),
+          split(col("merged"), qpat, lit(-1))))
+      .withColumn("firsts", expr(firsts))
+      .withColumn("lasts", expr(lasts))
+      // Rejoining the split segments on the MERGED token IS the replace:
+      // split and replace enumerate the same leftmost non-overlapping
+      // occurrences, so array_join(segs, wrapped-merge) reproduces
+      // replace(merged, wrapped-pair, wrapped-merge) byte for byte (the
+      // replay pins + the oracle hold this).
+      .select(col("lang"),
+        when(col("segs").isNull, col("merged")).otherwise(
+          expr(s"array_join(segs, concat('$p', lft, rgt, '$p'))")).as("merged"),
+        expr(emit).as("pd"))
+  }
+
+  /** Signed pair-count delta alone (test surface; the trainer reads `pd`
+    * off the checkpointed [[bpeApplyWithDelta]] frame instead, so the
+    * apply and the delta share ONE corpus pass per round).
+    */
+  private[graft] def bpePairDelta(
+      st: org.apache.spark.sql.DataFrame,
+      lftMap: Map[String, String],
+      rgtMap: Map[String, String]): org.apache.spark.sql.DataFrame =
+    bpeDeltaAgg(bpeApplyWithDelta(st, lftMap, rgtMap))
+
+  /** Aggregate the per-row signed pair deltas of a [[bpeApplyWithDelta]]
+    * frame to (lang, lft, rgt, cnt).
+    */
+  private[graft] def bpeDeltaAgg(
+      applied: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    applied.select(col("lang"), explode(col("pd")).as("pd"))
+      .groupBy(col("lang"), col("pd.l").as("lft"), col("pd.r").as("rgt"))
+      .agg(sum("pd.d").as("cnt"))
+
+  /** Shared round-1 prefix of the two trainers: the budget trainer's
+    * round 1 keeps every language (the top always clears its own floor),
+    * so the post-round-1 corpus state, the maintained pair counts and
+    * the round-1 merge rows are BYTE-IDENTICAL between text_bpe_train
+    * and text_bpe_train_budget — one build serves both (the
+    * mutualKnnEdges family-cache pattern; built lazily inside the first
+    * consumer's timed region, released by Caches once both keys report
+    * done). Tuple: (post-merge state st1, maintained counts pc2,
+    * round-1 rows (lang, lft, rgt, cnt)).
+    */
+  private val bpePrefixCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        Seq[(String, String, String, Long)])]
+
+  /** Shuffle width for the trainer's pair-VOCABULARY-bounded exchanges
+    * (counts, folds, argmax — never corpus-sized; the corpus passes are
+    * map-only over the checkpointed state). Conf-exposed for cluster
+    * retargeting; the local default keeps the per-round micro-jobs off
+    * the 32-partition scheduling floor.
+    */
+  private def bpeStatePartitions(s: org.apache.spark.sql.SparkSession): String =
+    s.conf.getOption("spark.graft.bpe.statePartitions").getOrElse("4")
+
+  private def bpePrefix(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        Seq[(String, String, String, Long)]) =
+    graft.Caches.memo(bpePrefixCache, (s, dir), {
+      val p = "\u0001"
+      // documents.parquet is a single file -> a single input partition;
+      // spread the per-round passes across all cores (the simhashSigs
+      // repartition discipline) BEFORE the first checkpoint so every
+      // round inherits the layout.
+      val st0 = Tables.t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("gtext", expr(
+          s"""IF(contains(text, '$p'),
+              CAST(raise_error('text_bpe_train: input text contains the U+0001 token delimiter') AS STRING),
+              text)"""))
+        .select(col("lang"),
+          expr(s"concat('$p', array_join(split(gtext, ''), '$p$p'), '$p')").as("merged"))
+        .localCheckpoint(true)
+      val pc1 = bpeFullPairCount(st0).localCheckpoint(true)
+      val r1 = bpeTopOf(pc1)
+      val ck1 = bpeApplyWithDelta(st0,
+        r1.map(t => t._1 -> t._2).toMap, r1.map(t => t._1 -> t._3).toMap)
+        .localCheckpoint(true)
+      val pc2 = bpeFoldCounts(pc1, ck1).localCheckpoint(true)
+      graft.Caches.releaseCheckpoint(st0)
+      graft.Caches.releaseCheckpoint(pc1)
+      val st1 = ck1.select("lang", "merged")
+      graft.Caches.track(s, dir, "bpe_round1_prefix",
+        Set("text_bpe_train", "text_bpe_train_budget"),
+        () => bpePrefixCache.remove((s, dir)).foreach { case (a, b, _) =>
+          graft.Caches.releaseCheckpoint(a)
+          graft.Caches.releaseCheckpoint(b)
+        })
+      (st1, pc2, r1)
+    })
+
+  /** Per-language argmax of a pair-count frame, collected: |langs| driver
+    * scalars per round (the thrMap / occupied-levels pattern — never
+    * data). cnt DESC then (lft, rgt) ASC via min of (-cnt, lft, rgt),
+    * the same deterministic tie-break the round-18 window used.
+    */
+  private def bpeTopOf(pc: org.apache.spark.sql.DataFrame)
+      : Seq[(String, String, String, Long)] =
+    pc.groupBy("lang")
+      .agg(min(struct((-col("cnt")).as("nc"), col("lft"), col("rgt"))).as("mm"))
+      .select(col("lang"), col("mm.lft").as("lft"), col("mm.rgt").as("rgt"),
+        (-col("mm.nc")).as("cnt"))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getLong(3)))
+      .sortBy(_._1).toSeq
+
+  /** Fold a round's signed deltas (read off the checkpointed
+    * [[bpeApplyWithDelta]] frame) into the maintained count frame.
+    */
+  private def bpeFoldCounts(
+      pc: org.apache.spark.sql.DataFrame,
+      ck: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pc.select("lang", "lft", "rgt", "cnt")
+      .unionAll(bpeDeltaAgg(ck))
+      .groupBy("lang", "lft", "rgt").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") > 0)
+
   private[graft] def bpeTrain(
       s: org.apache.spark.sql.SparkSession, dir: String, rounds: Int,
       thrDen: Option[Int] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val p = "\u0001"
-    // documents.parquet is a single file -> a single input partition;
-    // spread the per-round pair explode across all cores (the simhashSigs
-    // repartition discipline) BEFORE the first checkpoint so every round
-    // inherits the layout.
-    var st = Tables.t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .withColumn("gtext", expr(
-        s"""IF(contains(text, '$p'),
-            CAST(raise_error('text_bpe_train: input text contains the U+0001 token delimiter') AS STRING),
-            text)"""))
-      .select(col("lang"),
-        expr(s"concat('$p', array_join(split(gtext, ''), '$p$p'), '$p')").as("merged"))
-      .localCheckpoint(true)
-    var mt: org.apache.spark.sql.DataFrame = null
-    val tops = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.sql.DataFrame]
-    var thrMap: Map[String, Long] = Map.empty
+    // Every exchange below is pair-vocabulary-bounded (the corpus passes
+    // are map-only checkpoint scans), so the trainer runs in a narrow
+    // conf window: few shuffle partitions
+    // (spark.graft.bpe.statePartitions) and AQE off — the plans are
+    // fully known and per-stage re-planning only adds latency to the
+    // per-round micro-jobs (the narrowWalkConf precedent; codegen stays
+    // ON for the corpus passes). Restored on every exit path.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions", bpeStatePartitions(s))
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try bpeTrainBody(s, dir, rounds, thrDen)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  private def bpeTrainBody(
+      s: org.apache.spark.sql.SparkSession, dir: String, rounds: Int,
+      thrDen: Option[Int] = None)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // Round 1 comes from the shared prefix ([[bpePrefix]] — identical
+    // for both trainer keys). The merge ledger lives on the DRIVER —
+    // |langs| scalars per round, the occupied-levels pattern thrMap
+    // already used; the merge table returned to callers is ONE local
+    // relation built from it (identical rows; consumers normalize order
+    // with orderBy(lang, rk)).
+    val (st1, pc2, r1) = bpePrefix(s, dir)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, String, String, Long)]
+    merges ++= r1.map(t => (t._1, 1, t._2, t._3, t._4))
+    val thrMap: Map[String, Long] = thrDen match {
+      case Some(den) => r1.map(t => t._1 -> ((t._4 + den - 1) / den)).toMap
+      case None      => Map.empty
+    }
+    var st = st1
+    var pc = pc2
     var done = false
-    for (r <- 1 to rounds if !done) {
-      val pc = st
-        .select(col("lang"),
-          expr(s"split(substring(merged, 2, length(merged) - 2), '$p$p')").as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .select(col("lang"), explode(expr(
-          "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS l, element_at(tk, i + 1) AS r))")).as("pr"))
-        .filter(col("pr.l") =!= " " && col("pr.r") =!= " ")
-        .groupBy(col("lang"), col("pr.l").as("lft"), col("pr.r").as("rgt"))
-        .agg(count(lit(1)).as("cnt"))
-      // Per-language top pair as a partial-aggregating min-of-struct
-      // (cnt DESC, lft, rgt ≡ min of (-cnt, lft, rgt) — the same
-      // deterministic tie-break): the round-18 window shape exchanged +
-      // sorted the ENTIRE live pair vocabulary by lang every round; the
-      // agg reduces each map partition to ≤|langs| rows before the
-      // exchange (guide §2.3 "aggregate before you shuffle"). Local
-      // timing is parity (the sf0.1 vocabulary is small) — the win is
-      // the removed per-round full-vocabulary exchange+sort, which at
-      // corpus scale grows with the live pair vocabulary.
-      val top0 = pc.groupBy("lang")
-        .agg(min(struct((-col("cnt")).as("nc"), col("lft"), col("rgt"))).as("mm"))
-        .select(col("lang"), lit(r).as("rk"), col("mm.lft").as("lft"),
-          col("mm.rgt").as("rgt"), (-col("mm.nc")).as("cnt"))
-      val top = thrDen match {
-        case None => top0.localCheckpoint(true)
-        case Some(den) if r == 1 =>
-          // ceil(cnt / den) in exact integer arithmetic (cross-engine);
-          // round 1's top always clears its own floor (cnt >= thr >= 1).
-          val t = top0.withColumn("thr",
-            expr(s"CAST((cnt + ${den - 1}) DIV $den AS BIGINT)"))
-            .localCheckpoint(true)
-          thrMap = t.select("lang", "thr").collect()
-            .map(row => row.getString(0) -> row.getLong(1)).toMap
-          t
+    for (r <- 2 to rounds if !done) {
+      val topRows = bpeTopOf(pc)
+      val kept = thrDen match {
+        case None => topRows
         case Some(_) =>
-          val t = top0.withColumn("thr",
-            coalesce(element_at(typedLit(thrMap), col("lang")), lit(Long.MaxValue)))
-            .filter(col("cnt") >= col("thr"))
-            .localCheckpoint(true)
-          if (t.isEmpty) done = true
-          t
+          val k = topRows.filter(t =>
+            t._4 >= thrMap.getOrElse(t._1, Long.MaxValue))
+          if (k.isEmpty) done = true
+          k
       }
       if (!done) {
-        tops += top
-        mt = if (mt == null) top else mt.union(top)
-        val next = st
-          .join(broadcast(top.select("lang", "lft", "rgt")), Seq("lang"), "left")
-          .select(col("lang"), when(col("lft").isNull, col("merged")).otherwise(
-            expr(s"""replace(merged, concat('$p', lft, '$p$p', rgt, '$p'),
-                     concat('$p', lft, rgt, '$p'))""")).as("merged"))
+        merges ++= kept.map(t => (t._1, r, t._2, t._3, t._4))
+        // ONE corpus pass applies the merge AND emits the signed pair
+        // deltas ([[bpeApplyWithDelta]]); the fold into the maintained
+        // count frame is a vocab-sized job over the checkpointed deltas,
+        // skipped on the final round (no next top to pick). Round-19
+        // verdict item 1: the old shape paid TWO full corpus passes per
+        // round (explode-recount + replace); EquivalenceSuite pins
+        // maintained == recounted after every round.
+        val ck = bpeApplyWithDelta(st,
+          kept.map(t => t._1 -> t._2).toMap,
+          kept.map(t => t._1 -> t._3).toMap,
+          withDelta = r < rounds)
           .localCheckpoint(true)
-        graft.Caches.releaseCheckpoint(st)
-        st = next
-      } else graft.Caches.releaseCheckpoint(top)
-    }
-    // Consolidate the merge table into ONE checkpoint and release the
-    // per-round top frames (round-16 advice: up to 12 blocks per
-    // invocation used to stay pinned until session end). The caller owns
-    // releasing BOTH returned frames.
-    val mtOut =
-      if (mt == null) mt
-      else {
-        val m = mt.localCheckpoint(true)
-        tops.foreach(graft.Caches.releaseCheckpoint)
-        m
+        if (r < rounds) {
+          val pcNext = bpeFoldCounts(pc, ck).localCheckpoint(true)
+          if (pc ne pc2) graft.Caches.releaseCheckpoint(pc)
+          pc = pcNext
+        }
+        if (st ne st1) graft.Caches.releaseCheckpoint(st)
+        st = ck.select("lang", "merged")
       }
-    (mtOut, st)
+    }
+    if (pc ne pc2) graft.Caches.releaseCheckpoint(pc)
+    // The shared prefix frames belong to Caches (released once BOTH
+    // trainer keys report done) — never hand one back to a caller that
+    // will release it: in the theoretical round-2 full stop, copy the
+    // state into a per-invocation checkpoint.
+    val stOut = if (st ne st1) st else st1.localCheckpoint(true)
+    // The merge table as one local relation (nullability mirrors the old
+    // per-round aggregate + union shape exactly: only rk was
+    // non-nullable). The caller-side releaseCheckpoint is a no-op on a
+    // local relation — nothing to unpersist.
+    import org.apache.spark.sql.types._
+    val fields = Seq(
+      StructField("lang", StringType, nullable = true),
+      StructField("rk", IntegerType, nullable = false),
+      StructField("lft", StringType, nullable = true),
+      StructField("rgt", StringType, nullable = true),
+      StructField("cnt", LongType, nullable = true)) ++
+      (if (thrDen.isDefined)
+        Seq(StructField("thr", LongType, nullable = true)) else Nil)
+    val rows = merges.map { case (lang, rk, lft, rgt, cnt) =>
+      if (thrDen.isDefined)
+        org.apache.spark.sql.Row(lang, rk, lft, rgt, cnt, thrMap(lang))
+      else org.apache.spark.sql.Row(lang, rk, lft, rgt, cnt)
+    }
+    val mtOut = s.createDataFrame(
+      java.util.Arrays.asList(rows.toSeq: _*), StructType(fields))
+    (mtOut, stOut)
   }
 
   /** 60-bit hash from md5 hex — cross-engine deterministic. */
@@ -2357,6 +2589,36 @@ object PipelineOps extends OpGroup {
     s.conf.getOption("spark.graft.graph.broadcastNodeCap")
       .map(_.toLong).getOrElse(2000000L)
 
+  /** Narrow conf window for the graph family's per-round micro-jobs,
+    * entered ONLY when the broadcast gate already says the graph is
+    * small (`narrow` = the same |E|-cap condition): every exchange in a
+    * round is then a partial-aggregated |V|/|C|-bounded frame, so the
+    * default core-count shuffle width and AQE's per-stage re-planning
+    * only add scheduling latency to each of the loop's many small jobs
+    * (the narrowWalkConf / stream.statePartitions precedent; codegen
+    * stays ON). Above the cap the window is a no-op — the shuffled
+    * fallback keeps full width and AQE (skew handling matters there).
+    * Width is conf-exposed (`spark.graft.graph.statePartitions`) for
+    * cluster retargeting; restored on every exit path.
+    */
+  private def graphStateConf[T](
+      s: org.apache.spark.sql.SparkSession, narrow: Boolean)(body: => T): T =
+    if (!narrow
+        || s.conf.getOption("spark.graft.graph.stateWindow").contains("off"))
+      body
+    else {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.getOption("spark.graft.graph.statePartitions").getOrElse("8"))
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try body
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }
+
   /** ONE synchronous louvain sweep (pre-checkpoint): from checkpointed
     * membership `comm` (n, c) to the next membership (n, c, moved). The
     * exact-integer gain ΔQ·2m² = 2m·(k_i→C − k_i→A\i) − k_i·(Σtot_C −
@@ -2371,37 +2633,60 @@ object PipelineOps extends OpGroup {
       mVal: Long,
       small: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       comm: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val tot = comm.join(small(deg), col("n") === col("z"))
-      .groupBy("c").agg(sum("dz").as("tot"))
-    val kic = sym
-      .join(small(comm.select(col("n").as("b"), col("c").as("cc"))), "b")
-      .groupBy("a", "cc").agg(count(lit(1)).as("kic"))
+    // Per-community stats in ONE pass over the (caller-checkpointed)
+    // membership and degree frames: Σdegree (tot), size, min member —
+    // for a singleton community the min IS the member. The old shape
+    // derived tot, csize and singleMember in three separate
+    // aggregation+join chains per sweep.
+    val cstats = comm.join(small(deg), col("n") === col("z"))
+      .groupBy("c").agg(sum("dz").as("tot"), count(lit(1)).as("cs"),
+        min("n").as("cmin"))
     val own = comm.select(col("n").as("a"), col("c").as("ca"))
-    val gains = kic.join(small(own), "a")
+    // k_i→C with the mover's own community attached BEFORE the
+    // aggregation (ca is functionally determined by a, so the groups are
+    // unchanged); k_i→own (kia) then comes from a per-node window over
+    // the SAME aggregated frame — the old kic-self-join broadcast
+    // re-executed the whole kic subplan (a second sym scan) per sweep.
+    val kicCa = sym
+      .join(small(comm.select(col("n").as("b"), col("c").as("cc"))), "b")
+      .join(small(own), "a")
+      .groupBy("a", "ca", "cc").agg(count(lit(1)).as("kic"))
+    val gains = kicCa
+      .withColumn("kia", coalesce(
+        max(when(col("cc") === col("ca"), col("kic")))
+          .over(Window.partitionBy("a")), lit(0L)))
       .filter(col("cc") =!= col("ca"))
       .join(small(deg.select(col("z").as("a"), col("dz").as("ki"))), "a")
-      .join(small(tot.select(col("c").as("cc"), col("tot").as("tot_c"))), "cc")
-      .join(small(tot.select(col("c").as("ca"), col("tot").as("tot_a"))), "ca")
-      .join(small(kic.select(col("a"), col("cc").as("ca"), col("kic").as("kia"))),
-        Seq("a", "ca"), "left")
+      .join(small(cstats.select(col("c").as("cc"), col("tot").as("tot_c"))), "cc")
+      .join(small(cstats.select(col("c").as("ca"), col("tot").as("tot_a"))), "ca")
       .withColumn("dq",
-        lit(2L * mVal) * (col("kic") - coalesce(col("kia"), lit(0L)))
+        lit(2L * mVal) * (col("kic") - col("kia"))
           - col("ki") * (col("tot_c") - col("tot_a") + col("ki")))
     val mv = gains.filter(col("dq") > 0)
       .groupBy("a", "ca")
       .agg(min(struct((-col("dq")).as("nd"), col("cc").as("tc"))).as("mm"))
       .select(col("a"), col("ca"), col("mm.tc").as("tc"))
-    // Singleton-swap guard: movers whose OWN community is a
-    // singleton, whose TARGET is a singleton {j}, and whose j
-    // reciprocally targets them, cancel on the larger id.
-    val csize = comm.groupBy("c").agg(count(lit(1)).as("cs"))
-    val singleMember = comm.join(small(csize.filter(col("cs") === 1)), "c")
-      .select(col("c").as("tc"), col("n").as("tmember"))
-    val grd = mv
-      .join(small(csize.select(col("c").as("ca"), col("cs").as("ca_size"))), "ca")
-      .join(small(singleMember), Seq("tc"), "left")
-      .join(small(mv.select(col("a").as("tmember"), col("tc").as("ttc"))),
-        Seq("tmember"), "left")
+    // Singleton-swap guard: movers whose OWN community is a singleton,
+    // whose TARGET is a singleton {j}, and whose j reciprocally targets
+    // them, cancel on the larger id. The reciprocal row — when it exists
+    // — is the one with (a, tmember) swapped, so the two share the
+    // unordered node-pair key; mv has exactly one row per node, hence
+    // ≤ 2 rows per pair group and sum-minus-own reads the partner's
+    // target. This replaces the old mv-self-join whose broadcast side
+    // re-executed the entire gains chain per sweep. Null tmember
+    // (target not a singleton) degenerates to an (a, a) group of its
+    // own — least/greatest skip nulls and tmember ≠ a always
+    // (communities partition the nodes and cc ≠ ca upstream) — which
+    // never cancels, exactly like the old left-join miss.
+    val enriched = mv
+      .join(small(cstats.select(col("c").as("ca"), col("cs").as("ca_size"))), "ca")
+      .join(small(cstats.filter(col("cs") === 1)
+        .select(col("c").as("tc"), col("cmin").as("tmember"))), Seq("tc"), "left")
+    val wp = Window.partitionBy(least(col("a"), col("tmember")),
+      greatest(col("a"), col("tmember")))
+    val grd = enriched
+      .withColumn("pn", count(lit(1)).over(wp))
+      .withColumn("ttc", when(col("pn") === 2, sum("tc").over(wp) - col("tc")))
       .filter(!coalesce(
         col("ca_size") === 1 && col("tmember").isNotNull
           && col("ttc") === col("ca") && col("a") > col("tmember"),
@@ -8509,14 +8794,23 @@ object PipelineOps extends OpGroup {
       (s, dir) => {
         val mutual = mutualKnnEdges(s, dir).select("a", "b")
         val sym = mutual.union(mutual.select(col("b").as("a"), col("a").as("b")))
+        // Loop-invariant degree frame, checkpointed ONCE: the old shape
+        // re-derived it from sym (a full edge scan + aggregate) inside
+        // TWO broadcast builds per sweep.
         val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("dz"))
+          .localCheckpoint(true)
         val mVal = mutualKnnEdgeCount(s, dir)
         // All per-node/per-community state frames below are |V|- or
         // |C|-bounded — size-gated broadcast ([[graphBroadcastCap]]; the
         // round-19 sweep plans had every one of these joins as a
         // SortMergeJoin exchanging+sorting BOTH sides each sweep).
+        val narrow = mVal <= graphBroadcastCap(s)
         val small: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-          if (mVal <= graphBroadcastCap(s)) broadcast _ else identity _
+          if (narrow) broadcast _ else identity _
+        // The whole sweep loop + coarse phase runs its micro-jobs in the
+        // narrow window ([[graphStateConf]]) — round-19 verdict item 3:
+        // the per-sweep cost was plan-depth/scheduling, not exchanges.
+        graphStateConf(s, narrow) {
         val nodes = sym.select(col("a").as("n")).distinct()
         var comm = nodes.withColumn("c", col("n")).localCheckpoint(true)
         var moves = Vector.empty[Long]
@@ -8530,6 +8824,7 @@ object PipelineOps extends OpGroup {
           moves :+= moved
           converged = moved == 0
         }
+        graft.Caches.releaseCheckpoint(deg) // sweeps done — coarse phase reads comm only
         val cB = comm
         graft.Caches.track(s, dir, "louvain_comm", Set("graph_louvain_converge"),
           () => graft.Caches.releaseCheckpoint(cB))
@@ -8565,11 +8860,14 @@ object PipelineOps extends OpGroup {
           .agg(min(struct((-col("dq")).as("nd"), col("j").as("tj"))).as("mm"))
           .select(col("i"), col("mm.tj").as("tj"))
         // Coarse swap guard: every super is a singleton community, so a
-        // mutual target pair cancels its larger id directly.
+        // mutual target pair cancels its larger id directly. cmv has one
+        // row per i, so a canonical-pair group holds exactly the
+        // reciprocal rows (2 ⟺ mutual) — the old cmv-self-join broadcast
+        // re-executed the whole coarse-gain chain.
         val cmvG = cmv
-          .join(small(cmv.select(col("i").as("tj"), col("tj").as("their"))),
-            Seq("tj"), "left")
-          .filter(!coalesce(col("their") === col("i") && col("i") > col("tj"), lit(false)))
+          .withColumn("pn", count(lit(1)).over(Window.partitionBy(
+            least(col("i"), col("tj")), greatest(col("i"), col("tj")))))
+          .filter(!(col("pn") === 2 && col("i") > col("tj")))
           .select(col("i").as("c"), col("tj").as("fc0"))
         val cfin = supers.join(small(cmvG), Seq("c"), "left")
           .select(col("c").as("super"), coalesce(col("fc0"), col("c")).as("fc"))
@@ -8595,6 +8893,7 @@ object PipelineOps extends OpGroup {
           .withColumn("converged", lit(converged))
           .orderBy(desc("n_base"), asc("comm")).limit(15)
           .orderBy(desc("n_base"), asc("comm"))
+        }
       },
       Some {
         // Round CTEs are lv0..lv4 (not c0..c4): the IVF blocking chain's
@@ -8750,8 +9049,11 @@ object PipelineOps extends OpGroup {
         // Per-level state frames are |C|-bounded and SHRINK level over
         // level — size-gated broadcast, the louvain-converge treatment
         // ([[graphBroadcastCap]]).
+        val narrow = mVal <= graphBroadcastCap(s)
         val small: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-          if (mVal <= graphBroadcastCap(s)) broadcast _ else identity _
+          if (narrow) broadcast _ else identity _
+        // Per-level micro-jobs in the narrow window ([[graphStateConf]]).
+        graphStateConf(s, narrow) {
         val nodes = mutual.select(col("a").as("n"))
           .union(mutual.select(col("b").as("n"))).distinct()
         var edges = mutual.withColumn("w", lit(1L)).localCheckpoint(true)
@@ -8792,10 +9094,13 @@ object PipelineOps extends OpGroup {
             .groupBy("i")
             .agg(min(struct((-col("dq")).as("nd"), col("j").as("tj"))).as("mm"))
             .select(col("i"), col("mm.tj").as("tj"))
+          // Mutual-best-pair matching via the canonical-pair window (bt
+          // has one row per i, so a 2-row group IS a reciprocal pair) —
+          // the old bt-self-join broadcast re-executed the bt chain.
           val mg = bt
-            .join(small(bt.select(col("i").as("i2"), col("tj").as("back"))),
-              col("tj") === col("i2") && col("back") === col("i"))
-            .filter(col("i") < col("tj"))
+            .withColumn("pn", count(lit(1)).over(Window.partitionBy(
+              least(col("i"), col("tj")), greatest(col("i"), col("tj")))))
+            .filter(col("pn") === 2 && col("i") < col("tj"))
             .select(col("i").as("keep"), col("tj").as("gone"))
           val mp = self.select("c")
             .join(broadcast(mg.select(col("gone").as("c"), col("keep"))),
@@ -8828,6 +9133,7 @@ object PipelineOps extends OpGroup {
         graft.Caches.releaseCheckpoint(edges)
         graft.Caches.releaseCheckpoint(self)
         out.orderBy("level")
+        }
       },
       Some {
         val levels = (1 to 3).map { r =>
@@ -10558,6 +10864,7 @@ object PipelineOps extends OpGroup {
       val mutual = mutualKnnEdges(s, dir).select("a", "b")
       val sym = mutual.union(mutual.select(col("b").as("a"), col("a").as("b")))
       val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("dz"))
+        .localCheckpoint(true)
       val mVal = mutualKnnEdgeCount(s, dir)
       val small: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
         if (mVal <= graphBroadcastCap(s)) broadcast _ else identity _
@@ -10583,5 +10890,27 @@ object PipelineOps extends OpGroup {
         if (mutualKnnEdgeCount(s, dir) <= graphBroadcastCap(s)) broadcast _ else identity _
       val visited = seeds.withColumn("hop", lit(0)).localCheckpoint(true)
       visited.union(bfsHop(sym, visited, visited, small, 1))
+    }),
+    "text_bpe_round2_apply_inner" -> ((s, dir) => {
+      // The trainer's per-round corpus pass (round-19 verdict item 1):
+      // ONE map-only scan of the checkpointed state applies the merge
+      // (array_join over the split segments) AND emits the signed pair
+      // deltas — no join, no exchange, no full-corpus pair explode.
+      val (st1, pc2, _) = bpePrefix(s, dir)
+      val top2 = bpeTopOf(pc2)
+      bpeApplyWithDelta(st1,
+        top2.map(t => t._1 -> t._2).toMap,
+        top2.map(t => t._1 -> t._3).toMap)
+    }),
+    "text_bpe_round2_fold_inner" -> ((s, dir) => {
+      // The per-round count maintenance: the maintained (vocab-sized)
+      // frame unions the round's aggregated deltas — the only scans are
+      // the two checkpoints; the full corpus is never re-exploded.
+      val (st1, pc2, _) = bpePrefix(s, dir)
+      val top2 = bpeTopOf(pc2)
+      val ck2 = bpeApplyWithDelta(st1,
+        top2.map(t => t._1 -> t._2).toMap,
+        top2.map(t => t._1 -> t._3).toMap).localCheckpoint(true)
+      bpeFoldCounts(pc2, ck2)
     }))
 }
