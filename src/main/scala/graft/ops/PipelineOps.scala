@@ -6628,6 +6628,12 @@ object PipelineOps extends OpGroup {
         val (qv, assign) = kmeansTrained(s, dir)
         val cells = trainedCellSums(qv, assign)
         val rw = Window.partitionBy("c").orderBy(asc("cdist"), asc("vec_id"))
+        // Materialized ONCE: both sides of the within-cell pair join
+        // consume this frame, and unmaterialized it executed its whole
+        // join+window+embedding chain twice (measured ~half the key's
+        // warm cost). |final survivors| rows with one vector each —
+        // released by Caches when the key reports done (the
+        // louvain_comm pattern).
         val ranked = qv.join(assign, "vec_id")
           .join(decon.select(col("doc_id").as("vec_id")), "vec_id")
           .join(broadcast(cells), "c")
@@ -6640,6 +6646,10 @@ object PipelineOps extends OpGroup {
           .join(Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
             "vec_id")
           .select("vec_id", "c", "rk", "embedding")
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "corpus_v3_ranked",
+          Set("corpus_prep_pipeline_v3"),
+          () => graft.Caches.releaseCheckpoint(ranked))
         val dropped = ranked.select(col("c").as("ca"), col("rk").as("rka"),
             col("embedding").as("ea"))
           .join(ranked.select(col("c").as("cb"), col("vec_id").as("bid"),
@@ -10150,20 +10160,80 @@ object PipelineOps extends OpGroup {
           .withColumn("sim", expr("vec_dot(embedding, qemb)")
             / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
           .orderBy(desc("sim"), asc("vec_id")).limit(1)
-        // PERSIST the in-session index artifacts (family-shared builds).
+        // PERSIST the in-session index artifacts (family-shared builds),
+        // RELOAD them fresh, and derive the entry probe / occupied set /
+        // fused walk frames — three INDEPENDENT per-artifact pipelines
+        // (write -> reload -> derive), overlapped from driver threads
+        // (guide §2.6; round-19 verdict item 5: the three sidecar writes,
+        // the two reload probes and the two walk-frame checkpoints ran
+        // strictly sequentially). Shared in-session cache builds inside
+        // the legs are memo-locked (single build under a race); no leg
+        // touches session conf, and the walk's narrow conf window opens
+        // only after all legs are joined.
         val root = Tables.tmpDir("graft_hnsw_persist")
-        writeSidecar(hnswLayerAssign(s, dir).select("vec_id", "label", "lay"),
-          s"$root/hnsw_nodes")
-        writeSidecar(hnswUpperEdges(s, dir), s"$root/hnsw_upper")
-        writeSidecar(mutualKnnEdges(s, dir).select("a", "b"), s"$root/hnsw_m0")
-        // RELOAD: fresh scans; entry + occupied levels from the sidecars.
-        val rNodes = s.read.parquet(s"$root/hnsw_nodes")
-        val rUpper = s.read.parquet(s"$root/hnsw_upper")
-        val rM0 = s.read.parquet(s"$root/hnsw_m0")
-        rNodes.filter(col("vec_id") =!= 0)
-          .orderBy(desc("lay"), asc("vec_id")).limit(1)
-          .select("lay", "vec_id").head(1).headOption match {
+        val pool = DriverPool(3)
+        val fNodes = pool.submit(new java.util.concurrent.Callable[
+          Option[org.apache.spark.sql.Row]] {
+          def call() = {
+            writeSidecar(hnswLayerAssign(s, dir).select("vec_id", "label", "lay"),
+              s"$root/hnsw_nodes")
+            s.read.parquet(s"$root/hnsw_nodes").filter(col("vec_id") =!= 0)
+              .orderBy(desc("lay"), asc("vec_id")).limit(1)
+              .select("lay", "vec_id").head(1).headOption
+          }
+        })
+        val fUpper = pool.submit(new java.util.concurrent.Callable[
+          (Set[Int], org.apache.spark.sql.DataFrame)] {
+          def call() = {
+            writeSidecar(hnswUpperEdges(s, dir), s"$root/hnsw_upper")
+            val rUpper = s.read.parquet(s"$root/hnsw_upper")
+            val occ = rUpper.groupBy("lvl").count()
+              .collect().map(_.getInt(0)).toSet
+            (occ, walkLevelEdges(s, dir, rUpper, fused = true))
+          }
+        })
+        val fM0 = pool.submit(new java.util.concurrent.Callable[
+          org.apache.spark.sql.DataFrame] {
+          def call() = {
+            writeSidecar(mutualKnnEdges(s, dir).select("a", "b"),
+              s"$root/hnsw_m0")
+            walkSym0(s, dir, s.read.parquet(s"$root/hnsw_m0"), fused = true)
+          }
+        })
+        // Join the legs; on a failure drain the siblings (bounded — the
+        // daemon pool is abandoned to shutdownNow past the bound) and
+        // release their checkpoints.
+        def drain[T](f: java.util.concurrent.Future[T])(rel: T => Unit): Unit =
+          try rel(f.get(60, java.util.concurrent.TimeUnit.SECONDS))
+          catch { case _: Throwable => () }
+        val (entryTop, occupied0, levelEdges0, sym00) =
+          try {
+            val nt =
+              try fNodes.get()
+              catch { case t: Throwable =>
+                drain(fUpper)(p => graft.Caches.releaseCheckpoint(p._2))
+                drain(fM0)(graft.Caches.releaseCheckpoint)
+                throw t
+              }
+            val (occ, le) =
+              try fUpper.get()
+              catch { case t: Throwable =>
+                drain(fM0)(graft.Caches.releaseCheckpoint)
+                throw t
+              }
+            val sy =
+              try fM0.get()
+              catch { case t: Throwable =>
+                graft.Caches.releaseCheckpoint(le); throw t
+              }
+            (nt, occ, le, sy)
+          } finally pool.shutdownNow()
+        entryTop match {
           case None =>
+            // Empty corpus: the legs still built (empty) walk frames —
+            // release them before emitting the empty result.
+            graft.Caches.releaseCheckpoint(levelEdges0)
+            graft.Caches.releaseCheckpoint(sym00)
             exactTop.select(
               lit(0).as("top_layer"), lit(0L).as("descent_nodes"),
               lit(0L).as("beam_nodes"),
@@ -10175,19 +10245,16 @@ object PipelineOps extends OpGroup {
           case Some(top) =>
             val topLayer = top.getInt(0)
             val entry = top.getLong(1)
-            val occupied = rUpper.groupBy("lvl").count()
-              .collect().map(_.getInt(0)).toSet
-            // Per-call fused walk frames over the RELOADED edges (the
-            // family caches are deliberately NOT consulted — the serve
-            // path must work in a session that never trained); released
-            // in a finally once the walk's scalars are out.
-            val levelEdges = walkLevelEdges(s, dir, rUpper, fused = true)
-            val sym0 = walkSym0(s, dir, rM0, fused = true)
+            // The walk frames were built over the RELOADED edges inside
+            // the legs (the family caches are deliberately NOT consulted
+            // — the serve path must work in a session that never
+            // trained); released in a finally once the walk's scalars
+            // are out.
             val (descNodes, beamed, foundId, foundSim) =
-              try hnswServeWalk(s, dir, entry, occupied, levelEdges, sym0)
+              try hnswServeWalk(s, dir, entry, occupied0, levelEdges0, sym00)
               finally {
-                graft.Caches.releaseCheckpoint(levelEdges)
-                graft.Caches.releaseCheckpoint(sym0)
+                graft.Caches.releaseCheckpoint(levelEdges0)
+                graft.Caches.releaseCheckpoint(sym00)
               }
             exactTop.select(
               lit(topLayer).as("top_layer"),
