@@ -1330,27 +1330,44 @@ object PipelineOps extends OpGroup {
     */
   private[graft] def kmeansLoop(
       q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    var assign = q.select(col("vec_id"), col("label").as("c"))
-    var prev: Option[org.apache.spark.sql.DataFrame] = None
-    for (_ <- 1 to 3) {
-      val cent = q.join(assign, "vec_id")
-        .select(col("c").as("clabel"), posexplode(col("qv")).as(Seq("pos", "v")))
+    // 3 Lloyd rounds. The centroid table is k×dim MODEL state (k = the
+    // label vocabulary that seeds the loop) — collected per round (the
+    // thrMap / occupied-levels pattern: parameters, never per-row data)
+    // and folded back as an array literal, so each round is ONE job: a
+    // map-side assignment expression feeding the partial-aggregating
+    // centroid sums, whose only exchange is k×dim rows. The old shape
+    // paid per round a corpus SortMergeJoin (q exchanged + sorted
+    // against the assignment checkpoint), a broadcast build, a corpus
+    // crossJoin + argmin exchange and an assignment checkpoint. Only
+    // the FINAL assignment checkpoints — which also severs the returned
+    // frame's lineage from the (shared) quantized corpus, so callers'
+    // releaseCheckpoint frees exactly their own blocks.
+    def centsOf(df: org.apache.spark.sql.DataFrame,
+        assignCol: String): Seq[(Int, Seq[Long], Long)] =
+      df.select(col(assignCol).as("clabel"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy("clabel", "pos")
         .agg(sum("v").as("sv"), count(lit(1)).as("n"))
         .groupBy("clabel")
         .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), s -> s.sv)").as("svec"),
           max("n").as("n"))
-      val next = q.crossJoin(broadcast(cent))
-        .withColumn("dist", expr("vec_l2q_dist(qv, svec, n)"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("clabel"))).as("m"))
-        .select(col("vec_id"), col("m.clabel").as("c"))
-        .localCheckpoint(true)
-      prev.foreach(graft.Caches.releaseCheckpoint)
-      prev = Some(next)
-      assign = next
-    }
-    assign
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+    // argmin by (dist, clabel) over the literal centroids — array_min on
+    // structs is the same lexicographic ordering as the old
+    // min(struct(dist, clabel)) aggregate, so the tie-break is
+    // byte-identical. The literal rides in as a column (SQL lambda
+    // aliases do not survive the Column API).
+    def withAssign(cents: Seq[(Int, Seq[Long], Long)],
+        out: String): org.apache.spark.sql.DataFrame =
+      q.withColumn("cents", typedLit(cents))
+        .withColumn(out, expr(
+          """array_min(transform(cents, c ->
+               struct(vec_l2q_dist(qv, c._2, c._3) AS dist, c._1 AS clabel))).clabel"""))
+        .drop("cents")
+    var cents = centsOf(q, "label")
+    for (_ <- 1 to 2)
+      cents = centsOf(withAssign(cents, "ac"), "ac")
+    withAssign(cents, "c").select("vec_id", "c").localCheckpoint(true)
   }
 
   /** The 1e-3-quantized corpus (vec_id, label, qv). LAZY checkpoint
@@ -2812,6 +2829,10 @@ object PipelineOps extends OpGroup {
         val cap = pagerankBroadcastCap(e0.sparkSession)
         def small(df: org.apache.spark.sql.DataFrame) =
           if (n <= cap) broadcast(df) else df
+        // Per-round exchanges are partial-aggregated to |V| rows — run
+        // the round loop in the narrow window ([[graphStateConf]], same
+        // small-graph gate as the broadcast).
+        graphStateConf(e0.sparkSession, n <= cap) {
         val scale = 1000000000000L
         val teleport = (15L * scale) / (100L * n)
         // Rank state carries the node's static out-degree so the round
@@ -2834,6 +2855,7 @@ object PipelineOps extends OpGroup {
           r = next
           rounds += 1
           if (changed == 0) converged = true
+        }
         }
         ok = true
       } finally graft.Caches.releaseCheckpoint(deg)
@@ -8617,13 +8639,17 @@ object PipelineOps extends OpGroup {
         // per-round leftsemi joins ([[graphBroadcastCap]]; shuffled
         // fallback above the cap). The gate scalar is the shared memoized
         // count ([[mutualKnnEdgeCount]]) — no per-op count() job.
+        val narrow = mutualKnnEdgeCount(s, dir) <= graphBroadcastCap(s)
         val small: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-          if (mutualKnnEdgeCount(s, dir) <= graphBroadcastCap(s)) broadcast _ else identity _
+          if (narrow) broadcast _ else identity _
         // edges0 is NOT a checkpoint of this op — its plan leaf is the
         // SHARED mutual-kNN cache, and releaseCheckpoint walks every
         // LogicalRDD leaf, so releasing it would unpersist the whole
         // graph family's edge set mid-pass. Only frames this loop
         // checkpointed itself are ever released (the `ne edges0` guards).
+        // Peel-loop micro-jobs run in the narrow window
+        // ([[graphStateConf]], same small-graph gate as the broadcast).
+        graphStateConf(s, narrow) {
         var edges = edges0
         var keep: org.apache.spark.sql.DataFrame = null
         var prevEdges: org.apache.spark.sql.DataFrame = null
@@ -8664,6 +8690,7 @@ object PipelineOps extends OpGroup {
             sum(when(col("in_core").isNull, 1L).otherwise(0L)).as("n_peeled"))
           .withColumn("converged", lit(converged))
           .orderBy("label")
+        }
       },
       Some {
         val rounds = (1 to 6).map { i =>
@@ -9354,20 +9381,26 @@ object PipelineOps extends OpGroup {
         // Frontier/visited are |V|-bounded — size-gated broadcast for the
         // per-hop expand + dedup joins ([[graphBroadcastCap]]). Gate
         // scalar from the shared memoized count — no per-op count() job.
+        val narrow = mutualKnnEdgeCount(s, dir) <= graphBroadcastCap(s)
         val small: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-          if (mutualKnnEdgeCount(s, dir) <= graphBroadcastCap(s)) broadcast _ else identity _
-        var visited = seeds.withColumn("hop", lit(0)).localCheckpoint(true)
-        var frontier = visited
+          if (narrow) broadcast _ else identity _
+        // Hop-loop micro-jobs in the narrow window ([[graphStateConf]],
+        // same small-graph gate as the broadcast).
+        val visited = graphStateConf(s, narrow) {
+        var vis = seeds.withColumn("hop", lit(0)).localCheckpoint(true)
+        var frontier = vis
         var hop = 0
         var emptied = false
         while (hop < 6 && !emptied) {
           hop += 1
-          val nv = visited.union(bfsHop(sym, frontier, visited, small, hop))
+          val nv = vis.union(bfsHop(sym, frontier, vis, small, hop))
             .localCheckpoint(true)
           frontier = nv.filter(col("hop") === hop)
           emptied = frontier.isEmpty
-          graft.Caches.releaseCheckpoint(visited)
-          visited = nv
+          graft.Caches.releaseCheckpoint(vis)
+          vis = nv
+        }
+        vis
         }
         val vFinal = visited
         graft.Caches.track(s, dir, "bfs_visited", Set("graph_bfs_hops"),
