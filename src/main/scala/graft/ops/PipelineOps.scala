@@ -3771,12 +3771,19 @@ object PipelineOps extends OpGroup {
         val allCells = aCells.union(bCells)
         // Smaller shard re-assigns over the union; ties → lowest cell id.
         val rw = Window.partitionBy("vec_id").orderBy(asc("dist"), asc("c"))
+        // Materialized ONCE: reB feeds both the nMoved scalar (an eager
+        // count) and the merged index's serve plan (executed at the
+        // consumer action) — unmaterialized, the qB × cells rerank ran
+        // twice.
         val reB = qB.crossJoin(broadcast(
             allCells.select(col("c"), col("svec"), col("n"))))
           .withColumn("dist", expr("vec_l2q_dist(qv, svec, n)"))
           .withColumn("rk", row_number().over(rw))
           .filter(col("rk") === 1)
           .select(col("vec_id"), col("c"))
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "ivf_merge_reb", Set("vec_ivf_merge_shards"),
+          () => graft.Caches.releaseCheckpoint(reB))
         val nMoved = reB
           .join(bAssign.select(col("vec_id"), (col("c") * 2 + 1).as("oldc")), "vec_id")
           .filter(col("c") =!= col("oldc")).count()
@@ -3787,9 +3794,16 @@ object PipelineOps extends OpGroup {
         val retr = ivfProbeServe(s, dir, fAssign,
             centroidsFromSums(trainedCellSums(qvF, fAssign)))
           .select(col("vec_id"), lit(true).as("hit"))
+        // Materialized ONCE (top-k rows): the hits scalar is an eager
+        // count and the returned frame re-executed the WHOLE two-sided
+        // serve plan (both ivfProbeServe legs) at the consumer action.
         val flagged = merged.join(retr, Seq("vec_id"), "left")
           .select(col("vec_id"), col("cluster"), col("cos_sim"),
             coalesce(col("hit"), lit(false)).as("in_retrain_topk"))
+          .localCheckpoint(true)
+        graft.Caches.track(s, dir, "ivf_merge_flagged",
+          Set("vec_ivf_merge_shards"),
+          () => graft.Caches.releaseCheckpoint(flagged))
         val hits = flagged.filter(col("in_retrain_topk")).count()
         flagged
           .withColumn("n_moved", lit(nMoved))

@@ -962,10 +962,18 @@ object StreamOps extends OpGroup {
             .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), s -> s.sv)")
               .as("svec"), max("n").as("n"))
           val baseRows = exist.join(assign, "vec_id").select("c", "qv")
+          // Materialized ONCE (top-k rows): served feeds the equality
+          // audit's collect AND the returned frame — unmaterialized, the
+          // whole merged-index serve plan re-executed at the consumer
+          // action.
           val served = PipelineOps.ivfProbeServe(s, dir,
             assign.union(delta.select("vec_id", "c")),
             PipelineOps.centroidsFromSums(
               cellSums(baseRows.union(delta.select("c", "qv")))))
+            .localCheckpoint(true)
+          graft.Caches.track(s, dir, "stream_upsert_served",
+            Set("stream_index_upsert"),
+            () => graft.Caches.releaseCheckpoint(served))
           // One-shot truth: the whole batch upserted in one pass.
           val oneShot = assignToBase(e.filter(col("vec_id") % 10 === 0)
             .select(col("vec_id"), expr(quantExpr).as("qv")))
