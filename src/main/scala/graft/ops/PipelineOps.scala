@@ -10126,12 +10126,26 @@ object PipelineOps extends OpGroup {
           .withColumn("sim", expr("vec_dot(embedding, qemb)")
             / (Tables.safeNorm("embedding") * Tables.safeNorm("qemb")))
           .orderBy(desc("sim"), asc("vec_id")).limit(1)
+        // The brute-force truth leg is independent of the walk — compute
+        // its 1 row on a driver thread DURING the walk (guide §2.6)
+        // instead of at the consumer action after it. Values re-enter the
+        // output as literals fed through the SAME Spark expressions
+        // (round/comparison run in Spark on the identical doubles), with
+        // when(true, …) preserving the old columns' nullability so the
+        // dumped schema is byte-identical.
+        val exPool = DriverPool(1)
+        val fExact = exPool.submit(new java.util.concurrent.Callable[
+          Option[(Long, Double)]] {
+          def call() = exactTop.select(col("vec_id"), col("sim"))
+            .head(1).headOption.map(r => (r.getLong(0), r.getDouble(1)))
+        })
         lay.orderBy(desc("lay"), asc("vec_id")).limit(1)
           .select("lay", "vec_id").head(1).headOption match {
           case None =>
             // Empty corpus (nothing but the query): exactTop is empty too —
             // the select below emits zero rows, matching the oracle's empty
             // cross join. No layer, no walk, no throw (PropertySuite gate).
+            exPool.shutdownNow()
             exactTop.select(
               lit(0).as("top_layer"), lit(0L).as("descent_nodes"),
               lit(0L).as("beam_nodes"),
@@ -10163,17 +10177,36 @@ object PipelineOps extends OpGroup {
             // key — greedy/beam/hnsw/batch all read the same checkpoints).
             val levelEdges = walkLevelEdgesCached(s, dir)
             val sym0 = walkSym0Cached(s, dir)
-            val (descNodes, beamed, foundId, foundSim) =
-              hnswServeWalk(s, dir, entry, occupied, levelEdges, sym0)
-            exactTop.select(
-              lit(topLayer).as("top_layer"),
-              lit(descNodes).as("descent_nodes"),
-              lit(beamed).as("beam_nodes"),
-              lit(foundId).as("found_id"),
-              (round(lit(foundSim), 3) + 0.0).as("found_sim"),
-              col("vec_id").as("exact_id"),
-              (round(col("sim"), 3) + 0.0).as("exact_sim"),
-              (lit(foundId) === col("vec_id")).as("hit"))
+            val (descNodes, beamed, foundId, foundSim, exact) =
+              try {
+                val w = hnswServeWalk(s, dir, entry, occupied, levelEdges, sym0)
+                // Join the truth leg BEFORE the pool shutdown interrupts
+                // its (possibly still running) job.
+                (w._1, w._2, w._3, w._4, fExact.get())
+              } finally exPool.shutdownNow()
+            exact match {
+              case Some((vid, esim)) => s.range(1).select(
+                lit(topLayer).as("top_layer"),
+                lit(descNodes).as("descent_nodes"),
+                lit(beamed).as("beam_nodes"),
+                lit(foundId).as("found_id"),
+                (round(lit(foundSim), 3) + 0.0).as("found_sim"),
+                when(lit(true), lit(vid)).as("exact_id"),
+                (round(when(lit(true), lit(esim)), 3) + 0.0).as("exact_sim"),
+                (lit(foundId) === when(lit(true), lit(vid))).as("hit"))
+              case None =>
+                // Query vector absent: exactTop is empty — emit the
+                // empty frame through the old expressions.
+                exactTop.select(
+                  lit(topLayer).as("top_layer"),
+                  lit(descNodes).as("descent_nodes"),
+                  lit(beamed).as("beam_nodes"),
+                  lit(foundId).as("found_id"),
+                  (round(lit(foundSim), 3) + 0.0).as("found_sim"),
+                  col("vec_id").as("exact_id"),
+                  (round(col("sim"), 3) + 0.0).as("exact_sim"),
+                  (lit(foundId) === col("vec_id")).as("hit"))
+            }
         }
       },
       Some(hnswSearchOracleSql)),
@@ -10218,7 +10251,15 @@ object PipelineOps extends OpGroup {
         // touches session conf, and the walk's narrow conf window opens
         // only after all legs are joined.
         val root = Tables.tmpDir("graft_hnsw_persist")
-        val pool = DriverPool(3)
+        val pool = DriverPool(4)
+        // The brute-force truth leg is independent of everything below —
+        // overlap it too (the vec_hnsw_search treatment; same literal
+        // re-entry through identical Spark expressions).
+        val fExact = pool.submit(new java.util.concurrent.Callable[
+          Option[(Long, Double)]] {
+          def call() = exactTop.select(col("vec_id"), col("sim"))
+            .head(1).headOption.map(r => (r.getLong(0), r.getDouble(1)))
+        })
         val fNodes = pool.submit(new java.util.concurrent.Callable[
           Option[org.apache.spark.sql.Row]] {
           def call() = {
@@ -10273,6 +10314,10 @@ object PipelineOps extends OpGroup {
               catch { case t: Throwable =>
                 graft.Caches.releaseCheckpoint(le); throw t
               }
+            // Join the truth leg too BEFORE the shutdown interrupts it
+            // (its value is only read in the Some branch, but the job
+            // runs regardless).
+            fExact.get()
             (nt, occ, le, sy)
           } finally pool.shutdownNow()
         entryTop match {
@@ -10297,21 +10342,35 @@ object PipelineOps extends OpGroup {
             // — the serve path must work in a session that never
             // trained); released in a finally once the walk's scalars
             // are out.
-            val (descNodes, beamed, foundId, foundSim) =
-              try hnswServeWalk(s, dir, entry, occupied0, levelEdges0, sym00)
-              finally {
+            val (descNodes, beamed, foundId, foundSim, exact) =
+              try {
+                val w = hnswServeWalk(s, dir, entry, occupied0, levelEdges0, sym00)
+                (w._1, w._2, w._3, w._4, fExact.get())
+              } finally {
                 graft.Caches.releaseCheckpoint(levelEdges0)
                 graft.Caches.releaseCheckpoint(sym00)
               }
-            exactTop.select(
-              lit(topLayer).as("top_layer"),
-              lit(descNodes).as("descent_nodes"),
-              lit(beamed).as("beam_nodes"),
-              lit(foundId).as("found_id"),
-              (round(lit(foundSim), 3) + 0.0).as("found_sim"),
-              col("vec_id").as("exact_id"),
-              (round(col("sim"), 3) + 0.0).as("exact_sim"),
-              (lit(foundId) === col("vec_id")).as("hit"))
+            exact match {
+              case Some((vid, esim)) => s.range(1).select(
+                lit(topLayer).as("top_layer"),
+                lit(descNodes).as("descent_nodes"),
+                lit(beamed).as("beam_nodes"),
+                lit(foundId).as("found_id"),
+                (round(lit(foundSim), 3) + 0.0).as("found_sim"),
+                when(lit(true), lit(vid)).as("exact_id"),
+                (round(when(lit(true), lit(esim)), 3) + 0.0).as("exact_sim"),
+                (lit(foundId) === when(lit(true), lit(vid))).as("hit"))
+              case None =>
+                exactTop.select(
+                  lit(topLayer).as("top_layer"),
+                  lit(descNodes).as("descent_nodes"),
+                  lit(beamed).as("beam_nodes"),
+                  lit(foundId).as("found_id"),
+                  (round(lit(foundSim), 3) + 0.0).as("found_sim"),
+                  col("vec_id").as("exact_id"),
+                  (round(col("sim"), 3) + 0.0).as("exact_sim"),
+                  (lit(foundId) === col("vec_id")).as("hit"))
+            }
         }
       },
       Some(hnswSearchOracleSql)),
